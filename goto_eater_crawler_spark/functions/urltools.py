@@ -1,0 +1,108 @@
+"""URL canonicalization, host extraction and 64-bit URL hashing.
+
+The reference dedupes requests with Scrapy's default dupefilter, whose
+fingerprint is built over a canonicalized URL (method + canonical url +
+body; SURVEY.md §2.2 P7). Our engine keys everything on
+``xxhash64(canonical_url)`` (north_rule: "canonicalized-URL 64-bit
+hash").
+
+Two implementations, pinned byte-equal by tests/test_urltools.py:
+
+- :func:`canonicalize_url_col` — **native Catalyst expressions only**
+  (parse_url / regexp / split / array_sort). This is the hot path: it
+  runs inside WholeStageCodegen on every discovered link, no Python.
+- :func:`canonicalize_url` — plain Python, used by the single-threaded
+  crawl oracle in tests and by driver-side seed synthesis.
+
+Canonical form (shared contract):
+  * scheme lowercased
+  * authority lowercased, default port stripped (``:80`` http,
+    ``:443`` https)
+  * empty path -> ``/``
+  * query params (full ``k=v`` strings) sorted lexicographically,
+    joined with ``&`` (mirrors the reference's fingerprint treating
+    sorted POST formdata as part of the key, e.g. yamagata.py:59-61)
+  * fragment dropped
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Python implementation (oracle / driver-side)
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonicalize one URL. Must stay byte-equal to
+    :func:`canonicalize_url_col` (tests enforce)."""
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower()
+    authority = parts.netloc.lower()
+    if scheme == "http" and authority.endswith(":80"):
+        authority = authority[: -len(":80")]
+    elif scheme == "https" and authority.endswith(":443"):
+        authority = authority[: -len(":443")]
+    path = parts.path or "/"
+    query = "&".join(sorted(parts.query.split("&"))) if parts.query else ""
+    out = f"{scheme}://{authority}{path}"
+    if query:
+        out += f"?{query}"
+    return out
+
+
+def url_host(url: str) -> str:
+    """Lowercased host (no port) of a URL — python side."""
+    host = urlsplit(url).hostname
+    return host.lower() if host else ""
+
+
+# ---------------------------------------------------------------------------
+# Native column implementations (engine hot path)
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Canonical URL as a pure Catalyst expression (no Python)."""
+    u = F.trim(url)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    authority = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
+    authority = (
+        F.when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(authority, ":443$", ""))
+        .otherwise(authority)
+    )
+    path = F.parse_url(u, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    query = F.parse_url(u, F.lit("QUERY"))
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    base = F.concat(scheme, F.lit("://"), authority, path)
+    return F.when(
+        query.isNull() | (query == ""), base
+    ).otherwise(F.concat(base, F.lit("?"), sorted_query))
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased host of a URL — native expression."""
+    return F.lower(F.parse_url(F.trim(url), F.lit("HOST")))
+
+
+def url_hash_col(canonical_url: Column) -> Column:
+    """64-bit key of a canonical URL: Spark's native xxhash64
+    (XXH64 over UTF-8 bytes, seed 42) — the engine's universal
+    dedup/bucketing key."""
+    return F.xxhash64(canonical_url)
+
+
+def with_url_identity(df, url_col: str = "url"):
+    """Add canonical_url / url_hash / host columns in one projection."""
+    canon = canonicalize_url_col(F.col(url_col))
+    return (
+        df.withColumn("canonical_url", canon)
+        .withColumn("url_hash", url_hash_col(F.col("canonical_url")))
+        .withColumn("host", host_col(F.col(url_col)))
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Local sandbox runs on ``local[N]`` (single JVM); the same config block
+is what we'd pass to ``spark-submit --py-files engine.zip`` on a real
+multi-executor cluster — AQE on (runtime re-plan + skew-join
+splitting), Arrow on (every UDF in this engine is Arrow-batched),
+UTC session timezone (oracle comparisons against DuckDB are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Checkpoint/scratch space lives inside the repo unless overridden.
+DEFAULT_WAREHOUSE = os.environ.get(
+    "CRAWLER_WAREHOUSE", "/root/repo/.warehouse"
+)
+
+
+def get_spark(
+    app_name: str = "goto-eater-crawler-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    Parameters mirror what the bench harness varies: ``master``
+    (``local[8]`` vs ``local[32]`` for the two-parallelism scaling
+    protocol in BASELINE.md) and ``shuffle_partitions`` (sized to
+    cores locally; on a real cluster ~2-3x total executor cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        shuffle_partitions = 32 if n == "*" else max(int(n), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # html bodies are KB-scale binaries: keep scan splits moderate
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # broadcast threshold: frontier rounds and dim tables are small;
+        # AQE converts to broadcast at runtime when under this.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.sql.warehouse.dir", DEFAULT_WAREHOUSE)
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
