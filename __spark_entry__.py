@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship crawl-shaped query on sf0.001.
+``queries()`` / ``oracle_sql()`` — the operator inventory from
+SURVEY.md §2 (+ training-data ops), each Spark plan paired with an
+ANSI-SQL DuckDB oracle over the same parquet tables. Implementations
+live in ``goto_eater_crawler_spark/plans/queries.py`` (and the
+dedup/similarity/text modules it pulls in).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from goto_eater_crawler_spark.plans import queries as _q  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the crawl engine's politeness-quota shape over the
+    events table — per-host (user_id) serial rank, quota cut, then
+    per-host aggregation. Mirrors SURVEY.md §2.4 A6 / §2.5 W1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF0001}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rank_in_host", F.row_number().over(w))
+        .filter(F.col("rank_in_host") <= 5)
+        .groupBy(F.col("user_id").alias("host"))
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("host")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

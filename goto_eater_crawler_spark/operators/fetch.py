@@ -1,0 +1,40 @@
+"""Fetch operator — frontier ⋈ pages.
+
+The reference's downloader hop (Request -> downloader -> Response,
+with its permanent HTTP cache, settings.py:90-94) becomes a pure
+equi-join of the round's selected frontier against the ``pages`` table
+on canonical url (SURVEY.md §2.3 J1). Misses (URL not in the corpus)
+are the 404/timeout analogue and feed the retry loop
+(middlewares.py:109-130 semantics).
+
+Join strategy: a crawl round is tiny next to the pages corpus
+(quota-bounded vs 10^10 rows). Physically we want only the frontier
+side to move: pages bucketed/partitioned by url so the join prunes or
+co-locates, never a pages shuffle. Locally AQE turns the small
+frontier into the broadcast side automatically; ``strategy`` pins a
+plan for tests ('broadcast' | 'shuffle' | 'auto').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fetch_join(
+    selected: DataFrame, pages: DataFrame, strategy: str = "auto"
+) -> tuple[DataFrame, DataFrame]:
+    """Join the round's selected frontier with the pages corpus on
+    canonical_url. Returns (fetched, missed): ``fetched`` = frontier
+    columns + ``html``; ``missed`` = frontier columns.
+    """
+    left = selected
+    if strategy == "broadcast":
+        left = F.broadcast(left)
+    elif strategy == "shuffle":
+        left = left.hint("shuffle_hash")
+    right = pages.select(F.col("url").alias("_page_url"), "html")
+    joined = left.join(right, left["canonical_url"] == right["_page_url"], "left")
+    fetched = joined.filter(F.col("_page_url").isNotNull()).drop("_page_url")
+    missed = joined.filter(F.col("_page_url").isNull()).drop("_page_url", "html")
+    return fetched, missed

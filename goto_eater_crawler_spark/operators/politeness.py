@@ -1,0 +1,120 @@
+"""Politeness: robots filtering + per-host crawl-delay quota.
+
+The reference enforces politeness through Scrapy's machinery:
+``ROBOTSTXT_OBEY = True`` (settings.py:21), strictly serial per-domain
+fetching (``CONCURRENT_REQUESTS_PER_DOMAIN = 1``, settings.py:34) and
+per-request delays (``DOWNLOAD_DELAY = 3`` default settings.py:32,
+per-spider overrides 1.0-4.0 s, SURVEY.md §2.9 T1).
+
+In a batch engine the *semantic* equivalent is a per-round budget:
+with round wall-clock budget ``T`` and a host's crawl delay ``d``, the
+host may fetch ``max(1, floor(T / d))`` URLs per round, in a defined
+serial order (priority desc, depth asc, canonical_url asc — the
+engine's deterministic stand-in for Scrapy's per-host FIFO). That is a
+rank-per-host window (SURVEY.md §2.4 A6 / §2.5 W1).
+
+Scale note (hot hosts — e.g. the 32k-page host modeled on
+tokyo_gnavi.py:26): the window needs all of a host's frontier rows in
+one partition. Quotas are small (<= T/d), so we first cut each host
+down to its quota *within each partition* (partial top-k inside
+``mapInPandas`` would also work; we use a two-phase window: local
+rank over a salted repartition, then the exact window over the
+survivors, at most ``quota x n_salts`` rows per host).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_CRAWL_DELAY = 3.0  # reference settings.py:32
+
+def _order():
+    """The per-host serial fetch order — the engine's deterministic
+    stand-in for Scrapy's FIFO-per-domain queue."""
+    return [
+        F.col("priority").desc(),
+        F.col("depth").asc(),
+        F.col("canonical_url").asc(),
+    ]
+
+
+def robots_split(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (allowed, robots_dropped).
+
+    Prefix semantics: a URL is blocked when its path matches any
+    disallow prefix and no allow prefix (allow wins — the common
+    robots longest-match simplified to allow-overrides, enough for
+    the reference's usage which is all-or-nothing, main.py:32).
+    Robots is a per-host dim table — broadcast, never shuffled.
+    """
+    path = F.parse_url(F.col("canonical_url"), F.lit("PATH"))
+    joined = frontier.join(F.broadcast(robots), "host", "left").withColumn(
+        "_path", F.when(path.isNull() | (path == ""), "/").otherwise(path)
+    )
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: F.col("_path").startswith(p),
+    )
+    allowed_override = F.exists(
+        F.coalesce(F.col("allow_prefixes"), F.array()),
+        lambda p: F.col("_path").startswith(p),
+    )
+    blocked = disallowed & ~allowed_override
+    keep_cols = frontier.columns
+    return (
+        joined.filter(~blocked).select(*keep_cols),
+        joined.filter(blocked).select(*keep_cols),
+    )
+
+
+def with_crawl_delay(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    delays = robots.select("host", "crawl_delay")
+    return frontier.join(F.broadcast(delays), "host", "left").withColumn(
+        "crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))
+    )
+
+
+def quota_split(
+    frontier_with_delay: DataFrame,
+    round_budget: float,
+    n_salts: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a round's frontier into (selected, deferred) by per-host
+    quota. ``selected`` carries ``rank_in_host`` (1-based serial order
+    within the host — the engine's crawl-order contract W1/W3).
+    """
+    quota = F.greatest(
+        F.lit(1), F.floor(F.lit(round_budget) / F.col("crawl_delay"))
+    ).cast("int")
+
+    # phase 1 — salted partial top-k: bound any single host's row
+    # count per partition before the exact window (hot-host skew kill,
+    # north_rule "salted repartition-by-host").
+    salt = F.pmod(F.xxhash64(F.col("canonical_url"), F.lit(7)), F.lit(n_salts))
+    local_rank = F.row_number().over(
+        Window.partitionBy(F.col("host"), salt).orderBy(*_order())
+    )
+    pruned = frontier_with_delay.withColumn("_lrank", local_rank).filter(
+        F.col("_lrank") <= quota
+    )
+
+    # phase 2 — exact per-host serial rank over the survivors
+    # (<= quota * n_salts rows per host, skew bounded).
+    rank = F.row_number().over(Window.partitionBy("host").orderBy(*_order()))
+    ranked = pruned.withColumn("rank_in_host", rank).drop("_lrank")
+    selected = ranked.filter(F.col("rank_in_host") <= quota)
+
+    # deferred = frontier minus selected (anti-join on canonical_url;
+    # cheaper than re-ranking the full set)
+    deferred = frontier_with_delay.join(
+        selected.select("canonical_url"), "canonical_url", "left_anti"
+    ).drop("crawl_delay")
+    return selected.drop("crawl_delay"), deferred
+
+
+def priority_col(host_rank=None, depth=None):
+    """Frontier priority = host_rank x W - depth (north_rule O3)."""
+    hr = host_rank if host_rank is not None else F.lit(1.0)
+    d = depth if depth is not None else F.col("depth")
+    return (hr * F.lit(100.0) - d).cast("double")

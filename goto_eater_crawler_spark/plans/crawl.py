@@ -1,0 +1,446 @@
+"""The crawl driver loop — batch fetch rounds with atomic checkpoints.
+
+Execution model (SURVEY.md §4.2): the reference's continuous polite
+crawl (Scrapy event loop, 4-5 h nightly) becomes a driver-side loop of
+batch rounds; each round is one Spark job DAG:
+
+    frontier_r
+      -> robots filter                     (P4/T2)
+      -> per-host quota window             (A6/W1, salted)
+      -> fetch join vs pages               (J1)
+      -> mapInPandas extract               (records ∪ links)
+      -> link canonicalize + intra-round dedup (P6/A4)
+      -> bloom-accelerated seen anti-join  (P7/U2)
+      -> commit round atomically           (T6)
+
+Determinism contract (shared with the test oracle): within a round,
+hosts fetch their URLs in (priority desc, depth asc, canonical_url
+asc) order; global crawl order ``fetch_seq`` enumerates fetched URLs
+by (round, host, rank_in_host). The seen set is keyed by canonical
+URL; a URL is "seen" from the moment it is scheduled (Scrapy
+dupefilter semantics — fingerprints are recorded at enqueue time).
+
+Retries: fetch misses re-enqueue with ``retry_count + 1`` and decayed
+priority until ``max_retries`` (reference: RETRY_TIMES = 8
+settings.py:119, exponential backoff + jitter middlewares.py:109-130 —
+wall-clock backoff has no meaning against a static pages table, so the
+backoff becomes deterministic priority decay with hash-derived jitter,
+no random()), then dead-letter.
+
+Checkpointing (T6): with ``checkpoint_dir`` set, every round writes
+frontier / seen-delta / bloom blocks / records / fetch_log as parquet
+under ``rounds/round=NNNN/`` and commits by writing ``manifest.json``
+LAST — the manifest is the atomic commit mark; a crashed round leaves
+no manifest and is invisible to resume. ``CrawlEngine.resume`` picks
+up from the greatest committed round with identical state.
+
+On a real cluster the same loop runs unchanged via
+``spark-submit --py-files engine.zip``; parquet checkpoint dirs become
+an object-store path (or an Iceberg catalog — the store is pluggable;
+Iceberg jars are absent in this sandbox, SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.urltools import with_url_identity
+from ..operators.dedup import BloomParams, build_blocks, merge_blocks, split_new_urls
+from ..operators.extract import run_extract, split_records_links
+from ..operators.fetch import fetch_join
+from ..operators.politeness import (
+    priority_col,
+    quota_split,
+    robots_split,
+    with_crawl_delay,
+)
+from ..schema import (
+    BLOOM_BLOCK_SCHEMA,
+    FEED_EXPORT_FIELDS,
+    FETCH_LOG_SCHEMA,
+    FRONTIER_SCHEMA,
+)
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+LOG_COLS = [f.name for f in FETCH_LOG_SCHEMA.fields]
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("canonical_url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    round_budget: float = 60.0  # seconds of per-host politeness budget
+    max_rounds: int = 64
+    max_retries: int = 8  # reference settings.py:119
+    bloom: BloomParams | None = field(default_factory=BloomParams)
+    fetch_strategy: str = "auto"
+    checkpoint_dir: str | None = None
+    assign_fetch_seq: bool = True
+    quota_salts: int = 8
+
+
+@dataclass
+class CrawlResult:
+    records: DataFrame
+    fetch_log: DataFrame
+    seen: DataFrame
+    metrics: list[dict]
+
+
+def _valid_url() -> F.Column:
+    """Only http(s) URLs with a parseable host enter the frontier —
+    the analogue of Scrapy's download-handler scheme set + offsite
+    middleware. Null canonical URLs must never reach the frontier:
+    null join keys silently fall out of the anti-join dedup paths.
+    """
+    return (
+        F.col("canonical_url").isNotNull()
+        & F.col("host").isNotNull()
+        & (F.col("host") != "")
+        & (
+            F.col("canonical_url").startswith("http://")
+            | F.col("canonical_url").startswith("https://")
+        )
+    )
+
+
+def _log_rows(df: DataFrame, round_no: int, status: str) -> DataFrame:
+    return df.select(
+        F.lit(round_no).alias("round"),
+        F.lit(None).cast("long").alias("fetch_seq"),
+        F.col("url"),
+        F.col("canonical_url"),
+        F.col("url_hash"),
+        F.col("host"),
+        F.col("depth"),
+        F.lit(status).alias("status"),
+    )
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.robots = robots
+        self.cfg = config or CrawlConfig()
+
+    # -- state helpers ------------------------------------------------
+
+    def _materialize(self, df: DataFrame, round_no: int, name: str) -> DataFrame:
+        """Cut lineage each round: parquet round-trip when
+        checkpointing, localCheckpoint otherwise."""
+        if self.cfg.checkpoint_dir:
+            path = self._round_dir(round_no, name)
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.schema(df.schema).parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    def _round_dir(self, round_no: int, name: str) -> str:
+        return os.path.join(
+            self.cfg.checkpoint_dir or "", "rounds", f"round={round_no:04d}", name
+        )
+
+    def _commit_round(self, round_no: int, info: dict) -> None:
+        if not self.cfg.checkpoint_dir:
+            return
+        base = os.path.dirname(self._round_dir(round_no, "x"))
+        os.makedirs(base, exist_ok=True)
+        with open(os.path.join(base, "manifest.json"), "w") as f:
+            json.dump(info, f)
+
+    # -- seed prep ----------------------------------------------------
+
+    def seed_frontier(self, seed_rows: list[dict]) -> DataFrame:
+        df = self.spark.createDataFrame(
+            [
+                {
+                    "url": s["url"],
+                    "source": s["source"],
+                    "parse_family": s["parse_family"],
+                    "depth": int(s.get("depth", 0)),
+                    "retry_count": 0,
+                    "meta": s.get("meta") or {},
+                }
+                for s in seed_rows
+            ],
+            schema=T.StructType(
+                [
+                    T.StructField("url", T.StringType(), False),
+                    T.StructField("source", T.StringType(), False),
+                    T.StructField("parse_family", T.StringType(), False),
+                    T.StructField("depth", T.IntegerType(), False),
+                    T.StructField("retry_count", T.IntegerType(), False),
+                    T.StructField(
+                        "meta", T.MapType(T.StringType(), T.StringType()), True
+                    ),
+                ]
+            ),
+        )
+        df = (
+            with_url_identity(df)
+            .withColumn("priority", priority_col())
+            .filter(_valid_url())
+        )
+        # scheduled => seen (dupefilter marks at enqueue); dedup seeds
+        w = Window.partitionBy("canonical_url").orderBy("url")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .select(*FRONTIER_COLS)
+        )
+
+    # -- entry points --------------------------------------------------
+
+    def run(self, seed_rows: list[dict]) -> CrawlResult:
+        frontier = self.seed_frontier(seed_rows)
+        seen = frontier.select("canonical_url", "url_hash")
+        blocks = (
+            build_blocks(seen.select("url_hash"), self.cfg.bloom)
+            if self.cfg.bloom
+            else None
+        )
+        frontier = self._materialize(frontier, 0, "frontier")
+        seen = self._materialize(seen, 0, "seen_delta")
+        if blocks is not None:
+            blocks = self._materialize(blocks, 0, "blocks")
+        self._commit_round(0, {"round": 0, "fetch_seq_offset": 0, "metrics": []})
+        return self._loop(frontier, seen, blocks, 1, 0, [])
+
+    @classmethod
+    def resume(
+        cls,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        config: CrawlConfig,
+    ) -> CrawlResult:
+        """Resume from the greatest committed round in checkpoint_dir
+        (T6 — per-round atomic commit, exact restart)."""
+        assert config.checkpoint_dir, "resume requires checkpoint_dir"
+        eng = cls(spark, pages, robots, config)
+        rounds_dir = os.path.join(config.checkpoint_dir, "rounds")
+        committed = [
+            d
+            for d in sorted(os.listdir(rounds_dir))
+            if os.path.exists(os.path.join(rounds_dir, d, "manifest.json"))
+        ]
+        assert committed, "nothing committed to resume from"
+        with open(os.path.join(rounds_dir, committed[-1], "manifest.json")) as f:
+            info = json.load(f)
+        last_no = info["round"]
+        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
+            eng._round_dir(last_no, "frontier")
+        )
+        seen_paths = [
+            p
+            for d in committed
+            if os.path.exists(p := os.path.join(rounds_dir, d, "seen_delta"))
+        ]
+        seen = spark.read.schema(SEEN_SCHEMA).parquet(*seen_paths)
+        blocks = (
+            spark.read.schema(BLOOM_BLOCK_SCHEMA).parquet(
+                eng._round_dir(last_no, "blocks")
+            )
+            if config.bloom
+            else None
+        )
+        return eng._loop(
+            frontier,
+            seen,
+            blocks,
+            last_no + 1,
+            info["fetch_seq_offset"],
+            list(info.get("metrics", [])),
+        )
+
+    # -- the round loop -------------------------------------------------
+
+    def _loop(
+        self,
+        frontier: DataFrame,
+        seen: DataFrame,
+        blocks: DataFrame | None,
+        start_round: int,
+        fetch_seq_offset: int,
+        metrics: list[dict],
+    ) -> CrawlResult:
+        cfg = self.cfg
+        records_parts: list[DataFrame] = []
+        log_parts: list[DataFrame] = []
+        round_no = start_round
+        while round_no <= cfg.max_rounds and not frontier.isEmpty():
+            allowed, robots_dropped = robots_split(frontier, self.robots)
+            selected, deferred = quota_split(
+                with_crawl_delay(allowed, self.robots),
+                cfg.round_budget,
+                cfg.quota_salts,
+            )
+            selected = selected.persist()
+            fetched, missed = fetch_join(selected, self.pages, cfg.fetch_strategy)
+            fetched = fetched.persist()
+            missed = missed.drop("rank_in_host")
+
+            extracted = run_extract(fetched).persist()
+            records, links = split_records_links(extracted)
+
+            # link identity + intra-round dedup (deterministic keeper:
+            # lowest depth, then lexicographic emitting-page url)
+            links = (
+                with_url_identity(links)
+                .withColumn("priority", priority_col())
+                .withColumn("retry_count", F.lit(0))
+            )
+            invalid_links = links.filter(~_valid_url())
+            links = links.filter(_valid_url())
+            w = Window.partitionBy("canonical_url").orderBy("depth", "url")
+            links_dedup = (
+                links.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .select(*FRONTIER_COLS)
+            )
+            new_rows, definite_new, bloom_fp = split_new_urls(
+                links_dedup, blocks, seen, cfg.bloom or BloomParams()
+            )
+            new_rows = new_rows.persist()
+
+            # retries: miss -> re-enqueue decayed, or dead-letter
+            can_retry = F.col("retry_count") + 1 <= F.lit(cfg.max_retries)
+            retry_rows = (
+                missed.filter(can_retry)
+                .withColumn("retry_count", F.col("retry_count") + 1)
+                .withColumn(
+                    "priority",
+                    F.col("priority")
+                    - F.col("retry_count")
+                    - F.pmod(F.col("url_hash"), F.lit(10000)) / 10000.0,
+                )
+                .select(*FRONTIER_COLS)
+            )
+            dead_rows = missed.filter(~can_retry)
+
+            # fetch log: fetched rows get the global crawl-order seq
+            if cfg.assign_fetch_seq:
+                # test-scale global window (rounds are quota-bounded);
+                # at 10^10 scale keep the (round, host, rank) sort key
+                # and skip the materialized counter.
+                seq_w = Window.orderBy("host", "rank_in_host")
+                fetched_log = fetched.select(
+                    F.lit(round_no).alias("round"),
+                    (
+                        F.row_number().over(seq_w).cast("long")
+                        + F.lit(fetch_seq_offset)
+                    ).alias("fetch_seq"),
+                    "url",
+                    "canonical_url",
+                    "url_hash",
+                    "host",
+                    "depth",
+                    F.lit("fetched").alias("status"),
+                )
+            else:
+                fetched_log = _log_rows(fetched, round_no, "fetched")
+            round_log = fetched_log.select(*LOG_COLS)
+            for df, status in (
+                (robots_dropped, "robots_dropped"),
+                (retry_rows, "retry"),
+                (dead_rows, "dead"),
+                (invalid_links, "invalid"),
+            ):
+                round_log = round_log.unionByName(_log_rows(df, round_no, status))
+
+            # next-round state
+            next_frontier = deferred.select(*FRONTIER_COLS).unionByName(
+                retry_rows
+            ).unionByName(new_rows.select(*FRONTIER_COLS))
+            seen_delta = new_rows.select("canonical_url", "url_hash")
+
+            if blocks is not None:
+                new_blocks = merge_blocks(
+                    blocks,
+                    build_blocks(seen_delta.select("url_hash"), cfg.bloom),
+                    cfg.bloom,
+                )
+                old_blocks = blocks
+                blocks = self._materialize(new_blocks, round_no, "blocks").persist()
+                old_blocks.unpersist()
+
+            round_log = self._materialize(round_log, round_no, "fetch_log")
+            records = self._materialize(records, round_no, "records")
+            status_counts = {
+                r["status"]: r["n"]
+                for r in round_log.groupBy("status")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            m = {
+                "round": round_no,
+                "fetched": status_counts.get("fetched", 0),
+                "robots_dropped": status_counts.get("robots_dropped", 0),
+                "retry": status_counts.get("retry", 0),
+                "dead": status_counts.get("dead", 0),
+                "records": records.count(),
+                "new_urls": new_rows.count(),
+                "bloom_definite_new": (
+                    definite_new.count() if blocks is not None else None
+                ),
+                "bloom_fp": bloom_fp.count() if blocks is not None else None,
+            }
+            fetch_seq_offset += m["fetched"]
+
+            frontier = self._materialize(next_frontier, round_no, "frontier")
+            seen_delta_mat = self._materialize(seen_delta, round_no, "seen_delta")
+            seen = seen.unionByName(seen_delta_mat)
+            if not cfg.checkpoint_dir:
+                seen = seen.localCheckpoint(eager=True)
+
+            records_parts.append(records)
+            log_parts.append(round_log)
+            metrics.append(m)
+            self._commit_round(
+                round_no,
+                {
+                    "round": round_no,
+                    "fetch_seq_offset": fetch_seq_offset,
+                    "metrics": metrics,
+                },
+            )
+            selected.unpersist()
+            fetched.unpersist()
+            extracted.unpersist()
+            new_rows.unpersist()
+            round_no += 1
+
+        rec_schema = T.StructType(
+            [
+                T.StructField("url", T.StringType(), False),
+                T.StructField("source", T.StringType(), False),
+                T.StructField("item_index", T.IntegerType(), True),
+            ]
+            + [T.StructField(f, T.StringType(), True) for f in FEED_EXPORT_FIELDS]
+        )
+        all_records = self.spark.createDataFrame([], rec_schema)
+        for p in records_parts:
+            all_records = all_records.unionByName(p)
+        all_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
+        for p in log_parts:
+            all_log = all_log.unionByName(p)
+        return CrawlResult(all_records, all_log, seen, metrics)

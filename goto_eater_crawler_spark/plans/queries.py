@@ -1,0 +1,547 @@
+"""Relational query inventory — SURVEY.md §2 operators + training-data
+pipeline ops, expressed over the driver's testdata tables.
+
+Every entry here is exported through ``__spark_entry__.py`` as a
+(queries, oracle_sql) pair: the Spark DataFrame plan and an ANSI-SQL
+equivalent DuckDB runs on the same parquet — the driver's correctness
+gate compares row counts, schemas and order-insensitive value hashes.
+
+Conventions (to survive the value-hash compare):
+- every computed column aliased identically on both sides;
+- float aggregates rounded to 4 decimals on both sides;
+- deterministic output: each query either aggregates or carries a
+  total order via its key columns.
+
+The crawl-engine operators map onto these tables as follows: the
+`events` table plays the frontier (user_id ~ host, ts ~ enqueue
+time), `orders/lineitem/customer` exercise the join/agg/window
+machinery (J1-J6, A1-A6, W1-W3, O1, U1-U3, P2-P7 of SURVEY.md §2),
+`documents`/`embeddings` carry the dedup / similarity / text-analysis
+suite the 100 TB training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Core relational operators (SURVEY.md §2.2-§2.7)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fetch_join",
+    # J1 — the fetch join shape: frontier ⋈ pages => orders ⋈ customer
+    """
+    SELECT o.o_orderkey AS orderkey, c.c_name AS cust_name,
+           o.o_totalprice AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    ORDER BY orderkey
+    """,
+)
+def q_fetch_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_totalprice") > 100000)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@_register(
+    "dim_broadcast_join",
+    # J3 — code->label dimension join (fukuoka.py:65) => nation dim
+    """
+    SELECT n.n_name AS nation, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 4) AS sum_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+)
+def q_dim_broadcast_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@_register(
+    "seen_anti_join",
+    # P7/U2 — URL-seen anti-join => orders whose customer is NOT in the
+    # "seen" set (here: customers with negative balance)
+    """
+    SELECT o.o_orderstatus AS status, count(*) AS n
+    FROM orders o
+    ANTI JOIN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) s
+      ON o.o_custkey = s.c_custkey
+    GROUP BY status ORDER BY status
+    """,
+)
+def q_seen_anti_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    seen = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    return (
+        o.join(seen, o.o_custkey == seen.c_custkey, "left_anti")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )
+
+
+@_register(
+    "robots_semi_join",
+    # J6 — "hosts with robots allow" semi-join => customers with orders
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS n
+    FROM customer c
+    SEMI JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY segment ORDER BY segment
+    """,
+)
+def q_robots_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("segment")
+    )
+
+
+@_register(
+    "containment_theta_join",
+    # J2 — equi key + containment residual (miyagi.py:106-119: name == AND
+    # address substring) => join on nationkey with name-containment residual
+    """
+    SELECT s.s_name AS supp_name, n.n_name AS nation
+    FROM supplier s JOIN nation n
+      ON s.s_nationkey = n.n_nationkey
+     AND contains(s.s_name || n.n_name, substr(n.n_name, 1, 2))
+    ORDER BY supp_name
+    """,
+)
+def q_containment_theta_join(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(
+            n,
+            (s.s_nationkey == n.n_nationkey)
+            & F.expr("contains(s_name || n_name, substr(n_name, 1, 2))"),
+        )
+        .select(F.col("s_name").alias("supp_name"), F.col("n_name").alias("nation"))
+        .orderBy("supp_name")
+    )
+
+
+@_register(
+    "politeness_topk_per_host",
+    # W1 — per-host quota window: top-3 per group in serial order
+    """
+    SELECT user_id AS host, event_id, rank_in_host FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rank_in_host
+      FROM events)
+    WHERE rank_in_host <= 3
+    ORDER BY host, rank_in_host
+    """,
+)
+def q_politeness_topk_per_host(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rank_in_host", F.row_number().over(w))
+        .filter(F.col("rank_in_host") <= 3)
+        .select(
+            F.col("user_id").alias("host"),
+            "event_id",
+            "rank_in_host",
+        )
+        .orderBy("host", "rank_in_host")
+    )
+
+
+@_register(
+    "first_match_per_key",
+    # W2 — extract_first / match[0] semantics => earliest order per customer
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS first_orderkey
+    FROM (SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1 ORDER BY custkey
+    """,
+)
+def q_first_match_per_key(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("first_orderkey"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@_register(
+    "groupby_agg_q1",
+    # A1/A3 — TPC-H Q1-shaped multi-agg over lineitem
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_agg_q1(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "bbox_min_max",
+    # A2 — bbox min/max aggregation (abstract_liny.py:10-33)
+    """
+    SELECT user_id, round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_bbox_min_max(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "collect_sorted_concat",
+    # A1 — "|".join(genres) per page (tokushima.py:26-28 etc.): ordered
+    # string_agg per group
+    """
+    SELECT l_orderkey AS orderkey,
+           string_agg(l_returnflag || CAST(l_linenumber AS VARCHAR), '|'
+                      ORDER BY l_linenumber,
+                               l_returnflag || CAST(l_linenumber AS VARCHAR)) AS flags
+    FROM lineitem GROUP BY l_orderkey ORDER BY orderkey
+    """,
+)
+def q_collect_sorted_concat(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.col("l_orderkey").alias("orderkey"),
+            "l_linenumber",
+            F.concat(F.col("l_returnflag"), F.col("l_linenumber").cast("string")).alias(
+                "flag"
+            ),
+        )
+        .groupBy("orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("l_linenumber", "flag"))
+                    ),
+                    lambda s: s["flag"],
+                ),
+                "|",
+            ).alias("flags")
+        )
+        .orderBy("orderkey")
+    )
+
+
+@_register(
+    "rollup_counts",
+    # A5 — rollup reporting
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation, count(*) AS n
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region, nation
+    """,
+)
+def q_rollup_counts(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@_register(
+    "global_sort_topn",
+    # O1 — final CSV global sort (csvsort semantics) with stable tie-break
+    """
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders ORDER BY totalprice DESC, orderkey LIMIT 100
+    """,
+)
+def q_global_sort_topn(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(100)
+    )
+
+
+@_register(
+    "union_streams",
+    # U1 — union of per-area result streams
+    """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, event_type FROM events WHERE event_type = 'view'
+    ) ORDER BY event_id
+    """,
+)
+def q_union_streams(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = e.filter("event_type = 'click'").select("event_id", "event_type")
+    b = e.filter("event_type = 'view'").select("event_id", "event_type")
+    return a.unionByName(b).orderBy("event_id")
+
+
+@_register(
+    "intersect_keys",
+    # U3 — intersect
+    """
+    SELECT c_custkey AS custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) ORDER BY custkey
+    """,
+)
+def q_intersect_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'").select(
+        "c_custkey"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter("o_orderstatus = 'F'")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.intersect(o).select(F.col("c_custkey").alias("custkey")).orderBy(
+        "custkey"
+    )
+
+
+@_register(
+    "membership_filter",
+    # P3 — tag-in-arealist membership predicate (yamagata.py:104-111)
+    """
+    SELECT lang, count(*) AS n FROM documents
+    WHERE lang IN ('ja', 'en', 'de') GROUP BY lang ORDER BY lang
+    """,
+)
+def q_membership_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isin("ja", "en", "de"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "regex_extract_split",
+    # F3/F6 — regex field split with fallback (tochigi.py:33-40): pull the
+    # numeric id out of c_name, NULL when absent
+    """
+    SELECT c_custkey AS custkey,
+           CASE WHEN regexp_extract(c_name, '#(\\d+)', 1) = '' THEN NULL
+                ELSE regexp_extract(c_name, '#(\\d+)', 1) END AS name_id
+    FROM customer ORDER BY custkey
+    """,
+)
+def q_regex_extract_split(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    ex = F.regexp_extract(F.col("c_name"), r"#(\d+)", 1)
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(ex == "", None).otherwise(ex).alias("name_id"),
+    ).orderBy("custkey")
+
+
+@_register(
+    "url_canonicalize",
+    # P6 — URL canonicalization as a relational op: synthesize URLs from
+    # part rows, sort their query params (same contract as the frontier's
+    # canonical form)
+    """
+    SELECT p_partkey AS partkey,
+           'https://h' || CAST(p_partkey % 50 AS VARCHAR)
+             || '.example.jp/p?'
+             || array_to_string(list_sort(string_split(
+                  'size=' || CAST(p_size AS VARCHAR) || '&brand=' || p_brand, '&')), '&')
+           AS canonical_url
+    FROM part ORDER BY partkey
+    """,
+)
+def q_url_canonicalize(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    q = F.concat(
+        F.lit("size="),
+        F.col("p_size").cast("string"),
+        F.lit("&brand="),
+        F.col("p_brand"),
+    )
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("p_partkey") % 50).cast("string"),
+            F.lit(".example.jp/p?"),
+            F.array_join(F.array_sort(F.split(q, "&")), "&"),
+        ).alias("canonical_url"),
+    ).orderBy("partkey")
+
+
+@_register(
+    "windowed_event_counts",
+    # T4-analogue — tumbling event-time window aggregation
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_v
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+)
+def q_windowed_event_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@_register(
+    "sessionize_gaps",
+    # sessionization: session = gap > 30 min per user (lag + cumsum)
+    """
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions FROM (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM (SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL THEN 1
+                        WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                             ORDER BY ts, event_id)) > 1800
+                             THEN 1 ELSE 0 END AS new_sess
+            FROM events))
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_sessionize_gaps(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(w)
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+        .orderBy("user_id")
+    )

@@ -32,6 +32,16 @@ def get_spark(
     protocol in BASELINE.md) and ``shuffle_partitions`` (sized to
     cores locally; on a real cluster ~2-3x total executor cores).
     """
+    # Make the engine importable in executor Python workers no matter
+    # where the driver script lives: the equivalent of
+    # ``spark-submit --py-files engine.zip`` for plain-python drivers.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{py_path}" if py_path else repo_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -1,0 +1,130 @@
+"""End-to-end crawl parity: engine vs the single-threaded oracle on
+the full fixture web (all parse families, multi-host, robots-blocked
+host, pagination + two-hop detail expansion).
+
+Checks the BASELINE.json contract pieces:
+- byte-identical extracted records per url (items incl. normalization),
+- crawl ordering (fetch_seq sequence of canonical urls),
+- final URL-seen set equality,
+- robots exclusion,
+- sorted per-source CSV feeds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from goto_eater_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+from goto_eater_crawler_spark.schema import FEED_EXPORT_FIELDS
+from goto_eater_crawler_spark.sources import webgen
+from goto_eater_crawler_spark.sources.sinks import sorted_feed
+from tests.oracle import crawl_oracle
+
+ROUND_BUDGET = 12.0  # small budget => several rounds, quotas bite
+
+
+@pytest.fixture(scope="module")
+def fixture_web():
+    pages, seeds, robots = webgen.build_fixture_web()
+    return pages, seeds, robots
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, fixture_web):
+    pages, seeds, robots = fixture_web
+    eng = CrawlEngine(
+        spark,
+        webgen.pages_df(spark, pages),
+        webgen.robots_df(spark, robots),
+        CrawlConfig(round_budget=ROUND_BUDGET, max_rounds=32),
+    )
+    return eng.run(seeds)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(fixture_web):
+    pages, seeds, robots = fixture_web
+    page_map = {p["url"]: p["html"] for p in pages}
+    return crawl_oracle(
+        page_map, seeds, robots, round_budget=ROUND_BUDGET, max_rounds=32
+    )
+
+
+def _record_key(r):
+    return (r["url"], r["item_index"])
+
+
+def test_records_byte_identical(engine_result, oracle_result):
+    got = {
+        _record_key(r): tuple(r[f] for f in FEED_EXPORT_FIELDS)
+        for r in engine_result.records.collect()
+    }
+    want = {
+        _record_key(r): tuple(r[f] for f in FEED_EXPORT_FIELDS)
+        for r in oracle_result["records"]
+    }
+    assert set(got) == set(want)
+    mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mismatches, list(mismatches.items())[:3]
+    assert len(got) > 100
+
+
+def test_crawl_ordering_matches(engine_result, oracle_result):
+    rows = (
+        engine_result.fetch_log.filter("status = 'fetched'")
+        .orderBy("fetch_seq")
+        .select("canonical_url", "round")
+        .collect()
+    )
+    got = [r["canonical_url"] for r in rows]
+    assert got == oracle_result["fetch_order"]
+
+
+def test_seen_set_matches(engine_result, oracle_result):
+    got = {r["canonical_url"] for r in engine_result.seen.collect()}
+    assert got == oracle_result["seen"]
+
+
+def test_robots_block(engine_result):
+    log = engine_result.fetch_log
+    dropped = log.filter("status = 'robots_dropped'").collect()
+    assert any("blocked.example.jp" in r["canonical_url"] for r in dropped)
+    fetched_hosts = {
+        r["host"] for r in log.filter("status = 'fetched'").select("host").collect()
+    }
+    assert "blocked.example.jp" not in fetched_hosts
+
+
+def test_quota_respected(engine_result, fixture_web):
+    _, _, robots = fixture_web
+    delays = {r["host"]: r["crawl_delay"] for r in robots}
+    per = (
+        engine_result.fetch_log.filter("status = 'fetched'")
+        .groupBy("round", "host")
+        .count()
+        .collect()
+    )
+    for r in per:
+        quota = max(1, int(ROUND_BUDGET // delays[r["host"]]))
+        assert r["count"] <= quota, (r, quota)
+
+
+def test_multiple_rounds_happened(engine_result):
+    assert len(engine_result.metrics) >= 3
+    assert sum(m["fetched"] for m in engine_result.metrics) > 20
+
+
+def test_sorted_csv_feed(spark, engine_result, oracle_result):
+    feed = sorted_feed(engine_result.records, "kyoto_like").toPandas()
+    assert list(feed.columns) == FEED_EXPORT_FIELDS
+    names = feed["shop_name"].tolist()
+    assert names == sorted(names)
+    want = sorted(
+        (r for r in oracle_result["records"] if r["source"] == "kyoto_like"),
+        key=lambda r: (
+            r["shop_name"] or "",
+            r["address"] or "",
+            r["genre_name"] or "",
+        ),
+    )
+    assert names == [r["shop_name"] for r in want]

@@ -1,0 +1,62 @@
+"""Canonicalization parity: the native Catalyst implementation and the
+plain-Python oracle implementation must agree byte-for-byte."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from goto_eater_crawler_spark.functions.urltools import (
+    canonicalize_url,
+    canonicalize_url_col,
+    host_col,
+    url_host,
+    with_url_identity,
+)
+
+URLS = [
+    "https://www.gotoeat-tochigi.jp/merchant/index.php",
+    "https://www.gotoeat-tochigi.jp/merchant/index.php?page=2",
+    "HTTPS://WWW.Example.JP/path/TO/x?b=2&a=1",
+    "https://example.jp:443/x?z=9&a=1&a=0",
+    "http://example.jp:80/",
+    "http://example.jp:8080/y",
+    "https://example.jp",
+    "https://example.jp/x?page=2&per_page=10#frag",
+    "https://wp.example.jp/wp-json/api/search?per_page=10&page=3",
+    "https://example.jp/a%20b?q=%E3%81%82",
+]
+
+
+def test_python_canonicalization_basics():
+    assert canonicalize_url("https://example.jp") == "https://example.jp/"
+    assert canonicalize_url("http://Example.JP:80/x") == "http://example.jp/x"
+    assert canonicalize_url("https://e.jp/x?b=2&a=1") == "https://e.jp/x?a=1&b=2"
+    assert canonicalize_url("https://e.jp/x?a=1#f") == "https://e.jp/x?a=1"
+    assert url_host("https://WWW.E.JP:443/x") == "www.e.jp"
+
+
+def test_native_python_parity(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], ["url"])
+    got = df.select(
+        "url",
+        canonicalize_url_col(F.col("url")).alias("canon"),
+        host_col(F.col("url")).alias("host"),
+    ).collect()
+    for row in got:
+        assert row["canon"] == canonicalize_url(row["url"]), row["url"]
+        assert row["host"] == url_host(row["url"]), row["url"]
+
+
+def test_with_url_identity_is_native(spark):
+    df = with_url_identity(spark.createDataFrame([(u,) for u in URLS], ["url"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert all(isinstance(r["url_hash"], int) for r in rows)
+    # canonicalization is idempotent
+    df2 = df.select(
+        F.col("canonical_url"),
+        canonicalize_url_col(F.col("canonical_url")).alias("c2"),
+    )
+    for r in df2.collect():
+        assert r["canonical_url"] == r["c2"]
