@@ -1,0 +1,153 @@
+"""Text analysis over the ``documents`` table — language ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure native column expressions (WholeStageCodegen end to end); each
+has an exactly-equivalent SQL form used by the DuckDB oracle, so the
+two engines agree bit-for-bit. These are the per-document map stages a
+100 TB training-data pipeline runs before dedup/filtering; at scale
+they pipeline with the parquet scan — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language markers: tiny per-language stopword lists; prediction =
+# argmax of marker hit counts with a deterministic tie order.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+    "zh": ["的", "是", "了"],
+}
+_TIE_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count. '' -> 1 ([''] after split) to stay
+    aligned with DuckDB string_split_regex semantics."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len(string_split_regex(trim({expr}), '\\s+'))"
+
+
+def _marker_count(text: Column, word: str) -> Column:
+    # occurrences of ' word ' in ' text ' via length/replace arithmetic
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def _marker_count_sql(expr: str, word: str) -> str:
+    padded = f"(' ' || lower({expr}) || ' ')"
+    needle = f" {word} "
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+        f" / {len(needle)} AS INT)"
+    )
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    s = None
+    for w in LANG_MARKERS[lang]:
+        c = _marker_count(text, w)
+        s = c if s is None else s + c
+    return s
+
+
+def lang_pred_col(text: Column) -> Column:
+    """argmax over language marker scores, ties by _TIE_ORDER; 'und'
+    when every score is zero."""
+    scores = {lang: lang_score_col(text, lang) for lang in _TIE_ORDER}
+    best = None
+    for lang in _TIE_ORDER:
+        cond = None
+        for other in _TIE_ORDER:
+            if other == lang:
+                continue
+            op = (
+                scores[lang] >= scores[other]
+                if _TIE_ORDER.index(other) > _TIE_ORDER.index(lang)
+                else scores[lang] > scores[other]
+            )
+            cond = op if cond is None else (cond & op)
+        cond = cond & (scores[lang] > 0)
+        best = (
+            F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+        )
+    return best.otherwise(F.lit("und"))
+
+
+def lang_pred_sql(expr: str) -> str:
+    score = {
+        lang: "(" + " + ".join(_marker_count_sql(expr, w) for w in LANG_MARKERS[lang]) + ")"
+        for lang in _TIE_ORDER
+    }
+    whens = []
+    for lang in _TIE_ORDER:
+        conds = []
+        for other in _TIE_ORDER:
+            if other == lang:
+                continue
+            cmp = ">=" if _TIE_ORDER.index(other) > _TIE_ORDER.index(lang) else ">"
+            conds.append(f"{score[lang]} {cmp} {score[other]}")
+        conds.append(f"{score[lang]} > 0")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def quality_score_col(text: Column) -> Column:
+    """Length/punctuation/digit heuristics -> 0-100 quality score.
+    Same arithmetic as :func:`quality_score_sql` (rounded to 4)."""
+    n_chars = F.length(text)
+    n_tokens = token_count_col(text).cast("double")
+    stripped_punct = F.regexp_replace(text, r"[^\w\s]", "")
+    punct_ratio = (n_chars - F.length(stripped_punct)) / n_chars
+    stripped_digit = F.regexp_replace(text, r"[0-9]", "")
+    digit_ratio = (n_chars - F.length(stripped_digit)) / n_chars
+    avg_tok = n_chars / n_tokens
+    score = (
+        F.least(n_tokens / F.lit(2.0), F.lit(40.0))
+        + F.least(avg_tok * 4, F.lit(30.0))
+        - punct_ratio * 50
+        - digit_ratio * 50
+        + F.lit(30.0)
+    )
+    return F.round(F.greatest(F.least(score, F.lit(100.0)), F.lit(0.0)), 4)
+
+
+def quality_score_sql(expr: str) -> str:
+    n_chars = f"length({expr})"
+    n_tokens = f"CAST({token_count_sql(expr)} AS DOUBLE)"
+    punct = f"(({n_chars} - length(regexp_replace({expr}, '[^\\w\\s]', '', 'g'))) / {n_chars})"
+    digit = f"(({n_chars} - length(regexp_replace({expr}, '[0-9]', '', 'g'))) / {n_chars})"
+    avg_tok = f"({n_chars} / {n_tokens})"
+    score = (
+        f"(least({n_tokens} / 2.0, 40.0) + least({avg_tok} * 4, 30.0)"
+        f" - {punct} * 50 - {digit} * 50 + 30.0)"
+    )
+    return f"round(greatest(least({score}, 100.0), 0.0), 4)"
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 of casefolded, whitespace-collapsed,
+    punctuation-stripped text — the exact-dedup key."""
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(text), r"[^\w\s]", ""), r"\s+", " ")
+    )
+    return F.md5(norm)
+
+
+def fingerprint_sql(expr: str) -> str:
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), '[^\\w\\s]', '', 'g'),"
+        f" '\\s+', ' ', 'g'))"
+    )
+    return f"md5({norm})"

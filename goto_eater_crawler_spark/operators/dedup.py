@@ -154,14 +154,16 @@ def split_new_urls(
     if blocks is None:
         new_rows = candidates.join(
             exact_seen.select("canonical_url"), "canonical_url", "left_anti"
-        )
+        ).withColumn("via", F.lit("exact"))
         empty = new_rows.limit(0)
         return new_rows, empty, empty
 
     maybe = bloom_maybe_hashes(candidates, blocks, params)
-    definite_new = candidates.join(maybe, "url_hash", "left_anti")
+    definite_new = candidates.join(maybe, "url_hash", "left_anti").withColumn(
+        "via", F.lit("bloom_definite")
+    )
     maybe_rows = candidates.join(maybe, "url_hash", "left_semi")
     fp_new = maybe_rows.join(
         exact_seen.select("canonical_url"), "canonical_url", "left_anti"
-    )
+    ).withColumn("via", F.lit("bloom_fp"))
     return definite_new.unionByName(fp_new), definite_new, fp_new

@@ -90,26 +90,31 @@ def quota_split(
 
     # phase 1 — salted partial top-k: bound any single host's row
     # count per partition before the exact window (hot-host skew kill,
-    # north_rule "salted repartition-by-host").
+    # north_rule "salted repartition-by-host"). Rows pruned here are
+    # deferred by construction (> quota rows rank below them in the
+    # same host), so deferral needs NO anti-join — just rank filters.
     salt = F.pmod(F.xxhash64(F.col("canonical_url"), F.lit(7)), F.lit(n_salts))
     local_rank = F.row_number().over(
         Window.partitionBy(F.col("host"), salt).orderBy(*_order())
     )
-    pruned = frontier_with_delay.withColumn("_lrank", local_rank).filter(
-        F.col("_lrank") <= quota
-    )
+    staged = frontier_with_delay.withColumn("_lrank", local_rank)
+    pruned_out = staged.filter(F.col("_lrank") > quota)
 
     # phase 2 — exact per-host serial rank over the survivors
     # (<= quota * n_salts rows per host, skew bounded).
     rank = F.row_number().over(Window.partitionBy("host").orderBy(*_order()))
-    ranked = pruned.withColumn("rank_in_host", rank).drop("_lrank")
+    ranked = (
+        staged.filter(F.col("_lrank") <= quota)
+        .withColumn("rank_in_host", rank)
+        .drop("_lrank")
+    )
     selected = ranked.filter(F.col("rank_in_host") <= quota)
-
-    # deferred = frontier minus selected (anti-join on canonical_url;
-    # cheaper than re-ranking the full set)
-    deferred = frontier_with_delay.join(
-        selected.select("canonical_url"), "canonical_url", "left_anti"
-    ).drop("crawl_delay")
+    deferred = (
+        ranked.filter(F.col("rank_in_host") > quota)
+        .drop("rank_in_host")
+        .unionByName(pruned_out.drop("_lrank"))
+        .drop("crawl_delay")
+    )
     return selected.drop("crawl_delay"), deferred
 
 

@@ -1,0 +1,149 @@
+"""Similarity search over the ``embeddings`` table.
+
+- :func:`cosine_topk` — exact brute-force top-k cosine neighbors for a
+  query set: the correctness baseline. Broadcast the (small) query
+  side, keep the candidate scan pipelined — at 100 TB this is one pass
+  over the embeddings table per query batch, no shuffle except the
+  final per-query top-k (a tiny partial-topk-then-merge aggregation).
+- :func:`ivf_assign` — IVF-style coarse quantization: assign every
+  vector to its nearest centroid (here: the first ``n_centroids``
+  vectors, a deterministic stand-in for k-means). This is the scale
+  path's partitioner: store vectors clustered by centroid id, probe
+  only nprobe clusters at query time.
+
+All arithmetic in DOUBLE with sequential array folds so the SQL
+oracle (DuckDB list lambdas) reproduces results bit-for-bit before
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors of the first ``n_queries`` vectors
+    (query set = vec_id < n_queries; self excluded).
+    Output: (query_id, neighbor_id, rank, cos_sim rounded 4)."""
+    qs = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    sims = (
+        F.broadcast(qs)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cos_sim")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_topk_sql(n_queries: int = 5, k: int = 10) -> str:
+    dot = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    norm_q = (
+        "sqrt(list_sum(list_transform(q.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    norm_c = (
+        "sqrt(list_sum(list_transform(c.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"""
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS cos_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {dot} / ({norm_q} * {norm_c}) AS sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {dot} / ({norm_q} * {norm_c}) DESC,
+                                         c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {n_queries})
+    WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Assign each vector to its nearest of the first n_centroids
+    vectors (squared L2); output per-centroid sizes — the IVF
+    partitioning a billion-vector ANN index shards by."""
+    cents = (
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cent"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cent"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    assign = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+    )
+    return (
+        assign.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("centroid_id")
+    )
+
+
+def ivf_assign_sql(n_centroids: int = 8) -> str:
+    d2 = (
+        "list_sum(list_transform(list_zip(v.embedding, c.embedding),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    return f"""
+    SELECT centroid_id, count(*) AS n_vectors FROM (
+      SELECT v.vec_id, c.vec_id AS centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {d2}, c.vec_id) AS rn
+      FROM embeddings v JOIN embeddings c ON c.vec_id < {n_centroids})
+    WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id
+    """

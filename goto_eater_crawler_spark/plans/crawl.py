@@ -317,10 +317,12 @@ class CrawlEngine:
                 .drop("_rn")
                 .select(*FRONTIER_COLS)
             )
-            new_rows, definite_new, bloom_fp = split_new_urls(
+            new_rows, _, _ = split_new_urls(
                 links_dedup, blocks, seen, cfg.bloom or BloomParams()
             )
-            new_rows = new_rows.persist()
+            # materialize ONCE; every count below reads this, nothing
+            # recomputes the join chain
+            new_rows = self._materialize(new_rows, round_no, "new_rows")
 
             # retries: miss -> re-enqueue decayed, or dead-letter
             can_retry = F.col("retry_count") + 1 <= F.lit(cfg.max_retries)
@@ -372,6 +374,10 @@ class CrawlEngine:
                 retry_rows
             ).unionByName(new_rows.select(*FRONTIER_COLS))
             seen_delta = new_rows.select("canonical_url", "url_hash")
+            via_counts = {
+                r["via"]: r["n"]
+                for r in new_rows.groupBy("via").agg(F.count("*").alias("n")).collect()
+            }
 
             if blocks is not None:
                 new_blocks = merge_blocks(
@@ -398,11 +404,9 @@ class CrawlEngine:
                 "retry": status_counts.get("retry", 0),
                 "dead": status_counts.get("dead", 0),
                 "records": records.count(),
-                "new_urls": new_rows.count(),
-                "bloom_definite_new": (
-                    definite_new.count() if blocks is not None else None
-                ),
-                "bloom_fp": bloom_fp.count() if blocks is not None else None,
+                "new_urls": sum(via_counts.values()),
+                "bloom_definite_new": via_counts.get("bloom_definite"),
+                "bloom_fp": via_counts.get("bloom_fp"),
             }
             fetch_seq_offset += m["fetched"]
 
@@ -426,7 +430,7 @@ class CrawlEngine:
             selected.unpersist()
             fetched.unpersist()
             extracted.unpersist()
-            new_rows.unpersist()
+
             round_no += 1
 
         rec_schema = T.StructType(

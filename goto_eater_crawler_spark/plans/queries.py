@@ -516,6 +516,155 @@ def q_windowed_event_counts(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / similarity / text analysis /
+# multimodal (documents + embeddings tables)
+# ---------------------------------------------------------------------------
+
+from ..functions import textstats as _ts  # noqa: E402
+from ..operators import multimodal as _mm  # noqa: E402
+from ..operators import similarity as _sim  # noqa: E402
+from ..operators import textdedup as _td  # noqa: E402
+
+# subset used by the pairwise dedup queries (keeps the O(pairs) side
+# bounded at bench scale; the operators themselves are unrestricted)
+_DOCS_SUBSET = "doc_id % 5 = 0"
+
+
+@_register(
+    "dedup_exact",
+    _td.EXACT_DEDUP_SQL + " ORDER BY fp",
+)
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _td.exact_dedup_groups(d).orderBy("fp")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    _td.jaccard_pairs_sql(
+        f"(SELECT * FROM documents WHERE {_DOCS_SUBSET})", 0.5
+    )
+    + " ORDER BY doc_a, doc_b",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
+    return _td.jaccard_pairs(_td.shingles(d), 0.5).orderBy("doc_a", "doc_b")
+
+
+@_register(
+    "dedup_minhash_lsh",
+    # oracle: brute-force Jaccard at the same threshold — the LSH path
+    # must find exactly the same pairs (banding recall ~1 at j>=0.8)
+    _td.jaccard_pairs_sql(
+        f"(SELECT * FROM documents WHERE {_DOCS_SUBSET})", 0.8
+    )
+    + " ORDER BY doc_a, doc_b",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
+    return _td.minhash_lsh_pairs(d, 0.8).orderBy("doc_a", "doc_b")
+
+
+@_register(
+    "dedup_simhash",
+    _td.simhash_sql(f"(SELECT * FROM documents WHERE {_DOCS_SUBSET})")
+    + " ORDER BY doc_id",
+)
+def q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
+    return _td.simhash_col_docs(d).orderBy("doc_id")
+
+
+# simhash near-dup pairs: engine-only scale path (pigeonhole banding);
+# no SQL oracle — covered by the rows-only check + pytest units.
+@_register("dedup_simhash_pairs")
+def q_dedup_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
+    return _td.simhash_dup_pairs(d, 3).orderBy("doc_a", "doc_b")
+
+
+@_register("similarity_cosine_topk", _sim.cosine_topk_sql(5, 10))
+def q_similarity_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_topk(e, 5, 10)
+
+
+@_register("similarity_ivf_assign", _sim.ivf_assign_sql(8))
+def q_similarity_ivf_assign(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _sim.ivf_assign(e, 8)
+
+
+@_register(
+    "text_langid",
+    f"""
+    SELECT pred_lang, count(*) AS n FROM (
+      SELECT {_ts.lang_pred_sql('text')} AS pred_lang FROM documents)
+    GROUP BY pred_lang ORDER BY pred_lang
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(_ts.lang_pred_col(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+@_register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id, {_ts.quality_score_sql('text')} AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", _ts.quality_score_col(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "text_token_count",
+    f"""
+    SELECT doc_id, {_ts.token_count_sql('text')} AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", _ts.token_count_col(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, {_ts.fingerprint_sql('text')} AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", _ts.fingerprint_col(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_binary_meta",
+    _mm.BINARY_METADATA_SQL + " ORDER BY doc_id",
+)
+def q_multimodal_binary_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.binary_metadata(_mm.docs_as_binary(d)).orderBy("doc_id")
+
+
 @_register(
     "sessionize_gaps",
     # sessionization: session = gap > 30 min per user (lag + cumsum)

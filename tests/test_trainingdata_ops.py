@@ -1,0 +1,133 @@
+"""Unit tests for the training-data pipeline operators on constructed
+inputs with known answers (dedup, similarity, text stats, multimodal
+plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goto_eater_crawler_spark.functions import textstats as ts
+from goto_eater_crawler_spark.operators import multimodal as mm
+from goto_eater_crawler_spark.operators import similarity as sim
+from goto_eater_crawler_spark.operators import textdedup as td
+
+DOCS = [
+    # two exact dups (after fingerprint normalization: case + punct)
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "The quick brown fox jumps over the lazy dog!!"),
+    # near-dup pair: one word changed out of 12 -> high jaccard
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    # unrelated
+    (4, "spark catalyst tungsten arrow shuffle partition broadcast join"),
+    (5, "completely different words entirely unrelated content here now"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    groups = td.exact_dedup_groups(docs).collect()
+    dup_groups = [g for g in groups if g["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_doc_id"] == 0 and dup_groups[0]["n_dups"] == 2
+
+
+def test_jaccard_pairs_known_value(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in td.jaccard_pairs(td.shingles(docs), 0.4).collect()}
+    # docs 2/3: 12 tokens -> 10 shingles each, 9 common -> 9/11
+    assert pairs[(2, 3)] == round(9 / 11, 4)
+    assert (0, 1) in pairs  # exact-dup pair (modulo punctuation shingles)
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_equals_bruteforce(docs):
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in td.minhash_lsh_pairs(docs, 0.6).collect()
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in td.jaccard_pairs(td.shingles(docs), 0.6).collect()
+    )
+    assert got == want and got  # non-empty and identical to brute force
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, "aa bb cc dd"), (2, "xx yy zz qq")],
+        ["doc_id", "text"],
+    )
+    sims = {r["doc_id"]: r["simhash"] for r in td.simhash_col_docs(df).collect()}
+    assert sims[0] == sims[1] != sims[2]
+    assert all(0 <= v < 2**60 for v in sims.values())
+    pairs = td.simhash_dup_pairs(df, 0).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
+def test_cosine_topk_known_neighbors(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),
+        (3, [0.1, 0.9]),   # closest to 2
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    top = sim.cosine_topk(df, n_queries=1, k=2).collect()
+    assert [r["neighbor_id"] for r in top] == [1, 3]
+    assert top[0]["cos_sim"] > 0.99
+
+
+def test_ivf_assign_partitions_everything(spark):
+    vecs = [(i, [float(i % 4), float((i * 3) % 5)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = sim.ivf_assign(df, n_centroids=4).collect()
+    assert sum(r["n_vectors"] for r in out) == 40
+    assert {r["centroid_id"] for r in out} <= {0, 1, 2, 3}
+
+
+def test_textstats_basics(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "der hund und die katze nicht hier"),
+            (2, "zzz qqq"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = df.select(
+        "doc_id",
+        ts.lang_pred_col(F.col("text")).alias("lang"),
+        ts.token_count_col(F.col("text")).alias("n_tok"),
+        ts.fingerprint_col(F.col("text")).alias("fp"),
+        ts.quality_score_col(F.col("text")).alias("q"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["lang"] == "en"
+    assert by_id[1]["lang"] == "de"
+    assert by_id[2]["lang"] == "und"
+    assert by_id[0]["n_tok"] == 8
+    assert len(by_id[0]["fp"]) == 32
+    assert 0 <= by_id[0]["q"] <= 100
+
+
+def test_multimodal_binary_plumbing(spark):
+    df = spark.createDataFrame([(7, "hello world")], ["doc_id", "text"])
+    out = mm.binary_metadata(mm.docs_as_binary(df)).collect()[0]
+    assert out["n_bytes"] == 11
+    assert out["header_hex"] == "68656C6C".upper()
+    assert out["width"] == 16 + 11 % 64 and out["height"] == 16 + 77 % 64
+
+
+def test_decode_stub_is_marked():
+    """The decode step is a documented stub (no imaging libs in this
+    container) — deterministic fake, stable output."""
+    a = mm.decode_image_stub(b"x" * 100)
+    b = mm.decode_image_stub(b"y" * 100)
+    assert a == b  # depends only on length, deterministic
