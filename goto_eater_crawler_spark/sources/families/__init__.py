@@ -20,7 +20,18 @@ Registry: FAMILIES maps family name -> module.
 
 from __future__ import annotations
 
-from . import csv_body, json_api, label_table, list_xpath, wp_search_json
+from . import (
+    csv_body,
+    js_object,
+    json_api,
+    label_table,
+    list_xpath,
+    mesh_json,
+    pdf_tabula,
+    session_token,
+    wp_search_json,
+    xlsx_body,
+)
 
 FAMILIES = {
     "list_xpath": list_xpath,
@@ -28,4 +39,9 @@ FAMILIES = {
     "label_table": label_table,
     "wp_search_json": wp_search_json,
     "csv_body": csv_body,
+    "js_object": js_object,
+    "xlsx_body": xlsx_body,
+    "pdf_tabula": pdf_tabula,
+    "mesh_json": mesh_json,
+    "session_token": session_token,
 }

@@ -31,6 +31,11 @@ DEFAULT_SOURCES = [
     ("kyoto_like", "label_table", "table.example.jp", 1.2),
     ("yamagata_like", "wp_search_json", "wp.example.jp", 3.0),
     ("fukuoka_like", "csv_body", "csvsrc.example.jp", 2.0),
+    ("miyagi_like", "js_object", "js.example.jp", 3.0),
+    ("nara_like", "xlsx_body", "xlsx.example.jp", 3.0),
+    ("tokyo_like", "pdf_tabula", "pdfsrc.example.jp", 1.0),
+    ("saga_like", "mesh_json", "mesh.example.jp", 1.5),
+    ("hokkaido_like", "session_token", "token.example.jp", 4.0),
     # robots-disallowed host: seeded but never fetched (main.py:32)
     ("blocked_like", "list_xpath", "blocked.example.jp", 3.0),
 ]
@@ -45,10 +50,10 @@ def build_fixture_web(
     pages, seeds, robots = [], [], []
     for k, (source, family, host, delay) in enumerate(sources):
         fam = FAMILIES[family]
-        if family in ("json_api", "csv_body"):
-            site = fam.gen_site(host)
-        else:
+        if family in ("list_xpath", "label_table", "wp_search_json"):
             site = fam.gen_site(host, n_pages, shops_per_page)
+        else:
+            site = fam.gen_site(host)
         for i, pg in enumerate(site):
             pages.append(
                 {

@@ -14,12 +14,38 @@ from __future__ import annotations
 import math
 from urllib.parse import urlsplit
 
+import inspect
+
 from goto_eater_crawler_spark.functions.textnorm import normalize_item
 from goto_eater_crawler_spark.functions.urltools import canonicalize_url, url_host
 from goto_eater_crawler_spark.schema import FEED_EXPORT_FIELDS
 from goto_eater_crawler_spark.sources.families import FAMILIES
 
 DEFAULT_DELAY = 3.0
+
+
+def oracle_parse_page(family: str, url: str, body: bytes, meta: dict | None):
+    """Call a family's oracle_parse, passing meta when it takes it.
+    Normalizes links to dicts {url, parse_family, meta} (plain-string
+    links inherit the emitting row's family and empty meta)."""
+    fam = FAMILIES[family]
+    if len(inspect.signature(fam.oracle_parse).parameters) >= 3:
+        items, links = fam.oracle_parse(url, body, meta)
+    else:
+        items, links = fam.oracle_parse(url, body)
+    norm_links = []
+    for l in links:
+        if isinstance(l, str):
+            norm_links.append({"url": l, "parse_family": family, "meta": {}})
+        else:
+            norm_links.append(
+                {
+                    "url": l["url"],
+                    "parse_family": l.get("parse_family", family),
+                    "meta": l.get("meta") or {},
+                }
+            )
+    return items, norm_links
 
 
 def _priority(depth: int) -> float:
@@ -60,6 +86,7 @@ def crawl_oracle(
                 "depth": int(s.get("depth", 0)),
                 "priority": _priority(int(s.get("depth", 0))),
                 "retry_count": 0,
+                "meta": dict(s.get("meta") or {}),
             }
         )
 
@@ -128,8 +155,9 @@ def crawl_oracle(
                 continue
             fetch_order.append(row["canonical_url"])
             log.append({"round": round_no, "status": "fetched", "url": row["canonical_url"]})
-            fam = FAMILIES[row["parse_family"]]
-            items, links = fam.oracle_parse(row["canonical_url"], body)
+            items, links = oracle_parse_page(
+                row["parse_family"], row["canonical_url"], body, row.get("meta")
+            )
             for idx, item in enumerate(items):
                 full = {f: item.get(f) for f in FEED_EXPORT_FIELDS}
                 full = normalize_item(full)
@@ -138,17 +166,18 @@ def crawl_oracle(
                 full["item_index"] = idx
                 records.append(full)
             for link in links:
-                if not _valid(link):
+                if not _valid(link["url"]):
                     continue
                 new_links.append(
                     {
-                        "url": link,
+                        "url": link["url"],
                         "from_url": row["canonical_url"],
-                        "canonical_url": canonicalize_url(link),
-                        "host": url_host(link),
+                        "canonical_url": canonicalize_url(link["url"]),
+                        "host": url_host(link["url"]),
                         "source": row["source"],
-                        "parse_family": row["parse_family"],
+                        "parse_family": link["parse_family"],
                         "depth": row["depth"] + 1,
+                        "meta": link["meta"],
                     }
                 )
 
@@ -172,6 +201,7 @@ def crawl_oracle(
                     "depth": l["depth"],
                     "priority": _priority(l["depth"]),
                     "retry_count": 0,
+                    "meta": l["meta"],
                 }
             )
 
