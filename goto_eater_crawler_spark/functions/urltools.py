@@ -67,28 +67,44 @@ def url_host(url: str) -> str:
 
 
 def canonicalize_url_col(url: Column) -> Column:
-    """Canonical URL as a pure Catalyst expression (no Python)."""
+    """Canonical URL as a pure Catalyst expression (no Python).
+
+    Built from regexp_extract, NOT parse_url: parse_url is an
+    interpreted expression constructing a java.net.URI per evaluation,
+    and Catalyst re-inlines this whole tree at every downstream
+    reference (filters, window keys, join keys, hashes) — regexps stay
+    inside WholeStageCodegen and are ~an order of magnitude cheaper.
+    Byte-parity with :func:`canonicalize_url` is pinned by
+    tests/test_urltools.py.
+    """
     u = F.trim(url)
-    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    authority = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    authority = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    )
     authority = (
         F.when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
         .when(scheme == "https", F.regexp_replace(authority, ":443$", ""))
         .otherwise(authority)
     )
-    path = F.parse_url(u, F.lit("PATH"))
-    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
-    query = F.parse_url(u, F.lit("QUERY"))
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
     base = F.concat(scheme, F.lit("://"), authority, path)
-    return F.when(
-        query.isNull() | (query == ""), base
-    ).otherwise(F.concat(base, F.lit("?"), sorted_query))
+    return F.when(query == "", base).otherwise(
+        F.concat(base, F.lit("?"), sorted_query)
+    )
 
 
 def host_col(url: Column) -> Column:
-    """Lowercased host of a URL — native expression."""
-    return F.lower(F.parse_url(F.trim(url), F.lit("HOST")))
+    """Lowercased host (no port/userinfo) of a URL — native regexp
+    (see canonicalize_url_col for why not parse_url)."""
+    auth = F.regexp_extract(
+        F.trim(url), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
+    )
+    host = F.regexp_replace(F.regexp_replace(auth, r"^[^@]*@", ""), r":\d*$", "")
+    return F.lower(host)
 
 
 def url_hash_col(canonical_url: Column) -> Column:

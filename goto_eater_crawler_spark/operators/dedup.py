@@ -108,6 +108,34 @@ def merge_blocks(a: DataFrame, b: DataFrame, params: BloomParams) -> DataFrame:
     )
 
 
+def update_blocks(
+    blocks: DataFrame, hashes_df: DataFrame, params: BloomParams
+) -> DataFrame:
+    """Fused build+merge: OR the new hashes' bits straight into the
+    existing blocks in ONE cogroup pass (one Python stage per round
+    instead of build->merge's two — per-stage fixed cost is the round
+    loop's scaling tax, so every fused stage counts)."""
+    def upd(hashes: pd.DataFrame, blk: pd.DataFrame) -> pd.DataFrame:
+        if blk.empty:  # first hashes for this block
+            bitmap = np.zeros(params.m_bytes, dtype=np.uint8)
+            bid = int(hashes["block_id"].iloc[0])
+        else:
+            bitmap = np.frombuffer(blk["bits"].iloc[0], dtype=np.uint8).copy()
+            bid = int(blk["block_id"].iloc[0])
+        if not hashes.empty:
+            _set_bits(bitmap, _positions(hashes["url_hash"].to_numpy(), params))
+        return pd.DataFrame({"block_id": [bid], "bits": [bitmap.tobytes()]})
+
+    hashed = hashes_df.select(
+        "url_hash", block_id_col(F.col("url_hash"), params).alias("block_id")
+    )
+    return (
+        hashed.groupBy("block_id")
+        .cogroup(blocks.groupBy("block_id"))
+        .applyInPandas(lambda h, b: upd(h, b), schema=BLOOM_BLOCK_SCHEMA)
+    )
+
+
 def bloom_maybe_hashes(
     candidates: DataFrame, blocks: DataFrame, params: BloomParams
 ) -> DataFrame:

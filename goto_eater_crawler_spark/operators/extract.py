@@ -23,13 +23,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.textnorm import normalize_items_pdf
+from ..functions.urltools import canonicalize_url, url_host
 from ..schema import FEED_EXPORT_FIELDS
 from ..sources.families import FAMILIES
 
-# union output of one extract pass
+# union output of one extract pass. 'page' rows are the fetch-log
+# passthrough: one per fetched page, carrying the frontier identity
+# columns — so the html-bearing join output is consumed EXACTLY once
+# and never cached (caching MBs of html as deserialized JVM objects is
+# a GC storm at high parallelism; everything downstream reads this
+# slim union instead).
 EXTRACT_OUT_SCHEMA = T.StructType(
     [
-        T.StructField("kind", T.StringType(), False),  # 'rec' | 'link'
+        T.StructField("kind", T.StringType(), False),  # 'rec' | 'link' | 'page'
         T.StructField("url", T.StringType(), False),
         T.StructField("source", T.StringType(), False),
         T.StructField("item_index", T.IntegerType(), True),
@@ -40,17 +46,51 @@ EXTRACT_OUT_SCHEMA = T.StructType(
         T.StructField("link_family", T.StringType(), True),
         T.StructField("link_depth", T.IntegerType(), True),
         T.StructField("link_meta", T.MapType(T.StringType(), T.StringType()), True),
+        # link identity, canonicalized in THIS python pass: Spark's
+        # parse_url is interpreted (a java.net.URI per call) and
+        # Catalyst re-inlines the canonicalization at every reference
+        # (filter/window/join/hash) — computing it once here removes
+        # ~50 URI parses per link row from the JVM hot path.
+        T.StructField("link_canonical", T.StringType(), True),
+        T.StructField("link_host", T.StringType(), True),
+        # 'page' passthrough (fetch-log identity)
+        T.StructField("raw_url", T.StringType(), True),
+        T.StructField("url_hash", T.LongType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("page_depth", T.IntegerType(), True),
+        T.StructField("rank_in_host", T.IntegerType(), True),
     ]
 )
 
-_REC_COLS = ["kind", "url", "source", "item_index", *FEED_EXPORT_FIELDS]
-_LINK_COLS = ["kind", "url", "source", "link_url", "link_family", "link_depth", "link_meta"]
 _ALL_COLS = [f.name for f in EXTRACT_OUT_SCHEMA.fields]
+
+
+def _safe_canonical(u):
+    """Canonicalize; malformed URLs (page garbage) -> None, which the
+    frontier's validity filter drops instead of killing the task."""
+    try:
+        return canonicalize_url(u)
+    except Exception:
+        return None
+
+
+def _safe_host(u):
+    try:
+        return url_host(u)
+    except Exception:
+        return None
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         outs = []
+        # one 'page' passthrough row per fetched page
+        page_rows = pdf[
+            ["url", "source", "raw_url", "url_hash", "host", "rank_in_host"]
+        ].copy()
+        page_rows["page_depth"] = pdf["depth"]
+        page_rows["kind"] = "page"
+        outs.append(page_rows.reindex(columns=_ALL_COLS))
         for family, grp in pdf.groupby("parse_family", sort=False):
             fam = FAMILIES[family]
             recs, links = fam.extract_batch(grp)
@@ -74,6 +114,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # lineage: the emitting page's url (families stamp it)
                 ldf["url"] = ldf.pop("from_url")
                 ldf["kind"] = "link"
+                ldf["link_canonical"] = ldf["link_url"].map(_safe_canonical)
+                ldf["link_host"] = ldf["link_url"].map(_safe_host)
                 outs.append(ldf.reindex(columns=_ALL_COLS))
         if outs:
             combined = pd.concat(outs, ignore_index=True).astype(object)
@@ -83,10 +125,12 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def run_extract(fetched: DataFrame) -> DataFrame:
-    """fetched: frontier columns + html. Pages are keyed by canonical
-    url, so extraction sees canonical_url as the page identity (and
-    goldens are keyed by it). Returns the union extract stream (cache
-    before splitting)."""
+    """fetched: frontier columns + rank_in_host + html. Pages are
+    keyed by canonical url, so extraction sees canonical_url as the
+    page identity (and goldens are keyed by it). Returns the union
+    extract stream — records ∪ links ∪ page passthrough rows — the
+    single (slim) DataFrame worth caching; the html column dies here.
+    """
     cols = [
         F.col("canonical_url").alias("url"),
         "source",
@@ -94,9 +138,25 @@ def run_extract(fetched: DataFrame) -> DataFrame:
         "depth",
         "meta",
         "html",
+        F.col("url").alias("raw_url"),
+        "url_hash",
+        "host",
+        "rank_in_host",
     ]
     return fetched.select(*cols).mapInPandas(
         _extract_batches, schema=EXTRACT_OUT_SCHEMA
+    )
+
+
+def split_pages(extracted: DataFrame) -> DataFrame:
+    """The fetch-log passthrough rows: one per fetched page."""
+    return extracted.filter(F.col("kind") == "page").select(
+        F.col("raw_url").alias("url"),
+        F.col("url").alias("canonical_url"),
+        "url_hash",
+        "host",
+        F.col("page_depth").alias("depth"),
+        "rank_in_host",
     )
 
 
@@ -112,6 +172,8 @@ def split_records_links(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("link_family").alias("parse_family"),
             F.col("link_depth").alias("depth"),
             F.col("link_meta").alias("meta"),
+            F.col("link_canonical").alias("canonical_url"),
+            F.col("link_host").alias("host"),
         )
     )
     return records, links

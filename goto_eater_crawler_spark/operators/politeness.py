@@ -47,8 +47,12 @@ def robots_split(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, Dat
     robots longest-match simplified to allow-overrides, enough for
     the reference's usage which is all-or-nothing, main.py:32).
     Robots is a per-host dim table — broadcast, never shuffled.
+
+    Path extraction is a regexp, NOT parse_url: parse_url is
+    interpreted (java.net.URI per row) and an order of magnitude
+    slower in this per-round hot filter.
     """
-    path = F.parse_url(F.col("canonical_url"), F.lit("PATH"))
+    path = F.regexp_extract(F.col("canonical_url"), r"^[a-z]+://[^/?#]*([^?#]*)", 1)
     joined = frontier.join(F.broadcast(robots), "host", "left").withColumn(
         "_path", F.when(path.isNull() | (path == ""), "/").otherwise(path)
     )

@@ -151,36 +151,35 @@ MINHASH_ROWS = 2  # 64 hash functions; P(miss | j>=0.8) ~ 1e-14
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, band, band_key) — LSH band buckets from 64 min-hashes.
 
-    hash_i(shingle) = h60(i || '|' || shingle); one explode over the
-    64 hash ids, then a single groupBy(min) — all JVM expressions.
+    hash_i(shingle) = xxhash64('i|' || shingle); ALL 64 minima are
+    computed in ONE groupBy(doc_id) with 64 min() aggregates — a
+    single shuffle with map-side partial aggregation and no row
+    multiplication (the naive explode-by-hash-id plan is 64x the rows
+    plus two shuffles). Band keys are xxhash64 over the band's row
+    minima — internal equality keys only; correctness is guaranteed by
+    the exact-Jaccard verification downstream, so the cheap hash is
+    safe here.
     """
     n_hashes = MINHASH_BANDS * MINHASH_ROWS
-    hashed = sh.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda i: F.struct(
-                    i.alias("hid"),
-                    h60_col(
-                        F.concat(
-                            i.cast("string"), F.lit("|"), F.col("shingle")
-                        )
-                    ).alias("hv"),
-                ),
-            )
-        ).alias("h"),
-    ).select("doc_id", F.col("h.hid").alias("hid"), F.col("h.hv").alias("hv"))
-    sig = hashed.groupBy("doc_id", "hid").agg(F.min("hv").alias("minhash"))
-    return sig.select(
-        "doc_id",
-        (F.col("hid") % MINHASH_BANDS).alias("band"),
-        "minhash",
-    ).groupBy("doc_id", "band").agg(
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias(
-            "band_key"
+    mins = [
+        F.min(
+            F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"m{b + k * MINHASH_BANDS}") for k in range(MINHASH_ROWS)]
+            ).alias("band_key"),
         )
-    )
+        for b in range(MINHASH_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:

@@ -50,9 +50,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from concurrent.futures import ThreadPoolExecutor
+
 from ..functions.urltools import with_url_identity
-from ..operators.dedup import BloomParams, build_blocks, merge_blocks, split_new_urls
-from ..operators.extract import run_extract, split_records_links
+from ..operators.dedup import BloomParams, build_blocks, split_new_urls, update_blocks
+from ..operators.extract import run_extract, split_pages, split_records_links
 from ..operators.fetch import fetch_join
 from ..operators.politeness import (
     priority_col,
@@ -138,7 +140,12 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.pages = pages
-        self.robots = robots
+        # Pin the robots dim to JVM-resident blocks ONCE. It is
+        # broadcast twice per round (robots filter + crawl-delay join);
+        # a createDataFrame(list)-backed plan would re-evaluate its
+        # python parallelize lineage through python workers on every
+        # broadcast — the stalls dwarf the broadcast itself.
+        self.robots = robots.localCheckpoint(eager=True)
         self.cfg = config or CrawlConfig()
 
     # -- state helpers ------------------------------------------------
@@ -167,6 +174,23 @@ class CrawlEngine:
 
     # -- seed prep ----------------------------------------------------
 
+    def seed_frontier_df(self, seeds: DataFrame) -> DataFrame:
+        """Seed from a DataFrame of (url, source, parse_family, depth,
+        retry_count, meta) — the 10^10-scale path where seeds live in a
+        table, not a driver list."""
+        df = (
+            with_url_identity(seeds)
+            .withColumn("priority", priority_col())
+            .filter(_valid_url())
+        )
+        w = Window.partitionBy("canonical_url").orderBy("url")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .select(*FRONTIER_COLS)
+        )
+
     def seed_frontier(self, seed_rows: list[dict]) -> DataFrame:
         df = self.spark.createDataFrame(
             [
@@ -193,24 +217,17 @@ class CrawlEngine:
                 ]
             ),
         )
-        df = (
-            with_url_identity(df)
-            .withColumn("priority", priority_col())
-            .filter(_valid_url())
-        )
         # scheduled => seen (dupefilter marks at enqueue); dedup seeds
-        w = Window.partitionBy("canonical_url").orderBy("url")
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .select(*FRONTIER_COLS)
-        )
+        return self.seed_frontier_df(df)
 
     # -- entry points --------------------------------------------------
 
-    def run(self, seed_rows: list[dict]) -> CrawlResult:
-        frontier = self.seed_frontier(seed_rows)
+    def run(self, seed_rows: list[dict] | DataFrame) -> CrawlResult:
+        frontier = (
+            self.seed_frontier_df(seed_rows)
+            if isinstance(seed_rows, DataFrame)
+            else self.seed_frontier(seed_rows)
+        )
         seen = frontier.select("canonical_url", "url_hash")
         blocks = (
             build_blocks(seen.select("url_hash"), self.cfg.bloom)
@@ -286,6 +303,7 @@ class CrawlEngine:
         records_parts: list[DataFrame] = []
         log_parts: list[DataFrame] = []
         round_no = start_round
+        pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="mat")
         while round_no <= cfg.max_rounds and not frontier.isEmpty():
             allowed, robots_dropped = robots_split(frontier, self.robots)
             selected, deferred = quota_split(
@@ -294,17 +312,29 @@ class CrawlEngine:
                 cfg.quota_salts,
             )
             selected = selected.persist()
-            fetched, missed = fetch_join(selected, self.pages, cfg.fetch_strategy)
-            fetched = fetched.persist()
-            missed = missed.drop("rank_in_host")
-
+            fetched, _ = fetch_join(selected, self.pages, cfg.fetch_strategy)
+            # the html-bearing join output flows straight into extract
+            # and is consumed exactly once — NEVER cached (html rows in
+            # the deserialized block store are a GC storm at high
+            # parallelism). ``extracted`` is the one persisted round
+            # artifact: records ∪ links ∪ per-page fetch-log rows.
             extracted = run_extract(fetched).persist()
             records, links = split_records_links(extracted)
+            fetched_pages = split_pages(extracted)
+            # misses re-derived from the cached round tables (selected ∖
+            # fetched) — never a second scan/join of the pages corpus
+            missed = selected.drop("rank_in_host").join(
+                fetched_pages.select("canonical_url"), "canonical_url", "left_anti"
+            )
 
             # link identity + intra-round dedup (deterministic keeper:
-            # lowest depth, then lexicographic emitting-page url)
+            # lowest depth, then lexicographic emitting-page url).
+            # canonical_url/host come pre-computed from the extract
+            # pass (Spark's parse_url is interpreted and re-inlined at
+            # every reference — §session.py notes); only the cheap
+            # xxhash64 is added JVM-side.
             links = (
-                with_url_identity(links)
+                links.withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
                 .withColumn("priority", priority_col())
                 .withColumn("retry_count", F.lit(0))
             )
@@ -320,8 +350,10 @@ class CrawlEngine:
             new_rows, _, _ = split_new_urls(
                 links_dedup, blocks, seen, cfg.bloom or BloomParams()
             )
-            # materialize ONCE; every count below reads this, nothing
-            # recomputes the join chain
+            # materialize ONCE; this is the round's heavy job — it
+            # computes the whole selected->fetch->extract->dedup chain
+            # (upstream persists fill here); everything below reads
+            # cached/checkpointed data.
             new_rows = self._materialize(new_rows, round_no, "new_rows")
 
             # retries: miss -> re-enqueue decayed, or dead-letter
@@ -345,7 +377,7 @@ class CrawlEngine:
                 # at 10^10 scale keep the (round, host, rank) sort key
                 # and skip the materialized counter.
                 seq_w = Window.orderBy("host", "rank_in_host")
-                fetched_log = fetched.select(
+                fetched_log = fetched_pages.select(
                     F.lit(round_no).alias("round"),
                     (
                         F.row_number().over(seq_w).cast("long")
@@ -359,7 +391,7 @@ class CrawlEngine:
                     F.lit("fetched").alias("status"),
                 )
             else:
-                fetched_log = _log_rows(fetched, round_no, "fetched")
+                fetched_log = _log_rows(fetched_pages, round_no, "fetched")
             round_log = fetched_log.select(*LOG_COLS)
             for df, status in (
                 (robots_dropped, "robots_dropped"),
@@ -374,47 +406,78 @@ class CrawlEngine:
                 retry_rows
             ).unionByName(new_rows.select(*FRONTIER_COLS))
             seen_delta = new_rows.select("canonical_url", "url_hash")
-            via_counts = {
-                r["via"]: r["n"]
-                for r in new_rows.groupBy("via").agg(F.count("*").alias("n")).collect()
-            }
 
+            # independent checkpoint targets run as concurrent driver
+            # jobs (blocks / fetch_log / records / frontier) — per-job
+            # fixed latency is the round loop's scaling tax, so walls
+            # are overlapped instead of summed.
+            futs = {}
             if blocks is not None:
-                new_blocks = merge_blocks(
-                    blocks,
-                    build_blocks(seen_delta.select("url_hash"), cfg.bloom),
-                    cfg.bloom,
+                new_blocks = update_blocks(
+                    blocks, seen_delta.select("url_hash"), cfg.bloom
                 )
                 old_blocks = blocks
-                blocks = self._materialize(new_blocks, round_no, "blocks").persist()
+                futs["blocks"] = pool.submit(
+                    self._materialize, new_blocks, round_no, "blocks"
+                )
+            futs["fetch_log"] = pool.submit(
+                self._materialize, round_log, round_no, "fetch_log"
+            )
+            futs["records"] = pool.submit(
+                self._materialize, records, round_no, "records"
+            )
+            futs["frontier"] = pool.submit(
+                self._materialize, next_frontier, round_no, "frontier"
+            )
+            if blocks is not None:
+                blocks = futs["blocks"].result()
                 old_blocks.unpersist()
+            round_log = futs["fetch_log"].result()
+            records = futs["records"].result()
+            frontier = futs["frontier"].result()
 
-            round_log = self._materialize(round_log, round_no, "fetch_log")
-            records = self._materialize(records, round_no, "records")
-            status_counts = {
-                r["status"]: r["n"]
-                for r in round_log.groupBy("status")
+            # ONE combined counters job over the checkpointed outputs
+            # (uniform (kind, key, n) shape; replaces three collects)
+            stats_df = (
+                new_rows.groupBy(F.col("via").alias("key"))
                 .agg(F.count("*").alias("n"))
-                .collect()
-            }
+                .withColumn("kind", F.lit("via"))
+                .unionByName(
+                    round_log.groupBy(F.col("status").alias("key"))
+                    .agg(F.count("*").alias("n"))
+                    .withColumn("kind", F.lit("status"))
+                )
+                .unionByName(
+                    records.groupBy(F.lit("n").alias("key"))
+                    .agg(F.count("*").alias("n"))
+                    .withColumn("kind", F.lit("records"))
+                )
+            )
+            stats = {(r["kind"], r["key"]): r["n"] for r in stats_df.collect()}
+            via_counts = {k: v for (kind, k), v in stats.items() if kind == "via"}
+            status_counts = {k: v for (kind, k), v in stats.items() if kind == "status"}
             m = {
                 "round": round_no,
                 "fetched": status_counts.get("fetched", 0),
                 "robots_dropped": status_counts.get("robots_dropped", 0),
                 "retry": status_counts.get("retry", 0),
                 "dead": status_counts.get("dead", 0),
-                "records": records.count(),
+                "records": stats.get(("records", "n"), 0),
                 "new_urls": sum(via_counts.values()),
                 "bloom_definite_new": via_counts.get("bloom_definite"),
                 "bloom_fp": via_counts.get("bloom_fp"),
             }
             fetch_seq_offset += m["fetched"]
 
-            frontier = self._materialize(next_frontier, round_no, "frontier")
-            seen_delta_mat = self._materialize(seen_delta, round_no, "seen_delta")
-            seen = seen.unionByName(seen_delta_mat)
+            if cfg.checkpoint_dir:
+                # resume reads seen deltas per round: persist the slim
+                # projection (cheap rewrite of already-materialized rows)
+                seen_delta = self._materialize(seen_delta, round_no, "seen_delta")
+            seen = seen.unionByName(seen_delta)
             if not cfg.checkpoint_dir:
-                seen = seen.localCheckpoint(eager=True)
+                # lineage stays flat: seen_delta projects the
+                # checkpointed new_rows, no recompute chain builds up
+                pass
 
             records_parts.append(records)
             log_parts.append(round_log)
@@ -428,11 +491,11 @@ class CrawlEngine:
                 },
             )
             selected.unpersist()
-            fetched.unpersist()
             extracted.unpersist()
 
             round_no += 1
 
+        pool.shutdown(wait=False)
         rec_schema = T.StructType(
             [
                 T.StructField("url", T.StringType(), False),

@@ -56,7 +56,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # frontier rows are slim and compress hard; the default 1m
+        # coalesce floor collapses CPU-heavy shuffles (url identity,
+        # windows, SMJ sorts) to 1-2 tasks and serializes the round.
+        # Keep partitions parallelism-first with a small floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html bodies make default 10k-row Arrow batches ~10MB — G1
+        # humongous allocations (> half the 16MB region) that fragment
+        # old gen and trigger GC storms under 32 concurrent streams.
+        # Smaller batches + bigger regions keep them in young gen.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:G1HeapRegionSize=32m",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # html bodies are KB-scale binaries: keep scan splits moderate
         .config("spark.sql.files.maxPartitionBytes", "128m")
@@ -64,6 +79,14 @@ def get_spark(
         # AQE converts to broadcast at runtime when under this.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Shuffle scratch on tmpfs: the bypass-merge writer opens
+        # numPartitions files per map task; on the sandbox's virtio
+        # ext4, concurrent file creates serialize and stall whole
+        # stages (threads stuck in FileOutputStream.open). tmpfs makes
+        # creates ~free; the sort writer keeps the file count at
+        # 2/task instead of numPartitions/task.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
+        .config("spark.shuffle.sort.bypassMergeThreshold", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.warehouse.dir", DEFAULT_WAREHOUSE)

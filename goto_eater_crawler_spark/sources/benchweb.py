@@ -136,6 +136,59 @@ def gen_bench_web(
     )
 
 
+def steady_state_frontier(
+    spark: SparkSession,
+    n_hosts: int = 300,
+    lists_per_host: int = 10,
+    details_per_list: int = 100,
+    hot_factor: int = 10,
+) -> DataFrame:
+    """The scaling-protocol frontier: one STEADY-STATE round of a huge
+    crawl — every list page plus the even-numbered detail pages of the
+    same bench web, as a DataFrame (the 10^10-scale seed path; a
+    driver-side list cannot hold a production round).
+
+    Processing this round exercises every hot-path operator at full
+    width: fetch join over the whole corpus, vectorized extract of all
+    bodies, link discovery (lists re-emit every detail url), intra-round
+    dedup, and the bloom/exact seen-set split where ~half the candidate
+    links are already seen (the seeded evens) and half are genuinely
+    new (the odds) — the mixed regime a mid-crawl round sees.
+    """
+    hosts = spark.range(n_hosts).select(
+        F.col("id").alias("host_id"),
+        host_name(F.col("id")).alias("host"),
+        F.when(F.col("id") == 0, F.lit(lists_per_host * hot_factor))
+        .otherwise(F.lit(lists_per_host))
+        .alias("n_lists"),
+    )
+    lists = hosts.select(
+        "host_id",
+        "host",
+        F.explode(F.sequence(F.lit(1), F.col("n_lists"))).alias("p"),
+    ).select(
+        _list_url(F.col("host"), F.col("p")).alias("url"),
+        F.format_string("bench_%04d", F.col("host_id")).alias("source"),
+    )
+    details = hosts.select(
+        "host_id",
+        "host",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_lists") * details_per_list - 1, F.lit(2))
+        ).alias("sid"),
+    ).select(
+        _detail_url(F.col("host"), F.col("sid")).alias("url"),
+        F.format_string("bench_%04d", F.col("host_id")).alias("source"),
+    )
+    return (
+        lists.unionByName(details)
+        .withColumn("parse_family", F.lit("label_table"))
+        .withColumn("depth", F.lit(0))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("meta", F.create_map().cast("map<string,string>"))
+    )
+
+
 def bench_seeds(n_hosts: int) -> list[dict]:
     return [
         {

@@ -1,0 +1,139 @@
+"""Checkpoint/resume exactness (T6), retry->dead-letter (T3) and
+garbage-seed rejection — the SURVEY.md §5.4 probes.
+
+Resume contract: killing the crawl after round k and resuming from the
+checkpoint directory must produce byte-identical final state (records,
+seen set, crawl order) to an uninterrupted run — the engine analogue
+of the reference's cache-determinism guarantee (README.md:69-73).
+The fixture subset includes the session_token family so frontier
+``meta`` (the CSRF token) must survive the checkpoint boundary.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from goto_eater_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+from goto_eater_crawler_spark.sources import webgen
+
+SOURCES = [
+    ("tochigi_like", "list_xpath", "list-a.example.jp", 3.0),
+    ("hokkaido_like", "session_token", "token.example.jp", 4.0),
+]
+BUDGET = 12.0
+
+
+@pytest.fixture(scope="module")
+def small_web():
+    return webgen.build_fixture_web(sources=SOURCES)
+
+
+def _cfg(ckpt, max_rounds=32):
+    return CrawlConfig(
+        round_budget=BUDGET, max_rounds=max_rounds, checkpoint_dir=ckpt
+    )
+
+
+def _state(res):
+    records = sorted(
+        (r["url"], r["item_index"], r["shop_name"], r["address"], r["area_name"])
+        for r in res.records.collect()
+    )
+    seen = {r["canonical_url"] for r in res.seen.collect()}
+    order = [
+        r["canonical_url"]
+        for r in res.fetch_log.filter("status = 'fetched'")
+        .orderBy("fetch_seq")
+        .collect()
+    ]
+    return records, seen, order
+
+
+def test_resume_equals_uninterrupted(spark, small_web, tmp_path_factory):
+    pages, seeds, robots = small_web
+    pages_df = webgen.pages_df(spark, pages)
+    robots_df = webgen.robots_df(spark, robots)
+
+    full_dir = str(tmp_path_factory.mktemp("full"))
+    full = CrawlEngine(spark, pages_df, robots_df, _cfg(full_dir)).run(seeds)
+    full_state = _state(full)
+
+    cut_dir = str(tmp_path_factory.mktemp("cut"))
+    # "crash" after round 2 (loop stops; checkpoint has rounds 0-2)
+    partial = CrawlEngine(spark, pages_df, robots_df, _cfg(cut_dir, max_rounds=2)).run(
+        seeds
+    )
+    assert len(partial.metrics) == 2  # genuinely interrupted mid-crawl
+
+    resumed = CrawlEngine.resume(spark, pages_df, robots_df, _cfg(cut_dir))
+    # resumed result carries rounds 1..N metrics (prefix from manifest)
+    assert [m["round"] for m in resumed.metrics] == [
+        m["round"] for m in full.metrics
+    ]
+    # records/log of rounds 1-2 live in the checkpoint; reconstruct the
+    # full view the way a driver would: read all committed round dirs
+    import goto_eater_crawler_spark.schema as S
+
+    all_records = spark.read.schema(resumed.records.schema).parquet(
+        f"{cut_dir}/rounds/round=*/records"
+    )
+    all_log = spark.read.schema(S.FETCH_LOG_SCHEMA).parquet(
+        f"{cut_dir}/rounds/round=*/fetch_log"
+    )
+
+    class R:  # tiny view object for _state
+        records = all_records
+        seen = resumed.seen
+        fetch_log = all_log
+
+    got = _state(R)
+    assert got[0] == full_state[0]  # records byte-identical
+    assert got[1] == full_state[1]  # seen set identical
+    assert got[2] == full_state[2]  # global crawl order identical
+
+
+def test_retry_until_dead(spark, small_web):
+    pages, seeds, robots = small_web
+    ghost = {
+        "url": "https://list-a.example.jp/merchant/missing.php",
+        "source": "tochigi_like",
+        "parse_family": "list_xpath",
+        "depth": 0,
+        "meta": {},
+    }
+    cfg = CrawlConfig(round_budget=BUDGET, max_rounds=12, max_retries=3)
+    res = CrawlEngine(
+        spark,
+        webgen.pages_df(spark, pages),
+        webgen.robots_df(spark, robots),
+        cfg,
+    ).run(seeds + [ghost])
+    ghost_log = (
+        res.fetch_log.filter("url LIKE '%missing.php'")
+        .select("round", "status")
+        .collect()
+    )
+    statuses = [r["status"] for r in sorted(ghost_log, key=lambda r: r["round"])]
+    # re-enqueued with retry_count+1 each round until max_retries, then dead
+    assert statuses == ["retry", "retry", "retry", "dead"]
+    # the ghost never produced records nor polluted the seen set beyond
+    # its own enqueue-time entry
+    assert res.records.filter("url LIKE '%missing.php'").count() == 0
+
+
+def test_garbage_seeds_rejected(spark, small_web):
+    pages, _, robots = small_web
+    garbage = [
+        {"url": "notaurl", "source": "x", "parse_family": "list_xpath", "depth": 0, "meta": {}},
+        {"url": "ftp://files.example.jp/a.csv", "source": "x", "parse_family": "list_xpath", "depth": 0, "meta": {}},
+        {"url": "javascript:void(0)", "source": "x", "parse_family": "list_xpath", "depth": 0, "meta": {}},
+    ]
+    res = CrawlEngine(
+        spark,
+        webgen.pages_df(spark, pages),
+        webgen.robots_df(spark, robots),
+        CrawlConfig(round_budget=BUDGET, max_rounds=4),
+    ).run(garbage)
+    assert res.records.count() == 0
+    assert res.fetch_log.count() == 0  # nothing scheduled, nothing multiplied
+    assert res.seen.count() == 0
