@@ -66,6 +66,52 @@ def docs_as_binary(docs: DataFrame) -> DataFrame:
     )
 
 
+FRAME_BYTES = 64  # stand-in frame size for the chunked-payload model
+
+
+def frame_sample(
+    docs_with_payload: DataFrame, every_k: int = 4
+) -> DataFrame:
+    """Frame sampling over a chunked binary payload — the video-
+    pipeline batch shape: payload = concatenated fixed-size frames;
+    emit every k-th frame's (doc_id, frame_idx, frame_hex_prefix).
+    One Arrow pass, one->many rows per input (the explode shape a real
+    ffmpeg frame sampler produces); decode itself stays stubbed like
+    :func:`decode_image_stub`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hexs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                for fi in range(0, n_frames, every_k):
+                    frame = b[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    hexs.append(frame[:4].hex().upper())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_hex": hexs}
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, frame_idx long, frame_hex string"
+    )
+
+
+def frame_sample_sql(every_k: int = 4) -> str:
+    return f"""
+    SELECT doc_id, frame_idx,
+           upper(substr(hex(encode(text)),
+                        CAST(frame_idx AS INT) * {FRAME_BYTES} * 2 + 1, 8)) AS frame_hex
+    FROM (
+      SELECT doc_id, text, unnest(range(0,
+               CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT),
+               {every_k})) AS frame_idx
+      FROM documents)
+    """
+
+
 BINARY_METADATA_SQL = """
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,

@@ -133,6 +133,56 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def cosine_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, max_id: int | None = None
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
+    cos >= threshold, a < b. The semantic-dedup stage of a training
+    pipeline. Brute force here (correctness baseline); the scale path
+    runs the same residual predicate inside IVF cells (ivf_assign
+    partitions, candidates = same-cell pairs) so the cross join never
+    materializes globally."""
+    e = embeddings if max_id is None else embeddings.filter(F.col("vec_id") < max_id)
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def cosine_dup_pairs_sql(threshold: float = 0.95, max_id: int | None = None) -> str:
+    dot = (
+        "list_sum(list_transform(list_zip(x.embedding, y.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    nx = (
+        "sqrt(list_sum(list_transform(x.embedding,"
+        " p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+    )
+    ny = (
+        "sqrt(list_sum(list_transform(y.embedding,"
+        " p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+    )
+    lim = (
+        f"AND x.vec_id < {max_id} AND y.vec_id < {max_id}"
+        if max_id is not None
+        else ""
+    )
+    return f"""
+    SELECT a, b, cos_sim FROM (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round({dot} / ({nx} * {ny}), 4) AS cos_sim
+      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id {lim})
+    WHERE cos_sim >= {threshold} ORDER BY a, b
+    """
+
+
 def ivf_assign_sql(n_centroids: int = 8) -> str:
     d2 = (
         "list_sum(list_transform(list_zip(v.embedding, c.embedding),"

@@ -657,6 +657,28 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 @_register(
+    "dedup_embedding_cosine",
+    # embedding-cosine near-dup pairs (semantic dedup); bounded id set
+    # keeps the oracle's O(n^2) side tractable at sf0.1
+    _sim.cosine_dup_pairs_sql(0.35, 200),
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_dup_pairs(e, 0.35, 200)
+
+
+@_register(
+    "multimodal_frame_sample",
+    _mm.frame_sample_sql(4) + " ORDER BY doc_id, frame_idx",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.frame_sample(_mm.docs_as_binary(d), 4).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@_register(
     "multimodal_binary_meta",
     _mm.BINARY_METADATA_SQL + " ORDER BY doc_id",
 )
