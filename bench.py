@@ -99,6 +99,7 @@ def run_crawl(cores: int) -> dict:
         bloom=BloomParams(n_blocks=max(cores, 16), m_bits=1 << 23, k=5),
         assign_fetch_seq=False,  # global seq window excluded from the hot path
         quota_salts=cores,
+        fetch_strategy="broadcast",  # quota-bounded frontier: never shuffle pages
     )
     t0 = time.perf_counter()
     res = CrawlEngine(spark, pages, robots, cfg).run(seeds)

@@ -269,6 +269,21 @@ def simhash_sql(docs_rel: str) -> str:
     """
 
 
+def simhash_pairs_sql(docs_rel: str, max_hamming: int = 3) -> str:
+    """Brute-force oracle for :func:`simhash_dup_pairs`: with
+    SIMHASH_CHUNKS = max_hamming + 1 the pigeonhole banding has EXACT
+    recall (any pair within hamming h <= chunks-1 shares at least one
+    identical chunk), so the engine's banded join must equal the full
+    O(n^2) scan."""
+    return f"""
+    WITH sims AS ({simhash_sql(docs_rel)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs with simhash hamming distance <= max_hamming, found via
     15-bit chunk pigeonhole joins, verified with bit_count(xor)."""

@@ -576,9 +576,14 @@ def q_dedup_simhash(spark, sf_dir):
     return _td.simhash_col_docs(d).orderBy("doc_id")
 
 
-# simhash near-dup pairs: engine-only scale path (pigeonhole banding);
-# no SQL oracle — covered by the rows-only check + pytest units.
-@_register("dedup_simhash_pairs")
+# simhash near-dup pairs: pigeonhole banding (scale path) vs the
+# brute-force O(n^2) oracle — exact recall at hamming <= chunks-1, so
+# the two must be identical, not just similar.
+@_register(
+    "dedup_simhash_pairs",
+    _td.simhash_pairs_sql(f"(SELECT * FROM documents WHERE {_DOCS_SUBSET})", 3)
+    + " ORDER BY doc_a, doc_b",
+)
 def q_dedup_simhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
     return _td.simhash_dup_pairs(d, 3).orderBy("doc_a", "doc_b")

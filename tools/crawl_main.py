@@ -1,0 +1,99 @@
+"""Cluster driver for the crawl engine — the reference's ``main.py``
+analogue (E1, SURVEY.md §3: ``python main.py --target a,b``).
+
+Run locally:
+    python tools/crawl_main.py --fixture --sources tochigi_like,kochi_like \
+        --checkpoint /tmp/crawl_ckpt --out /tmp/crawl_csvs
+
+Run on a cluster (the north_rule shape):
+    zip -r engine.zip goto_eater_crawler_spark
+    spark-submit --py-files engine.zip tools/crawl_main.py \
+        --pages <parquet-or-iceberg-path> --robots <parquet-path> \
+        --seeds <json-path> --checkpoint s3://bucket/ckpt --out s3://bucket/csvs
+
+``--resume`` continues from the greatest committed round in the
+checkpoint directory (T6 semantics — exact restart).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from goto_eater_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine  # noqa: E402
+from goto_eater_crawler_spark.schema import PAGES_SCHEMA, ROBOTS_SCHEMA  # noqa: E402
+from goto_eater_crawler_spark.session import get_spark  # noqa: E402
+from goto_eater_crawler_spark.sources import webgen  # noqa: E402
+from goto_eater_crawler_spark.sources.sinks import write_source_csvs  # noqa: E402
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="frontier crawl driver")
+    p.add_argument("--pages", help="pages table path (parquet)")
+    p.add_argument("--robots", help="robots table path (parquet)")
+    p.add_argument("--seeds", help="seed list path (json: [{url,source,parse_family,depth,meta}])")
+    p.add_argument("--fixture", action="store_true",
+                   help="use the built-in deterministic fixture web")
+    p.add_argument("--sources", default="",
+                   help="comma list of sources to crawl (default: all; "
+                        "mirrors the reference's --target, main.py:26)")
+    p.add_argument("--checkpoint", help="checkpoint dir (enables resume)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the greatest committed round")
+    p.add_argument("--out", help="write one sorted CSV per source here")
+    p.add_argument("--budget", type=float, default=60.0,
+                   help="per-round politeness budget in seconds")
+    p.add_argument("--rounds", type=int, default=64, help="max rounds")
+    p.add_argument("--master", default=None, help="spark master override")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    spark = get_spark("crawl-main", master=args.master)
+
+    if args.fixture:
+        pages_rows, seeds, robots_rows = webgen.build_fixture_web()
+        pages = webgen.pages_df(spark, pages_rows)
+        robots = webgen.robots_df(spark, robots_rows)
+    else:
+        assert args.pages and args.robots and args.seeds, (
+            "--pages/--robots/--seeds required without --fixture"
+        )
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(args.pages)
+        robots = spark.read.schema(ROBOTS_SCHEMA).parquet(args.robots)
+        with open(args.seeds) as f:
+            seeds = json.load(f)
+
+    if args.sources:
+        wanted = set(args.sources.split(","))
+        seeds = [s for s in seeds if s["source"] in wanted]
+        assert seeds, f"no seeds match --sources {args.sources}"
+
+    cfg = CrawlConfig(
+        round_budget=args.budget,
+        max_rounds=args.rounds,
+        checkpoint_dir=args.checkpoint,
+    )
+    eng = CrawlEngine(spark, pages, robots, cfg)
+    res = (
+        CrawlEngine.resume(spark, pages, robots, cfg)
+        if args.resume
+        else eng.run(seeds)
+    )
+
+    for m in res.metrics:
+        print(json.dumps(m))
+    if args.out:
+        write_source_csvs(res.records, args.out)
+        print(f"wrote CSVs to {args.out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
