@@ -60,3 +60,48 @@ def test_with_url_identity_is_native(spark):
     )
     for r in df2.collect():
         assert r["canonical_url"] == r["c2"]
+
+
+# ---------------------------------------------------------------------------
+# property-based parity: generated http(s) URLs, python vs Catalyst
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_host_label = st.text("abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8)
+_path_seg = st.text("abcdefghijklmnopqrstuvwxyz0123456789._-%", min_size=0, max_size=8)
+_qkey = st.text("abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=5)
+_qval = st.text("abcdefghijklmnopqrstuvwxyz0123456789", min_size=0, max_size=5)
+
+
+@st.composite
+def http_urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "Https"]))
+    host = ".".join(draw(st.lists(_host_label, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = "/".join(draw(st.lists(_path_seg, min_size=0, max_size=3)))
+    params = draw(st.lists(st.tuples(_qkey, _qval), min_size=0, max_size=4))
+    frag = draw(st.sampled_from(["", "#x", "#frag/ment?y=1"]))
+    url = f"{scheme}://{host}{port}/{path}"
+    if params:
+        url += "?" + "&".join(f"{k}={v}" for k, v in params)
+    return url + frag
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(http_urls(), min_size=1, max_size=60))
+def test_parity_property(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = df.select(
+        "url",
+        canonicalize_url_col(F.col("url")).alias("canon"),
+        host_col(F.col("url")).alias("host"),
+    ).collect()
+    for row in got:
+        assert row["canon"] == canonicalize_url(row["url"]), repr(row["url"])
+        assert row["host"] == url_host(row["url"]), repr(row["url"])
