@@ -33,8 +33,40 @@ def fetch_join(
         left = F.broadcast(left)
     elif strategy == "shuffle":
         left = left.hint("shuffle_hash")
+    elif strategy == "sortmerge":
+        left = left.hint("merge")
     right = pages.select(F.col("url").alias("_page_url"), "html")
     joined = left.join(right, left["canonical_url"] == right["_page_url"], "left")
     fetched = joined.filter(F.col("_page_url").isNotNull()).drop("_page_url")
     missed = joined.filter(F.col("_page_url").isNull()).drop("_page_url", "html")
     return fetched, missed
+
+
+def write_bucketed_pages(
+    pages: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Persist the pages corpus bucketed + sorted by url — the
+    10^10-scale layout: a fetch join against a bucketed table needs NO
+    shuffle and NO sort on the pages side, ever (the corpus is orders
+    of magnitude bigger than any round's frontier; only the frontier
+    moves). On a real deployment this is the Iceberg table's
+    ``bucket(url)`` partition transform; here it is a Spark-managed
+    bucketed parquet table."""
+    (
+        pages.write.mode("overwrite")
+        .bucketBy(n_buckets, "url")
+        .sortBy("url")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_fetch_join(
+    selected: DataFrame, pages_table: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Fetch join against a bucketed pages table: sort-merge with
+    bucket pruning of the shuffle — pages side reads its buckets
+    in-place (zero Exchange), only the slim frontier shuffles to
+    match the bucketing. Use when the round frontier is too large to
+    broadcast (early rounds of a 10^10 crawl)."""
+    return fetch_join(selected, pages_table, strategy="sortmerge")
