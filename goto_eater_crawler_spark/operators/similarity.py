@@ -5,11 +5,16 @@
   side, keep the candidate scan pipelined — at 100 TB this is one pass
   over the embeddings table per query batch, no shuffle except the
   final per-query top-k (a tiny partial-topk-then-merge aggregation).
-- :func:`ivf_assign` — IVF-style coarse quantization: assign every
-  vector to its nearest centroid (here: the first ``n_centroids``
-  vectors, a deterministic stand-in for k-means). This is the scale
-  path's partitioner: store vectors clustered by centroid id, probe
-  only nprobe clusters at query time.
+- :func:`ivf_assign` / :func:`ivf_cells` — IVF-style coarse
+  quantization: assign every vector to its nearest centroid (here:
+  the first ``n_centroids`` vectors, a deterministic stand-in for
+  k-means). This is the scale path's partitioner: store vectors
+  clustered by centroid id, probe only nprobe clusters at query time.
+- :func:`cosine_dup_pairs` — semantic near-dup pairs via IVF cells
+  with EXACT angular triangle-inequality pruning: only cell pairs
+  that could possibly contain a qualifying pair are joined, so there
+  is no global cross join and no recall loss.
+  :func:`cosine_dup_pairs_brute` is the O(n^2) test oracle.
 
 All arithmetic in DOUBLE with sequential array folds so the SQL
 oracle (DuckDB list lambdas) reproduces results bit-for-bit before
@@ -17,6 +22,8 @@ rounding.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -98,17 +105,30 @@ def cosine_topk_sql(n_queries: int = 5, k: int = 10) -> str:
     """
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
-    """Assign each vector to its nearest of the first n_centroids
-    vectors (squared L2); output per-centroid sizes — the IVF
-    partitioning a billion-vector ANN index shards by."""
-    cents = (
-        embeddings.filter(F.col("vec_id") < n_centroids)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("cent"),
-        )
+def _centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """First n_centroids vectors as centroids — a deterministic
+    stand-in for k-means (the oracle must reproduce the choice)."""
+    return embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent"),
     )
+
+
+def _angle(cos_expr):
+    """Angular distance from a cosine — clamped so fp drift at +-1
+    never NaNs the acos."""
+    return F.acos(
+        F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cos_expr))
+    )
+
+
+def ivf_cells(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """(vec_id, embedding, centroid_id, ang) — nearest-centroid
+    assignment (squared L2, ties to lowest centroid_id) plus the
+    ANGULAR distance of the vector to its centroid. The per-vector
+    cost is a scan against broadcast centroids; the argmin is a
+    per-vector window (partitioned — no global shuffle of note)."""
+    cents = _centroids(embeddings, n_centroids)
     d2 = F.aggregate(
         F.zip_with(
             F.col("embedding"),
@@ -119,29 +139,42 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    cos_to_cent = _dot(F.col("embedding"), F.col("cent")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cent"))
+    )
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
-    assign = (
+    return (
         embeddings.crossJoin(F.broadcast(cents))
-        .select("vec_id", "centroid_id", d2.alias("d2"))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            d2.alias("d2"),
+            _angle(cos_to_cent).alias("ang"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
+        .drop("rn", "d2")
     )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Per-centroid cell sizes — the IVF partitioning a
+    billion-vector ANN index shards by."""
     return (
-        assign.groupBy("centroid_id")
+        ivf_cells(embeddings, n_centroids)
+        .groupBy("centroid_id")
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("centroid_id")
     )
 
 
-def cosine_dup_pairs(
+def cosine_dup_pairs_brute(
     embeddings: DataFrame, threshold: float = 0.95, max_id: int | None = None
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
-    cos >= threshold, a < b. The semantic-dedup stage of a training
-    pipeline. Brute force here (correctness baseline); the scale path
-    runs the same residual predicate inside IVF cells (ivf_assign
-    partitions, candidates = same-cell pairs) so the cross join never
-    materializes globally."""
+    """Brute-force all-pairs cosine near-dups — O(n^2), the TEST
+    ORACLE only. Production uses :func:`cosine_dup_pairs` (IVF-celled
+    with exact triangle-inequality pruning)."""
     e = embeddings if max_id is None else embeddings.filter(F.col("vec_id") < max_id)
     a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
@@ -150,6 +183,100 @@ def cosine_dup_pairs(
     )
     return (
         a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def admissible_cell_pairs(
+    e: DataFrame, cells: DataFrame, threshold: float, n_centroids: int
+) -> DataFrame:
+    """(cell_a, cell_b) cell pairs that COULD contain a pair with
+    cos >= threshold, by the angular triangle inequality:
+    theta(c_a, c_b) <= r_a + arccos(threshold) + r_b. Computed over
+    the k^2 centroid-pair relation (tiny by construction) and meant
+    to be broadcast into the member-level equi-joins. Both orders and
+    the diagonal are included so a.cell==cell_a, b.cell==cell_b with
+    a < b enumerates each vector pair at most once."""
+    radii = cells.groupBy("centroid_id").agg(F.max("ang").alias("r"))
+    cents = _centroids(e, n_centroids)
+    ca = cents.select(
+        F.col("centroid_id").alias("cell_a"), F.col("cent").alias("ca")
+    )
+    cb = cents.select(
+        F.col("centroid_id").alias("cell_b"), F.col("cent").alias("cb")
+    )
+    theta_cc = _angle(
+        _dot(F.col("ca"), F.col("cb"))
+        / (_norm(F.col("ca")) * _norm(F.col("cb")))
+    )
+    return (
+        ca.crossJoin(cb)  # k^2 centroid pairs — tiny by construction
+        .select("cell_a", "cell_b", theta_cc.alias("theta_cc"))
+        .join(
+            radii.select(F.col("centroid_id").alias("cell_a"), F.col("r").alias("ra")),
+            "cell_a",
+        )
+        .join(
+            radii.select(F.col("centroid_id").alias("cell_b"), F.col("r").alias("rb")),
+            "cell_b",
+        )
+        .filter(
+            F.col("theta_cc")
+            <= F.col("ra")
+            + F.col("rb")
+            + F.lit(float(math.acos(min(1.0, max(-1.0, threshold)))))
+            + F.lit(1e-9)
+        )
+        .select("cell_a", "cell_b")
+    )
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    max_id: int | None = None,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
+    cos >= threshold, a < b — the semantic-dedup stage of a training
+    pipeline, via IVF cells with EXACT angular triangle-inequality
+    pruning (no global cross join, provably no missed pairs).
+
+    How the pruning stays exact: let theta(x,y) = arccos(cos(x,y)) —
+    a metric on the unit sphere. With r_c = max angle of any member
+    to its cell centroid, any qualifying pair (a, b) satisfies
+    theta(c_a, c_b) <= r_{c_a} + arccos(threshold) + r_{c_b}, so it is
+    enough to join only cell pairs passing that bound ("admissible");
+    the residual exact cosine predicate inside those cell pairs keeps
+    precision exact too. Admissibility is computed on the tiny
+    centroids x centroids relation (k^2 rows) and broadcast; the big
+    join is two equi-joins through it — at 10^9 vectors with real
+    (clustered) embeddings most cell pairs fail the bound and the
+    quadratic blowup never materializes, while on adversarial data it
+    degrades to correct-but-dense, never to wrong. A small epsilon
+    widens the bound so fp drift can only ADD candidates."""
+    e = embeddings if max_id is None else embeddings.filter(F.col("vec_id") < max_id)
+    cells = ivf_cells(e, n_centroids)
+    admissible = admissible_cell_pairs(e, cells, threshold, n_centroids)
+    a = cells.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+        F.col("centroid_id").alias("cell_a"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        F.col("centroid_id").alias("cell_b"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    return (
+        a.join(F.broadcast(admissible), "cell_a")
+        .join(b, "cell_b")
+        .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.round(sim, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("a", "b")

@@ -91,10 +91,29 @@ EXACT_DEDUP_SQL = f"""
 
 
 def jaccard_pairs(
-    sh: DataFrame, threshold: float = 0.5
+    sh: DataFrame, threshold: float = 0.5, df_cap: int | None = None
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
-    sh: (doc_id, shingle) distinct."""
+    sh: (doc_id, shingle) distinct.
+
+    ``df_cap`` is the document-frequency cap on hot shingles: shingles
+    appearing in more than df_cap docs are removed from the shingle
+    universe BEFORE the self-join (sizes and intersections are then
+    both computed over the capped universe, so the Jaccard stays
+    internally consistent). Without it a single stopword trigram in d
+    docs contributes d^2 join rows — quadratic in the hottest key at
+    100 TB. With it the self-join fan-out is bounded by df_cap per
+    shingle. The hot-shingle list is tiny (it's the frequency tail's
+    head), so the anti-join broadcasts.
+    """
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -124,9 +143,20 @@ def jaccard_pairs(
     )
 
 
-def jaccard_pairs_sql(docs_rel: str, threshold: float) -> str:
+def jaccard_pairs_sql(
+    docs_rel: str, threshold: float, df_cap: int | None = None
+) -> str:
+    cap_cte = (
+        f""",
+    sh AS (SELECT sh_all.* FROM sh_all
+           JOIN (SELECT shingle FROM sh_all
+                 GROUP BY 1 HAVING count(*) <= {df_cap}) ok USING (shingle))"""
+        if df_cap is not None
+        else ""
+    )
+    first = "sh_all" if df_cap is not None else "sh"
     return f"""
-    WITH sh AS ({SHINGLES_SQL.format(docs=docs_rel)}),
+    WITH {first} AS ({SHINGLES_SQL.format(docs=docs_rel)}){cap_cte},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -139,6 +169,50 @@ def jaccard_pairs_sql(docs_rel: str, threshold: float) -> str:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= {threshold}
     """
+
+# ---------------------------------------------------------------------------
+# deterministic near-dup augmentation (non-vacuous dedup gates)
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_OFFSET = 1_000_000
+
+
+def docs_with_variants(
+    docs: DataFrame, mod: int, offset: int = NEAR_DUP_OFFSET
+) -> DataFrame:
+    """(doc_id, text) of every doc with doc_id % mod == 0 plus a
+    deterministic near-duplicate variant of each (doc_id + offset,
+    text minus its first two tokens).
+
+    The driver's synthetic ``documents`` corpus contains no natural
+    near-dup pairs (max pairwise trigram Jaccard ~0.04), so a dedup
+    operator gated only on that corpus passes vacuously — it can never
+    find anything. This augmentation plants one true near-dup per
+    selected doc (Jaccard >= (S-2)/S ~ 0.97 for ~100-token docs,
+    far above any test threshold) while leaving cross-doc similarity
+    untouched, so the gate exercises real positives at every scale
+    factor. Mirrored exactly by :func:`docs_with_variants_sql`.
+    """
+    base = docs.filter(f"doc_id % {mod} = 0").select("doc_id", "text")
+    variant = base.select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 3, 1 << 20), " "
+        ).alias("text"),
+    )
+    return base.unionByName(variant)
+
+
+def docs_with_variants_sql(
+    docs_rel: str, mod: int, offset: int = NEAR_DUP_OFFSET
+) -> str:
+    return f"""(
+      SELECT doc_id, text FROM {docs_rel} WHERE doc_id % {mod} = 0
+      UNION ALL
+      SELECT doc_id + {offset} AS doc_id,
+             array_to_string(string_split(text, ' ')[3:], ' ') AS text
+      FROM {docs_rel} WHERE doc_id % {mod} = 0)"""
+
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
@@ -322,6 +396,10 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # hamming filter BEFORE distinct: the filter is a cheap
+        # codegen'd expression on the joined rows, the distinct is a
+        # shuffle — filtering first shrinks the shuffle to only true
+        # near-dup pairs (pairs sharing >1 chunk are the only dups).
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -530,6 +530,22 @@ from ..operators import textdedup as _td  # noqa: E402
 # bounded at bench scale; the operators themselves are unrestricted)
 _DOCS_SUBSET = "doc_id % 5 = 0"
 
+# The synthetic documents corpus has NO natural near-dup pairs (max
+# pairwise trigram Jaccard ~0.04), so the pairwise dedup gates run on
+# a deterministically AUGMENTED corpus — each selected doc plus a
+# planted near-duplicate variant (textdedup.docs_with_variants,
+# mirrored in SQL) — making the correctness rows non-vacuous: ~n/5
+# true pairs must be found and hash-matched, at every scale factor.
+_AUG_MOD = 5
+_AUG_SPARK = lambda spark, sf_dir: _td.docs_with_variants(  # noqa: E731
+    _t(spark, sf_dir, "documents"), _AUG_MOD
+)
+_AUG_SQL = _td.docs_with_variants_sql("documents", _AUG_MOD)
+
+# document-frequency cap for the gate's shingle self-join (scale
+# guard; mirrored in SQL so both sides share the capped universe)
+_JACCARD_DF_CAP = 1000
+
 
 @_register(
     "dedup_exact",
@@ -542,27 +558,24 @@ def q_dedup_exact(spark, sf_dir):
 
 @_register(
     "dedup_ngram_jaccard",
-    _td.jaccard_pairs_sql(
-        f"(SELECT * FROM documents WHERE {_DOCS_SUBSET})", 0.5
-    )
+    _td.jaccard_pairs_sql(_AUG_SQL, 0.5, _JACCARD_DF_CAP)
     + " ORDER BY doc_a, doc_b",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
-    return _td.jaccard_pairs(_td.shingles(d), 0.5).orderBy("doc_a", "doc_b")
+    d = _AUG_SPARK(spark, sf_dir)
+    return _td.jaccard_pairs(_td.shingles(d), 0.5, _JACCARD_DF_CAP).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @_register(
     "dedup_minhash_lsh",
     # oracle: brute-force Jaccard at the same threshold — the LSH path
     # must find exactly the same pairs (banding recall ~1 at j>=0.8)
-    _td.jaccard_pairs_sql(
-        f"(SELECT * FROM documents WHERE {_DOCS_SUBSET})", 0.8
-    )
-    + " ORDER BY doc_a, doc_b",
+    _td.jaccard_pairs_sql(_AUG_SQL, 0.8) + " ORDER BY doc_a, doc_b",
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
+    d = _AUG_SPARK(spark, sf_dir)
     return _td.minhash_lsh_pairs(d, 0.8).orderBy("doc_a", "doc_b")
 
 
@@ -663,8 +676,11 @@ def q_text_fingerprint(spark, sf_dir):
 
 @_register(
     "dedup_embedding_cosine",
-    # embedding-cosine near-dup pairs (semantic dedup); bounded id set
-    # keeps the oracle's O(n^2) side tractable at sf0.1
+    # embedding-cosine near-dup pairs (semantic dedup): the engine
+    # runs the IVF-celled exact path (triangle-inequality-pruned cell
+    # pairs, no global cross join); the oracle is the brute-force
+    # O(n^2) SQL — they must agree exactly. Bounded id set keeps the
+    # oracle side tractable at sf0.1.
     _sim.cosine_dup_pairs_sql(0.35, 200),
 )
 def q_dedup_embedding_cosine(spark, sf_dir):

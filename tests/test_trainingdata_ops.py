@@ -58,6 +58,50 @@ def test_minhash_lsh_equals_bruteforce(docs):
     assert got == want and got  # non-empty and identical to brute force
 
 
+def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark):
+    """A shingle shared by ALL docs must not drive a quadratic
+    self-join: with df_cap it is dropped from the shingle universe
+    (both sizes and intersections), bounding fan-out at the cap."""
+    # every doc contains the hot trigram 'x y z'; pairs (0,1) share
+    # their remaining shingles, (2,3) share nothing else.
+    hot_docs = spark.createDataFrame(
+        [
+            (0, "x y z a b c d e"),
+            (1, "x y z a b c d e"),
+            (2, "x y z p q r s t"),
+            (3, "x y z u v w k m"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = td.shingles(hot_docs)
+    capped = td.jaccard_pairs(sh, 0.5, df_cap=2)
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    # hot shingles ('x y z', 'y z a', 'z a b' appear in >2 docs? 'x y z'
+    # in 4, 'y z a' in 2, 'y z p', 'y z u' in 1) -> only 'x y z' capped.
+    # docs 0/1 are identical -> jaccard 1.0 over the capped universe.
+    assert rows == {(0, 1): 1.0}
+    # uncapped, the hot shingle creates cross pairs below threshold but
+    # inflates the join: candidate fan-out must strictly shrink.
+    uncapped_common = td.jaccard_pairs(sh, 0.0)
+    assert uncapped_common.count() > capped.count()
+    # and the capped join never saw the hot shingle: per-shingle
+    # contribution is bounded by df_cap^2 pairs.
+    df_counts = sh.groupBy("shingle").count().filter("count > 2").collect()
+    assert any(r["count"] == 4 for r in df_counts)  # the hot one existed
+
+
+def test_docs_with_variants_plants_near_dups(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(60))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    aug = td.docs_with_variants(docs, mod=4)
+    assert aug.count() == 10  # 5 base + 5 variants
+    pairs = td.jaccard_pairs(td.shingles(aug), 0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {(i, i + td.NEAR_DUP_OFFSET) for i in range(0, 20, 4)}
+
+
 def test_simhash_properties(spark):
     df = spark.createDataFrame(
         [(0, "aa bb cc dd"), (1, "aa bb cc dd"), (2, "xx yy zz qq")],
@@ -90,6 +134,88 @@ def test_ivf_assign_partitions_everything(spark):
     out = sim.ivf_assign(df, n_centroids=4).collect()
     assert sum(r["n_vectors"] for r in out) == 40
     assert {r["centroid_id"] for r in out} <= {0, 1, 2, 3}
+
+
+def _random_ish_vectors(n, dim=8):
+    # deterministic pseudo-random vectors with planted near-dup pairs
+    vecs = []
+    for i in range(n):
+        v = [float((i * 37 + j * 13) % 19 - 9) + 0.1 for j in range(dim)]
+        vecs.append((i, v))
+    # plant near-dups: vector n+i = tiny perturbation of vector i
+    for i in range(0, n, 5):
+        base = vecs[i][1]
+        vecs.append((n + i, [x + 0.01 for x in base]))
+    return vecs
+
+
+def test_cosine_dup_pairs_ivf_equals_bruteforce(spark):
+    """The IVF-celled path (triangle-inequality pruning) must be
+    EXACT: same pairs as brute force, any data, any centroid count."""
+    df = spark.createDataFrame(
+        _random_ish_vectors(40), ["vec_id", "embedding"]
+    )
+    for thresh in (0.9, 0.99):
+        for k in (2, 4, 8):
+            celled = sorted(
+                (r["a"], r["b"], r["cos_sim"])
+                for r in sim.cosine_dup_pairs(df, thresh, n_centroids=k).collect()
+            )
+            brute = sorted(
+                (r["a"], r["b"], r["cos_sim"])
+                for r in sim.cosine_dup_pairs_brute(df, thresh).collect()
+            )
+            assert celled == brute
+    assert brute  # non-vacuous: planted near-dups were found
+
+
+def test_cosine_dup_pairs_ivf_actually_prunes(spark):
+    """The triangle-inequality bound must EXCLUDE cell pairs that
+    cannot hold a qualifying pair: two tight clusters near-orthogonal
+    to each other -> the cross-cluster cell pair is inadmissible, so
+    the member-level join never touches cross-cluster pairs (this is
+    what kills the quadratic blowup at scale)."""
+    # centroid candidates = first 2 vectors: one per cluster
+    cluster_a = [(0, [1.0, 0.01 * j, 0.0]) for j in range(1)] + [
+        (i, [1.0, 0.001 * i, 0.0]) for i in range(2, 12)
+    ]
+    cluster_b = [(1, [0.0, 0.01, 1.0])] + [
+        (i, [0.0, 0.001 * i, 1.0]) for i in range(12, 22)
+    ]
+    df = spark.createDataFrame(cluster_a + cluster_b, ["vec_id", "embedding"])
+    cells = sim.ivf_cells(df, 2)
+    adm = {
+        (r["cell_a"], r["cell_b"])
+        for r in sim.admissible_cell_pairs(df, cells, 0.95, 2).collect()
+    }
+    assert (0, 0) in adm and (1, 1) in adm
+    assert (0, 1) not in adm and (1, 0) not in adm  # pruned
+    # and the full operator still equals brute force on this data
+    celled = sorted(
+        (r["a"], r["b"]) for r in sim.cosine_dup_pairs(df, 0.95, n_centroids=2).collect()
+    )
+    brute = sorted(
+        (r["a"], r["b"]) for r in sim.cosine_dup_pairs_brute(df, 0.95).collect()
+    )
+    assert celled == brute and celled
+
+
+def test_cosine_dup_pairs_plan_joins_on_cell_keys(spark):
+    """Plan shape: the vector-level joins of the celled path are hash
+    equi-joins on the cell ids (broadcast admissible list), not a
+    nested-loop over the vector relation."""
+    df = spark.createDataFrame(
+        _random_ish_vectors(40), ["vec_id", "embedding"]
+    )
+    plan = (
+        sim.cosine_dup_pairs(df, 0.95, n_centroids=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin [cell_" in plan.replace("cell_a#", "cell_").replace(
+        "cell_b#", "cell_"
+    )
 
 
 def test_textstats_basics(spark):
