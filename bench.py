@@ -46,6 +46,8 @@ DETAILS = int(os.environ.get("BENCH_DETAILS", "100"))
 HOT = int(os.environ.get("BENCH_HOT_FACTOR", "10"))
 SCALE_HOSTS = int(os.environ.get("SCALE_HOSTS", "1000"))
 _BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
+# every generator parameter is part of the cache path: changing any of
+# them regenerates instead of silently reusing a stale web
 BENCH_DATA = os.path.join(_BASE, f"web_h{N_HOSTS}_l{LISTS}_d{DETAILS}_x{HOT}")
 SCALE_DATA = os.path.join(_BASE, f"web_h{SCALE_HOSTS}_l{LISTS}_d{DETAILS}_x{HOT}")
 
@@ -163,6 +165,11 @@ def run_steady_round(cores: int) -> dict:
     t0 = time.perf_counter()
     res = eng.run_rounds(*state)
     elapsed = time.perf_counter() - t0
+    assert res.metrics, (
+        "steady-state round produced no metrics — frontier came back "
+        f"empty; check SCALE_HOSTS ({SCALE_HOSTS}) and the cached web "
+        f"at {SCALE_DATA}"
+    )
     m = res.metrics[0]
     spark.stop()
     return {

@@ -99,11 +99,18 @@ def canonicalize_url_col(url: Column) -> Column:
 
 def host_col(url: Column) -> Column:
     """Lowercased host (no port/userinfo) of a URL — native regexp
-    (see canonicalize_url_col for why not parse_url)."""
+    (see canonicalize_url_col for why not parse_url). Byte-parity
+    contract with :func:`url_host` (urlsplit().hostname), including
+    bracketed IPv6 authorities: '[::1]:8080' -> '::1' on both sides
+    (covered by the hypothesis parity corpus in test_urltools)."""
     auth = F.regexp_extract(
         F.trim(url), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
     )
-    host = F.regexp_replace(F.regexp_replace(auth, r"^[^@]*@", ""), r":\d*$", "")
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    v6 = F.regexp_extract(no_user, r"^\[([^\]]*)\]", 1)
+    host = F.when(v6 != "", v6).otherwise(
+        F.regexp_replace(no_user, r":\d*$", "")
+    )
     return F.lower(host)
 
 

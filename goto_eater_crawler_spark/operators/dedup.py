@@ -8,8 +8,8 @@ round, so the engine uses the north_rule design:
 - a **partitioned bloom filter**: the 64-bit hash space is split into
   ``n_blocks`` blocks by ``pmod(url_hash, n_blocks)``; each block is an
   ``m``-bit numpy bitmap; ``k`` probe positions are derived from the
-  single xxhash64 via Kirsch-Mitzenmacher double hashing (h1 = top 33
-  bits, h2 = low 32 bits | 1) — no extra hashing anywhere, the JVM
+  single xxhash64 via Kirsch-Mitzenmacher double hashing (h1 = top 31
+  bits via ``h >> 33``, h2 = low 32 bits | 1) — no extra hashing anywhere, the JVM
   computes xxhash64 once.
 - bloom verdict "definitely new" lets a candidate through immediately
   (the overwhelming majority at steady state);
@@ -53,7 +53,7 @@ def _positions(hashes: np.ndarray, params: BloomParams) -> np.ndarray:
     """k probe positions per hash, shape (n, k). Kirsch-Mitzenmacher
     from one 64-bit value; everything uint64 arithmetic."""
     h = hashes.astype(np.uint64)
-    h1 = h >> np.uint64(33)
+    h1 = h >> np.uint64(33)  # top 31 bits
     h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)
     i = np.arange(params.k, dtype=np.uint64)
     return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(params.m_bits)

@@ -320,8 +320,34 @@ class CrawlEngine:
         cfg = self.cfg
         records_parts: list[DataFrame] = []
         log_parts: list[DataFrame] = []
+        done_rounds: list[int] = []
         round_no = start_round
         pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="mat")
+        try:
+            return self._loop_body(
+                frontier, seen, blocks, start_round, fetch_seq_offset,
+                metrics, pool, records_parts, log_parts, done_rounds,
+            )
+        finally:
+            # a failed round must not leak the 4 'mat' threads for the
+            # life of the session (repeated failed runs would pool up)
+            pool.shutdown(wait=False)
+
+    def _loop_body(
+        self,
+        frontier: DataFrame,
+        seen: DataFrame,
+        blocks: DataFrame | None,
+        start_round: int,
+        fetch_seq_offset: int,
+        metrics: list[dict],
+        pool: ThreadPoolExecutor,
+        records_parts: list[DataFrame],
+        log_parts: list[DataFrame],
+        done_rounds: list[int],
+    ) -> CrawlResult:
+        cfg = self.cfg
+        round_no = start_round
         while round_no <= cfg.max_rounds and not frontier.isEmpty():
             allowed, robots_dropped = robots_split(frontier, self.robots)
             selected, deferred = quota_split(
@@ -392,14 +418,39 @@ class CrawlEngine:
 
             # fetch log: fetched rows get the global crawl-order seq
             if cfg.assign_fetch_seq:
-                # test-scale global window (rounds are quota-bounded);
-                # at 10^10 scale keep the (round, host, rank) sort key
-                # and skip the materialized counter.
-                seq_w = Window.orderBy("host", "rank_in_host")
-                fetched_log = fetched_pages.select(
+                # Scalable global sequence — NO partition-less window:
+                # (1) rank within host via a partitioned window,
+                # (2) per-host offsets via a cumsum over the per-host
+                #     COUNTS relation (one row per host — orders of
+                #     magnitude smaller than the fetch log; the only
+                #     single-task step sees #hosts rows, never #urls),
+                # (3) join the offsets back (AQE broadcasts when
+                #     small). Total order produced = (host asc,
+                #     rank_in_host asc) — identical to a global
+                #     window, without funnelling the round's log
+                #     through one task.
+                host_w = Window.partitionBy("host").orderBy("rank_in_host")
+                ranked = fetched_pages.withColumn(
+                    "_rn", F.row_number().over(host_w)
+                )
+                off_w = (
+                    Window.orderBy("host")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                )
+                offsets = (
+                    ranked.groupBy("host")
+                    .agg(F.count("*").alias("_n"))
+                    .select(
+                        "host",
+                        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias(
+                            "_off"
+                        ),
+                    )
+                )
+                fetched_log = ranked.join(offsets, "host").select(
                     F.lit(round_no).alias("round"),
                     (
-                        F.row_number().over(seq_w).cast("long")
+                        (F.col("_rn") + F.col("_off")).cast("long")
                         + F.lit(fetch_seq_offset)
                     ).alias("fetch_seq"),
                     "url",
@@ -500,6 +551,7 @@ class CrawlEngine:
 
             records_parts.append(records)
             log_parts.append(round_log)
+            done_rounds.append(round_no)
             metrics.append(m)
             self._commit_round(
                 round_no,
@@ -514,7 +566,6 @@ class CrawlEngine:
 
             round_no += 1
 
-        pool.shutdown(wait=False)
         rec_schema = T.StructType(
             [
                 T.StructField("url", T.StringType(), False),
@@ -523,10 +574,23 @@ class CrawlEngine:
             ]
             + [T.StructField(f, T.StringType(), True) for f in FEED_EXPORT_FIELDS]
         )
-        all_records = self.spark.createDataFrame([], rec_schema)
-        for p in records_parts:
-            all_records = all_records.unionByName(p)
-        all_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
-        for p in log_parts:
-            all_log = all_log.unionByName(p)
+        if cfg.checkpoint_dir and done_rounds:
+            # flat assembly: ONE parquet read over all committed round
+            # dirs instead of folding unionByName O(rounds) deep — the
+            # result plan is a single scan regardless of round count.
+            all_records = self.spark.read.schema(rec_schema).parquet(
+                *[self._round_dir(r, "records") for r in done_rounds]
+            )
+            all_log = self.spark.read.schema(FETCH_LOG_SCHEMA).parquet(
+                *[self._round_dir(r, "fetch_log") for r in done_rounds]
+            )
+        else:
+            # in-memory mode: parts are localCheckpoint-backed, the
+            # fold is bounded by max_rounds (<= 64)
+            all_records = self.spark.createDataFrame([], rec_schema)
+            for p in records_parts:
+                all_records = all_records.unionByName(p)
+            all_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
+            for p in log_parts:
+                all_log = all_log.unionByName(p)
         return CrawlResult(all_records, all_log, seen, metrics)

@@ -18,6 +18,21 @@ DEFAULT_WAREHOUSE = os.environ.get(
     "CRAWLER_WAREHOUSE", "/root/repo/.warehouse"
 )
 
+# G1 region sizing for the Arrow-batch allocation pattern (see the
+# maxRecordsPerBatch comment below); appended to, never replacing,
+# caller-provided driver JVM options.
+_DEFAULT_DRIVER_JAVA_OPTS = "-XX:G1HeapRegionSize=32m"
+
+
+def _default_local_dir() -> str:
+    """tmpfs shuffle scratch when available, else Spark's default."""
+    env = os.environ.get("SPARK_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm"):
+        return "/dev/shm/spark-local"
+    return os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark-local")
+
 
 def get_spark(
     app_name: str = "goto-eater-crawler-spark",
@@ -68,10 +83,6 @@ def get_spark(
         # old gen and trigger GC storms under 32 concurrent streams.
         # Smaller batches + bigger regions keep them in young gen.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:G1HeapRegionSize=32m",
-        )
         .config("spark.sql.session.timeZone", "UTC")
         # html bodies are KB-scale binaries: keep scan splits moderate
         .config("spark.sql.files.maxPartitionBytes", "128m")
@@ -84,13 +95,24 @@ def get_spark(
         # ext4, concurrent file creates serialize and stall whole
         # stages (threads stuck in FileOutputStream.open). tmpfs makes
         # creates ~free; the sort writer keeps the file count at
-        # 2/task instead of numPartitions/task.
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
+        # 2/task instead of numPartitions/task. SPARK_LOCAL_DIR
+        # overrides; when /dev/shm is absent (some containers) fall
+        # back to the system default so big shuffles spill to disk
+        # instead of competing with executor heap for RAM.
+        .config("spark.local.dir", _default_local_dir())
         .config("spark.shuffle.sort.bypassMergeThreshold", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.warehouse.dir", DEFAULT_WAREHOUSE)
     )
-    for k, v in (extra_conf or {}).items():
+    extra = dict(extra_conf or {})
+    # append (not clobber) driver JVM options: caller options are
+    # honored alongside the engine's G1 region sizing
+    user_opts = extra.pop("spark.driver.extraJavaOptions", "")
+    builder = builder.config(
+        "spark.driver.extraJavaOptions",
+        f"{_DEFAULT_DRIVER_JAVA_OPTS} {user_opts}".strip(),
+    )
+    for k, v in extra.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

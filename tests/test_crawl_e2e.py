@@ -12,6 +12,8 @@ Checks the BASELINE.json contract pieces:
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from goto_eater_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
@@ -128,3 +130,30 @@ def test_sorted_csv_feed(spark, engine_result, oracle_result):
         ),
     )
     assert names == [r["shop_name"] for r in want]
+
+
+def test_write_source_csvs_executor_side(engine_result, tmp_path):
+    """The CSV sink writes one sorted file per source executor-side
+    (no driver toPandas); file contents must equal the sorted feed."""
+    import pandas as pd
+
+    from goto_eater_crawler_spark.sources.sinks import write_source_csvs
+
+    out = str(tmp_path / "csvs")
+    written = write_source_csvs(engine_result.records, out)
+    assert written and all(p.endswith(".csv") for p in written)
+    sources = {r["source"] for r in engine_result.records.select("source").distinct().collect()}
+    assert {os.path.basename(p)[: -len(".csv")] for p in written} == sources
+    # spot-check one source: header, order, and content parity
+    path = [p for p in written if "kyoto_like" in p][0]
+    got = pd.read_csv(path, dtype=str)
+    want = sorted_feed(engine_result.records, "kyoto_like").toPandas()
+    assert list(got.columns) == FEED_EXPORT_FIELDS
+    names = got["shop_name"].tolist()
+    assert names == sorted(names)
+    assert len(got) == len(want)
+    # cell-level parity (both sides as str/NaN-insensitive)
+    for col in FEED_EXPORT_FIELDS:
+        a = ["" if pd.isna(x) else str(x) for x in got[col]]
+        b = ["" if x is None or pd.isna(x) else str(x) for x in want[col]]
+        assert a == b, col

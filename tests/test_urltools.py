@@ -24,6 +24,12 @@ URLS = [
     "https://example.jp/x?page=2&per_page=10#frag",
     "https://wp.example.jp/wp-json/api/search?per_page=10&page=3",
     "https://example.jp/a%20b?q=%E3%81%82",
+    # bracketed IPv6 + userinfo authorities: host_col and url_host
+    # must agree ('[::1]:8080' -> '::1'); see ADVICE round 1
+    "http://[::1]:8080/x",
+    "https://[2001:db8::7]/path?a=1",
+    "http://user:pw@example.jp:8080/y",
+    "http://user@[::1]/z",
 ]
 
 
