@@ -39,6 +39,31 @@ def _order():
     ]
 
 
+def offsite_split(
+    frontier: DataFrame, domains_map: dict[str, tuple[str, ...]]
+) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (in_scope, offsite) by each source's
+    ``allowed_domains`` — Scrapy's OffsiteMiddleware semantics
+    (every spider declares allowed_domains, e.g. tochigi.py:16; the
+    engine's per-source scope comes from registry.allowed_domains_map).
+
+    A host is in scope when it equals an allowed domain or is a
+    subdomain of one. The (source, domain) dim is tiny (49 sources x
+    a few domains) — broadcast; the equi key is source, the subdomain
+    test a residual predicate, so the frontier is never shuffled.
+    """
+    spark = frontier.sparkSession
+    rows = [(src, d) for src, ds in domains_map.items() for d in ds]
+    dims = spark.createDataFrame(rows, "src string, domain string")
+    cond = (frontier["source"] == dims["src"]) & (
+        (frontier["host"] == dims["domain"])
+        | frontier["host"].endswith(F.concat(F.lit("."), dims["domain"]))
+    )
+    in_scope = frontier.join(F.broadcast(dims), cond, "left_semi")
+    offsite = frontier.join(F.broadcast(dims), cond, "left_anti")
+    return in_scope, offsite
+
+
 def robots_split(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (allowed, robots_dropped).
 

@@ -57,6 +57,7 @@ from ..operators.dedup import BloomParams, build_blocks, split_new_urls, update_
 from ..operators.extract import run_extract, split_pages, split_records_links
 from ..operators.fetch import fetch_join
 from ..operators.politeness import (
+    offsite_split,
     priority_col,
     quota_split,
     robots_split,
@@ -90,6 +91,9 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     assign_fetch_seq: bool = True
     quota_salts: int = 8
+    # source -> allowed_domains (P4 offsite scope; Scrapy's
+    # OffsiteMiddleware). None disables the filter.
+    allowed_domains: dict[str, tuple[str, ...]] | None = None
 
 
 @dataclass
@@ -385,6 +389,12 @@ class CrawlEngine:
             )
             invalid_links = links.filter(~_valid_url())
             links = links.filter(_valid_url())
+            if cfg.allowed_domains:
+                links, offsite_links = offsite_split(
+                    links, cfg.allowed_domains
+                )
+            else:
+                offsite_links = None
             w = Window.partitionBy("canonical_url").orderBy("depth", "url")
             links_dedup = (
                 links.withColumn("_rn", F.row_number().over(w))
@@ -470,6 +480,10 @@ class CrawlEngine:
                 (invalid_links, "invalid"),
             ):
                 round_log = round_log.unionByName(_log_rows(df, round_no, status))
+            if offsite_links is not None:
+                round_log = round_log.unionByName(
+                    _log_rows(offsite_links, round_no, "offsite")
+                )
 
             # next-round state
             next_frontier = deferred.select(*FRONTIER_COLS).unionByName(
@@ -530,6 +544,7 @@ class CrawlEngine:
                 "round": round_no,
                 "fetched": status_counts.get("fetched", 0),
                 "robots_dropped": status_counts.get("robots_dropped", 0),
+                "offsite": status_counts.get("offsite", 0),
                 "retry": status_counts.get("retry", 0),
                 "dead": status_counts.get("dead", 0),
                 "records": stats.get(("records", "n"), 0),

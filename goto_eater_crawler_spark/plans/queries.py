@@ -708,6 +708,62 @@ def q_multimodal_binary_meta(spark, sf_dir):
     return _mm.binary_metadata(_mm.docs_as_binary(d)).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Multi-source extraction gate: the registry's 40 single-pass sources
+# extracted by the REAL vectorized engine pass (mapInPandas dispatch,
+# quirk interpreter, normalize pipeline) vs per-source aggregates
+# computed by the independent oracle parsers (VALUES literal built at
+# import from the deterministic fixtures — a live cross-check, not a
+# stale golden).
+# ---------------------------------------------------------------------------
+
+from ..sources import registry_fixture as _rf  # noqa: E402
+
+
+def _multi_source_sql() -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    vals = ",\n      ".join(
+        f"({lit(a)}, {lit(b)}, {lit(c)}, {lit(d)})"
+        for a, b, c, d in _rf.oracle_source_aggregates()
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS t(source, n_records, min_shop, max_addr) ORDER BY source"
+    )
+
+
+_PAGES_FIXTURE_SCHEMA = (
+    "url string, source string, parse_family string, depth int, "
+    "meta map<string,string>, html binary"
+)
+
+
+@_register("multi_source_extract", _multi_source_sql())
+def q_multi_source_extract(spark, sf_dir):
+    from ..functions.urltools import with_url_identity
+    from ..operators.extract import run_extract, split_records_links
+
+    rows = _rf.fixture_pages()
+    df = spark.createDataFrame(rows, schema=_PAGES_FIXTURE_SCHEMA)
+    fetched = with_url_identity(df).withColumn("rank_in_host", F.lit(1))
+    records, _ = split_records_links(run_extract(fetched))
+    return (
+        records.groupBy("source")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("shop_name").alias("min_shop"),
+            F.max("address").alias("max_addr"),
+        )
+        .orderBy("source")
+    )
+
+
 @_register(
     "sessionize_gaps",
     # sessionization: session = gap > 30 min per user (lag + cumsum)

@@ -21,9 +21,12 @@ Registry: FAMILIES maps family name -> module.
 from __future__ import annotations
 
 from . import (
+    cards,
     csv_body,
+    excel_html,
     js_object,
     json_api,
+    json_positional,
     label_table,
     list_xpath,
     mesh_json,
@@ -36,6 +39,7 @@ from . import (
 FAMILIES = {
     "list_xpath": list_xpath,
     "json_api": json_api,
+    "json_positional": json_positional,
     "label_table": label_table,
     "wp_search_json": wp_search_json,
     "csv_body": csv_body,
@@ -44,4 +48,6 @@ FAMILIES = {
     "pdf_tabula": pdf_tabula,
     "mesh_json": mesh_json,
     "session_token": session_token,
+    "excel_html": excel_html,
+    "cards": cards,
 }

@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--seeds", help="seed list path (json: [{url,source,parse_family,depth,meta}])")
     p.add_argument("--fixture", action="store_true",
                    help="use the built-in deterministic fixture web")
+    p.add_argument("--registry", action="store_true",
+                   help="crawl the 49-source registry's fixture sites "
+                        "(default source set: the reference main.py "
+                        "all-run = registry minus its ignores list)")
     p.add_argument("--sources", default="",
                    help="comma list of sources to crawl (default: all; "
                         "mirrors the reference's --target, main.py:26)")
@@ -56,7 +60,28 @@ def main(argv=None) -> int:
     args = parse_args(argv)
     spark = get_spark("crawl-main", master=args.master)
 
-    if args.fixture:
+    cfg_domains = None
+    if args.registry:
+        from goto_eater_crawler_spark.sources import registry, registry_fixture
+
+        if args.sources:
+            names = args.sources.split(",")
+            unknown = set(names) - set(registry.REGISTRY)
+            assert not unknown, f"unknown sources: {sorted(unknown)}"
+        else:
+            # reference main.py:25-77 semantics: all minus ignores,
+            # restricted to the single-pass fixture corpus
+            names = [
+                n
+                for n in registry.active_sources()
+                if n in set(registry_fixture.corpus_sources())
+            ]
+        pages_rows, seeds, robots_rows = registry_fixture.crawl_fixture(names)
+        pages = webgen.pages_df(spark, pages_rows)
+        robots = webgen.robots_df(spark, robots_rows)
+        cfg_domains = registry.allowed_domains_map()
+        args.sources = ""  # selection already applied
+    elif args.fixture:
         pages_rows, seeds, robots_rows = webgen.build_fixture_web()
         pages = webgen.pages_df(spark, pages_rows)
         robots = webgen.robots_df(spark, robots_rows)
@@ -78,6 +103,7 @@ def main(argv=None) -> int:
         round_budget=args.budget,
         max_rounds=args.rounds,
         checkpoint_dir=args.checkpoint,
+        allowed_domains=cfg_domains,
     )
     eng = CrawlEngine(spark, pages, robots, cfg)
     res = (
