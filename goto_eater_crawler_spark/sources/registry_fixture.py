@@ -15,8 +15,8 @@ from .registry import REGISTRY
 
 # families whose fixture sites are single-pass parseable from a
 # host-keyed gen_site (no cross-request session state); the stateful
-# families (session_token, mesh_json, js_object, wp_search_json) and
-# the pdf stub are exercised by their own family tests + crawl e2e.
+# families (session_token, mesh_json, js_object, wp_search_json) are
+# exercised by their own family tests + crawl e2e.
 CORPUS_FAMILIES = (
     "cards",
     "json_positional",
@@ -24,6 +24,7 @@ CORPUS_FAMILIES = (
     "csv_body",
     "xlsx_body",
     "list_xpath",
+    "pdf_tabula",
 )
 
 
