@@ -35,15 +35,15 @@ no manifest and is invisible to resume. ``CrawlEngine.resume`` picks
 up from the greatest committed round with identical state.
 
 On a real cluster the same loop runs unchanged via
-``spark-submit --py-files engine.zip``; parquet checkpoint dirs become
-an object-store path (or an Iceberg catalog — the store is pluggable;
-Iceberg jars are absent in this sandbox, SURVEY.md §7.1).
+``spark-submit --py-files engine.zip``; round state flows through the
+pluggable :mod:`~goto_eater_crawler_spark.plans.store` TableStore —
+``checkpoint_dir=None`` (memory), a path (parquet + manifest-last),
+or ``iceberg:<catalog.db.prefix>`` (Iceberg tables, commit = manifest
+append; jars absent in this sandbox so only construction is gated).
 """
 
 from __future__ import annotations
 
-import json
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -69,6 +69,7 @@ from ..schema import (
     FETCH_LOG_SCHEMA,
     FRONTIER_SCHEMA,
 )
+from .store import make_store
 
 FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 LOG_COLS = [f.name for f in FETCH_LOG_SCHEMA.fields]
@@ -151,30 +152,20 @@ class CrawlEngine:
         # broadcast — the stalls dwarf the broadcast itself.
         self.robots = robots.localCheckpoint(eager=True)
         self.cfg = config or CrawlConfig()
+        # round state goes through the pluggable TableStore (T6):
+        # memory / parquet+manifest / Iceberg — plans/store.py
+        self.store = make_store(spark, self.cfg.checkpoint_dir)
 
     # -- state helpers ------------------------------------------------
 
     def _materialize(self, df: DataFrame, round_no: int, name: str) -> DataFrame:
-        """Cut lineage each round: parquet round-trip when
-        checkpointing, localCheckpoint otherwise."""
-        if self.cfg.checkpoint_dir:
-            path = self._round_dir(round_no, name)
-            df.write.mode("overwrite").parquet(path)
-            return self.spark.read.schema(df.schema).parquet(path)
-        return df.localCheckpoint(eager=True)
-
-    def _round_dir(self, round_no: int, name: str) -> str:
-        return os.path.join(
-            self.cfg.checkpoint_dir or "", "rounds", f"round={round_no:04d}", name
-        )
+        """Cut lineage each round through the store (durable write +
+        lineage-free reader when persistent, localCheckpoint in
+        memory mode)."""
+        return self.store.write(df, round_no, name)
 
     def _commit_round(self, round_no: int, info: dict) -> None:
-        if not self.cfg.checkpoint_dir:
-            return
-        base = os.path.dirname(self._round_dir(round_no, "x"))
-        os.makedirs(base, exist_ok=True)
-        with open(os.path.join(base, "manifest.json"), "w") as f:
-            json.dump(info, f)
+        self.store.commit_round(round_no, info)
 
     # -- seed prep ----------------------------------------------------
 
@@ -275,29 +266,14 @@ class CrawlEngine:
         (T6 — per-round atomic commit, exact restart)."""
         assert config.checkpoint_dir, "resume requires checkpoint_dir"
         eng = cls(spark, pages, robots, config)
-        rounds_dir = os.path.join(config.checkpoint_dir, "rounds")
-        committed = [
-            d
-            for d in sorted(os.listdir(rounds_dir))
-            if os.path.exists(os.path.join(rounds_dir, d, "manifest.json"))
-        ]
+        committed = eng.store.committed_rounds()
         assert committed, "nothing committed to resume from"
-        with open(os.path.join(rounds_dir, committed[-1], "manifest.json")) as f:
-            info = json.load(f)
+        info = eng.store.round_info(committed[-1])
         last_no = info["round"]
-        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
-            eng._round_dir(last_no, "frontier")
-        )
-        seen_paths = [
-            p
-            for d in committed
-            if os.path.exists(p := os.path.join(rounds_dir, d, "seen_delta"))
-        ]
-        seen = spark.read.schema(SEEN_SCHEMA).parquet(*seen_paths)
+        frontier = eng.store.read(last_no, "frontier", FRONTIER_SCHEMA)
+        seen = eng.store.read_many(committed, "seen_delta", SEEN_SCHEMA)
         blocks = (
-            spark.read.schema(BLOOM_BLOCK_SCHEMA).parquet(
-                eng._round_dir(last_no, "blocks")
-            )
+            eng.store.read(last_no, "blocks", BLOOM_BLOCK_SCHEMA)
             if config.bloom
             else None
         )
@@ -554,15 +530,13 @@ class CrawlEngine:
             }
             fetch_seq_offset += m["fetched"]
 
-            if cfg.checkpoint_dir:
+            if self.store.persistent:
                 # resume reads seen deltas per round: persist the slim
-                # projection (cheap rewrite of already-materialized rows)
+                # projection (cheap rewrite of already-materialized
+                # rows). In memory mode the lineage stays flat anyway:
+                # seen_delta projects the checkpointed new_rows.
                 seen_delta = self._materialize(seen_delta, round_no, "seen_delta")
             seen = seen.unionByName(seen_delta)
-            if not cfg.checkpoint_dir:
-                # lineage stays flat: seen_delta projects the
-                # checkpointed new_rows, no recompute chain builds up
-                pass
 
             records_parts.append(records)
             log_parts.append(round_log)
@@ -589,15 +563,13 @@ class CrawlEngine:
             ]
             + [T.StructField(f, T.StringType(), True) for f in FEED_EXPORT_FIELDS]
         )
-        if cfg.checkpoint_dir and done_rounds:
-            # flat assembly: ONE parquet read over all committed round
-            # dirs instead of folding unionByName O(rounds) deep — the
+        if self.store.persistent and done_rounds:
+            # flat assembly: ONE store scan over all committed rounds
+            # instead of folding unionByName O(rounds) deep — the
             # result plan is a single scan regardless of round count.
-            all_records = self.spark.read.schema(rec_schema).parquet(
-                *[self._round_dir(r, "records") for r in done_rounds]
-            )
-            all_log = self.spark.read.schema(FETCH_LOG_SCHEMA).parquet(
-                *[self._round_dir(r, "fetch_log") for r in done_rounds]
+            all_records = self.store.read_many(done_rounds, "records", rec_schema)
+            all_log = self.store.read_many(
+                done_rounds, "fetch_log", FETCH_LOG_SCHEMA
             )
         else:
             # in-memory mode: parts are localCheckpoint-backed, the
