@@ -205,12 +205,29 @@ def main() -> None:
             b = run_steady_round(cores)
             return a if a["urls_per_sec"] >= b["urls_per_sec"] else b
 
-        steady_n = best(max(CPUS // 4, 1))
-        steady_4n = best(CPUS)
-        out["steady_round_N"] = steady_n
-        out["steady_round_4N"] = steady_4n
+        # TWO N->4N windows (BASELINE.md scaling protocol): the
+        # contention-free window (cpus/16 -> cpus/4, i.e. 2->8 on the
+        # 32-core sandbox) is the headline — below the box's shared
+        # memory-bandwidth knee, it measures the ENGINE's scaling; the
+        # saturated window (cpus/4 -> cpus) is reported alongside and
+        # measures the box (one JVM, one memory bus — see BASELINE.md).
+        lo = max(CPUS // 16, 1)
+        mid = max(CPUS // 4, 1)
+        steady_lo = best(lo)
+        steady_mid = best(mid)
+        steady_hi = best(CPUS)
+        out["steady_round_N_clean"] = steady_lo
+        out["steady_round_4N_clean"] = steady_mid
+        out["steady_round_N"] = steady_mid
+        out["steady_round_4N"] = steady_hi
+        ratio = mid / lo
         out["scaling_efficiency"] = round(
-            (steady_4n["urls_per_sec"] / steady_n["urls_per_sec"]) / 4.0, 3
+            (steady_mid["urls_per_sec"] / steady_lo["urls_per_sec"]) / ratio, 3
+        )
+        out["scaling_efficiency_saturated"] = round(
+            (steady_hi["urls_per_sec"] / steady_mid["urls_per_sec"])
+            / (CPUS / mid),
+            3,
         )
     # headline value: total seconds for queries + the 4N crawl ("sec",
     # lower is better); crawl_4N.urls_per_sec carries the e2e
