@@ -169,6 +169,122 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-probed approximate top-k cosine neighbors — the
+    billion-vector serving path: each query probes only its ``nprobe``
+    nearest centroids' cells, exact cosine + per-query top-k run over
+    those candidates alone. Candidate volume is ~nprobe/n_centroids of
+    the corpus per query instead of all of it; the corpus stays
+    hash-partitioned by cell (the IVF layout) and only the tiny
+    (query, cell) probe relation is broadcast, so the scan side never
+    shuffles. Deterministic by construction (L2 argmin ties to lowest
+    centroid_id, rank ties to lowest neighbor_id) — the SQL oracle
+    reproduces it exactly; recall vs the exact scan is a separate
+    pytest property."""
+    cells = ivf_cells(embeddings, n_centroids)
+    cents = _centroids(embeddings, n_centroids)
+    qs = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    d2q = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("cent"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "centroid_id", d2q.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    cand = (
+        cells.select(
+            "centroid_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cos_sim")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk_sql(
+    n_queries: int = 5, k: int = 10, n_centroids: int = 8, nprobe: int = 3
+) -> str:
+    d2 = (
+        "list_sum(list_transform(list_zip({l}.embedding, c.embedding),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    dot = (
+        "list_sum(list_transform(list_zip(q.embedding, v.embedding),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    nq = (
+        "sqrt(list_sum(list_transform(q.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    nv = (
+        "sqrt(list_sum(list_transform(v.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"""
+    WITH assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.vec_id AS centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2.format(l='v')}, c.vec_id) AS rn
+        FROM embeddings v JOIN embeddings c ON c.vec_id < {n_centroids})
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d2.format(l='q')}, c.vec_id) AS pr
+        FROM embeddings q JOIN embeddings c ON c.vec_id < {n_centroids}
+        WHERE q.vec_id < {n_queries})
+      WHERE pr <= {nprobe})
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS cos_sim FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {dot} / ({nq} * {nv}) AS sim,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {dot} / ({nq} * {nv}) DESC,
+                                         a.vec_id) AS rank
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings v ON v.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id)
+    WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def cosine_dup_pairs_brute(
     embeddings: DataFrame, threshold: float = 0.95, max_id: int | None = None
 ) -> DataFrame:

@@ -291,6 +291,87 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
+# dedup clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    where cluster_id = min doc_id in the component — the step a
+    training pipeline runs after pair-finding, so each duplicate
+    GROUP keeps exactly one representative (keep doc_id==cluster_id).
+
+    Algorithm: iterated min-label propagation. Per iteration ONE
+    join (labels against the bidirectional edge list) + ONE groupBy
+    min — both hash-partitioned on doc_id, map-side combinable.
+    Converges in O(component diameter) iterations; near-dup clusters
+    are dense (a dup of a dup is usually a dup of the original), so
+    diameters are tiny — the driver loop localCheckpoints each
+    iteration and stops at fixpoint (counted changes == 0). At 10^9
+    nodes each iteration is a bounded shuffle of the (node, label)
+    relation only; the alternating large-star/small-star variant
+    (same primitive ops) is the drop-in upgrade if adversarial long
+    chains ever appear.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_labels = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .select(F.col("a").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_sql(pairs_sql: str) -> str:
+    """Recursive-CTE oracle: transitive closure over the undirected
+    pair relation, cluster id = min reachable node."""
+    return f"""
+    WITH RECURSIVE pair_rel AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pair_rel
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pair_rel
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

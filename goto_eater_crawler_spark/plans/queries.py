@@ -602,6 +602,20 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return _td.simhash_dup_pairs(d, 3).orderBy("doc_a", "doc_b")
 
 
+@_register(
+    "dedup_clusters",
+    # connected components over the near-dup pair relation (the
+    # keep-one-representative step): engine = iterated min-label
+    # propagation, oracle = recursive-CTE transitive closure over the
+    # same brute-force pair set.
+    _td.dedup_clusters_sql(_td.jaccard_pairs_sql(_AUG_SQL, 0.8))
+    + " ORDER BY doc_id",
+)
+def q_dedup_clusters(spark, sf_dir):
+    d = _AUG_SPARK(spark, sf_dir)
+    return _td.dedup_clusters(_td.minhash_lsh_pairs(d, 0.8)).orderBy("doc_id")
+
+
 @_register("similarity_cosine_topk", _sim.cosine_topk_sql(5, 10))
 def q_similarity_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -612,6 +626,15 @@ def q_similarity_cosine_topk(spark, sf_dir):
 def q_similarity_ivf_assign(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return _sim.ivf_assign(e, 8)
+
+
+@_register("similarity_ivf_topk", _sim.ivf_topk_sql(5, 10, 8, 3))
+def q_similarity_ivf_topk(spark, sf_dir):
+    # IVF-probed ANN serving path: top-k within nprobe nearest cells;
+    # the oracle reproduces the probe algorithm exactly (recall vs
+    # the exact scan is a pytest property, not this gate)
+    e = _t(spark, sf_dir, "embeddings")
+    return _sim.ivf_topk(e, 5, 10, 8, 3)
 
 
 @_register(

@@ -10,7 +10,7 @@ import os
 
 import pytest
 
-from goto_eater_crawler_spark.streaming import ingest, seen_stream
+from goto_eater_crawler_spark.streaming import ingest, quota_stream, seen_stream
 
 
 @pytest.fixture()
@@ -119,3 +119,99 @@ def test_first_seen_stateful_across_restarts(spark, landing):
     assert sorted(got2) == sorted(
         got1 + ["https://h1.example.jp/c", "https://h2.example.jp/d"]
     )
+
+
+def _cand(url, host, prio, delay=None, depth=0):
+    return {
+        "url": url,
+        "canonical_url": url,
+        "host": host,
+        "depth": depth,
+        "priority": float(prio),
+        "crawl_delay": delay,
+    }
+
+
+def test_streaming_quota_release(spark, landing):
+    """Per-host quota per microbatch, serial order (priority desc,
+    depth, canonical_url), deferred carry-over in state, and
+    rank_in_host continuing across microbatches."""
+    src = os.path.join(landing, "cands")
+    ck = os.path.join(landing, "ck_quota")
+
+    # batch 1: host a has 5 candidates, delay 10 (budget 30 -> quota 3);
+    # host b has 2 candidates, delay 3 (quota 10 -> all released)
+    b1 = [
+        _cand("https://a.jp/u1", "a.jp", 5, 10.0),
+        _cand("https://a.jp/u2", "a.jp", 4, 10.0),
+        _cand("https://a.jp/u3", "a.jp", 3, 10.0),
+        _cand("https://a.jp/u4", "a.jp", 2, 10.0),
+        _cand("https://a.jp/u5", "a.jp", 1, 10.0),
+        _cand("https://b.jp/v1", "b.jp", 1, 3.0),
+        _cand("https://b.jp/v2", "b.jp", 2, 3.0),
+    ]
+    # batch 2: two more for host a — one hotter than the deferred ones
+    b2 = [
+        _cand("https://a.jp/u6", "a.jp", 10, 10.0),
+        _cand("https://a.jp/u7", "a.jp", 0, 10.0),
+    ]
+    spark.createDataFrame(b1, quota_stream.CAND_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b2, quota_stream.CAND_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    cands = (
+        spark.readStream.schema(quota_stream.CAND_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # one file per microbatch
+        .parquet(src)
+    )
+    released = quota_stream.quota_release_stream(
+        cands, round_budget=30.0, timeout_ms=2000
+    )
+    # a quota stream with armed idle-host timers never reports "no
+    # more work" under availableNow (timer batches keep it live), so
+    # poll until the deferred queue has drained, then stop.
+    import time
+
+    q = (
+        released.writeStream.format("memory")
+        .queryName("quota_rel")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("quota_rel").count() >= 9 or not q.isActive:
+                break
+            time.sleep(2)
+    finally:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(30)
+
+    rows = spark.table("quota_rel").collect()
+    a = sorted(
+        ((r["rank_in_host"], r["url"]) for r in rows if r["host"] == "a.jp")
+    )
+    b = sorted(
+        ((r["rank_in_host"], r["url"]) for r in rows if r["host"] == "b.jp")
+    )
+    # batch1 releases u1-u3; batch2 merges deferred {u4,u5} with new
+    # {u6,u7}, releases the serial top-3 {u6,u4,u5}, defers u7 —
+    # ranks continue 4..6 across the batch boundary; u7 drains via a
+    # timeout-fired batch (rank 7).
+    assert a == [
+        (1, "https://a.jp/u1"),
+        (2, "https://a.jp/u2"),
+        (3, "https://a.jp/u3"),
+        (4, "https://a.jp/u6"),
+        (5, "https://a.jp/u4"),
+        (6, "https://a.jp/u5"),
+        (7, "https://a.jp/u7"),
+    ]
+    assert b == [(1, "https://b.jp/v2"), (2, "https://b.jp/v1")]

@@ -102,6 +102,36 @@ def test_docs_with_variants_plants_near_dups(spark):
     assert got == {(i, i + td.NEAR_DUP_OFFSET) for i in range(0, 20, 4)}
 
 
+def test_dedup_clusters_connected_components(spark):
+    """Chains, triangles and singleton pairs must resolve to min-id
+    components (the keep-one-representative contract)."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3),          # chain -> cluster 1
+            (10, 11), (11, 12), (10, 12),  # triangle -> cluster 10
+            (20, 21),                # pair -> cluster 20
+            (31, 30),                # order-insensitive -> cluster 30
+        ],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in td.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    n = 24
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    got = td.dedup_clusters(pairs).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert len(got) == n + 1
+
+
 def test_simhash_properties(spark):
     df = spark.createDataFrame(
         [(0, "aa bb cc dd"), (1, "aa bb cc dd"), (2, "xx yy zz qq")],
@@ -216,6 +246,26 @@ def test_cosine_dup_pairs_plan_joins_on_cell_keys(spark):
     assert "BroadcastHashJoin [cell_" in plan.replace("cell_a#", "cell_").replace(
         "cell_b#", "cell_"
     )
+
+
+def test_ivf_topk_probes_subset_with_high_recall(spark):
+    """The probed search must (a) only score candidates from probed
+    cells and (b) recover most of the exact top-k when nprobe covers
+    a reasonable share of cells."""
+    df = spark.createDataFrame(
+        _random_ish_vectors(60), ["vec_id", "embedding"]
+    )
+    exact = sim.cosine_topk(df, n_queries=3, k=5).collect()
+    probed_all = sim.ivf_topk(df, n_queries=3, k=5, n_centroids=4, nprobe=4).collect()
+    # nprobe == n_centroids probes everything -> identical to exact
+    assert [
+        (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in probed_all
+    ] == [(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in exact]
+    probed = sim.ivf_topk(df, n_queries=3, k=5, n_centroids=4, nprobe=2).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in probed}
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5  # half the cells probed -> decent recall
 
 
 def test_textstats_basics(spark):
