@@ -740,7 +740,41 @@ def q_multimodal_binary_meta(spark, sf_dir):
 # stale golden).
 # ---------------------------------------------------------------------------
 
+from ..operators import hostrank as _hr  # noqa: E402
 from ..sources import registry_fixture as _rf  # noqa: E402
+
+# deterministic 50-node host graph derived from orders (both engines
+# can build it): src = custkey mod 50, dst = orderkey mod 50
+_HOST_EDGES_SQL = """
+    SELECT DISTINCT 'h' || CAST(o_custkey % 50 AS VARCHAR) AS src,
+                    'h' || CAST(o_orderkey % 50 AS VARCHAR) AS dst
+    FROM orders
+    WHERE o_custkey % 50 <> o_orderkey % 50
+"""
+
+
+@_register(
+    "host_pagerank",
+    # north_rule O3: host_rank feeding priority = rank x W - depth.
+    # Fixed-iteration damped PageRank; oracle = the same recurrence
+    # unrolled as chained CTEs.
+    _hr.host_rank_sql(_HOST_EDGES_SQL, iterations=5) + " ORDER BY host",
+)
+def q_host_pagerank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("h"), (F.col("o_orderkey") % 50).cast("string")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return _hr.host_rank(edges, iterations=5).orderBy("host")
 
 
 def _multi_source_sql() -> str:

@@ -1,0 +1,78 @@
+"""Host-rank (PageRank) operator properties (operators/hostrank.py):
+probability-distribution invariant, authority ordering, dangling-mass
+handling, and the north_rule O3 priority wiring."""
+
+from __future__ import annotations
+
+import pytest
+
+from goto_eater_crawler_spark.operators import hostrank as hr
+
+
+@pytest.fixture(scope="module")
+def star_edges(spark):
+    # hub: everyone links to 'center'; center links to 'a' only
+    rows = [(f"n{i}", "center") for i in range(6)] + [("center", "a")]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_rank_is_a_distribution(spark, star_edges):
+    ranks = hr.host_rank(star_edges, iterations=8).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert abs(total - 1.0) < 1e-4  # dangling mass redistributed
+    assert all(r["rank"] > 0 for r in ranks)
+
+
+def test_authority_ordering(spark, star_edges):
+    got = {r["host"]: r["rank"] for r in hr.host_rank(star_edges, 8).collect()}
+    # the hub and its sole outlink dominate the leaves ('a' actually
+    # tops: center funnels ALL its rank to 'a' — classic rank-sink
+    # funneling); every leaf is symmetric
+    assert got["a"] > got["center"] > got["n0"]
+    leaves = {v for h, v in got.items() if h.startswith("n")}
+    assert len(leaves) == 1
+
+
+def test_dangling_nodes_keep_mass_flowing(spark):
+    # chain into a sink: a -> b -> c (c has no out-edges)
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    got = {r["host"]: r["rank"] for r in hr.host_rank(edges, 10).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert got["c"] > got["b"] > got["a"]
+
+
+def test_host_edges_drops_self_loops(spark):
+    links = spark.createDataFrame(
+        [("x.jp", "x.jp"), ("x.jp", "y.jp"), ("x.jp", "y.jp")],
+        ["host", "link_host"],
+    )
+    got = hr.host_edges(links).collect()
+    assert [(r["src"], r["dst"]) for r in got] == [("x.jp", "y.jp")]
+
+
+def test_with_host_rank_reprioritizes_frontier(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("https://hub.jp/x", "hub.jp", 0),
+            ("https://leaf.jp/y", "leaf.jp", 0),
+            ("https://hub.jp/deep", "hub.jp", 3),
+        ],
+        ["canonical_url", "host", "depth"],
+    )
+    ranks = spark.createDataFrame(
+        [("hub.jp", 0.6), ("leaf.jp", 0.1)], ["host", "rank"]
+    )
+    got = {
+        r["canonical_url"]: r["priority"]
+        for r in hr.with_host_rank(frontier, ranks).collect()
+    }
+    # priority = rank * 100 - depth (north_rule O3)
+    assert got["https://hub.jp/x"] == pytest.approx(60.0)
+    assert got["https://hub.jp/deep"] == pytest.approx(57.0)
+    assert got["https://leaf.jp/y"] == pytest.approx(10.0)
+    # unknown hosts fall to rank 0 (never block the frontier)
+    more = spark.createDataFrame(
+        [("https://new.jp/z", "new.jp", 1)], ["canonical_url", "host", "depth"]
+    )
+    (row,) = hr.with_host_rank(more, ranks).collect()
+    assert row["priority"] == pytest.approx(-1.0)
