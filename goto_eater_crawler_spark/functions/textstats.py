@@ -136,6 +136,72 @@ def quality_score_sql(expr: str) -> str:
     return f"round(greatest(least({score}, 100.0), 0.0), 4)"
 
 
+ALPHA_FRAC_MIN = 0.8
+WORDS_MIN, WORDS_MAX = 20, 100000
+MEAN_LEN_MIN, MEAN_LEN_MAX = 2.0, 12.0
+DISTINCT_FRAC_MIN = 0.2
+STOP_SET = ("the", "a", "of", "and")
+STOP_MIN = 1
+
+
+def gopher_rules_cols(text: Column) -> list[tuple[str, Column]]:
+    """Gopher-style document-quality RULES (Rae et al. 2021, table A1
+    adapted): each a named boolean, plus the conjunction ``keep`` —
+    the gate a training pipeline filters on (distinct from the scalar
+    quality score: rules are auditable per-document reasons).
+
+    All native Column expressions (split / size / array_distinct /
+    filter / aggregate) — WholeStageCodegen end to end, no Python.
+    """
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(toks).cast("double")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    mean_len = total_len / n
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    distinct_frac = F.size(F.array_distinct(toks)).cast("double") / n
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOP_SET))
+    )
+    rules = [
+        ("r_word_count", (n >= WORDS_MIN) & (n <= WORDS_MAX)),
+        ("r_mean_word_len", (mean_len >= MEAN_LEN_MIN) & (mean_len <= MEAN_LEN_MAX)),
+        ("r_alpha_frac", alpha_frac >= ALPHA_FRAC_MIN),
+        ("r_repetition", distinct_frac >= DISTINCT_FRAC_MIN),
+        ("r_stopwords", n_stop >= STOP_MIN),
+    ]
+    keep = None
+    for _, c in rules:
+        keep = c if keep is None else keep & c
+    return rules + [("keep", keep)]
+
+
+def gopher_rules_sql(expr: str) -> list[tuple[str, str]]:
+    toks = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    n = f"CAST(len({toks}) AS DOUBLE)"
+    total_len = f"CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)"
+    mean_len = f"({total_len} / {n})"
+    alpha = f"(CAST(len(list_filter({toks}, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / {n})"
+    distinct = f"(CAST(len(list_distinct({toks})) AS DOUBLE) / {n})"
+    stops = ", ".join(f"'{s}'" for s in STOP_SET)
+    n_stop = f"len(list_filter({toks}, t -> t IN ({stops})))"
+    rules = [
+        ("r_word_count", f"({n} >= {WORDS_MIN} AND {n} <= {WORDS_MAX})"),
+        (
+            "r_mean_word_len",
+            f"({mean_len} >= {MEAN_LEN_MIN} AND {mean_len} <= {MEAN_LEN_MAX})",
+        ),
+        ("r_alpha_frac", f"({alpha} >= {ALPHA_FRAC_MIN})"),
+        ("r_repetition", f"({distinct} >= {DISTINCT_FRAC_MIN})"),
+        ("r_stopwords", f"({n_stop} >= {STOP_MIN})"),
+    ]
+    keep = " AND ".join(c for _, c in rules)
+    return rules + [("keep", f"({keep})")]
+
+
 def fingerprint_col(text: Column) -> Column:
     """Document fingerprint: md5 of casefolded, whitespace-collapsed,
     punctuation-stripped text — the exact-dedup key."""

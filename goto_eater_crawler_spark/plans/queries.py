@@ -683,6 +683,26 @@ def q_text_token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_GOPHER_SQL_COLS = ", ".join(
+    f"{sql} AS {name}" for name, sql in _ts.gopher_rules_sql("text")
+)
+
+
+@_register(
+    "text_gopher_rules",
+    f"""
+    SELECT doc_id, {_GOPHER_SQL_COLS}
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_gopher_rules(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cols = [F.col("doc_id")] + [
+        c.alias(n) for n, c in _ts.gopher_rules_cols(F.col("text"))
+    ]
+    return d.select(*cols).orderBy("doc_id")
+
+
 @_register(
     "text_fingerprint",
     f"""

@@ -293,6 +293,34 @@ def test_textstats_basics(spark):
     assert 0 <= by_id[0]["q"] <= 100
 
 
+def test_gopher_rules_flag_bad_documents(spark):
+    """Each rule must fire on a crafted violator and pass on a sane
+    document; `keep` is the conjunction."""
+    good = "the quick brown fox jumps over a lazy dog " * 4  # 36 words
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "too short text here"),                      # word count
+            (2, " ".join(["supercalifragilisticexpialidocious"] * 25)),  # mean len + repetition
+            (3, " ".join(["12345"] * 30)),                    # alpha frac (+stop)
+            (4, " ".join(["word"] * 40)),                     # repetition + stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    cols = [F.col("doc_id")] + [
+        c.alias(n) for n, c in ts.gopher_rules_cols(F.col("text"))
+    ]
+    got = {r["doc_id"]: r for r in docs.select(*cols).collect()}
+    assert got[0]["keep"]
+    assert not got[1]["r_word_count"] and not got[1]["keep"]
+    assert not got[2]["r_mean_word_len"] and not got[2]["r_repetition"]
+    assert not got[3]["r_alpha_frac"]
+    assert not got[4]["r_repetition"] and not got[4]["r_stopwords"]
+    # all-native plan: no Python evaluation nodes
+    plan = docs.select(*cols)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_multimodal_binary_plumbing(spark):
     df = spark.createDataFrame([(7, "hello world")], ["doc_id", "text"])
     out = mm.binary_metadata(mm.docs_as_binary(df)).collect()[0]
