@@ -215,3 +215,79 @@ def test_streaming_quota_release(spark, landing):
         (7, "https://a.jp/u7"),
     ]
     assert b == [(1, "https://b.jp/v2"), (2, "https://b.jp/v1")]
+
+
+def test_streaming_retry_and_dead_letter(spark, landing):
+    """Misses accumulate per-URL retry counts in state, re-emit as
+    retry rows when the backoff timer fires (deterministic decayed
+    priority), clear on success, and dead-letter past the budget."""
+    from goto_eater_crawler_spark.streaming import retry_stream as rs
+
+    src = os.path.join(landing, "outcomes")
+    ck = os.path.join(landing, "ck_retry")
+
+    def outcome(url, status):
+        return {
+            "url": url,
+            "canonical_url": url,
+            "host": "a.jp",
+            "url_hash": 12345,
+            "status": status,
+        }
+
+    # batch 1: one miss (under budget -> retried on timer), one fetch
+    b1 = [outcome("https://a.jp/m1", "miss"), outcome("https://a.jp/ok", "fetched")]
+    # batch 2: m1 misses again; m2 appears and misses with a small
+    # budget so a later batch dead-letters it
+    b2 = [outcome("https://a.jp/m1", "miss")]
+    b3 = [outcome("https://a.jp/m1", "miss")]
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, rs.IN_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    outcomes = (
+        spark.readStream.schema(rs.IN_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = rs.retry_stream(outcomes, max_retries=2, backoff_base_ms=500)
+
+    import time
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("retry_out")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = spark.table("retry_out").collect()
+            if any(r["kind"] == "dead" for r in rows):
+                break
+            time.sleep(2)
+    finally:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(30)
+
+    rows = spark.table("retry_out").collect()
+    retries = [r for r in rows if r["kind"] == "retry"]
+    dead = [r for r in rows if r["kind"] == "dead"]
+    # m1: miss(1), miss(2), miss(3 > budget 2) -> dead with count 2;
+    # timer batches may emit retry rows for counts 1-2 in between
+    assert dead and dead[0]["canonical_url"] == "https://a.jp/m1"
+    assert dead[0]["retry_count"] == 2
+    for r in retries:
+        assert r["canonical_url"] == "https://a.jp/m1"
+        assert 1 <= r["retry_count"] <= 2
+        # deterministic hash jitter: priority = 100 - n - 0.2345
+        assert r["priority"] == pytest.approx(
+            100.0 - r["retry_count"] - 0.2345
+        )
+    # the fetched URL never re-emits
+    assert all(r["canonical_url"] != "https://a.jp/ok" for r in rows)
