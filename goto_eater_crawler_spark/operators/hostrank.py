@@ -68,20 +68,23 @@ def host_rank(
             .groupBy("host")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass: rank held by hosts with no out-edges
+        # dangling mass (rank held by hosts with no out-edges) stays
+        # IN the plan as a 1-row broadcast — a driver collect here
+        # would cost an extra Spark job per iteration, doubling the
+        # loop's fixed job latency for no benefit
         dangling = (
             ranks.join(out_deg, ranks["host"] == out_deg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "host", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "host",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -827,7 +827,9 @@ def q_multi_source_extract(spark, sf_dir):
     from ..operators.extract import run_extract, split_records_links
 
     rows = _rf.fixture_pages()
-    df = spark.createDataFrame(rows, schema=_PAGES_FIXTURE_SCHEMA)
+    # ~130 small pages: 8 partitions keeps parallelism while not
+    # paying 32 python-worker registry imports for 4 rows each
+    df = spark.createDataFrame(rows, schema=_PAGES_FIXTURE_SCHEMA).coalesce(8)
     fetched = with_url_identity(df).withColumn("rank_in_host", F.lit(1))
     records, _ = split_records_links(run_extract(fetched))
     return (
