@@ -39,8 +39,20 @@ def _order():
     ]
 
 
+def domains_dim(spark, domains_map: dict[str, tuple[str, ...]]) -> DataFrame:
+    """(src, domain) dim rows from a source->allowed_domains map,
+    pinned to JVM-resident blocks. Build ONCE per crawl (the engine
+    does, like the robots dim): a createDataFrame(list)-backed plan
+    re-evaluates its python parallelize lineage on every broadcast —
+    once per round — and the worker stalls dwarf the broadcast."""
+    rows = [(src, d) for src, ds in domains_map.items() for d in ds]
+    return spark.createDataFrame(rows, "src string, domain string").localCheckpoint(
+        eager=True
+    )
+
+
 def offsite_split(
-    frontier: DataFrame, domains_map: dict[str, tuple[str, ...]]
+    frontier: DataFrame, domains: dict[str, tuple[str, ...]] | DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (in_scope, offsite) by each source's
     ``allowed_domains`` — Scrapy's OffsiteMiddleware semantics
@@ -51,10 +63,14 @@ def offsite_split(
     subdomain of one. The (source, domain) dim is tiny (49 sources x
     a few domains) — broadcast; the equi key is source, the subdomain
     test a residual predicate, so the frontier is never shuffled.
+    ``domains``: a pre-pinned :func:`domains_dim` DataFrame (the
+    per-round path), or a raw map (convenience; pinned here).
     """
-    spark = frontier.sparkSession
-    rows = [(src, d) for src, ds in domains_map.items() for d in ds]
-    dims = spark.createDataFrame(rows, "src string, domain string")
+    dims = (
+        domains
+        if isinstance(domains, DataFrame)
+        else domains_dim(frontier.sparkSession, domains)
+    )
     cond = (frontier["source"] == dims["src"]) & (
         (frontier["host"] == dims["domain"])
         | frontier["host"].endswith(F.concat(F.lit("."), dims["domain"]))

@@ -57,6 +57,7 @@ from ..operators.dedup import BloomParams, build_blocks, split_new_urls, update_
 from ..operators.extract import run_extract, split_pages, split_records_links
 from ..operators.fetch import fetch_join
 from ..operators.politeness import (
+    domains_dim,
     offsite_split,
     priority_col,
     quota_split,
@@ -155,6 +156,13 @@ class CrawlEngine:
         # round state goes through the pluggable TableStore (T6):
         # memory / parquet+manifest / Iceberg — plans/store.py
         self.store = make_store(spark, self.cfg.checkpoint_dir)
+        # offsite dim pinned ONCE like the robots dim (it broadcasts
+        # every round)
+        self.domains = (
+            domains_dim(spark, self.cfg.allowed_domains)
+            if self.cfg.allowed_domains
+            else None
+        )
 
     # -- state helpers ------------------------------------------------
 
@@ -365,10 +373,8 @@ class CrawlEngine:
             )
             invalid_links = links.filter(~_valid_url())
             links = links.filter(_valid_url())
-            if cfg.allowed_domains:
-                links, offsite_links = offsite_split(
-                    links, cfg.allowed_domains
-                )
+            if self.domains is not None:
+                links, offsite_links = offsite_split(links, self.domains)
             else:
                 offsite_links = None
             w = Window.partitionBy("canonical_url").orderBy("depth", "url")
