@@ -616,6 +616,44 @@ def q_dedup_clusters(spark, sf_dir):
     return _td.dedup_clusters(_td.minhash_lsh_pairs(d, 0.8)).orderBy("doc_id")
 
 
+# negative offset: planted variants take ids BELOW their base doc, so
+# cluster_id = min lands on the variant and the REAL document is the
+# dropped non-representative — the drop set actually intersects the
+# documents table (a positive offset would make the gate vacuous:
+# every real doc would be its cluster's representative)
+_KEEP_AUG_OFFSET = -1_000_000
+_KEEP_AUG_SQL = _td.docs_with_variants_sql("documents", _AUG_MOD, _KEEP_AUG_OFFSET)
+
+
+@_register(
+    "dedup_keep_documents",
+    # the final dedup step: drop every non-representative member of a
+    # near-dup cluster, keep everything else — corpus size per lang
+    # after dedup. Anti-join against the (tiny) non-representative set.
+    f"""
+    WITH clusters AS ({_td.dedup_clusters_sql(_td.jaccard_pairs_sql(_KEEP_AUG_SQL, 0.8))}),
+    drop_ids AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    SELECT d.lang, count(*) AS n_kept
+    FROM documents d
+    ANTI JOIN drop_ids x ON d.doc_id = x.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_dedup_keep_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    aug = _td.docs_with_variants(d, _AUG_MOD, _KEEP_AUG_OFFSET)
+    clusters = _td.dedup_clusters(_td.minhash_lsh_pairs(aug, 0.8))
+    drop_ids = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return (
+        d.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
 @_register("similarity_cosine_topk", _sim.cosine_topk_sql(5, 10))
 def q_similarity_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
