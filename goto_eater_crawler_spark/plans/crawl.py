@@ -123,6 +123,47 @@ def _valid_url() -> F.Column:
     )
 
 
+def assign_fetch_seq(
+    fetched_pages: DataFrame, round_no: int, fetch_seq_offset: int
+) -> DataFrame:
+    """Global crawl-order sequence (W3) over a round's fetched pages —
+    scalable: NO partition-less window anywhere.
+
+    (1) rank within host via a PARTITIONED window,
+    (2) per-host offsets via a cumsum over the per-host COUNTS
+        relation (one row per host — orders of magnitude smaller than
+        the fetch log; the only single-task step sees #hosts rows,
+        never #urls),
+    (3) join the offsets back (AQE broadcasts when small).
+    Total order produced = (host asc, rank_in_host asc) — identical to
+    a global window, without funnelling the round's log through one
+    task. Plan-shape pinned by tests/test_crawl_e2e.py.
+    """
+    host_w = Window.partitionBy("host").orderBy("rank_in_host")
+    ranked = fetched_pages.withColumn("_rn", F.row_number().over(host_w))
+    off_w = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranked.groupBy("host")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "host",
+            F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+        )
+    )
+    return ranked.join(offsets, "host").select(
+        F.lit(round_no).alias("round"),
+        (
+            (F.col("_rn") + F.col("_off")).cast("long") + F.lit(fetch_seq_offset)
+        ).alias("fetch_seq"),
+        "url",
+        "canonical_url",
+        "url_hash",
+        "host",
+        "depth",
+        F.lit("fetched").alias("status"),
+    )
+
+
 def _log_rows(df: DataFrame, round_no: int, status: str) -> DataFrame:
     return df.select(
         F.lit(round_no).alias("round"),
@@ -410,47 +451,8 @@ class CrawlEngine:
 
             # fetch log: fetched rows get the global crawl-order seq
             if cfg.assign_fetch_seq:
-                # Scalable global sequence — NO partition-less window:
-                # (1) rank within host via a partitioned window,
-                # (2) per-host offsets via a cumsum over the per-host
-                #     COUNTS relation (one row per host — orders of
-                #     magnitude smaller than the fetch log; the only
-                #     single-task step sees #hosts rows, never #urls),
-                # (3) join the offsets back (AQE broadcasts when
-                #     small). Total order produced = (host asc,
-                #     rank_in_host asc) — identical to a global
-                #     window, without funnelling the round's log
-                #     through one task.
-                host_w = Window.partitionBy("host").orderBy("rank_in_host")
-                ranked = fetched_pages.withColumn(
-                    "_rn", F.row_number().over(host_w)
-                )
-                off_w = (
-                    Window.orderBy("host")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                )
-                offsets = (
-                    ranked.groupBy("host")
-                    .agg(F.count("*").alias("_n"))
-                    .select(
-                        "host",
-                        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias(
-                            "_off"
-                        ),
-                    )
-                )
-                fetched_log = ranked.join(offsets, "host").select(
-                    F.lit(round_no).alias("round"),
-                    (
-                        (F.col("_rn") + F.col("_off")).cast("long")
-                        + F.lit(fetch_seq_offset)
-                    ).alias("fetch_seq"),
-                    "url",
-                    "canonical_url",
-                    "url_hash",
-                    "host",
-                    "depth",
-                    F.lit("fetched").alias("status"),
+                fetched_log = assign_fetch_seq(
+                    fetched_pages, round_no, fetch_seq_offset
                 )
             else:
                 fetched_log = _log_rows(fetched_pages, round_no, "fetched")

@@ -132,6 +132,51 @@ def test_sorted_csv_feed(spark, engine_result, oracle_result):
     assert names == [r["shop_name"] for r in want]
 
 
+def test_fetch_seq_has_no_partitionless_window(spark):
+    """The global crawl-order sequence must not funnel the round's
+    fetch log through one task: every Window node in its plan carries
+    a non-empty partition spec EXCEPT the cumsum over the per-host
+    counts relation (input = one row per host, not per url). Also
+    checks value semantics: seq == 1..n in (host, rank) order."""
+    import re
+
+    from goto_eater_crawler_spark.plans.crawl import assign_fetch_seq
+
+    rows = [
+        (f"https://h{i % 5}.jp/p{j}", f"https://h{i % 5}.jp/p{j}",
+         i * 100 + j, f"h{i % 5}.jp", 0, j + 1)
+        for i in range(5)
+        for j in range(4)
+    ]
+    fetched = spark.createDataFrame(
+        rows, "url string, canonical_url string, url_hash long, "
+              "host string, depth int, rank_in_host int"
+    )
+    log = assign_fetch_seq(fetched, 1, 0)
+    got = [
+        (r["host"], r["fetch_seq"])
+        for r in log.orderBy("fetch_seq").collect()
+    ]
+    assert [s for _, s in got] == list(range(1, 21))
+    assert [h for h, _ in got] == sorted(h for h, _ in got)  # host-major
+    # plan shape: the only partition-less window sits above the
+    # per-host AGGREGATE (cumsum of counts), never above the raw log.
+    # Window toString is `Window [fns], [partitionSpec], [orderSpec]`;
+    # with an EMPTY partition spec the second bracket is the ORDER
+    # spec (contains ASC/DESC) — that's how a global window reads.
+    plan = log._jdf.queryExecution().optimizedPlan().toString()
+    matches = list(re.finditer(r"Window \[[^\]]*\], (\[[^\]]*\])", plan))
+    specs = [m.group(1) for m in matches]
+    assert len(specs) == 2, plan
+    partitioned = [s for s in specs if "ASC" not in s and "DESC" not in s]
+    global_w = [m for m, s in zip(matches, specs) if "ASC" in s or "DESC" in s]
+    assert partitioned == ["[host#%s]" % partitioned[0][6:-1]] and len(global_w) == 1
+    # the global window's child subtree must aggregate before it —
+    # i.e. the text below that node contains the per-host Aggregate
+    below = plan[global_w[0].start():]
+    assert "Aggregate [host#" in below, plan
+
+
 def test_write_source_csvs_executor_side(engine_result, tmp_path):
     """The CSV sink writes one sorted file per source executor-side
     (no driver toPandas); file contents must equal the sorted feed."""
