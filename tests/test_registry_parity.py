@@ -55,11 +55,17 @@ def _walk_parity(spec, site, seed_rows):
             for r in recs
         ]
         assert stripped == o_items, (spec.name, pg["url"])
-        assert [l["url"] for l in links] == [l["url"] for l in o_links], (
+        # some family oracles emit plain-string links (the generic
+        # dispatch normalizes them the same way)
+        o_norm = [
+            l if isinstance(l, dict) else {"url": l, "meta": {}}
+            for l in o_links
+        ]
+        assert [l["url"] for l in links] == [l["url"] for l in o_norm], (
             spec.name,
             pg["url"],
         )
-        for l in o_links:
+        for l in o_norm:
             metas.setdefault(l["url"], l.get("meta") or {})
         total += len(recs)
     return total
@@ -74,8 +80,16 @@ def test_cards_source_parity(name):
     assert total > 0, name
 
 
-@pytest.mark.parametrize("name", ["kochi", "kagoshima"])
-def test_new_family_source_parity(name):
+NON_CARDS_SOURCES = sorted(
+    n for n, s in REGISTRY.items() if s.family != "cards"
+)
+
+
+@pytest.mark.parametrize("name", NON_CARDS_SOURCES)
+def test_non_cards_source_parity(name):
+    """Every non-cards registry entry walks its family's fixture site
+    under ITS host (meta threaded — session/mesh families hand state
+    through link meta), engine vs oracle byte-equal."""
     spec = REGISTRY[name]
     fam = FAMILIES[spec.family]
     site = fam.gen_site(spec.host)
@@ -200,6 +214,43 @@ def test_registry_crawl_e2e(spark):
     m_all = res.metrics
     assert sum(m["fetched"] for m in m_all) == len(pages_rows)
     assert all(m["offsite"] == 0 for m in m_all)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _FIELDS = sorted(
+        {q[1] for s in REGISTRY.values() for q in s.quirks} | {"shop_name"}
+    )
+    _VAL = st.one_of(
+        st.none(),
+        st.text(
+            alphabet="ab 〒?&=/●｜、TEL.:愛知県-<!-->珉",
+            max_size=24,
+        ),
+    )
+
+    @given(
+        item=st.fixed_dictionaries({f: _VAL for f in _FIELDS}),
+        name=st.sampled_from(sorted(n for n, s in REGISTRY.items() if s.quirks)),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_quirk_interpreters_equivalent(item, name):
+        """The engine quirk interpreter (registry.apply_quirks) and
+        the independently written oracle interpreter (cards._o_quirks)
+        must agree on ARBITRARY field values for every source's quirk
+        list — not just the fixture values (fuzzes drop rules, prefix
+        strips, regex subs, url query stripping, defaults...)."""
+        spec = REGISTRY[name]
+        a = apply_quirks(dict(item), spec.quirks)
+        b = cards._o_quirks(dict(item), spec)
+        assert a == b, (name, item)
 
 
 def _all_items(name):
