@@ -96,6 +96,15 @@ class CrawlConfig:
     # source -> allowed_domains (P4 offsite scope; Scrapy's
     # OffsiteMiddleware). None disables the filter.
     allowed_domains: dict[str, tuple[str, ...]] | None = None
+    # optional (host, rank) DataFrame (operators/hostrank.host_rank):
+    # when set, frontier priority = rank x W - depth (north_rule O3)
+    # instead of the flat default. Pinned once at engine construction.
+    host_ranks: object | None = None  # DataFrame; object avoids import cycle
+    # global per-round fetch capacity across ALL hosts — the
+    # reference's CONCURRENT_REQUESTS global cap (settings.py:24, T7)
+    # in round form. With host_ranks set, this is where rank drives
+    # CROSS-host scheduling: the global cut is a top-K by priority.
+    round_capacity: int | None = None
 
 
 @dataclass
@@ -204,6 +213,23 @@ class CrawlEngine:
             if self.cfg.allowed_domains
             else None
         )
+        # host-rank dim likewise pinned once (broadcast per round at
+        # seed + link priority assignment)
+        self.host_ranks = (
+            self.cfg.host_ranks.localCheckpoint(eager=True)
+            if self.cfg.host_ranks is not None
+            else None
+        )
+
+    def _prioritize(self, df: DataFrame) -> DataFrame:
+        """priority column per the configured policy: host-rank-driven
+        (O3: rank x W - depth) when ranks are supplied, flat default
+        otherwise. Requires host/depth columns."""
+        if self.host_ranks is None:
+            return df.withColumn("priority", priority_col())
+        from ..operators.hostrank import with_host_rank
+
+        return with_host_rank(df, self.host_ranks)
 
     # -- state helpers ------------------------------------------------
 
@@ -222,11 +248,7 @@ class CrawlEngine:
         """Seed from a DataFrame of (url, source, parse_family, depth,
         retry_count, meta) — the 10^10-scale path where seeds live in a
         table, not a driver list."""
-        df = (
-            with_url_identity(seeds)
-            .withColumn("priority", priority_col())
-            .filter(_valid_url())
-        )
+        df = self._prioritize(with_url_identity(seeds)).filter(_valid_url())
         w = Window.partitionBy("canonical_url").orderBy("url")
         return (
             df.withColumn("_rn", F.row_number().over(w))
@@ -384,6 +406,20 @@ class CrawlEngine:
                 cfg.round_budget,
                 cfg.quota_salts,
             )
+            if cfg.round_capacity is not None:
+                # global top-K by (priority desc, host, rank_in_host):
+                # a sort-limit compiles to TakeOrderedAndProject —
+                # per-partition top-K then a single merge of K rows,
+                # never a full global sort. Overflow rows defer.
+                cut = selected.orderBy(
+                    F.desc("priority"), F.asc("host"), F.asc("rank_in_host")
+                ).limit(cfg.round_capacity).localCheckpoint(eager=True)
+                deferred = deferred.select(*FRONTIER_COLS).unionByName(
+                    selected.join(
+                        cut.select("canonical_url"), "canonical_url", "left_anti"
+                    ).select(*FRONTIER_COLS)
+                )
+                selected = cut
             selected = selected.persist()
             fetched, _ = fetch_join(selected, self.pages, cfg.fetch_strategy)
             # the html-bearing join output flows straight into extract
@@ -407,11 +443,9 @@ class CrawlEngine:
             # pass (Spark's parse_url is interpreted and re-inlined at
             # every reference — §session.py notes); only the cheap
             # xxhash64 is added JVM-side.
-            links = (
+            links = self._prioritize(
                 links.withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
-                .withColumn("priority", priority_col())
-                .withColumn("retry_count", F.lit(0))
-            )
+            ).withColumn("retry_count", F.lit(0))
             invalid_links = links.filter(~_valid_url())
             links = links.filter(_valid_url())
             if self.domains is not None:

@@ -50,6 +50,65 @@ def test_host_edges_drops_self_loops(spark):
     assert [(r["src"], r["dst"]) for r in got] == [("x.jp", "y.jp")]
 
 
+def test_host_rank_drives_global_round_capacity(spark):
+    """With host_ranks + a global round capacity (the reference's
+    CONCURRENT_REQUESTS cap, T7), the higher-ranked host's URLs are
+    fetched in earlier rounds — rank genuinely schedules across
+    hosts, not just within them."""
+    from goto_eater_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from goto_eater_crawler_spark.sources import webgen
+
+    body = b"<html><body>no cards here</body></html>"
+    pages, seeds = [], []
+    for host in ("ha.jp", "hb.jp"):
+        for i in range(3):
+            url = f"https://{host}/p{i}"
+            pages.append(
+                {"url": url, "warc_ts": None, "html": body, "text": None, "lang": None}
+            )
+            seeds.append(
+                {
+                    "url": url,
+                    "source": "s",
+                    "parse_family": "list_xpath",
+                    "depth": 0,
+                    "meta": {},
+                }
+            )
+    robots = [
+        {"host": h, "allow_prefixes": [], "disallow_prefixes": [], "crawl_delay": 3.0}
+        for h in ("ha.jp", "hb.jp")
+    ]
+    ranks = spark.createDataFrame(
+        [("ha.jp", 0.9), ("hb.jp", 0.1)], ["host", "rank"]
+    )
+    res = CrawlEngine(
+        spark,
+        webgen.pages_df(spark, pages),
+        webgen.robots_df(spark, robots),
+        CrawlConfig(
+            round_budget=1e6,
+            max_rounds=8,
+            host_ranks=ranks,
+            round_capacity=2,
+        ),
+    ).run(seeds)
+    log = sorted(
+        (
+            (r["round"], r["host"], r["url"])
+            for r in res.fetch_log.filter("status='fetched'").collect()
+        )
+    )
+    # capacity 2/round: round 1 = two ha urls; round 2 = last ha (90)
+    # + first hb (10); round 3 = remaining hb
+    by_round = {}
+    for rnd, host, _ in log:
+        by_round.setdefault(rnd, []).append(host)
+    assert by_round[1] == ["ha.jp", "ha.jp"]
+    assert sorted(by_round[2]) == ["ha.jp", "hb.jp"]
+    assert by_round[3] == ["hb.jp", "hb.jp"]
+
+
 def test_with_host_rank_reprioritizes_frontier(spark):
     frontier = spark.createDataFrame(
         [
