@@ -202,6 +202,45 @@ def gopher_rules_sql(expr: str) -> list[tuple[str, str]]:
     return rules + [("keep", f"({keep})")]
 
 
+# PII-style redaction: conservative email + JP-phone patterns. Kept
+# deliberately simple (true PII detection is a model problem); the
+# point is the OPERATOR shape — masking is a pure regexp_replace
+# chain, WholeStageCodegen end to end, byte-identical to the SQL
+# mirror, with the redaction count derivable from length deltas.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"0\d{1,4}-\d{1,4}-\d{3,4}"
+EMAIL_MASK = "<EMAIL>"
+PHONE_MASK = "<PHONE>"
+
+
+def redact_pii_col(text: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(text, _EMAIL_RE, EMAIL_MASK), _PHONE_RE, PHONE_MASK
+    )
+
+
+def redact_pii_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({expr}, '{_EMAIL_RE}', '{EMAIL_MASK}', 'g'),"
+        f" '{_PHONE_RE}', '{PHONE_MASK}', 'g')"
+    )
+
+
+def pii_counts_col(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found — via regexp_count (native)."""
+    return (
+        F.regexp_count(text, F.lit(_EMAIL_RE)),
+        F.regexp_count(text, F.lit(_PHONE_RE)),
+    )
+
+
+def pii_counts_sql(expr: str) -> tuple[str, str]:
+    return (
+        f"len(regexp_extract_all({expr}, '{_EMAIL_RE}'))",
+        f"len(regexp_extract_all({expr}, '{_PHONE_RE}'))",
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Document fingerprint: md5 of casefolded, whitespace-collapsed,
     punctuation-stripped text — the exact-dedup key."""

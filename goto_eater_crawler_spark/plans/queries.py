@@ -721,6 +721,60 @@ def q_text_token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# corpus texts carry no natural PII — plant deterministic emails (every
+# 7th doc) and JP phone numbers (every 11th) identically in both
+# engines so the redaction gate exercises real positives. (Column
+# expressions need an active session, hence a builder, not a constant.)
+def _pii_aug_spark():
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.jp")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" tel 03-12"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-5678"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.jp' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' tel 03-12' ||"
+    " lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-5678' ELSE '' END"
+)
+
+
+@_register(
+    "text_redact_pii",
+    f"""
+    SELECT doc_id,
+           {_ts.pii_counts_sql('t')[0]} AS n_emails,
+           {_ts.pii_counts_sql('t')[1]} AS n_phones,
+           md5({_ts.redact_pii_sql('t')}) AS redacted_md5
+    FROM (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_text_redact_pii(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_aug_spark().alias("t")
+    )
+    n_em, n_ph = _ts.pii_counts_col(F.col("t"))
+    return d.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        F.md5(_ts.redact_pii_col(F.col("t"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 _GOPHER_SQL_COLS = ", ".join(
     f"{sql} AS {name}" for name, sql in _ts.gopher_rules_sql("text")
 )
