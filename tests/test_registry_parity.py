@@ -268,6 +268,41 @@ def _all_items(name):
     return items
 
 
+def test_anchored_goldens_literal_values():
+    """Engine==oracle can both be wrong the same way; anchor a few
+    tricky sources to LITERAL expected items (hand-derived from the
+    fixture values + the reference's cited cleanup rules)."""
+    gunma = _all_items("gunma")
+    # card i=0: zip rendered '〒100-0000' -> [1:] slice (gunma.py:32);
+    # tel rendered 'TEL.000-000-0000' -> prefix strip (gunma.py:36-37)
+    g0 = gunma[0]
+    assert g0["zip_code"] == "100-0000"
+    assert g0["tel"] == "000-000-0000"
+    assert g0["shop_name"] == "食堂gunma00"
+    # card k=1 has no genre (gunma.py:25-26 optional)
+    assert gunma[1]["genre_name"] is None
+
+    gnavi = _all_items("tokyo_gnavi")
+    g1 = next(r for r in gnavi if r["shop_name"] == "食堂tokyo_gnavi01")
+    # data-o JSON splice (tokyo_gnavi.py:105-111)
+    assert g1["official_page"] == "https://shoptokyo_gnavi1.example.com/"
+    # marker png latlng (tokyo_gnavi.py:145-149)
+    assert g1["provided_lat"] == "35.001" and g1["provided_lng"] == "139.007"
+    # dd fallback genre for odd docs (tokyo_gnavi.py:137-141)
+    assert g1["genre_name"] == "洋食"
+    g0 = next(r for r in gnavi if r["shop_name"] == "食堂tokyo_gnavi00")
+    assert g0["genre_name"] == "和食|居酒屋"  # ol list join
+    assert g0["closing_day"] == "毎週月曜\n祝日"  # \n join (127-128)
+    assert g0["zip_code"] == "100-0000"  # 〒 stripped (116)
+
+    miyazaki = _all_items("miyazaki")
+    m0 = miyazaki[0]
+    # name／genre split (miyazaki.py:24-28)
+    assert m0["shop_name"] == "食堂miyazaki00"
+    assert m0["genre_name"] == "和食"
+    assert miyazaki[1]["tel"] == ""  # '-' placeholder (aomori.py:40 family)
+
+
 def test_quirks_observable_in_fixtures():
     """Each headline F5 quirk must actually fire on fixture data —
     a quirk the fixtures never trigger is untested parity."""

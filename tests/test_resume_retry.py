@@ -137,3 +137,53 @@ def test_garbage_seeds_rejected(spark, small_web):
     assert res.records.count() == 0
     assert res.fetch_log.count() == 0  # nothing scheduled, nothing multiplied
     assert res.seen.count() == 0
+
+
+def test_resume_with_round_capacity(spark, small_web, tmp_path_factory):
+    """The global round-capacity cut defers overflow INTO the
+    checkpointed frontier; resume mid-crawl must still converge to
+    the same final state as an uninterrupted capped run."""
+    pages, seeds, robots = small_web
+    pages_df = webgen.pages_df(spark, pages)
+    robots_df = webgen.robots_df(spark, robots)
+
+    def cfg(ckpt, max_rounds=32):
+        return CrawlConfig(
+            round_budget=BUDGET,
+            max_rounds=max_rounds,
+            checkpoint_dir=ckpt,
+            round_capacity=3,  # tighter than the per-host quotas
+        )
+
+    full_dir = str(tmp_path_factory.mktemp("cap_full"))
+    full = CrawlEngine(spark, pages_df, robots_df, cfg(full_dir)).run(seeds)
+    # the cap binds: no round fetches more than 3
+    assert all(m["fetched"] <= 3 for m in full.metrics)
+    assert len(full.metrics) > 2
+    full_state = _state(full)
+
+    cut_dir = str(tmp_path_factory.mktemp("cap_cut"))
+    partial = CrawlEngine(
+        spark, pages_df, robots_df, cfg(cut_dir, max_rounds=2)
+    ).run(seeds)
+    assert len(partial.metrics) == 2
+    resumed = CrawlEngine.resume(spark, pages_df, robots_df, cfg(cut_dir))
+
+    all_records = spark.read.schema(resumed.records.schema).parquet(
+        f"{cut_dir}/rounds/round=*/records"
+    )
+    import goto_eater_crawler_spark.schema as S
+
+    all_log = spark.read.schema(S.FETCH_LOG_SCHEMA).parquet(
+        f"{cut_dir}/rounds/round=*/fetch_log"
+    )
+
+    class R:
+        records = all_records
+        seen = resumed.seen
+        fetch_log = all_log
+
+    got = _state(R)
+    assert got[0] == full_state[0]
+    assert got[1] == full_state[1]
+    assert got[2] == full_state[2]
