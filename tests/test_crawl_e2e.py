@@ -202,3 +202,45 @@ def test_write_source_csvs_executor_side(engine_result, tmp_path):
         a = ["" if pd.isna(x) else str(x) for x in got[col]]
         b = ["" if x is None or pd.isna(x) else str(x) for x in want[col]]
         assert a == b, col
+
+
+def test_csv_sink_quoting_edge_cases(spark, tmp_path):
+    """Fields with embedded commas, double quotes and newlines (e.g.
+    tokyo_gnavi closing_day is a \n-join) must round-trip through the
+    executor-side CSV writer under RFC quote-doubling."""
+    import pandas as pd
+
+    from goto_eater_crawler_spark.schema import FEED_EXPORT_FIELDS
+    from goto_eater_crawler_spark.sources.sinks import write_source_csvs
+
+    rows = [
+        {
+            "url": "u1", "source": "q", "item_index": 0,
+            "shop_name": 'a "quoted" name',
+            "address": "street, with, commas",
+            "closing_day": "毎週月曜\n祝日",
+            "tel": None,
+        },
+        {
+            "url": "u2", "source": "q", "item_index": 0,
+            "shop_name": "z,comma",
+            "address": 'mix "q" and\nnewline',
+            "closing_day": None,
+            "tel": "03-1",
+        },
+    ]
+    for r in rows:
+        for f in FEED_EXPORT_FIELDS:
+            r.setdefault(f, None)
+    df = spark.createDataFrame(
+        rows,
+        "url string, source string, item_index int, "
+        + ", ".join(f"{f} string" for f in FEED_EXPORT_FIELDS),
+    )
+    (path,) = write_source_csvs(df, str(tmp_path / "csvs"))
+    got = pd.read_csv(path, dtype=str)
+    assert list(got.columns) == FEED_EXPORT_FIELDS
+    by_name = {r["shop_name"]: r for _, r in got.iterrows()}
+    assert by_name['a "quoted" name']["address"] == "street, with, commas"
+    assert by_name['a "quoted" name']["closing_day"] == "毎週月曜\n祝日"
+    assert by_name["z,comma"]["address"] == 'mix "q" and\nnewline'
