@@ -935,6 +935,43 @@ def q_multi_source_extract(spark, sf_dir):
     )
 
 
+# per-language sampling rates (percent) — the mixture-weighting step
+# of corpus assembly. The selector is pure integer arithmetic
+# (Knuth multiplicative hash mod 100) so BOTH engines compute the
+# identical pseudo-random-but-deterministic draw — engine-specific
+# hash builtins (xxhash64 vs duckdb hash) would never agree.
+_SAMPLE_RATES = {"en": 80, "ja": 60, "de": 40}
+_SAMPLE_DEFAULT = 20
+_SAMPLE_SEL = "(doc_id * 2654435761) % 100"
+
+
+@_register(
+    "sample_stratified",
+    f"""
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE {_SAMPLE_SEL} < CASE lang
+               {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
+               ELSE {_SAMPLE_DEFAULT} END) AS n_sampled
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sel = (F.col("doc_id") * F.lit(2654435761)) % 100
+    rate = F.lit(_SAMPLE_DEFAULT)
+    for k, v in reversed(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(sel < rate, 1)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
 @_register(
     "sessionize_gaps",
     # sessionization: session = gap > 30 min per user (lag + cumsum)
