@@ -30,6 +30,7 @@ from urllib.parse import urljoin, urlsplit
 
 import pandas as pd
 
+from ...functions import minihtml
 from ..registry import HOST_INDEX, REGISTRY, SourceSpec, apply_quirks
 
 GENRES = ["和食", "洋食", "中華", "居酒屋", "カフェ", "ラーメン", "寿司"]
@@ -463,7 +464,6 @@ def seeds(host: str, source: str | None = None) -> list[dict]:
 # engine extractor
 # ---------------------------------------------------------------------------
 
-_CARD_RE = re.compile(r'<article class="card">(.*?)</article>', re.DOTALL)
 _TAG_STRIP = re.compile(r"<[^>]+>")
 _ZIP_SPACE = re.compile(r"〒(?P<zip>.*?)\s(?P<addr>.*)", re.DOTALL)
 _ZIP_SPACE_WS = re.compile(r"〒\s*(?P<zip>.*?)\s(?P<addr>.*)", re.DOTALL)
@@ -475,15 +475,25 @@ _LATLNG_MARKER = re.compile(r"marker_ns\.png%7C(?P<lat>.*?)\,(?P<lng>.*?)\&")
 _NAME_SLASH = re.compile(r"(?P<shop_name>.*)(\/|／)+(?P<genre_name>.*)")
 
 
-def _first(pattern: str, block: str) -> str | None:
-    m = re.search(pattern, block, re.DOTALL)
-    return m.group(1) if m else None
+def _q(node: minihtml.Node, tag: str, cls: str | None = None) -> str | None:
+    """Inner HTML of the first matching descendant (byte-exact source
+    span), or None — the structural replacement for the round-2 exact
+    ``<p class="x">(.*?)</p>`` regex reads: tolerant of attribute
+    order, extra attributes, whitespace and quoting variations."""
+    n = node.find(tag, cls)
+    return n.inner_html() if n is not None else None
 
 
-def _parse_place(item: dict, cfg: dict, block: str) -> None:
+def _qa(node: minihtml.Node, tag: str, cls: str | None, attr: str) -> str | None:
+    """Raw attribute value of the first matching descendant."""
+    n = node.find(tag, cls)
+    return n.attrs.get(attr) if n is not None else None
+
+
+def _parse_place(item: dict, cfg: dict, card: minihtml.Node) -> None:
     place = cfg.get("place", "zip_space")
     if place in ("zip_space", "zip_fallback", "zip_space_ws", "zip_nospace"):
-        raw = (_first(r'<p class="place">(.*?)</p>', block) or "").strip()
+        raw = (_q(card, "p", "place") or "").strip()
         rx = {
             "zip_space": _ZIP_SPACE,
             "zip_fallback": _ZIP_SPACE,
@@ -498,47 +508,39 @@ def _parse_place(item: dict, cfg: dict, block: str) -> None:
             item["address"] = raw
             item["zip_code"] = None
     elif place == "addr_only" or (place and place.startswith("addr_label:")):
-        item["address"] = (_first(r'<p class="addr">(.*?)</p>', block) or "").strip()
+        item["address"] = (_q(card, "p", "addr") or "").strip()
     elif place == "addr_pair":
-        a1 = _first(r'<p class="addr">(.*?)</p>', block)
-        a2 = _first(r'<p class="addr2">(.*?)</p>', block)
+        a1 = _q(card, "p", "addr")
+        a2 = _q(card, "p", "addr2")
         item["address"] = f"{a1} {a2}"  # ibaraki.py:45 join, no strip
     elif place == "split":
-        z = _first(r'<span class="zip">(.*?)</span>', block)
+        z = _q(card, "span", "zip")
         item["zip_code"] = z if z is not None else None
-        a = _first(r'<p class="addr">(.*?)</p>', block)
+        a = _q(card, "p", "addr")
         item["address"] = a.strip() if a is not None and not cfg.get("addr_ws") else a
         if cfg.get("addr_ws") and a is not None:
             item["address"] = a  # raw; the regex_sub quirk strips \s
 
 
-def _parse_genre(item: dict, spec: SourceSpec, block: str, meta: dict) -> None:
+def _parse_genre(item: dict, spec: SourceSpec, card: minihtml.Node, meta: dict) -> None:
     cfg = spec.config
     mode = cfg.get("genre", "single")
-    if mode in ("single", "label", "td_span", "section", "header_ol"):
-        g = _first(r'<span class="genre">(.*?)</span>', block)
+    if mode in ("single", "label", "td_span", "section", "header_ol", "single_optional"):
+        g = _q(card, "span", "genre")
         item["genre_name"] = g.strip() if g else None
-    elif mode == "single_optional":
-        g = _first(r'<span class="genre">(.*?)</span>', block)
-        item["genre_name"] = g.strip() if g else None
-    elif mode == "multi":
-        gs = re.findall(r'<span class="g">(.*?)</span>', block)
-        item["genre_name"] = "|".join(gs)
-    elif mode and mode.startswith("multi_mark:"):
-        gs = re.findall(r'<span class="g">(.*?)</span>', block)
-        item["genre_name"] = "|".join(gs)  # marks removed by quirk
-    elif mode and mode.startswith("join_raw:"):
-        g = _first(r'<span class="genre">(.*?)</span>', block)
-        item["genre_name"] = g  # raw separator; quirk converts
+    elif mode == "multi" or mode.startswith("multi_mark:"):
+        gs = [n.inner_html() for n in card.find_all("span", "g")]
+        item["genre_name"] = "|".join(gs)  # multi_mark marks removed by quirk
+    elif mode.startswith("join_raw:"):
+        item["genre_name"] = _q(card, "span", "genre")  # raw; quirk converts
     elif mode == "comma_header":
-        g = _first(r'<span class="genre">(.*?)</span>', block) or ""
-        g = g.replace("ジャンル：", "")
+        g = (_q(card, "span", "genre") or "").replace("ジャンル：", "")
         item["genre_name"] = "|".join(s.strip() for s in g.split(","))
     elif mode == "tags":
-        tags_block = _first(r'<ul class="tags">(.*?)</ul>', block) or ""
+        tags = card.find("ul", "tags")
         genres = []
-        for t in re.findall(r"<li>(.*?)</li>", tags_block):
-            t = t.strip()
+        for li in tags.find_all("li") if tags is not None else []:
+            t = li.inner_html().strip()
             if not t:
                 continue
             if t in cfg.get("area_list", ()):
@@ -552,10 +554,11 @@ def _parse_genre(item: dict, spec: SourceSpec, block: str, meta: dict) -> None:
         item["genre_name"] = None
 
 
-def _parse_card(spec: SourceSpec, block: str, meta: dict) -> dict:
+def _parse_card(spec: SourceSpec, card: minihtml.Node, meta: dict) -> dict:
     cfg = spec.config
     item: dict = {}
-    raw_name = _first(r'<h3 class="name">(.*?)</h3>', block) or ""
+    name_node = card.find("h3", "name")
+    raw_name = name_node.inner_html() if name_node is not None else ""
     name = _TAG_STRIP.sub("", raw_name).strip()
     if cfg.get("genre") == "in_name":
         m = _NAME_SLASH.match(name)
@@ -564,38 +567,39 @@ def _parse_card(spec: SourceSpec, block: str, meta: dict) -> dict:
     else:
         item["shop_name"] = name
     if cfg.get("hp") == "name_link":
-        item["official_page"] = _first(r'<h3 class="name">.*?<a href="([^"]*)"', block)
+        item["official_page"] = (
+            _qa(name_node, "a", None, "href") if name_node is not None else None
+        )
 
-    _parse_genre(item, spec, block, meta)
+    _parse_genre(item, spec, card, meta)
     area_mode = cfg.get("area", "none")
     if area_mode in ("tag", "tag_brackets"):
-        a = _first(r'<span class="area">(.*?)</span>', block)
+        a = _q(card, "span", "area")
         item["area_name"] = a.strip() if a else None
     elif area_mode in ("meta", "section"):
         item["area_name"] = meta.get("area_name")
-    _parse_place(item, cfg, block)
+    _parse_place(item, cfg, card)
     if cfg.get("place", "").startswith("addr_label:"):
         pass  # label prefix removed by the strip_prefix quirk
 
     tel_mode = cfg.get("tel", "label")
     if tel_mode in ("label", "td", "bracket") or tel_mode.startswith("prefix:"):
-        item["tel"] = _first(r'<p class="tel">(.*?)</p>', block)
+        item["tel"] = _q(card, "p", "tel")
     elif tel_mode == "href":
-        item["tel"] = _first(r'<a class="tel"[^>]*>(.*?)</a>', block)
+        item["tel"] = _q(card, "a", "tel")
     elif tel_mode == "tel_href":
-        item["tel"] = _first(r'<a class="tel" href="(tel:[^"]*)"', block)
-        if item["tel"]:
-            item["tel"] = item["tel"]  # tel: prefix removed by quirk
+        href = _qa(card, "a", "tel", "href")
+        item["tel"] = href if href and href.startswith("tel:") else None
     elif tel_mode == "guard":
-        raw = _first(r'<p class="tel">(.*?)</p>', block)
+        raw = _q(card, "p", "tel")
         m = _TEL_GUARD.match(raw) if raw else None
         item["tel"] = m.group("tel") if m else None
 
     if cfg.get("hp") is True:
-        item["official_page"] = _first(r'<a class="hp" href="([^"]*)"', block)
+        item["official_page"] = _qa(card, "a", "hp", "href")
     gmap = cfg.get("gmap")
     if gmap in ("at", "q") and not cfg.get("detail"):
-        href = _first(r'<a class="gmap" href="([^"]*)"', block)
+        href = _qa(card, "a", "gmap", "href")
         if href:
             rx = _LATLNG_AT if gmap == "at" else _LATLNG_Q
             m = rx.search(href)
@@ -603,17 +607,30 @@ def _parse_card(spec: SourceSpec, block: str, meta: dict) -> dict:
                 item["provided_lat"] = m.group("lat")
                 item["provided_lng"] = m.group("lng")
     if cfg.get("hours"):
-        item["opening_hours"] = _first(r'<p class="hours">(.*?)</p>', block)
+        item["opening_hours"] = _q(card, "p", "hours")
     if cfg.get("closed"):
-        item["closing_day"] = _first(r'<p class="closed">(.*?)</p>', block)
+        item["closing_day"] = _q(card, "p", "closed")
     if cfg.get("detail_btn"):
-        href = _first(r'<a class="detail" href="([^"]*)"', block)
+        href = _qa(card, "a", "detail", "href")
         if href:
             item["detail_page"] = urljoin(f"https://{spec.host}/", href)
     return item
 
 
-def _parse_detail(spec: SourceSpec, url: str, html: str) -> dict:
+def _th_td(doc: minihtml.Node, label: str) -> minihtml.Node | None:
+    """The <td> element-sibling of the <th> whose content equals
+    ``label`` — the structural form of the reference's
+    ``//th[text()=...]/following-sibling::td`` reads (tolerates any
+    whitespace between th and td, unlike an exact string match)."""
+    for th in doc.find_all("th"):
+        if th.inner_html().strip() == label:
+            td = th.next_sibling()
+            if td is not None and td.tag == "td":
+                return td
+    return None
+
+
+def _parse_detail(spec: SourceSpec, url: str, doc: minihtml.Node) -> dict:
     cfg = spec.config
     labels = cfg.get("labels", {})
     item: dict = {"detail_page": url}
@@ -621,30 +638,26 @@ def _parse_detail(spec: SourceSpec, url: str, html: str) -> dict:
         item["detail_page"] = url  # already canonical (query stripped in link)
 
     def by_label(label):
-        return _first(rf"<th>{re.escape(label)}</th><td>(.*?)</td>", html)
+        td = _th_td(doc, label)
+        return td.inner_html() if td is not None else None
 
     if "shop_name" in labels:
         item["shop_name"] = (by_label(labels["shop_name"]) or "").strip()
     else:
-        raw = _first(r'<h3 class="name">(.*?)</h3>', html) or ""
+        raw = _q(doc, "h3", "name") or ""
         item["shop_name"] = _TAG_STRIP.sub("", raw).strip()
     if cfg.get("genre_dd1"):
-        g = _first(r'<dd class="dd1">(.*?)</dd>', html)
+        g = _q(doc, "dd", "dd1")
         item["genre_name"] = g.strip() if g else ""  # fukui.py:51-53
     elif cfg.get("genre") == "header_ol":
-        ol = _first(r'<ol class="gen">(.*?)</ol>', html)
-        if ol:
-            gs = [
-                _TAG_STRIP.sub("", x).strip()
-                for x in re.findall(r"<li>(.*?)</li>", ol)
-            ]
+        ol = doc.find("ol", "gen")
+        if ol is not None:
+            gs = [li.text().strip() for li in ol.find_all("li")]
             item["genre_name"] = "|".join(gs)
         else:
-            item["genre_name"] = (
-                _first(r'<dd class="cat">(.*?)</dd>', html) or ""
-            ).strip()
+            item["genre_name"] = (_q(doc, "dd", "cat") or "").strip()
     elif cfg.get("genre_ws"):
-        item["genre_name"] = _first(r'<span class="genre">(.*?)</span>', html)
+        item["genre_name"] = _q(doc, "span", "genre")
     elif "genre_name" in labels:
         g = by_label(labels["genre_name"])
         item["genre_name"] = g.strip() if g else None
@@ -652,14 +665,24 @@ def _parse_detail(spec: SourceSpec, url: str, html: str) -> dict:
         a = by_label(labels["area_name"])
         item["area_name"] = a.strip() if a else None
     elif cfg.get("area") == "detail_icon":
-        a = _first(r'<span class="area">(.*?)</span>', html)
+        a = _q(doc, "span", "area")
         item["area_name"] = a.strip() if a else None
 
     if cfg.get("place") == "multi_line":
-        m = re.search(
-            r"<th>住所情報</th>((?:<td>.*?</td>)+)", html, re.DOTALL
+        th = next(
+            (
+                t
+                for t in doc.find_all("th")
+                if t.inner_html().strip() == "住所情報"
+            ),
+            None,
         )
-        tds = re.findall(r"<td>(.*?)</td>", m.group(1)) if m else []
+        tds = []
+        if th is not None:
+            for sib in th.following_siblings():
+                if sib.tag != "td":
+                    break
+                tds.append(sib.inner_html())
         if tds:
             item["zip_code"] = tds[0].strip()
             addr = " ".join(tds[1:]).strip()
@@ -667,16 +690,16 @@ def _parse_detail(spec: SourceSpec, url: str, html: str) -> dict:
                 addr = addr.replace(item["shop_name"], "")  # gifu.py:69
             item["address"] = addr
     elif cfg.get("zip_maru_label"):
-        z = _first(r'<p class="zip">(.*?)</p>', html)
+        z = _q(doc, "p", "zip")
         item["zip_code"] = z.strip().replace("〒", "") if z else None
-        a = _first(r'<span class="region">(.*?)</span>', html)
+        a = _q(doc, "span", "region")
         item["address"] = a.strip() if a else None
     elif "address" in labels:
         a = by_label(labels["address"])
         item["address"] = a.strip() if a else None
 
     if cfg.get("broken_tel_row"):
-        t = _first(r"<th>電話番号</th><td>(.*?)</td>", html)
+        t = by_label("電話番号")
         item["tel"] = t.strip() if t else None
     elif "tel" in labels:
         item["tel"] = by_label(labels["tel"])
@@ -684,31 +707,29 @@ def _parse_detail(spec: SourceSpec, url: str, html: str) -> dict:
         item["opening_hours"] = by_label(labels["opening_hours"])
     if "closing_day" in labels:
         if cfg.get("closed_join"):
-            td = by_label(labels["closing_day"]) or ""
-            item["closing_day"] = "\n".join(
-                re.findall(r'<li class="cd">(.*?)</li>', td)
-            )
+            td = _th_td(doc, labels["closing_day"])
+            lis = td.find_all("li", "cd") if td is not None else []
+            item["closing_day"] = "\n".join(li.inner_html() for li in lis)
         else:
             item["closing_day"] = by_label(labels["closing_day"])
     if "official_page" in labels:
-        item["official_page"] = _first(
-            rf"<th>{re.escape(labels['official_page'])}</th>"
-            r'<td><a href="([^"]*)"',
-            html,
+        td = _th_td(doc, labels["official_page"])
+        item["official_page"] = (
+            _qa(td, "a", None, "href") if td is not None else None
         )
     if cfg.get("hp_data_o"):
-        data_o = _first(r'<a class="url" data-o="([^"]*)"', html)
+        data_o = _qa(doc, "a", "url", "data-o")
         if data_o:
             data = json.loads(data_o.replace("&quot;", '"'))
             item["official_page"] = data["b"] + "://" + data["a"]
     if cfg.get("gmap") == "q":
-        src = _first(r'<iframe class="gmap" src="([^"]*)"', html)
+        src = _qa(doc, "iframe", "gmap", "src")
         m = _LATLNG_Q.search(src) if src else None
         if m:
             item["provided_lat"] = m.group("lat")
             item["provided_lng"] = m.group("lng")
     elif cfg.get("gmap") == "marker":
-        src = _first(r'<img class="map" src="([^"]*)"', html)
+        src = _qa(doc, "img", "map", "src")
         m = _LATLNG_MARKER.search(src) if src else None
         if m:
             item["provided_lat"] = m.group("lat")
@@ -716,15 +737,15 @@ def _parse_detail(spec: SourceSpec, url: str, html: str) -> dict:
     return item
 
 
-def _next_links(spec: SourceSpec, url: str, html: str) -> list[str]:
+def _next_links(spec: SourceSpec, url: str, doc: minihtml.Node) -> list[str]:
     pag = spec.config.get("pagination", "next")
     out = []
     if pag == "next":
-        href = _first(r'<a class="next" href="([^"]*)"', html)
+        href = _qa(doc, "a", "next", "href")
         if href:
             out.append(urljoin(url, href))
     elif pag == "js_page":
-        href = _first(r'<a class="next" href="([^"]*)"', html)
+        href = _qa(doc, "a", "next", "href")
         if href:
             m = re.match(r"^javascript:on_events\('page',(\d+)\);$", href)
             if m:  # aomori.py:55-58 url synthesis
@@ -733,7 +754,7 @@ def _next_links(spec: SourceSpec, url: str, html: str) -> list[str]:
                     f"&id={m.group(1)}&store=&addr=&industry="
                 )
     elif pag == "js_jumppage":
-        href = _first(r'<a class="next" href="([^"]*)"', html)
+        href = _qa(doc, "a", "next", "href")
         if href:
             m = re.match(r"^javascript:jumppage\((\d+)\);$", href)
             if m:  # shizuoka.py:55-59
@@ -742,44 +763,52 @@ def _next_links(spec: SourceSpec, url: str, html: str) -> list[str]:
                     f"&genre=&pgn={m.group(1)}#shopsearch"
                 )
     elif pag == "js_submit":
-        onclick = _first(r'<a class="next" onclick="([^"]*)"', html)
+        onclick = _qa(doc, "a", "next", "onclick")
         if onclick:
             m = re.match(r"^mySubmit\('(.*)'\);$", onclick)
             if m:  # niigata.py:105-107
                 out.append(m.group(1))
     elif pag == "counter":
-        if re.search(r'<a class="more"', html):
+        if doc.find("a", "more") is not None:
             # nagano.py:39-46 / toyama.py:44-49 — page counter; derived
             # statelessly from the current url (data-parallel safe)
             m = re.search(r"/shop/page/(\d+)$", url)
             cur = int(m.group(1)) if m else 1
             out.append(f"https://{spec.host}/shop/page/{cur + 1}")
     elif pag == "form_action":
-        m = re.search(
-            r'<button class="active">.*?<form action="([^"]*)"', html, re.DOTALL
-        )
-        if m:  # wakayama.py:44-49
-            out.append(urljoin(url, m.group(1)))
+        # wakayama.py:44-49: the form FOLLOWING the active page button
+        # in document order
+        btn = doc.find("button", "active")
+        if btn is not None:
+            nxt = next(
+                (
+                    f
+                    for f in doc.find_all("form")
+                    if f.start > btn.start and "action" in f.attrs
+                ),
+                None,
+            )
+            if nxt is not None:
+                out.append(urljoin(url, nxt.attrs["action"]))
     return out
 
 
 def _parse_page(spec: SourceSpec, url: str, body: bytes, depth: int, meta: dict):
-    html = body.decode("utf-8")
+    doc = minihtml.parse(body.decode("utf-8"))
     items: list[dict] = []
     links: list[dict] = []
     if spec.config.get("detail") and "/detail/" in url:
-        item = apply_quirks(_parse_detail(spec, url, html), spec.quirks)
+        item = apply_quirks(_parse_detail(spec, url, doc), spec.quirks)
         if item is not None:
             items.append(item)
         return items, links
     if spec.config.get("area") == "section":
-        sect = _first(r'<h1 class="sect">(.*?)</h1>', html)
+        sect = _q(doc, "h1", "sect")
         if sect:
             meta = {**meta, "area_name": sect}
-    for m in _CARD_RE.finditer(html):
-        block = m.group(0)
+    for card in doc.find_all("article", "card"):
         if spec.config.get("detail"):
-            href = _first(r'<a class="detail" href="([^"]*)"', block)
+            href = _qa(card, "a", "detail", "href")
             if href:
                 links.append(
                     {
@@ -792,10 +821,10 @@ def _parse_page(spec: SourceSpec, url: str, body: bytes, depth: int, meta: dict)
                     }
                 )
             continue
-        item = apply_quirks(_parse_card(spec, block, meta), spec.quirks)
+        item = apply_quirks(_parse_card(spec, card, meta), spec.quirks)
         if item is not None:
             items.append(item)
-    for nxt in _next_links(spec, url, html):
+    for nxt in _next_links(spec, url, doc):
         links.append(
             {
                 "url": nxt,
@@ -879,9 +908,8 @@ def _o_quirks(item: dict, spec: SourceSpec) -> dict | None:
         elif op == "strip_comment_markers":
             out[f] = sval.replace("<!--", "").replace("-->", "").strip()
         elif op == "url_strip_query":
-            qs = urlsplit(sval).query
-            if qs:
-                out[f] = sval.replace(qs, "")[:-1]
+            # hyogo.py:38-41: unconditional url.replace(query, "")[:-1]
+            out[f] = sval.replace(urlsplit(sval).query, "")[:-1]
     return out
 
 

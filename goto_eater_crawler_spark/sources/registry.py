@@ -34,6 +34,7 @@ Quirk ops (field is a ShopItem field name):
 from __future__ import annotations
 
 import re
+from urllib.parse import urlsplit
 from dataclasses import dataclass, field as dc_field
 
 # ---------------------------------------------------------------------------
@@ -99,11 +100,12 @@ def apply_quirks(item: dict, quirks: tuple) -> dict | None:
         elif op == "strip_comment_markers":
             v = v.replace("<!--", "").replace("-->", "").strip()
         elif op == "url_strip_query":
-            # hyogo.py:38-41 / shimane.py:42-46: url.replace(query,
-            # "")[:-1] — drop the query string, then the dangling "?"
-            if "?" in v:
-                qs = v.split("?", 1)[1]
-                v = v.replace(qs, "")[:-1]
+            # hyogo.py:38-41 / shimane.py:42-46: the reference applies
+            # url.replace(urlparse(url).query, "")[:-1] UNCONDITIONALLY —
+            # an empty query makes replace a no-op but [:-1] still chops
+            # the last character.  Replicated literally (urlsplit.query
+            # == urlparse.query for all URLs).
+            v = v.replace(urlsplit(v).query, "")[:-1]
         item[field] = v
     return item
 

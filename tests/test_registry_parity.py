@@ -144,6 +144,23 @@ def test_quirk_interpreter_semantics():
         {"detail_page": "https://h/d/5?page=2"},
         (("url_strip_query", "detail_page"),),
     ) == {"detail_page": "https://h/d/5"}
+    # Reference semantics are UNCONDITIONAL replace+[:-1] (hyogo.py:39-41):
+    # empty query still chops the final character.  Regression for the
+    # round-2 engine/oracle divergence on query-less and bare-'?' URLs.
+    for raw, want in [
+        ("ab?", "ab"),                              # empty query, trailing ?
+        ("https://h/d", "https://h/"),              # no query at all
+        ("https://h/d?p=1#frag", "https://h/d?#fra"),  # query+fragment
+        ("?", ""),                                  # degenerate
+    ]:
+        got = apply_quirks(
+            {"detail_page": raw}, (("url_strip_query", "detail_page"),)
+        )
+        assert got == {"detail_page": want}, (raw, got)
+        # and the oracle interpreter agrees
+        from goto_eater_crawler_spark.sources.families import cards as _c
+        spec = REGISTRY["hyogo"]
+        assert _c._o_quirks({"detail_page": raw}, spec)["detail_page"] == want
     assert apply_quirks({"genre_name": "和 食"}, (("collapse_ws", "genre_name"),)) == {
         "genre_name": "和食"
     }
