@@ -114,6 +114,12 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # sh is referenced THREE times below (sizes + both self-join
+    # sides); Spark does not dedupe common sub-plans across different
+    # shuffle keys, so without a persist the whole shingle pipeline
+    # (and whatever produced `docs`) evaluates 3x. One materialization
+    # instead — at 100 TB that is one corpus scan, not three.
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -174,14 +180,21 @@ def jaccard_pairs_sql(
 # deterministic near-dup augmentation (non-vacuous dedup gates)
 # ---------------------------------------------------------------------------
 
-NEAR_DUP_OFFSET = 1_000_000
+def variant_id_expr():
+    """Variant doc-id mapping: ``-doc_id - 1``. Real doc_ids are
+    non-negative, so the variant id space is disjoint from the corpus
+    at ANY scale factor — the round-2 fixed-offset mapping
+    (doc_id ± 1e6) collided with real ids once the corpus passed 1e6
+    documents, silently corrupting the dedup gates. Negation also
+    sorts every variant BELOW its base doc, so min-label cluster
+    representatives land on the variant and the keep-filter's drop set
+    provably intersects the real corpus (non-vacuous gate)."""
+    return (-F.col("doc_id") - 1).alias("doc_id")
 
 
-def docs_with_variants(
-    docs: DataFrame, mod: int, offset: int = NEAR_DUP_OFFSET
-) -> DataFrame:
+def docs_with_variants(docs: DataFrame, mod: int) -> DataFrame:
     """(doc_id, text) of every doc with doc_id % mod == 0 plus a
-    deterministic near-duplicate variant of each (doc_id + offset,
+    deterministic near-duplicate variant of each (id ``-doc_id - 1``,
     text minus its first two tokens).
 
     The driver's synthetic ``documents`` corpus contains no natural
@@ -195,7 +208,7 @@ def docs_with_variants(
     """
     base = docs.filter(f"doc_id % {mod} = 0").select("doc_id", "text")
     variant = base.select(
-        (F.col("doc_id") + offset).alias("doc_id"),
+        variant_id_expr(),
         F.array_join(
             F.slice(F.split(F.col("text"), " "), 3, 1 << 20), " "
         ).alias("text"),
@@ -203,13 +216,11 @@ def docs_with_variants(
     return base.unionByName(variant)
 
 
-def docs_with_variants_sql(
-    docs_rel: str, mod: int, offset: int = NEAR_DUP_OFFSET
-) -> str:
+def docs_with_variants_sql(docs_rel: str, mod: int) -> str:
     return f"""(
       SELECT doc_id, text FROM {docs_rel} WHERE doc_id % {mod} = 0
       UNION ALL
-      SELECT doc_id + {offset} AS doc_id,
+      SELECT -doc_id - 1 AS doc_id,
              array_to_string(string_split(text, ' ')[3:], ' ') AS text
       FROM {docs_rel} WHERE doc_id % {mod} = 0)"""
 
@@ -260,7 +271,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Near-dup pairs via MinHash banding, exact-verified with true
     Jaccard — candidates come from band-bucket equi-joins (the scale
     path), the verification keeps results exact."""
-    sh = shingles(docs)
+    # sh feeds both the signature aggregation and the exact-verify
+    # semi-join; cands is referenced three times (both legs of the
+    # cand_docs union + the final join). Persist each once — without
+    # this the shingle pass ran ~3x per query (round-2 BENCH:
+    # dedup_minhash_lsh 18.3 s, mostly recompute multiplication).
+    sh = shingles(docs).persist()
     bands = minhash_signatures(sh)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -275,6 +291,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()
     )
     # exact verification restricted to candidate docs only — this is
     # what makes LSH the scale path: jaccard is computed on the tiny
@@ -313,6 +330,11 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     (same primitive ops) is the drop-in upgrade if adversarial long
     chains ever appear.
     """
+    # the incoming pair relation is usually the entire LSH + verify
+    # pipeline — it is referenced TWICE in the bidirectional union, so
+    # persist before fanning out (round 2 evaluated the whole pipeline
+    # twice; at 100 TB that is one shingle pass instead of two)
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
@@ -321,32 +343,55 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_labels = (
             edges.join(labels, edges["b"] == labels["doc_id"])
-            .select(F.col("a").alias("doc_id"), "label")
+            .select(
+                F.col("a").alias("doc_id"),
+                "label",
+                F.lit(None).cast("long").alias("old_label"),
+            )
         )
+        # convergence detection is FOLDED into the same aggregation:
+        # each doc_id has exactly one "own" row carrying old_label, so
+        # min(label) vs min(old_label) decides change per key without
+        # the extra join+job round 2 spent per iteration
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.select("doc_id", "label", F.col("label").alias("old_label"))
+            .unionByName(neighbor_labels)
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min("old_label").alias("old_label"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("old_label")
+        ).count()  # cheap: scans the just-checkpointed relation only
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a component whose diameter exceeds max_iters would silently
+        # keep wrong (split) cluster ids — fail loudly instead; the
+        # large-star/small-star variant is the drop-in if adversarial
+        # long chains ever appear in a real corpus
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not reach a "
+            f"fixpoint within {max_iters} iterations (component "
+            f"diameter too large); raise max_iters or switch to the "
+            f"large-star/small-star variant"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -616,13 +616,13 @@ def q_dedup_clusters(spark, sf_dir):
     return _td.dedup_clusters(_td.minhash_lsh_pairs(d, 0.8)).orderBy("doc_id")
 
 
-# negative offset: planted variants take ids BELOW their base doc, so
-# cluster_id = min lands on the variant and the REAL document is the
-# dropped non-representative — the drop set actually intersects the
-# documents table (a positive offset would make the gate vacuous:
-# every real doc would be its cluster's representative)
-_KEEP_AUG_OFFSET = -1_000_000
-_KEEP_AUG_SQL = _td.docs_with_variants_sql("documents", _AUG_MOD, _KEEP_AUG_OFFSET)
+# planted variants take NEGATED ids (-doc_id - 1, textdedup.
+# variant_id_expr): disjoint from the real id space at any scale
+# factor (the round-2 fixed -1e6 offset collided once the corpus
+# passed 1e6 docs), and always BELOW the base doc, so cluster_id =
+# min lands on the variant and the REAL document is the dropped
+# non-representative — the drop set provably intersects the
+# documents table (non-vacuous gate).
 
 
 @_register(
@@ -631,7 +631,7 @@ _KEEP_AUG_SQL = _td.docs_with_variants_sql("documents", _AUG_MOD, _KEEP_AUG_OFFS
     # near-dup cluster, keep everything else — corpus size per lang
     # after dedup. Anti-join against the (tiny) non-representative set.
     f"""
-    WITH clusters AS ({_td.dedup_clusters_sql(_td.jaccard_pairs_sql(_KEEP_AUG_SQL, 0.8))}),
+    WITH clusters AS ({_td.dedup_clusters_sql(_td.jaccard_pairs_sql(_AUG_SQL, 0.8))}),
     drop_ids AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
     SELECT d.lang, count(*) AS n_kept
     FROM documents d
@@ -641,7 +641,7 @@ _KEEP_AUG_SQL = _td.docs_with_variants_sql("documents", _AUG_MOD, _KEEP_AUG_OFFS
 )
 def q_dedup_keep_documents(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    aug = _td.docs_with_variants(d, _AUG_MOD, _KEEP_AUG_OFFSET)
+    aug = _td.docs_with_variants(d, _AUG_MOD)
     clusters = _td.dedup_clusters(_td.minhash_lsh_pairs(aug, 0.8))
     drop_ids = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
@@ -660,19 +660,28 @@ def q_similarity_cosine_topk(spark, sf_dir):
     return _sim.cosine_topk(e, 5, 10)
 
 
-@_register("similarity_ivf_assign", _sim.ivf_assign_sql(8))
+# IVF centroids are k-means refined (2 deterministic Lloyd iterations
+# from the first-n seed) — real cell balance for the billion-vector
+# layout instead of the round-2 first-n stand-in; the oracle unrolls
+# the same iterations as chained CTEs (kmeans_ctes_sql)
+_LLOYD_ITERS = 2
+
+
+@_register("similarity_ivf_assign", _sim.ivf_assign_sql(8, _LLOYD_ITERS))
 def q_similarity_ivf_assign(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return _sim.ivf_assign(e, 8)
+    return _sim.ivf_assign(e, 8, _sim.kmeans_centroids(e, 8, _LLOYD_ITERS))
 
 
-@_register("similarity_ivf_topk", _sim.ivf_topk_sql(5, 10, 8, 3))
+@_register("similarity_ivf_topk", _sim.ivf_topk_sql(5, 10, 8, 3, _LLOYD_ITERS))
 def q_similarity_ivf_topk(spark, sf_dir):
     # IVF-probed ANN serving path: top-k within nprobe nearest cells;
     # the oracle reproduces the probe algorithm exactly (recall vs
     # the exact scan is a pytest property, not this gate)
     e = _t(spark, sf_dir, "embeddings")
-    return _sim.ivf_topk(e, 5, 10, 8, 3)
+    return _sim.ivf_topk(
+        e, 5, 10, 8, 3, _sim.kmeans_centroids(e, 8, _LLOYD_ITERS)
+    )
 
 
 @_register(

@@ -99,7 +99,9 @@ def test_docs_with_variants_plants_near_dups(spark):
     assert aug.count() == 10  # 5 base + 5 variants
     pairs = td.jaccard_pairs(td.shingles(aug), 0.5).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in pairs}
-    assert got == {(i, i + td.NEAR_DUP_OFFSET) for i in range(0, 20, 4)}
+    # variant ids are -doc_id - 1: disjoint from real ids at any scale
+    # and always below the base (pair order puts the variant first)
+    assert got == {(-i - 1, i) for i in range(0, 20, 4)}
 
 
 def test_dedup_clusters_connected_components(spark):
@@ -266,6 +268,64 @@ def test_ivf_topk_probes_subset_with_high_recall(spark):
     want = {(r["query_id"], r["neighbor_id"]) for r in exact}
     recall = len(got & want) / len(want)
     assert recall >= 0.5  # half the cells probed -> decent recall
+
+
+def test_kmeans_centroids_improve_cell_balance(spark):
+    """Lloyd iterations must (a) keep centroid ids stable, (b)
+    partition every vector, and (c) balance cells vs the first-n
+    seed on clustered data where the seed is pathologically skewed
+    (all seed vectors inside one cluster)."""
+    # two tight clusters; the first 2 vectors (= the seed) BOTH live
+    # in cluster A, so seed-IVF puts all of cluster B in one cell
+    a = [(i, [10.0 + 0.01 * i, 0.0]) for i in range(20)]
+    b = [(i, [0.0, 10.0 + 0.01 * i]) for i in range(20, 40)]
+    df = spark.createDataFrame(a + b, ["vec_id", "embedding"])
+    cents = sim.kmeans_centroids(df, 2, iters=3, dim=2)
+    rows = cents.collect()
+    assert sorted(r["centroid_id"] for r in rows) == [0, 1]
+    sizes = {
+        r["centroid_id"]: r["n_vectors"]
+        for r in sim.ivf_assign(df, 2, cents).collect()
+    }
+    assert sum(sizes.values()) == 40
+    # k-means converges to one centroid per true cluster -> 20/20
+    assert sorted(sizes.values()) == [20, 20]
+    # seed-only assignment is skewed (sanity that the test is non-vacuous)
+    seed_sizes = sorted(
+        r["n_vectors"] for r in sim.ivf_assign(df, 2).collect()
+    )
+    assert seed_sizes != [20, 20]
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """A cell that loses all members mid-Lloyd keeps its previous
+    centroid (k never shrinks, ids stay stable)."""
+    # 3 centroids seeded from 3 near-identical vectors: after one
+    # update at least one cell must go empty, yet 3 ids survive
+    vecs = [(i, [1.0 + 0.001 * i, 0.0]) for i in range(3)] + [
+        (i, [5.0, 5.0 + 0.1 * i]) for i in range(3, 10)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cents = sim.kmeans_centroids(df, 3, iters=2, dim=2)
+    assert sorted(r["centroid_id"] for r in cents.collect()) == [0, 1, 2]
+
+
+def test_ivf_cells_argmin_has_no_window(spark):
+    """Plan shape: the nearest-centroid argmin is a min_by
+    aggregation (map-side combinable — only n rows reach the
+    shuffle), not a row_number window over the n x k crossJoin
+    output."""
+    df = spark.createDataFrame(
+        _random_ish_vectors(40), ["vec_id", "embedding"]
+    )
+    plan = (
+        sim.ivf_cells(df, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "min_by" in plan or "HashAggregate" in plan
 
 
 def test_textstats_basics(spark):
