@@ -106,12 +106,154 @@ def cosine_topk_sql(n_queries: int = 5, k: int = 10) -> str:
 
 
 def _centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
-    """First n_centroids vectors as centroids — a deterministic
-    stand-in for k-means (the oracle must reproduce the choice)."""
+    """First n_centroids vectors as SEED centroids (deterministic;
+    the oracle must reproduce the choice). Refined by
+    :func:`kmeans_centroids`."""
     return embeddings.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cent"),
     )
+
+
+def _d2(vec, cent):
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            cent,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, centroid_id, ang): nearest-centroid (L2,
+    ties to lowest centroid_id) assignment against BROADCAST
+    centroids. The argmin is a ``min_by`` struct aggregation — partial
+    (map-side) combinable, so only n rows reach the shuffle instead of
+    the n x k crossJoin output a row_number window would shuffle."""
+    # zero-norm guard: a zero vector's angle to anything is undefined
+    # (and any cosine PAIR involving it can never qualify), so give it
+    # angle 0 — it contributes nothing to the cell radius. Without the
+    # guard ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO; the old
+    # window plan only survived because column pruning dropped `ang`.
+    norm_prod = _norm(F.col("embedding")) * _norm(F.col("cent"))
+    cos_to_cent = F.when(
+        norm_prod != 0, _dot(F.col("embedding"), F.col("cent")) / norm_prod
+    ).otherwise(F.lit(1.0))
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        _d2(F.col("embedding"), F.col("cent")).alias("d2"),
+        _angle(cos_to_cent).alias("ang"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("centroid_id", "ang", "embedding"),
+                F.struct("d2", "centroid_id"),
+            ).alias("s")
+        )
+        .select(
+            "vec_id",
+            F.col("s.embedding").alias("embedding"),
+            F.col("s.centroid_id").alias("centroid_id"),
+            F.col("s.ang").alias("ang"),
+        )
+    )
+
+
+# decimals the centroid components are rounded to after each Lloyd
+# update — kills the ~1e-15 engine-vs-oracle fp summation drift (same
+# device host_rank uses via round(rank, 6)) while leaving the geometry
+# untouched
+KMEANS_ROUND = 9
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, n_centroids: int, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """(centroid_id, cent) after ``iters`` Lloyd iterations from the
+    deterministic first-n seed. Per iteration: one broadcast-assign
+    (min_by agg, no shuffle of the n x k relation) + one groupBy mean
+    — the same join+groupBy shape as host PageRank, so at 10^9 vectors
+    each iteration is a bounded shuffle of (vec_id, centroid_id) plus
+    a k-row centroid update. An empty cell keeps its previous
+    centroid (coalesce), so k never shrinks and ids stay stable.
+    Mirrored exactly by :func:`kmeans_ctes_sql`."""
+    cents = _centroids(embeddings, n_centroids)
+    for _ in range(iters):
+        assigned = _assign(embeddings, cents)
+        means = assigned.groupBy("centroid_id").agg(
+            *[
+                F.round(F.avg(F.col("embedding")[i]), KMEANS_ROUND).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        )
+        cents = (
+            cents.join(
+                means.select(
+                    "centroid_id",
+                    F.array(*[f"c{i}" for i in range(dim)]).alias("new_cent"),
+                ),
+                "centroid_id",
+                "left",
+            )
+            .select(
+                "centroid_id",
+                F.coalesce("new_cent", F.col("cent").cast("array<double>")).alias(
+                    "cent"
+                ),
+            )
+            # k rows: checkpoint keeps the plan flat across iterations
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def kmeans_ctes_sql(n_centroids: int, iters: int = 2, dim: int = 64) -> str:
+    """CTE chain (c0, a1, m1, c1, ...) ending in ``cents(centroid_id,
+    cent)`` — the SQL mirror of :func:`kmeans_centroids`, unrolled
+    like host_rank_sql."""
+    d2 = (
+        "list_sum(list_transform(list_zip(v.embedding, c.cent),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    parts = [
+        f"""c0 AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM embeddings WHERE vec_id < {n_centroids})"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        comps = ", ".join(
+            f"round(avg(CAST(v.embedding[{j + 1}] AS DOUBLE)), {KMEANS_ROUND})"
+            for j in range(dim)
+        )
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN {prev} c)
+      WHERE rn = 1),
+    m{i} AS (
+      SELECT a.centroid_id, list_value({comps}) AS mcent
+      FROM a{i} a JOIN embeddings v USING (vec_id) GROUP BY a.centroid_id),
+    c{i} AS (
+      SELECT c.centroid_id, coalesce(m.mcent, c.cent) AS cent
+      FROM {prev} c LEFT JOIN m{i} m USING (centroid_id))"""
+        )
+        prev = f"c{i}"
+    parts.append(f"cents AS (SELECT centroid_id, cent FROM {prev})")
+    return ",\n    ".join(parts)
 
 
 def _angle(cos_expr):
@@ -122,47 +264,31 @@ def _angle(cos_expr):
     )
 
 
-def ivf_cells(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+def ivf_cells(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, embedding, centroid_id, ang) — nearest-centroid
     assignment (squared L2, ties to lowest centroid_id) plus the
     ANGULAR distance of the vector to its centroid. The per-vector
     cost is a scan against broadcast centroids; the argmin is a
-    per-vector window (partitioned — no global shuffle of note)."""
-    cents = _centroids(embeddings, n_centroids)
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cent"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cos_to_cent = _dot(F.col("embedding"), F.col("cent")) / (
-        _norm(F.col("embedding")) * _norm(F.col("cent"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
-    return (
-        embeddings.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "centroid_id",
-            d2.alias("d2"),
-            _angle(cos_to_cent).alias("ang"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .drop("rn", "d2")
-    )
+    map-side-combinable ``min_by`` aggregation (see :func:`_assign`).
+    ``centroids`` overrides the first-n seed (pass
+    :func:`kmeans_centroids` output for balanced cells)."""
+    cents = centroids if centroids is not None else _centroids(embeddings, n_centroids)
+    return _assign(embeddings, cents)
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """Per-centroid cell sizes — the IVF partitioning a
     billion-vector ANN index shards by."""
     return (
-        ivf_cells(embeddings, n_centroids)
+        ivf_cells(embeddings, n_centroids, centroids)
         .groupBy("centroid_id")
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("centroid_id")
@@ -175,6 +301,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-probed approximate top-k cosine neighbors — the
     billion-vector serving path: each query probes only its ``nprobe``
@@ -187,8 +314,8 @@ def ivf_topk(
     centroid_id, rank ties to lowest neighbor_id) — the SQL oracle
     reproduces it exactly; recall vs the exact scan is a separate
     pytest property."""
-    cells = ivf_cells(embeddings, n_centroids)
-    cents = _centroids(embeddings, n_centroids)
+    cents = centroids if centroids is not None else _centroids(embeddings, n_centroids)
+    cells = ivf_cells(embeddings, n_centroids, cents)
     qs = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -235,10 +362,15 @@ def ivf_topk(
 
 
 def ivf_topk_sql(
-    n_queries: int = 5, k: int = 10, n_centroids: int = 8, nprobe: int = 3
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    lloyd_iters: int = 0,
+    dim: int = 64,
 ) -> str:
     d2 = (
-        "list_sum(list_transform(list_zip({l}.embedding, c.embedding),"
+        "list_sum(list_transform(list_zip({l}.embedding, c.cent),"
         " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
         " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
     )
@@ -255,19 +387,20 @@ def ivf_topk_sql(
         " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
     return f"""
-    WITH assign AS (
+    WITH {kmeans_ctes_sql(n_centroids, lloyd_iters, dim)},
+    assign AS (
       SELECT vec_id, centroid_id FROM (
-        SELECT v.vec_id, c.vec_id AS centroid_id,
+        SELECT v.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {d2.format(l='v')}, c.vec_id) AS rn
-        FROM embeddings v JOIN embeddings c ON c.vec_id < {n_centroids})
+                                  ORDER BY {d2.format(l='v')}, c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN cents c)
       WHERE rn = 1),
     probes AS (
       SELECT query_id, centroid_id FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+        SELECT q.vec_id AS query_id, c.centroid_id,
                row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {d2.format(l='q')}, c.vec_id) AS pr
-        FROM embeddings q JOIN embeddings c ON c.vec_id < {n_centroids}
+                                  ORDER BY {d2.format(l='q')}, c.centroid_id) AS pr
+        FROM embeddings q CROSS JOIN cents c
         WHERE q.vec_id < {n_queries})
       WHERE pr <= {nprobe})
     SELECT query_id, neighbor_id, rank, round(sim, 4) AS cos_sim FROM (
@@ -306,7 +439,11 @@ def cosine_dup_pairs_brute(
 
 
 def admissible_cell_pairs(
-    e: DataFrame, cells: DataFrame, threshold: float, n_centroids: int
+    e: DataFrame,
+    cells: DataFrame,
+    threshold: float,
+    n_centroids: int,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(cell_a, cell_b) cell pairs that COULD contain a pair with
     cos >= threshold, by the angular triangle inequality:
@@ -316,7 +453,7 @@ def admissible_cell_pairs(
     the diagonal are included so a.cell==cell_a, b.cell==cell_b with
     a < b enumerates each vector pair at most once."""
     radii = cells.groupBy("centroid_id").agg(F.max("ang").alias("r"))
-    cents = _centroids(e, n_centroids)
+    cents = centroids if centroids is not None else _centroids(e, n_centroids)
     ca = cents.select(
         F.col("centroid_id").alias("cell_a"), F.col("cent").alias("ca")
     )
@@ -354,6 +491,7 @@ def cosine_dup_pairs(
     threshold: float = 0.95,
     max_id: int | None = None,
     n_centroids: int = 8,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
     cos >= threshold, a < b — the semantic-dedup stage of a training
@@ -374,8 +512,8 @@ def cosine_dup_pairs(
     degrades to correct-but-dense, never to wrong. A small epsilon
     widens the bound so fp drift can only ADD candidates."""
     e = embeddings if max_id is None else embeddings.filter(F.col("vec_id") < max_id)
-    cells = ivf_cells(e, n_centroids)
-    admissible = admissible_cell_pairs(e, cells, threshold, n_centroids)
+    cells = ivf_cells(e, n_centroids, centroids)
+    admissible = admissible_cell_pairs(e, cells, threshold, n_centroids, centroids)
     a = cells.select(
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("ea"),
@@ -426,17 +564,20 @@ def cosine_dup_pairs_sql(threshold: float = 0.95, max_id: int | None = None) -> 
     """
 
 
-def ivf_assign_sql(n_centroids: int = 8) -> str:
+def ivf_assign_sql(
+    n_centroids: int = 8, lloyd_iters: int = 0, dim: int = 64
+) -> str:
     d2 = (
-        "list_sum(list_transform(list_zip(v.embedding, c.embedding),"
+        "list_sum(list_transform(list_zip(v.embedding, c.cent),"
         " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
         " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
     )
     return f"""
+    WITH {kmeans_ctes_sql(n_centroids, lloyd_iters, dim)}
     SELECT centroid_id, count(*) AS n_vectors FROM (
-      SELECT v.vec_id, c.vec_id AS centroid_id,
+      SELECT v.vec_id, c.centroid_id,
              row_number() OVER (PARTITION BY v.vec_id
-                                ORDER BY {d2}, c.vec_id) AS rn
-      FROM embeddings v JOIN embeddings c ON c.vec_id < {n_centroids})
+                                ORDER BY {d2}, c.centroid_id) AS rn
+      FROM embeddings v CROSS JOIN cents c)
     WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id
     """
