@@ -52,6 +52,11 @@ def host_rank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # an early-round crawl can legitimately have an empty host
+        # graph — return an empty (host, rank) relation instead of
+        # dividing by zero below
+        return nodes.withColumn("rank", F.lit(0.0).cast("double"))
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # edge contribution fractions are static across iterations —
     # precompute + checkpoint once

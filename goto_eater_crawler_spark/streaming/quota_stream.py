@@ -62,6 +62,11 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("emitted", T.LongType(), True),
         T.StructField("deferred_json", T.StringType(), True),
+        # the host's crawl-delay is part of state: timer-fired drain
+        # batches (and batches whose rows carry null delay) must keep
+        # honouring floor(budget/delay) for a slow host instead of
+        # silently resetting to DEFAULT_DELAY.
+        T.StructField("crawl_delay", T.DoubleType(), True),
     ]
 )
 
@@ -83,12 +88,12 @@ def make_quota_fn(round_budget: float, timeout_ms: int | None = None):
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
-        emitted, pending = 0, []
+        emitted, pending, stored_delay = 0, [], None
         if state.exists:
-            emitted_v, deferred_json = state.get
+            emitted_v, deferred_json, stored_delay = state.get
             emitted = int(emitted_v or 0)
             pending = json.loads(deferred_json) if deferred_json else []
-        delay = DEFAULT_DELAY
+        delay = stored_delay if stored_delay is not None else DEFAULT_DELAY
         if not state.hasTimedOut:
             for pdf in pdfs:
                 for r in pdf.to_dict("records"):
@@ -117,7 +122,15 @@ def make_quota_fn(round_budget: float, timeout_ms: int | None = None):
                 }
             )
             yield out
-        state.update((emitted + len(head), json.dumps(tail) if tail else None))
+        state.update(
+            (
+                emitted + len(head),
+                json.dumps(tail) if tail else None,
+                # persist the delay so timeout batches and null-delay
+                # rows keep the floor(budget/delay) contract
+                float(delay),
+            )
+        )
         if tail:
             # re-fire so the deferred queue drains even if no new
             # candidates arrive for this host. Armed ONLY while a

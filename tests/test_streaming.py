@@ -217,6 +217,76 @@ def test_streaming_quota_release(spark, landing):
     assert b == [(1, "https://b.jp/v2"), (2, "https://b.jp/v1")]
 
 
+def test_streaming_quota_delay_persists_in_state(spark, landing):
+    """A slow host's crawl_delay is part of the per-host STATE: batches
+    whose rows carry null delay, and timer-fired drain batches, must
+    keep releasing floor(budget/delay) — not reset to DEFAULT_DELAY.
+    (Round-2 advisor finding: delay lived only in the batch rows, so a
+    delay-10 host drained its deferred queue at the delay-3 quota.)"""
+    import threading
+    import time
+
+    src = os.path.join(landing, "cands_delay")
+    ck = os.path.join(landing, "ck_quota_delay")
+
+    # batch 1 teaches delay=10 (budget 30 -> quota 3) and defers 2 of 5;
+    # batch 2 carries FIVE MORE rows with NULL delay -> with the bug the
+    # quota recomputes from DEFAULT_DELAY=3 (quota 10) and releases all
+    # 7 pending at once; with the fix it releases 3.
+    b1 = [_cand(f"https://s.jp/a{i}", "s.jp", 10 - i, 10.0) for i in range(5)]
+    b2 = [_cand(f"https://s.jp/b{i}", "s.jp", -i, None) for i in range(5)]
+    spark.createDataFrame(b1, quota_stream.CAND_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b2, quota_stream.CAND_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    cands = (
+        spark.readStream.schema(quota_stream.CAND_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    released = quota_stream.quota_release_stream(
+        cands, round_budget=30.0, timeout_ms=1500
+    )
+
+    batch_counts: list[int] = []
+    lock = threading.Lock()
+
+    def sink(batch_df, batch_id):
+        n = batch_df.filter(batch_df.host == "s.jp").count()
+        with lock:
+            batch_counts.append(n)
+
+    q = (
+        released.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            with lock:
+                done = sum(batch_counts) >= 10
+            if done or not q.isActive:
+                break
+            time.sleep(1)
+    finally:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(30)
+
+    with lock:
+        counts = list(batch_counts)
+    assert sum(counts) == 10, counts
+    # floor(30/10)=3 is the hard per-batch ceiling — including the
+    # null-delay batch 2 and every timer-fired drain batch.
+    assert all(c <= 3 for c in counts), counts
+
+
 def test_streaming_retry_and_dead_letter(spark, landing):
     """Misses accumulate per-URL retry counts in state, re-emit as
     retry rows when the backoff timer fires (deterministic decayed
