@@ -237,7 +237,10 @@ def main() -> None:
     out["value"] = round(sum(out["queries"].values()) + crawl_4n["sec"], 2)
     out["crawl_urls_per_sec"] = crawl_4n["urls_per_sec"]
     out["total_sec"] = round(time.perf_counter() - t_all, 2)
-    print(json.dumps(out))
+    # ONE compact JSON line (no spaces): round-2's pretty-ish line
+    # outgrew the driver's tail capture and recorded "parsed": null
+    print(json.dumps(out, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -575,10 +575,20 @@ class CrawlEngine:
             if self.store.persistent:
                 # resume reads seen deltas per round: persist the slim
                 # projection (cheap rewrite of already-materialized
-                # rows). In memory mode the lineage stays flat anyway:
-                # seen_delta projects the checkpointed new_rows.
-                seen_delta = self._materialize(seen_delta, round_no, "seen_delta")
-            seen = seen.unionByName(seen_delta)
+                # rows), then rebuild `seen` as ONE flat multi-path
+                # parquet scan of every delta so far — a per-round
+                # unionByName fold would grow the plan O(rounds) deep.
+                self._materialize(seen_delta, round_no, "seen_delta")
+                seen = self.store.read_many(
+                    self.store.committed_rounds() + [round_no],
+                    "seen_delta",
+                    SEEN_SCHEMA,
+                )
+            else:
+                # memory mode: deltas are checkpointed leaves, the
+                # union fold stays flat-leaf and is bounded by
+                # max_rounds
+                seen = seen.unionByName(seen_delta)
 
             records_parts.append(records)
             log_parts.append(round_log)

@@ -102,6 +102,9 @@ def get_spark(
         .config("spark.local.dir", _default_local_dir())
         .config("spark.shuffle.sort.bypassMergeThreshold", "8")
         .config("spark.ui.enabled", "false")
+        # no console progress bars: their \r-spam competes with the
+        # bench's single JSON result line in captured output
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.warehouse.dir", DEFAULT_WAREHOUSE)
     )

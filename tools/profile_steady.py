@@ -1,0 +1,143 @@
+"""Profile the steady-state crawl round at one parallelism level with
+Spark event logging, then decompose wall time into:
+
+- per-stage task-time sums and stage wall times (executor-side work)
+- inter-job driver gaps (serial driver/scheduling time — the Amdahl
+  fraction that caps N->4N scaling efficiency)
+
+Usage:  python tools/profile_steady.py <cores> [<out_json>]
+
+The decomposition drives the round-3 scaling work (VERDICT item 3):
+efficiency(2->8) = (T2/T8)/4; with T(n) = serial + parallel/n the
+measured pair implies the serial seconds this tool attributes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from goto_eater_crawler_spark.session import get_spark  # noqa: E402
+
+
+def run(cores: int, evdir: str) -> dict:
+    os.makedirs(evdir, exist_ok=True)
+    from goto_eater_crawler_spark.operators.dedup import BloomParams
+    from goto_eater_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from goto_eater_crawler_spark.schema import ROBOTS_SCHEMA
+    from goto_eater_crawler_spark.sources import benchweb
+
+    spark = get_spark(
+        f"profile-steady-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+        },
+    )
+    pages = spark.read.parquet(bench.SCALE_DATA)
+    robots = spark.createDataFrame(
+        benchweb.bench_robots(bench.SCALE_HOSTS), ROBOTS_SCHEMA
+    )
+    frontier = benchweb.steady_state_frontier(
+        spark, bench.SCALE_HOSTS, bench.LISTS, bench.DETAILS, bench.HOT
+    )
+    cfg = CrawlConfig(
+        round_budget=1e9,
+        max_rounds=1,
+        bloom=BloomParams(n_blocks=64, m_bits=1 << 24, k=5),
+        assign_fetch_seq=False,
+        quota_salts=32,
+        fetch_strategy="broadcast",
+    )
+    spark.range(0, cores * 10, 1, cores).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    eng = CrawlEngine(spark, pages, robots, cfg)
+    state = eng.bootstrap(frontier)
+    t0 = time.perf_counter()
+    res = eng.run_rounds(*state)
+    elapsed = time.perf_counter() - t0
+    m = res.metrics[0]
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+    return {
+        "cores": cores,
+        "sec": round(elapsed, 2),
+        "fetched": m["fetched"],
+        "urls_per_sec": round(m["fetched"] / elapsed, 1),
+        "app_id": app_id,
+        "event_log": os.path.join(evdir, app_id),
+    }
+
+
+def decompose(event_log: str, window: tuple[float, float] | None = None) -> dict:
+    """Parse a Spark JSON event log into job/stage walls and gaps."""
+    jobs: dict[int, dict] = {}
+    stages: dict[int, dict] = {}
+    with open(event_log) as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                jobs[ev["Job ID"]] = {"start": ev["Submission Time"] / 1000.0}
+            elif e == "SparkListenerJobEnd":
+                j = jobs.get(ev["Job ID"])
+                if j is not None:
+                    j["end"] = ev["Completion Time"] / 1000.0
+            elif e == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                if "Submission Time" in si and "Completion Time" in si:
+                    stages[si["Stage ID"]] = {
+                        "name": si["Stage Name"].split("\n")[0][:90],
+                        "wall": (si["Completion Time"] - si["Submission Time"])
+                        / 1000.0,
+                        "tasks": si["Number of Tasks"],
+                    }
+    spans = sorted(
+        (j["start"], j.get("end", j["start"])) for j in jobs.values()
+    )
+    if window:
+        spans = [s for s in spans if s[0] >= window[0]]
+    # union of job spans vs total window -> busy vs gap (driver serial)
+    busy, cur_s, cur_e = 0.0, None, None
+    for s, e in spans:
+        if cur_s is None:
+            cur_s, cur_e = s, e
+        elif s <= cur_e:
+            cur_e = max(cur_e, e)
+        else:
+            busy += cur_e - cur_s
+            cur_s, cur_e = s, e
+    if cur_s is not None:
+        busy += cur_e - cur_s
+    total = spans[-1][1] - spans[0][0] if spans else 0.0
+    top = sorted(stages.values(), key=lambda s: -s["wall"])[:15]
+    return {
+        "n_jobs": len(spans),
+        "jobs_window_sec": round(total, 2),
+        "jobs_busy_sec": round(busy, 2),
+        "driver_gap_sec": round(total - busy, 2),
+        "top_stages": top,
+    }
+
+
+if __name__ == "__main__":
+    cores = int(sys.argv[1])
+    evdir = "/tmp/spark-events"
+    r = run(cores, evdir)
+    r["decomp"] = decompose(r["event_log"])
+    out = json.dumps(r, indent=1)
+    print(out)
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "w") as f:
+            f.write(out)
