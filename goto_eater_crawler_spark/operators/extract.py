@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.textnorm import normalize_items_pdf
-from ..functions.urltools import canonicalize_url, url_host
+from ..functions.urltools import canonicalize_url_col, host_col
 from ..schema import FEED_EXPORT_FIELDS
 from ..sources.families import FAMILIES
 
@@ -46,13 +46,10 @@ EXTRACT_OUT_SCHEMA = T.StructType(
         T.StructField("link_family", T.StringType(), True),
         T.StructField("link_depth", T.IntegerType(), True),
         T.StructField("link_meta", T.MapType(T.StringType(), T.StringType()), True),
-        # link identity, canonicalized in THIS python pass: Spark's
-        # parse_url is interpreted (a java.net.URI per call) and
-        # Catalyst re-inlines the canonicalization at every reference
-        # (filter/window/join/hash) — computing it once here removes
-        # ~50 URI parses per link row from the JVM hot path.
-        T.StructField("link_canonical", T.StringType(), True),
-        T.StructField("link_host", T.StringType(), True),
+        # (link_canonical / link_host are appended JVM-side in
+        # run_extract via the byte-pinned Catalyst canonicalization —
+        # round-3 change: the python urlsplit per link was the largest
+        # python-worker cost of a steady round)
         # 'page' passthrough (fetch-log identity)
         T.StructField("raw_url", T.StringType(), True),
         T.StructField("url_hash", T.LongType(), True),
@@ -63,22 +60,6 @@ EXTRACT_OUT_SCHEMA = T.StructType(
 )
 
 _ALL_COLS = [f.name for f in EXTRACT_OUT_SCHEMA.fields]
-
-
-def _safe_canonical(u):
-    """Canonicalize; malformed URLs (page garbage) -> None, which the
-    frontier's validity filter drops instead of killing the task."""
-    try:
-        return canonicalize_url(u)
-    except Exception:
-        return None
-
-
-def _safe_host(u):
-    try:
-        return url_host(u)
-    except Exception:
-        return None
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,8 +95,11 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # lineage: the emitting page's url (families stamp it)
                 ldf["url"] = ldf.pop("from_url")
                 ldf["kind"] = "link"
-                ldf["link_canonical"] = ldf["link_url"].map(_safe_canonical)
-                ldf["link_host"] = ldf["link_url"].map(_safe_host)
+                # link_canonical/link_host are computed JVM-side in
+                # run_extract (canonicalize_url_col, byte-pinned to the
+                # python impl): a python urlsplit per link was ~the
+                # largest python cost of a steady round (1M links) and
+                # capped per-worker extract throughput
                 outs.append(ldf.reindex(columns=_ALL_COLS))
         if outs:
             combined = pd.concat(outs, ignore_index=True).astype(object)
@@ -143,8 +127,23 @@ def run_extract(fetched: DataFrame) -> DataFrame:
         "host",
         "rank_in_host",
     ]
-    return fetched.select(*cols).mapInPandas(
+    out = fetched.select(*cols).mapInPandas(
         _extract_batches, schema=EXTRACT_OUT_SCHEMA
+    )
+    # link url identity NATIVE (not in the python worker): the Catalyst
+    # expressions are byte-pinned to the python implementations
+    # (tests/test_urltools.py), stay inside WholeStageCodegen, and the
+    # caller checkpoints this DataFrame — so the ~10-regex tree is
+    # evaluated ONCE per link here, not re-inlined downstream and not
+    # paid as python-worker time.
+    is_link = F.col("kind") == "link"
+    return out.withColumns(
+        {
+            "link_canonical": F.when(
+                is_link, canonicalize_url_col(F.col("link_url"))
+            ),
+            "link_host": F.when(is_link, host_col(F.col("link_url"))),
+        }
     )
 
 

@@ -452,7 +452,14 @@ class CrawlEngine:
                 links, offsite_links = offsite_split(links, self.domains)
             else:
                 offsite_links = None
-            w = Window.partitionBy("canonical_url").orderBy("depth", "url")
+            # partition the intra-round dedup by the 64-bit url_hash
+            # (the engine's universal URL key, north_star seen-set
+            # design): the window's shuffle + sort then key on a long
+            # (radix-sortable prefix) instead of a ~60-byte string.
+            # Identity semantics are unchanged modulo xxhash64
+            # collisions, which the hash-keyed seen set accepts by
+            # design.
+            w = Window.partitionBy("url_hash").orderBy("depth", "url")
             links_dedup = (
                 links.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)

@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import re
 from urllib.parse import urljoin, urlsplit
+from ...functions.urltools import fast_urljoin
 
 import pandas as pd
 
@@ -613,7 +614,7 @@ def _parse_card(spec: SourceSpec, card: minihtml.Node, meta: dict) -> dict:
     if cfg.get("detail_btn"):
         href = _qa(card, "a", "detail", "href")
         if href:
-            item["detail_page"] = urljoin(f"https://{spec.host}/", href)
+            item["detail_page"] = fast_urljoin(f"https://{spec.host}/", href)
     return item
 
 
@@ -743,7 +744,7 @@ def _next_links(spec: SourceSpec, url: str, doc: minihtml.Node) -> list[str]:
     if pag == "next":
         href = _qa(doc, "a", "next", "href")
         if href:
-            out.append(urljoin(url, href))
+            out.append(fast_urljoin(url, href))
     elif pag == "js_page":
         href = _qa(doc, "a", "next", "href")
         if href:
@@ -789,7 +790,7 @@ def _next_links(spec: SourceSpec, url: str, doc: minihtml.Node) -> list[str]:
                 None,
             )
             if nxt is not None:
-                out.append(urljoin(url, nxt.attrs["action"]))
+                out.append(fast_urljoin(url, nxt.attrs["action"]))
     return out
 
 
@@ -812,7 +813,7 @@ def _parse_page(spec: SourceSpec, url: str, body: bytes, depth: int, meta: dict)
             if href:
                 links.append(
                     {
-                        "url": urljoin(url, href),
+                        "url": fast_urljoin(url, href),
                         "from_url": url,
                         "source": spec.name,
                         "parse_family": "cards",

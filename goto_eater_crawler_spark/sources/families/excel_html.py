@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import re
 from urllib.parse import urljoin
+from ...functions.urltools import fast_urljoin
 
 import pandas as pd
 
@@ -119,7 +120,7 @@ def _parse_index(spec: SourceSpec, url: str, html: str):
         if area_name in cfg["area_list"]:
             links.append(
                 {
-                    "url": urljoin(url, m.group(1)),
+                    "url": fast_urljoin(url, m.group(1)),
                     "from_url": url,
                     "parse_family": "excel_html",
                     "meta": {"area_name": area_name},

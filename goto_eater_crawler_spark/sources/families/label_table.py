@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import re
 from urllib.parse import urljoin
+from ...functions.urltools import fast_urljoin
 
 import pandas as pd
 
@@ -142,7 +143,7 @@ def extract_batch(pdf: pd.DataFrame):
             for href in _DETAIL_A_RE.findall(html_s):
                 links.append(
                     {
-                        "url": urljoin(url, href),
+                        "url": fast_urljoin(url, href),
                         "from_url": url,
                         "source": source,
                         "parse_family": "label_table",
@@ -154,7 +155,7 @@ def extract_batch(pdf: pd.DataFrame):
             if nm:
                 links.append(
                     {
-                        "url": urljoin(url, nm.group(1)),
+                        "url": fast_urljoin(url, nm.group(1)),
                         "from_url": url,
                         "source": source,
                         "parse_family": "label_table",

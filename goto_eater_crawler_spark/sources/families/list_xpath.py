@@ -20,6 +20,8 @@ import re
 
 import pandas as pd
 
+from ...functions.urltools import fast_urljoin
+
 GENRES = ["和食", "洋食", "中華", "居酒屋", "カフェ", "ラーメン", "寿司"]
 
 # ---------------------------------------------------------------------------
@@ -146,7 +148,7 @@ def _parse_body(url: str, body: bytes):
     if nm:
         from urllib.parse import urljoin
 
-        links.append(urljoin(url, nm.group(1)))
+        links.append(fast_urljoin(url, nm.group(1)))
     return items, links
 
 

@@ -26,6 +26,8 @@ from urllib.parse import urlsplit
 
 import pandas as pd
 
+from ...functions.urltools import fast_urljoin
+
 AREAS = [("11", "道央"), ("21", "道南"), ("31", "道北"), ("41", "道東")]
 GENRES = ["海鮮", "ジンギスカン", "ラーメン", "スープカレー"]
 
@@ -169,7 +171,7 @@ def _parse_body(url: str, body: bytes, meta: dict | None):
 
         links.append(
             {
-                "url": urljoin(url, nm.group(1).replace("&amp;", "&")),
+                "url": fast_urljoin(url, nm.group(1).replace("&amp;", "&")),
                 "parse_family": "session_token",
                 "meta": meta,  # token + area thread forward
             }

@@ -39,6 +39,8 @@ def run(cores: int, evdir: str) -> dict:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     pages = spark.read.parquet(bench.SCALE_DATA)
@@ -61,6 +63,7 @@ def run(cores: int, evdir: str) -> dict:
     ).count()
     eng = CrawlEngine(spark, pages, robots, cfg)
     state = eng.bootstrap(frontier)
+    t0_epoch = time.time()
     t0 = time.perf_counter()
     res = eng.run_rounds(*state)
     elapsed = time.perf_counter() - t0
@@ -74,13 +77,16 @@ def run(cores: int, evdir: str) -> dict:
         "urls_per_sec": round(m["fetched"] / elapsed, 1),
         "app_id": app_id,
         "event_log": os.path.join(evdir, app_id),
+        "window": [t0_epoch, t0_epoch + elapsed],
     }
 
 
 def decompose(event_log: str, window: tuple[float, float] | None = None) -> dict:
-    """Parse a Spark JSON event log into job/stage walls and gaps."""
+    """Parse a Spark JSON event log into job/stage walls, per-stage
+    task-time sums (run/cpu/gc/deser) and inter-job driver gaps."""
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
+    task_sums: dict[int, dict] = {}
     with open(event_log) as f:
         for line in f:
             try:
@@ -94,20 +100,39 @@ def decompose(event_log: str, window: tuple[float, float] | None = None) -> dict
                 j = jobs.get(ev["Job ID"])
                 if j is not None:
                     j["end"] = ev["Completion Time"] / 1000.0
+            elif e == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                tm = ev.get("Task Metrics") or {}
+                agg = task_sums.setdefault(
+                    sid, {"run": 0.0, "cpu": 0.0, "gc": 0.0, "deser": 0.0}
+                )
+                agg["run"] += tm.get("Executor Run Time", 0) / 1000.0
+                agg["cpu"] += tm.get("Executor CPU Time", 0) / 1e9
+                agg["gc"] += tm.get("JVM GC Time", 0) / 1000.0
+                agg["deser"] += tm.get("Executor Deserialize Time", 0) / 1000.0
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 if "Submission Time" in si and "Completion Time" in si:
                     stages[si["Stage ID"]] = {
+                        "stage": si["Stage ID"],
                         "name": si["Stage Name"].split("\n")[0][:90],
+                        "submitted": si["Submission Time"] / 1000.0,
                         "wall": (si["Completion Time"] - si["Submission Time"])
                         / 1000.0,
                         "tasks": si["Number of Tasks"],
                     }
+    for sid, s in stages.items():
+        s.update(
+            {k: round(v, 2) for k, v in task_sums.get(sid, {}).items()}
+        )
     spans = sorted(
         (j["start"], j.get("end", j["start"])) for j in jobs.values()
     )
     if window:
         spans = [s for s in spans if s[0] >= window[0]]
+        stages = {
+            k: s for k, s in stages.items() if s["submitted"] >= window[0]
+        }
     # union of job spans vs total window -> busy vs gap (driver serial)
     busy, cur_s, cur_e = 0.0, None, None
     for s, e in spans:
@@ -122,11 +147,17 @@ def decompose(event_log: str, window: tuple[float, float] | None = None) -> dict
         busy += cur_e - cur_s
     total = spans[-1][1] - spans[0][0] if spans else 0.0
     top = sorted(stages.values(), key=lambda s: -s["wall"])[:15]
+    run_total = round(sum(s.get("run", 0.0) for s in stages.values()), 2)
+    cpu_total = round(sum(s.get("cpu", 0.0) for s in stages.values()), 2)
+    gc_total = round(sum(s.get("gc", 0.0) for s in stages.values()), 2)
     return {
         "n_jobs": len(spans),
         "jobs_window_sec": round(total, 2),
         "jobs_busy_sec": round(busy, 2),
         "driver_gap_sec": round(total - busy, 2),
+        "task_run_sec_total": run_total,
+        "task_cpu_sec_total": cpu_total,
+        "task_gc_sec_total": gc_total,
         "top_stages": top,
     }
 
@@ -135,7 +166,7 @@ if __name__ == "__main__":
     cores = int(sys.argv[1])
     evdir = "/tmp/spark-events"
     r = run(cores, evdir)
-    r["decomp"] = decompose(r["event_log"])
+    r["decomp"] = decompose(r["event_log"], tuple(r["window"]))
     out = json.dumps(r, indent=1)
     print(out)
     if len(sys.argv) > 2:
