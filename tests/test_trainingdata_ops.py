@@ -124,6 +124,33 @@ def test_dedup_clusters_connected_components(spark):
                    20: 20, 21: 20, 30: 30, 31: 30}
 
 
+def test_dedup_pipeline_shares_subplans(spark):
+    """Plan shape: the shingle/candidate relations referenced multiple
+    times inside the dedup pipeline must resolve to InMemoryRelation
+    scans (persisted once), and dedup_clusters raises if min-label
+    propagation hits its iteration cap (round-2 advisor findings:
+    un-persisted sub-plans re-evaluated the whole LSH pipeline 2-4x;
+    silent non-convergence returned wrong cluster ids)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}w{j}" for j in range(40))) for i in range(12)]
+        + [(100 + i, " ".join(f"t{i}w{j}" for j in range(2, 40))) for i in range(12)],
+        ["doc_id", "text"],
+    )
+    pairs = td.minhash_lsh_pairs(docs, 0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    clusters = td.dedup_clusters(pairs)
+    assert clusters.count() > 0  # pipeline executes end-to-end
+    # non-convergence must be loud, not silent
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        td.dedup_clusters(chain, max_iters=2)
+
+
 def test_dedup_clusters_long_chain_converges(spark):
     n = 24
     pairs = spark.createDataFrame(
