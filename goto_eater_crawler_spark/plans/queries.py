@@ -852,6 +852,21 @@ def q_multimodal_binary_meta(spark, sf_dir):
     return _mm.binary_metadata(_mm.docs_as_binary(d)).orderBy("doc_id")
 
 
+@_register(
+    "multimodal_image_decode",
+    # REAL PNG decode gate (round 3): synth_images writes genuine
+    # zlib-compressed PNGs deterministically derived from doc_id; the
+    # engine decodes them (miniimg codec) and extracts luminance mean
+    # + 8x8 aHash; the oracle computes every property in closed form —
+    # a codec bug (zlib framing, filters, scanline layout, grey
+    # conversion, resample) cannot hash-match.
+    _mm.image_decode_sql(7) + " ORDER BY doc_id",
+)
+def q_multimodal_image_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.image_decode_metadata(_mm.synth_images(d, 7)).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Multi-source extraction gate: the registry's 40 single-pass sources
 # extracted by the REAL vectorized engine pass (mapInPandas dispatch,

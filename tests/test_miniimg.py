@@ -1,0 +1,89 @@
+"""miniimg: pure-python PNG/BMP codec + pixel ops (round-3 upgrade of
+the multimodal decode stub to a real decoder for non-entropy-coded
+formats), and the Spark image-decode operators built on it."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from goto_eater_crawler_spark.functions import miniimg as mi
+
+
+def _rand_rows(w, h, nch, seed):
+    rng = random.Random(seed)
+    return [bytes(rng.randrange(256) for _ in range(w * nch)) for _ in range(h)]
+
+
+@pytest.mark.parametrize("mode,nch", [("L", 1), ("RGB", 3), ("RGBA", 4)])
+def test_png_roundtrip_all_filters(mode, nch):
+    w, h = 13, 9
+    rows = _rand_rows(w, h, nch, seed=nch)
+    for filters in (None, [y % 5 for y in range(h)], [4] * h, [3] * h):
+        data = mi.png_encode(w, h, mode, rows, filters)
+        assert mi.png_decode(data) == (w, h, mode, rows), filters
+
+
+def test_bmp_roundtrip_including_row_padding():
+    for w in (10, 11, 12, 13):  # exercise 4-byte row padding cases
+        rows = _rand_rows(w, 5, 3, seed=w)
+        assert mi.bmp_decode(mi.bmp_encode(w, 5, rows)) == (w, 5, "RGB", rows)
+
+
+def test_decode_dispatch_and_unsupported_formats():
+    rows = [bytes([7] * 4)]
+    png = mi.png_encode(4, 1, "L", rows)
+    assert mi.decode_image(png)[2] == "L"
+    bmp = mi.bmp_encode(1, 1, [bytes([1, 2, 3])])
+    assert mi.decode_image(bmp)[2] == "RGB"
+    for bad in (b"\xff\xd8\xff\xe0JFIF", b"RIFFxxxxWEBP", b"", b"garbage"):
+        with pytest.raises(mi.ImageFormatError):
+            mi.decode_image(bad)
+    # truncated IDAT must raise, not return garbage
+    with pytest.raises(Exception):
+        mi.png_decode(png[:30])
+
+
+def test_grey_resize_ahash_contracts():
+    # vertical two-tone 16x16 -> half-0 half-1 hash per row
+    rows = [bytes([10, 10, 10] * 8 + [200, 200, 200] * 8) for _ in range(16)]
+    grid = mi.to_grey(16, 16, "RGB", rows)
+    assert mi.ahash(grid) == 0x0F0F0F0F0F0F0F0F
+    # horizontal two-tone -> top 32 bits 0, bottom 32 bits 1
+    grid_h = [[10] * 16 for _ in range(8)] + [[200] * 16 for _ in range(8)]
+    assert mi.ahash(grid_h) == 0x00000000FFFFFFFF
+    # resize floor-mapping determinism
+    g = [[1, 2], [3, 4]]
+    assert mi.resize_nearest(g, 4, 4) == [
+        [1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]
+    ]
+    # near-dup invariance: small luminance perturbation keeps the hash
+    noisy = [[v + 3 for v in row] for row in grid_h]
+    assert mi.ahash(noisy) == mi.ahash(grid_h)
+
+
+def test_image_decode_operator_real_png(spark):
+    """End-to-end: synth real PNGs in one Arrow pass, decode in
+    another, and check a hand-computed row (doc_id=0: 8x8, vertical
+    a=0/b=155 -> mean 77.5, hash 0x0F..)."""
+    from goto_eater_crawler_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(15)], ["doc_id", "text"]
+    )
+    imgs = mm.synth_images(docs, mod=7)  # doc_ids 0, 7, 14
+    meta = {r["doc_id"]: r for r in mm.image_decode_metadata(imgs).collect()}
+    assert set(meta) == {0, 7, 14}
+    r0 = meta[0]
+    assert (r0["width"], r0["height"], r0["mode"]) == (8, 8, "L")
+    assert r0["mean_grey"] == pytest.approx(77.5)
+    assert r0["ahash"] == 0x0F0F0F0F0F0F0F0F
+    r7 = meta[7]  # odd -> horizontal split, h = 8 + 21 % 7 = 8
+    assert r7["ahash"] == 0x00000000FFFFFFFF
+    # undecodable payload -> null row, not a task failure
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"\xff\xd8\xff\xe0JFIF"))], "doc_id long, payload binary"
+    )
+    row = mm.image_decode_metadata(bad).collect()[0]
+    assert row["doc_id"] == 99 and row["width"] is None and row["ahash"] is None

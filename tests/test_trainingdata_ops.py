@@ -413,12 +413,20 @@ def test_multimodal_binary_plumbing(spark):
     out = mm.binary_metadata(mm.docs_as_binary(df)).collect()[0]
     assert out["n_bytes"] == 11
     assert out["header_hex"] == "68656C6C".upper()
-    assert out["width"] == 16 + 11 % 64 and out["height"] == 16 + 77 % 64
+    assert out["format"] == "unknown"  # text bytes are not an image
 
 
-def test_decode_stub_is_marked():
-    """The decode step is a documented stub (no imaging libs in this
-    container) — deterministic fake, stable output."""
-    a = mm.decode_image_stub(b"x" * 100)
-    b = mm.decode_image_stub(b"y" * 100)
-    assert a == b  # depends only on length, deterministic
+def test_binary_metadata_sniffs_real_formats(spark):
+    """Format sniff on real encoded payloads (round 3: the fake
+    dimensions stub is gone; PNG/BMP are decoded for real in
+    image_decode_metadata, entropy-coded formats report 'unknown')."""
+    from goto_eater_crawler_spark.functions import miniimg as mi
+
+    png = mi.png_encode(2, 1, "L", [bytes([1, 2])])
+    bmp = mi.bmp_encode(1, 1, [bytes([1, 2, 3])])
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(b"\xff\xd8JPEG"))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["format"] for r in mm.binary_metadata(df).collect()}
+    assert got == {1: "png", 2: "bmp", 3: "unknown"}
