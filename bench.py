@@ -196,12 +196,14 @@ def membw_calibration(n_lo: int, n_hi: int, mb: int = 192, reps: int = 10) -> di
     import numpy as np
 
     def stream(q):
-        a = np.zeros(mb * 1024 * 1024, dtype=np.uint8)
-        a[::4096] = 1
+        # preallocated + pre-faulted buffers: time pure streaming
+        # copies, not allocator/page-fault churn
+        a = np.ones(mb * 1024 * 1024, dtype=np.uint8)
+        b = np.ones(mb * 1024 * 1024, dtype=np.uint8)
+        np.copyto(b, a)  # warm
         t0 = time.perf_counter()
         for _ in range(reps):
-            b = a.copy()
-            a[::4096] = b[::4096]
+            np.copyto(b, a)
         q.put(mb * reps * 2 / (time.perf_counter() - t0))
 
     def agg(n):

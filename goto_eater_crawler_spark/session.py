@@ -51,6 +51,17 @@ def get_spark(
     # where the driver script lives: the equivalent of
     # ``spark-submit --py-files engine.zip`` for plain-python drivers.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # glibc malloc tuning for the python workers (inherited JVM ->
+    # pyspark.daemon -> workers): pandas/Arrow create fresh >128KB
+    # temporaries per batch, which default glibc mmap()s and munmap()s
+    # every time — the kernel page-fault + zero path degrades ~2.6x
+    # under 8-way concurrency on this host (measured, BASELINE.md
+    # round 3) while resident-buffer streaming scales at 0.94. Raising
+    # the mmap/trim thresholds keeps batch temporaries in the arena:
+    # +50-70% on the alloc-churn microbench, at the cost of workers
+    # retaining freed arena memory (bounded; fine at 128 GiB).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
     py_path = os.environ.get("PYTHONPATH", "")
     if repo_root not in py_path.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
