@@ -46,7 +46,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -472,7 +472,17 @@ class CrawlEngine:
             # materialize ONCE; this is the round's heavy job — it
             # computes the whole selected->fetch->extract->dedup chain
             # (upstream persists fill here); everything below reads
-            # cached/checkpointed data.
+            # cached/checkpointed data. The via-counters ride the SAME
+            # job as an Observation (CollectMetrics accumulators) —
+            # round 2 spent a separate stats job + collect on them.
+            obs_via = Observation(f"via_{round_no}")
+            new_rows = new_rows.observe(
+                obs_via,
+                *[
+                    F.count(F.when(F.col("via") == v, 1)).alias(v)
+                    for v in ("exact", "bloom_definite", "bloom_fp")
+                ],
+            )
             new_rows = self._materialize(new_rows, round_no, "new_rows")
 
             # retries: miss -> re-enqueue decayed, or dead-letter
@@ -529,6 +539,18 @@ class CrawlEngine:
                 futs["blocks"] = pool.submit(
                     self._materialize, new_blocks, round_no, "blocks"
                 )
+            # status/record counters ride the materialization jobs as
+            # Observations — no separate stats job or extra scan
+            obs_log = Observation(f"log_{round_no}")
+            round_log = round_log.observe(
+                obs_log,
+                *[
+                    F.count(F.when(F.col("status") == s, 1)).alias(s)
+                    for s in ("fetched", "robots_dropped", "offsite", "retry", "dead")
+                ],
+            )
+            obs_rec = Observation(f"rec_{round_no}")
+            records = records.observe(obs_rec, F.count(F.lit(1)).alias("n"))
             futs["fetch_log"] = pool.submit(
                 self._materialize, round_log, round_no, "fetch_log"
             )
@@ -545,37 +567,26 @@ class CrawlEngine:
             records = futs["records"].result()
             frontier = futs["frontier"].result()
 
-            # ONE combined counters job over the checkpointed outputs
-            # (uniform (kind, key, n) shape; replaces three collects)
-            stats_df = (
-                new_rows.groupBy(F.col("via").alias("key"))
-                .agg(F.count("*").alias("n"))
-                .withColumn("kind", F.lit("via"))
-                .unionByName(
-                    round_log.groupBy(F.col("status").alias("key"))
-                    .agg(F.count("*").alias("n"))
-                    .withColumn("kind", F.lit("status"))
-                )
-                .unionByName(
-                    records.groupBy(F.lit("n").alias("key"))
-                    .agg(F.count("*").alias("n"))
-                    .withColumn("kind", F.lit("records"))
-                )
-            )
-            stats = {(r["kind"], r["key"]): r["n"] for r in stats_df.collect()}
-            via_counts = {k: v for (kind, k), v in stats.items() if kind == "via"}
-            status_counts = {k: v for (kind, k), v in stats.items() if kind == "status"}
+            # counters came from the Observations riding the
+            # materialization jobs above (round 2 ran a separate
+            # combined stats job + collect over the checkpointed
+            # outputs — one extra job + scan per round). `.get` blocks
+            # until the observed job finishes; all three already have.
+            via_counts = obs_via.get
+            status_counts = obs_log.get
             m = {
                 "round": round_no,
-                "fetched": status_counts.get("fetched", 0),
-                "robots_dropped": status_counts.get("robots_dropped", 0),
-                "offsite": status_counts.get("offsite", 0),
-                "retry": status_counts.get("retry", 0),
-                "dead": status_counts.get("dead", 0),
-                "records": stats.get(("records", "n"), 0),
+                "fetched": status_counts["fetched"],
+                "robots_dropped": status_counts["robots_dropped"],
+                "offsite": status_counts["offsite"],
+                "retry": status_counts["retry"],
+                "dead": status_counts["dead"],
+                "records": obs_rec.get["n"],
                 "new_urls": sum(via_counts.values()),
-                "bloom_definite_new": via_counts.get("bloom_definite"),
-                "bloom_fp": via_counts.get("bloom_fp"),
+                # zero -> None preserves the round-2 metric shape
+                # (key absent when no rows carried that via)
+                "bloom_definite_new": via_counts["bloom_definite"] or None,
+                "bloom_fp": via_counts["bloom_fp"] or None,
             }
             fetch_seq_offset += m["fetched"]
 
