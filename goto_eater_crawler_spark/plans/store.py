@@ -13,15 +13,17 @@ three implementations cover the deployment spectrum:
   as the atomic commit mark (a crashed round leaves no manifest and
   is invisible to resume). This is the sandbox stand-in whose commit
   discipline mirrors Iceberg's snapshot-commit-last protocol.
-- :class:`IcebergStore` — the real thing: one partitioned table per
-  state name (``<prefix>_<name>``, partitioned by ``round``) written
-  via ``overwritePartitions``, plus a ``<prefix>_manifest`` table
-  whose appended row IS the commit mark (Iceberg appends are atomic
-  snapshot commits). Requires an Iceberg catalog on the session
-  (spark.sql.catalog.* + iceberg-spark-runtime jars — absent in this
-  sandbox, so construction degrades to a clear error message; every
-  other code path is identical across stores and covered by the
-  parquet store's tests).
+- :class:`IcebergStore` — one partitioned table per state name
+  (``<prefix>_<name>``, partitioned by ``round``) written via
+  ``overwritePartitions``, plus a ``<prefix>_manifest`` table whose
+  appended row IS the commit mark (Iceberg appends are atomic
+  snapshot commits). Dual-mode (round 3): with a configured connector
+  catalog it uses the DataFrameWriterV2 path (Iceberg in prod; jars
+  absent in this sandbox); against ``spark_catalog.*`` it runs the
+  SAME store logic over v1 managed tables, with overwritePartitions
+  swapped for its exact semantic equivalent (dynamic-mode INSERT
+  OVERWRITE) — so crawl + retry-overwrite + resume through catalog
+  tables execute under test (tests/test_resume_retry.py).
 """
 
 from __future__ import annotations
@@ -157,13 +159,27 @@ class IcebergStore:
         self.spark = spark
         self.prefix = prefix  # e.g. "my_catalog.crawl.prod"
         catalog = prefix.split(".")[0]
-        if not spark.conf.get(f"spark.sql.catalog.{catalog}", None):
+        # v2 mode: a configured connector catalog (Iceberg in prod).
+        # v1 mode: the session catalog — ``overwritePartitions`` is
+        # replaced by its exact semantic equivalent for v1 tables,
+        # INSERT OVERWRITE with dynamic partition overwrite; every
+        # other line (table naming, round partitioning, manifest
+        # commit protocol, reads, resume) is shared, so the store's
+        # logic executes under test even without iceberg jars.
+        self.v2 = bool(spark.conf.get(f"spark.sql.catalog.{catalog}", None))
+        if not self.v2 and catalog != "spark_catalog":
             raise RuntimeError(
                 f"IcebergStore needs an Iceberg catalog named {catalog!r} "
                 "(spark.sql.catalog.* config + iceberg-spark-runtime jars); "
                 "not configured on this session — use ParquetManifestStore "
-                "in environments without Iceberg."
+                "or a spark_catalog.* prefix (v1 session-catalog mode)."
             )
+        if not self.v2:
+            # INSERT OVERWRITE must be partition-scoped like
+            # overwritePartitions; the default static mode truncates
+            # the whole table. Session-wide (not per-write): the crawl
+            # loop writes from concurrent threads.
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def _table(self, name: str) -> str:
         return f"{self.prefix}_{name}"
@@ -172,9 +188,25 @@ class IcebergStore:
         t = self._table(name)
         out = df.withColumn("round", F.lit(round_no))
         if not self.spark.catalog.tableExists(t):
-            out.writeTo(t).partitionedBy("round").create()
-        else:
+            if self.v2:
+                out.writeTo(t).partitionedBy("round").create()
+            else:
+                out.write.partitionBy("round").saveAsTable(t)
+        elif self.v2:
+            # Iceberg: replace exactly the partitions present in `out`
+            # (a retried round overwrites itself, never duplicates)
             out.writeTo(t).overwritePartitions()
+        else:
+            # v1 equivalent of overwritePartitions: dynamic-mode
+            # INSERT OVERWRITE touches only the partitions in `out`
+            # (mode set session-wide in __init__ — a per-write conf
+            # toggle races with the crawl loop's concurrent
+            # materialization threads). insertInto is POSITIONAL:
+            # align to the table's column order first (v2's writeTo
+            # resolves by name; this keeps the two paths equivalent).
+            out.select(*self.spark.read.table(t).columns).write.mode(
+                "overwrite"
+            ).insertInto(t)
         return (
             self.spark.read.table(t)
             .filter(F.col("round") == round_no)
@@ -201,9 +233,14 @@ class IcebergStore:
             [(round_no, json.dumps(info))], "round int, info string"
         )
         if not self.spark.catalog.tableExists(t):
-            row.writeTo(t).create()
+            if self.v2:
+                row.writeTo(t).create()
+            else:
+                row.write.saveAsTable(t)
+        elif self.v2:
+            row.writeTo(t).append()  # atomic Iceberg snapshot commit
         else:
-            row.writeTo(t).append()
+            row.write.mode("append").saveAsTable(t)
 
     def committed_rounds(self) -> list[int]:
         t = self._table("manifest")
