@@ -529,3 +529,78 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def eval_snippets(
+    docs: DataFrame, mod: int = 97, skip: int = 5, length: int = 20
+) -> DataFrame:
+    """(eval_id, text) — a deterministic stand-in benchmark/eval set:
+    tokens[skip : skip+length] of every doc with doc_id % mod == 0.
+    Planted contamination with known provenance, so the contamination
+    gate has guaranteed true positives at every scale factor (the same
+    device as docs_with_variants for the dedup gates). Mirrored by
+    :func:`eval_snippets_sql`."""
+    return docs.filter(f"doc_id % {mod} = 0").select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(
+            F.slice(tokens_col(F.col("text")), skip + 1, length), " "
+        ).alias("text"),
+    )
+
+
+def eval_snippets_sql(docs_rel: str, mod: int = 97, skip: int = 5, length: int = 20) -> str:
+    return f"""(
+      SELECT doc_id AS eval_id,
+             array_to_string(
+               string_split_regex(trim(lower(text)), '\\s+')[{skip + 1}:{skip + length}],
+               ' ') AS text
+      FROM {docs_rel} WHERE doc_id % {mod} = 0)"""
+
+
+def contamination(
+    docs: DataFrame, eval_set: DataFrame, min_overlap: int = 3
+) -> DataFrame:
+    """(doc_id, eval_id, n_common) — corpus documents sharing at least
+    ``min_overlap`` word-3-gram shingles with an eval document: the
+    decontamination scan a training pipeline runs before a data
+    release (classic 13-gram check, SHINGLE_K-gram here).
+
+    Scale shape: the eval set is tiny next to the corpus (thousands of
+    benchmark items vs billions of docs), so its shingle relation is
+    BROADCAST — the corpus is shingled in one pass and never shuffled
+    for the join; the only shuffle is the map-side-combinable
+    groupBy(doc_id, eval_id) count. Contaminated doc_ids then feed the
+    same broadcast anti-join used by dedup_keep_documents."""
+    sh_docs = shingles(docs)
+    sh_eval = (
+        eval_set.select(F.col("eval_id").alias("doc_id"), "text")
+        .transform(shingles)
+        .select(F.col("doc_id").alias("eval_id"), "shingle")
+    )
+    return (
+        sh_docs.join(F.broadcast(sh_eval), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_overlap)
+    )
+
+
+def contamination_sql(
+    docs_rel: str, eval_sql: str, min_overlap: int = 3
+) -> str:
+    return f"""
+    WITH sh_docs AS ({SHINGLES_SQL.format(docs=docs_rel)}),
+    eval_set AS (SELECT eval_id AS doc_id, text FROM {eval_sql}),
+    sh_eval AS (
+      SELECT doc_id AS eval_id, shingle
+      FROM ({SHINGLES_SQL.format(docs='eval_set')}))
+    SELECT d.doc_id, e.eval_id, count(*) AS n_common
+    FROM sh_docs d JOIN sh_eval e USING (shingle)
+    GROUP BY d.doc_id, e.eval_id
+    HAVING count(*) >= {min_overlap}
+    """

@@ -654,6 +654,25 @@ def q_dedup_keep_documents(spark, sf_dir):
     )
 
 
+@_register(
+    "dedup_contamination",
+    # benchmark-decontamination scan: docs sharing >= 3 word-3-gram
+    # shingles with an eval-set item. The eval set is deterministic
+    # snippets of every 97th doc (planted true positives with known
+    # provenance), so the gate can only pass by actually finding
+    # cross-set n-gram overlap.
+    _td.contamination_sql(
+        "documents", _td.eval_snippets_sql("documents"), 3
+    )
+    + " ORDER BY doc_id, eval_id",
+)
+def q_dedup_contamination(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _td.contamination(d, _td.eval_snippets(d), 3).orderBy(
+        "doc_id", "eval_id"
+    )
+
+
 @_register("similarity_cosine_topk", _sim.cosine_topk_sql(5, 10))
 def q_similarity_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -991,6 +1010,80 @@ def q_sample_stratified(spark, sf_dir):
         .agg(
             F.count("*").alias("n_total"),
             F.count(F.when(sel < rate, 1)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+# domain-mixture resampling: reshape the corpus to target per-lang
+# weights at constant total size. rate_l = w_l * N_total / n_l can
+# exceed 1 (upsampling): every doc emits floor(rate) copies plus one
+# more when its multiplicative-hash selector falls below the
+# fractional part — fully deterministic, engine-agnostic, and
+# distributed (counts stay IN-PLAN as a broadcast 1-row/«langs»-row
+# dim; no driver-side scalars).
+_MIX_WEIGHTS = {"en": 0.35, "zh": 0.25, "de": 0.2, "fr": 0.15, "es": 0.05}
+_MIX_MOD = 10000
+
+
+def domain_mix(docs, weights=None, sel_mod=_MIX_MOD):
+    weights = weights or _MIX_WEIGHTS
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    totals = docs.agg(F.count("*").alias("n_total"))
+    w_expr = F.lit(0.0)
+    for k, v in reversed(list(weights.items())):
+        w_expr = F.when(F.col("lang") == k, F.lit(v)).otherwise(w_expr)
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("rate", w_expr * F.col("n_total") / F.col("n_lang"))
+        .select("lang", "rate")
+    )
+    sel = (F.col("doc_id") * F.lit(2654435761)) % sel_mod
+    n_copies = F.floor("rate").cast("int") + F.when(
+        sel < F.floor((F.col("rate") - F.floor("rate")) * sel_mod), 1
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "lang",
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+    )
+
+
+@_register(
+    "sample_domain_mix",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+    totals AS (SELECT count(*) AS n_total FROM documents),
+    rates AS (
+      SELECT lang,
+             CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())}
+                  ELSE 0.0 END * n_total / n_lang AS rate
+      FROM counts CROSS JOIN totals),
+    mixed AS (
+      SELECT d.lang, d.doc_id, c.copy_idx
+      FROM documents d JOIN rates r USING (lang),
+           UNNEST(range(1,
+             CAST(floor(r.rate) AS INT)
+             + CASE WHEN (d.doc_id * 2654435761) % {_MIX_MOD}
+                         < floor((r.rate - floor(r.rate)) * {_MIX_MOD})
+                    THEN 1 ELSE 0 END + 1)) AS c(copy_idx))
+    SELECT lang, count(*) AS n_out, count(DISTINCT doc_id) AS n_docs
+    FROM mixed GROUP BY lang ORDER BY lang
+    """,
+)
+def q_sample_domain_mix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        domain_mix(d)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_out"),
+            F.countDistinct("doc_id").alias("n_docs"),
         )
         .orderBy("lang")
     )

@@ -151,6 +151,61 @@ def test_dedup_pipeline_shares_subplans(spark):
         td.dedup_clusters(chain, max_iters=2)
 
 
+def test_domain_mix_hits_target_weights(spark):
+    """Domain-mixture resampling: per-lang output ~ weight * N_total,
+    deterministic, with real upsampling (floor(rate) copies +
+    hash-selected extra) and a broadcast rates dim (corpus unshuffled
+    before the final agg)."""
+    from goto_eater_crawler_spark.plans.queries import domain_mix
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b", f"t{i}") for i in range(100)],
+        ["doc_id", "lang", "text"],
+    )
+    # flip the 80/20 mixture to 20/80 at constant size
+    out = domain_mix(docs, {"a": 0.2, "b": 0.8})
+    rows = out.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append((r["doc_id"], r["copy_idx"]))
+    # a: rate 0.2*100/80 = 0.25 -> ~20 docs, no copies
+    assert 15 <= len(per_lang["a"]) <= 25
+    assert all(c == 1 for _, c in per_lang["a"])
+    # b: rate 0.8*100/20 = 4.0 -> every b doc exactly 4 copies
+    assert len(per_lang["b"]) == 80
+    assert sorted(c for _, c in per_lang["b"]) == sorted([1, 2, 3, 4] * 20)
+    # deterministic
+    again = sorted((r["lang"], r["doc_id"], r["copy_idx"]) for r in out.collect())
+    assert again == sorted((r["lang"], r["doc_id"], r["copy_idx"]) for r in rows)
+
+
+def test_contamination_finds_cross_doc_overlap(spark):
+    """Benchmark decontamination: a corpus doc embedding an eval item's
+    n-grams must be flagged (cross-doc, not just self-overlap), clean
+    docs must not, and the eval-shingle side must be broadcast (the
+    corpus never shuffles for the join)."""
+    eval_set = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")],
+        ["eval_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words then the quick brown fox jumps over something"),
+            (2, "completely different tokens with no overlap whatsoever"),
+            (3, "quick brown fox appears but too short"),  # 1 shingle only
+        ],
+        ["doc_id", "text"],
+    )
+    out = td.contamination(docs, eval_set, min_overlap=3)
+    got = {(r["doc_id"], r["eval_id"]): r["n_common"] for r in out.collect()}
+    # doc 1 shares 'the quick brown','quick brown fox','brown fox jumps',
+    # 'fox jumps over' = 4 shingles; doc 3 only 2 ('quick brown fox',
+    # 'brown fox appears'x) -> below threshold
+    assert got == {(1, 1000): 4}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_dedup_clusters_long_chain_converges(spark):
     n = 24
     pairs = spark.createDataFrame(
