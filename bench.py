@@ -33,6 +33,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from goto_eater_crawler_spark.operators.dedup import BloomParams  # noqa: E402
 from goto_eater_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine  # noqa: E402
 from goto_eater_crawler_spark.session import get_spark  # noqa: E402
@@ -74,6 +76,15 @@ def ensure_bench_web() -> int:
 
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
+
+    # warm the session once before timing: python worker pool, codegen
+    # paths, parquet reader — otherwise the FIRST query's number is
+    # mostly one-time JVM warmup, not the query (round-2 recorded
+    # fetch_join at ~6-8 s of which most was exactly this).
+    spark.range(0, 1000, 1, 8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).groupBy((F.col("id") % 8).alias("k")).count().count()
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
     timings = {}
     for name, fn in entrymod.queries().items():
