@@ -318,17 +318,18 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     training pipeline runs after pair-finding, so each duplicate
     GROUP keeps exactly one representative (keep doc_id==cluster_id).
 
-    Algorithm: iterated min-label propagation. Per iteration ONE
-    join (labels against the bidirectional edge list) + ONE groupBy
-    min — both hash-partitioned on doc_id, map-side combinable.
-    Converges in O(component diameter) iterations; near-dup clusters
-    are dense (a dup of a dup is usually a dup of the original), so
-    diameters are tiny — the driver loop localCheckpoints each
-    iteration and stops at fixpoint (counted changes == 0). At 10^9
-    nodes each iteration is a bounded shuffle of the (node, label)
-    relation only; the alternating large-star/small-star variant
-    (same primitive ops) is the drop-in upgrade if adversarial long
-    chains ever appear.
+    Algorithm: min-label propagation WITH pointer doubling (round 3).
+    Per iteration: one join (labels against the bidirectional edge
+    list) + one groupBy min + one label(label) self-join — all
+    hash-partitioned on doc_id, map-side combinable. The doubling step
+    halves every label chain, so convergence is O(log diameter) (the
+    large-star/small-star bound) instead of O(diameter): adversarial
+    long chains — the round-2 advisor's silent-nonconvergence case —
+    finish in ~log2 iterations, and hitting the cap raises instead of
+    returning split clusters. The driver loop localCheckpoints each
+    iteration and stops at fixpoint (counted changes == 0, folded into
+    the same aggregation). At 10^9 nodes each iteration is a bounded
+    shuffle of the (node, label) relation only.
     """
     # the incoming pair relation is usually the entire LSH + verify
     # pipeline — it is referenced TWICE in the bidirectional union, so
@@ -364,13 +365,31 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         # each doc_id has exactly one "own" row carrying old_label, so
         # min(label) vs min(old_label) decides change per key without
         # the extra join+job round 2 spent per iteration
-        new_labels = (
+        cand = (
             labels.select("doc_id", "label", F.col("label").alias("old_label"))
             .unionByName(neighbor_labels)
             .groupBy("doc_id")
             .agg(
                 F.min("label").alias("label"),
                 F.min("old_label").alias("old_label"),
+            )
+        )
+        # pointer doubling (path compression): label <- label(label).
+        # Labels are always node ids, so the self-join resolves each
+        # label one more hop toward the component minimum — combined
+        # with the neighbor-min step, convergence is O(log diameter)
+        # instead of O(diameter) (the large-star/small-star bound),
+        # for one extra equi-join per iteration. A 10^4-long chain
+        # converges in ~14 iterations instead of 10^4.
+        l2 = cand.select(
+            F.col("doc_id").alias("_p"), F.col("label").alias("_plabel")
+        )
+        new_labels = (
+            cand.join(l2, cand["label"] == l2["_p"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("_plabel", "label").alias("label"),
+                "old_label",
             )
             .localCheckpoint(eager=True)
         )

@@ -216,6 +216,19 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert len(got) == n + 1
 
 
+def test_dedup_clusters_pointer_doubling_beats_diameter(spark):
+    """A 200-node chain must converge well under its diameter's worth
+    of iterations (pointer doubling: O(log d)); plain label
+    propagation would need ~200 and raise at this cap."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    got = td.dedup_clusters(pairs, max_iters=12).collect()
+    assert len(got) == n + 1
+    assert all(r["cluster_id"] == 0 for r in got)
+
+
 def test_simhash_properties(spark):
     df = spark.createDataFrame(
         [(0, "aa bb cc dd"), (1, "aa bb cc dd"), (2, "xx yy zz qq")],
