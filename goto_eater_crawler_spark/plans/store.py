@@ -253,13 +253,17 @@ class IcebergStore:
         ]
 
     def round_info(self, round_no: int) -> dict:
+        # a retried round may have appended its manifest row more than
+        # once; pick deterministically (max of the identical-or-retry
+        # payloads) rather than relying on collect() order
         t = self._table("manifest")
         rows = (
             self.spark.read.table(t)
             .filter(F.col("round") == round_no)
+            .agg(F.max("info").alias("info"))
             .collect()
         )
-        return json.loads(rows[-1]["info"])
+        return json.loads(rows[0]["info"])
 
 
 def make_store(spark: SparkSession, checkpoint_dir: str | None) -> TableStore:
