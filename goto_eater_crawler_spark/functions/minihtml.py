@@ -83,19 +83,29 @@ class Node:
     the exact original substring between the start and end tags."""
 
     __slots__ = (
-        "tag", "attrs", "children", "parent", "_src", "start",
-        "inner_start", "inner_end",
+        "tag", "_rawattrs", "_attrs", "children", "parent", "_src",
+        "start", "inner_start", "inner_end",
     )
 
-    def __init__(self, tag: str, attrs: dict, src: str, start: int, inner_start: int):
+    def __init__(self, tag: str, rawattrs: str, src: str, start: int, inner_start: int):
         self.tag = tag
-        self.attrs = attrs
+        self._rawattrs = rawattrs
+        self._attrs: dict | None = None
         self.children: list[Node] = []
         self.parent: Node | None = None
         self._src = src
         self.start = start
         self.inner_start = inner_start
         self.inner_end = inner_start
+
+    @property
+    def attrs(self) -> dict:
+        """Attribute dict, parsed LAZILY on first access — most tags in
+        a page are never queried, and attr parsing dominates tokenizer
+        cost otherwise."""
+        if self._attrs is None:
+            self._attrs = _parse_attrs(self._rawattrs) if self._rawattrs else {}
+        return self._attrs
 
     # -- content ---------------------------------------------------------
     def inner_html(self) -> str:
@@ -199,7 +209,7 @@ def parse(html: str) -> Node:
             ):
                 stack[-1].inner_end = m.start()
                 stack.pop()
-            node = Node(tag, _parse_attrs(m.group(3)), html, m.start(), m.end())
+            node = Node(tag, m.group(3), html, m.start(), m.end())
             node.parent = stack[-1]
             stack[-1].children.append(node)
             if tag not in VOID and m.group(4) != "/":
