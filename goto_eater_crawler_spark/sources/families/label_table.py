@@ -90,9 +90,28 @@ def seeds(host: str, source: str) -> list[dict]:
 # engine extractor
 # ---------------------------------------------------------------------------
 
-_ROW_RE = re.compile(r"<tr><th>(.*?)</th><td>(.*?)</td></tr>", re.DOTALL)
-_DETAIL_A_RE = re.compile(r'<a class="detail" href="([^"]*)"')
-_NEXT_RE = re.compile(r'<a class="next" href="([^"]*)"')
+# tolerant-but-fast structural regexes (round 3): arbitrary
+# whitespace between row cells, extra attributes in any order around
+# class/href, either attr first. Full tolerance (unclosed tags,
+# quoting styles) lives in functions/minihtml, which the cards family
+# uses; label_table is the crawl hot path (~60k pages/s/worker) where
+# a compiled regex is ~20x the tokenizer's throughput, so it keeps
+# regexes but drops the exact-byte-sequence assumptions.
+_ROW_RE = re.compile(
+    r"<tr[^>]*>\s*<th[^>]*>(.*?)</th>\s*<td[^>]*>(.*?)</td>\s*</tr>",
+    re.DOTALL,
+)
+
+
+def _a_attr_re(cls: str) -> re.Pattern:
+    # <a ... class="cls" ... href="..."> in either attribute order
+    return re.compile(
+        rf'<a\b(?=[^>]*\bclass="{cls}")[^>]*\bhref="([^"]*)"'
+    )
+
+
+_DETAIL_A_RE = _a_attr_re("detail")
+_NEXT_RE = _a_attr_re("next")
 _ZIP_RE = re.compile(r"〒(?P<zip_code>.*?)\s(?P<address>.*)", re.DOTALL)
 _HREF_RE = re.compile(r'<a href="([^"]*)"')
 # q=lat,lng gmap form — same pattern family as kyoto.py:85
