@@ -105,8 +105,12 @@ _href = st.one_of(
 )
 
 
+from hypothesis import example
+
+
 @settings(max_examples=200, deadline=None)
 @given(http_urls(), _href)
+@example(base="HTTP://0/", href="/")  # scheme-case fold (found by fuzz)
 def test_fast_urljoin_matches_stdlib(base, href):
     """fast_urljoin (the python extract hot path; stdlib urljoin was
     45% of worker CPU) must be byte-equal to urllib.parse.urljoin on
