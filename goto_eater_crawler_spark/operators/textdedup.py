@@ -623,3 +623,108 @@ def contamination_sql(
     GROUP BY d.doc_id, e.eval_id
     HAVING count(*) >= {min_overlap}
     """
+
+
+# ---------------------------------------------------------------------------
+# line-level (paragraph) dedup — CCNet/RefinedWeb-style boilerplate removal
+# ---------------------------------------------------------------------------
+
+# words per synthetic line; the driver's synthetic documents carry no
+# newlines, so a line-dedup gated on them raw would be vacuous (every
+# doc = one unique line). docs_with_lines reshapes them
+# deterministically — same non-vacuity device as docs_with_variants.
+_LINE_WORDS = 8
+_LINE_BREAK_RE = r"((?:\S+ ){%d})" % _LINE_WORDS
+
+
+def docs_with_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) with deterministic multi-line structure: a
+    per-source header line (shared by every doc of the source — real
+    boilerplate), the body broken every ``_LINE_WORDS`` words, and one
+    global footer line (shared by the whole corpus). Guarantees the
+    line-dedup gate has planted positives at every scale factor.
+    Mirrored exactly by :func:`docs_with_lines_sql`."""
+    body = F.regexp_replace(F.col("text"), _LINE_BREAK_RE, "$1\n")
+    text2 = F.concat(
+        F.lit("<<hdr:"), F.col("source"), F.lit(">>\n"),
+        body,
+        F.lit("\n<<footer:terms-of-service>>"),
+    )
+    return docs.select("doc_id", text2.alias("text"))
+
+
+def docs_with_lines_sql(docs_rel: str) -> str:
+    # _LINE_BREAK_RE uses only the RE2-and-Java-common escapes (\S)
+    pat = _LINE_BREAK_RE
+    return f"""(
+      SELECT doc_id,
+             '<<hdr:' || source || '>>' || chr(10)
+             || regexp_replace(text, '{pat}', '\\1' || chr(10), 'g')
+             || chr(10) || '<<footer:terms-of-service>>' AS text
+      FROM {docs_rel})"""
+
+
+def line_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-wide exact line dedup (the CCNet paragraph-dedup stage):
+    each distinct line survives only at its first occurrence ordered by
+    (doc_id, pos); every later copy — headers, footers, repeated
+    boilerplate — is dropped, and each doc is re-assembled from its
+    kept lines. Returns (doc_id, n_lines, n_kept, text_dedup).
+
+    Scale shape: keeper selection is a map-side-combinable
+    min(struct(doc_id, pos)) groupBy on the line value — NOT a window
+    over occurrences, so a footer present in 10^8 docs partial-combines
+    per map task instead of sorting 10^8 rows in one skewed window
+    partition. One shuffle by line + one by doc_id; the corpus text is
+    never joined against itself.
+    """
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    keepers = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
+    )
+    flagged = lines.join(keepers, "line").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("k.doc_id")) & (F.col("pos") == F.col("k.pos")),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("text_dedup"),
+    )
+
+
+def line_dedup_sql(docs_rel: str) -> str:
+    keep = "l.doc_id = k.kd AND l.pos = k.kp"
+    return f"""
+    WITH docs2 AS (SELECT * FROM {docs_rel}),
+    lines AS (
+      SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos,
+             unnest(arr) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM docs2)
+    ),
+    keepers AS (
+      SELECT line, doc_id AS kd, pos AS kp FROM (
+        SELECT line, doc_id, pos,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id, pos) AS rn
+        FROM lines) WHERE rn = 1
+    )
+    SELECT l.doc_id, count(*) AS n_lines,
+           count(CASE WHEN {keep} THEN 1 END) AS n_kept,
+           coalesce(string_agg(CASE WHEN {keep} THEN l.line END,
+                               chr(10) ORDER BY l.pos), '') AS text_dedup
+    FROM lines l JOIN keepers k USING (line)
+    GROUP BY l.doc_id
+    """

@@ -673,6 +673,80 @@ def q_dedup_contamination(spark, sf_dir):
     )
 
 
+@_register(
+    "dedup_lines",
+    # CCNet-style corpus-wide line (paragraph) dedup: a line survives
+    # only at its first (doc_id, pos) occurrence. docs_with_lines
+    # plants per-source header + global footer boilerplate (the raw
+    # synthetic docs are single-line, so the gate would otherwise be
+    # vacuous) — every doc but the corpus-first must lose its footer,
+    # so the gate can only pass by actually dropping repeated lines.
+    _td.line_dedup_sql(_td.docs_with_lines_sql("documents"))
+    + " ORDER BY doc_id",
+)
+def q_dedup_lines(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _td.line_dedup(_td.docs_with_lines(d)).orderBy("doc_id")
+
+
+@_register(
+    "quality_unigram_logprob",
+    # corpus-trained unigram LM score (the CCNet LM-filter analogue
+    # without an external model): vocab = global token counts, each
+    # doc scored by its tokens' mean ln(cnt/total). Join shape scales:
+    # per-doc term frequencies first (shrinks the vocab join from
+    # n_tokens to n_distinct rows per doc), the corpus total stays
+    # in-plan as a 1-row broadcast (no driver collect).
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * ln(CAST(v.cnt AS DOUBLE) / t.total)) / sum(tf.tf), 4)
+             AS avg_logprob
+    FROM tf JOIN vocab v USING (token) CROSS JOIN total t
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+)
+def q_quality_unigram_logprob(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_td.tokens_col(F.col("text"))).alias("token")
+    )
+    # tf feeds BOTH the vocab aggregation and the scoring join — persist
+    # so the tokenize+explode pass runs once (round-2 lesson: Spark does
+    # not share sub-plans across different shuffle keys)
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("cnt").cast("double") / F.col("total"))
+                )
+                / F.sum("tf"),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @_register("similarity_cosine_topk", _sim.cosine_topk_sql(5, 10))
 def q_similarity_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")

@@ -498,3 +498,73 @@ def test_binary_metadata_sniffs_real_formats(spark):
     )
     got = {r["doc_id"]: r["format"] for r in mm.binary_metadata(df).collect()}
     assert got == {1: "png", 2: "bmp", 3: "unknown"}
+
+
+def test_line_dedup_drops_boilerplate(spark):
+    # three docs sharing a header line and a footer line; body lines
+    # unique per doc. The shared lines must survive exactly once,
+    # corpus-wide, in the lowest (doc_id, pos) slot.
+    rows = [
+        (1, "HDR\nbody one of doc1\nFOOT"),
+        (2, "HDR\nbody two of doc2\nFOOT"),
+        (3, "HDR\nbody three of doc3\nFOOT"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in td.line_dedup(d).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["text_dedup"] == "HDR\nbody one of doc1\nFOOT"
+    for i in (2, 3):
+        assert out[i]["n_lines"] == 3 and out[i]["n_kept"] == 1
+        assert out[i]["text_dedup"] == f"body {'two' if i == 2 else 'three'} of doc{i}"
+    # a line repeated WITHIN one doc also keeps only its first slot
+    d2 = spark.createDataFrame([(7, "X\na\nX\nb")], ["doc_id", "text"])
+    r7 = td.line_dedup(d2).collect()[0]
+    assert r7["n_kept"] == 3 and r7["text_dedup"] == "X\na\nb"
+
+
+def test_line_dedup_keeper_has_no_window(spark):
+    # scale shape: keeper selection must be the map-side-combinable
+    # min(struct) aggregate, not a window sorting every occurrence of
+    # a hot boilerplate line into one partition.
+    d = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
+    plan = td.line_dedup(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_docs_with_lines_plants_shared_boilerplate(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = td.line_dedup(td.docs_with_lines(docs))
+    agg = out.agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_kept").alias("nk")
+    ).collect()[0]
+    # non-vacuous by construction: every doc but one loses the global
+    # footer, every doc but one per source loses its header
+    n_docs = docs.count()
+    n_sources = docs.select("source").distinct().count()
+    assert agg["nl"] - agg["nk"] >= (n_docs - 1) + (n_docs - n_sources)
+
+
+def test_unigram_logprob_orders_rare_docs_below_common(spark):
+    # a doc made of corpus-common tokens must outscore a doc of
+    # singleton tokens under the corpus-trained unigram LM
+    from goto_eater_crawler_spark.plans.queries import _QUERIES
+    import os
+    import tempfile
+
+    rows = [(i, "the the the the", "en", "s", 15) for i in range(9)]
+    rows.append((9, "zyx wvu tsr qpo", "en", "s", 15))
+    d = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["doc_id"]: r["avg_logprob"]
+            for r in _QUERIES["quality_unigram_logprob"](spark, tmp).collect()
+        }
+    assert out[0] > out[9]
+    import math
+
+    # doc 0: all tokens 'the' (36 of 40 corpus tokens)
+    assert abs(out[0] - round(math.log(36 / 40), 4)) < 1e-9
