@@ -747,6 +747,128 @@ def q_quality_unigram_logprob(spark, sf_dir):
     )
 
 
+def _ngram_rep_cte(rel: str, k: int) -> str:
+    # per-doc top-k-gram mass (NON-distinct n-grams, unlike
+    # textdedup.SHINGLES_SQL — repetition needs multiplicity)
+    return f"""(
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams{k},
+             round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top{k}_frac
+      FROM (SELECT doc_id, gram, count(*) AS cnt
+            FROM (SELECT doc_id,
+                         array_to_string(toks[i + 1 : i + {k}], ' ') AS gram
+                  FROM (SELECT doc_id,
+                               string_split_regex(trim(lower(text)), '\\s+') AS toks
+                        FROM {rel}),
+                       UNNEST(range(0, greatest(len(toks) - {k}, 0) + 1)) AS t(i))
+            GROUP BY doc_id, gram)
+      GROUP BY doc_id)"""
+
+
+def _ngram_rep_df(docs, k: int):
+    toks = _td.tokens_col(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias(f"n_grams{k}"),
+            F.round(
+                F.max("cnt").cast("double") / F.sum("cnt"), 4
+            ).alias(f"top{k}_frac"),
+        )
+    )
+
+
+# Gopher repetition thresholds (Rae et al. 2021 table A1): remove the
+# doc when the most frequent 2-gram exceeds 20% of all 2-grams or the
+# most frequent 3-gram exceeds 18%.
+_TOP2_MAX, _TOP3_MAX = 0.20, 0.18
+
+# the synthetic corpus is near-uniform word soup (max top2_frac ~0.17,
+# all below threshold), so the gate needs planted repetitive docs to be
+# non-vacuous — same device as docs_with_variants: every (mod)-th doc
+# gains a variant (id -doc_id - 1) whose text is its own first two
+# tokens repeated, which MUST trip both thresholds.
+_REP_MOD = 31
+
+
+def _rep_aug(docs):
+    base = docs.select("doc_id", "text")
+    sel = docs.filter(f"doc_id % {_REP_MOD} = 0")
+    toks = F.split(F.col("text"), " ")
+    variant = sel.select(
+        _td.variant_id_expr(),
+        F.concat(
+            F.repeat(
+                F.concat(
+                    F.element_at(toks, 1), F.lit(" "), F.element_at(toks, 2),
+                    F.lit(" "),
+                ),
+                19,
+            ),
+            F.element_at(toks, 1),
+        ).alias("text"),
+    )
+    return base.unionByName(variant)
+
+
+_REP_AUG_SQL = f"""(
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT -doc_id - 1 AS doc_id,
+           repeat(toks[1] || ' ' || toks[2] || ' ', 19) || toks[1] AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id % {_REP_MOD} = 0))"""
+
+
+@_register(
+    "text_repetition",
+    # the repetition half of the Gopher quality suite (complements the
+    # boolean gates in text_gopher_rules): per-doc top n-gram mass.
+    # Shape: one explode + (doc_id, gram) count with map-side combine
+    # + per-doc agg — no self-join, no window, shuffle keyed by the
+    # (doc, gram) pair so hot grams inside one giant doc still spread
+    # across its own reducers' combiners.
+    f"""
+    SELECT g2.doc_id, g2.n_grams2, g2.top2_frac, g3.n_grams3, g3.top3_frac,
+           (g2.top2_frac <= {_TOP2_MAX} AND g3.top3_frac <= {_TOP3_MAX}) AS keep
+    FROM {_ngram_rep_cte(_REP_AUG_SQL, 2)} g2
+    JOIN {_ngram_rep_cte(_REP_AUG_SQL, 3)} g3 USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    d = _rep_aug(_t(spark, sf_dir, "documents"))
+    g2 = _ngram_rep_df(d, 2)
+    g3 = _ngram_rep_df(d, 3)
+    return (
+        g2.join(g3, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams2",
+            "top2_frac",
+            "n_grams3",
+            "top3_frac",
+            (
+                (F.col("top2_frac") <= _TOP2_MAX)
+                & (F.col("top3_frac") <= _TOP3_MAX)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @_register("similarity_cosine_topk", _sim.cosine_topk_sql(5, 10))
 def q_similarity_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")

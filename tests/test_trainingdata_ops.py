@@ -568,3 +568,29 @@ def test_unigram_logprob_orders_rare_docs_below_common(spark):
 
     # doc 0: all tokens 'the' (36 of 40 corpus tokens)
     assert abs(out[0] - round(math.log(36 / 40), 4)) < 1e-9
+
+
+def test_text_repetition_flags_repetitive_doc(spark):
+    import os
+    import tempfile
+
+    from goto_eater_crawler_spark.plans.queries import _QUERIES
+
+    rows = [
+        (0, "one two three four five six seven eight nine ten", "en", "s", 1),
+        (31, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        d.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["doc_id"]: r for r in _QUERIES["text_repetition"](spark, tmp).collect()
+        }
+    # both real docs are near-uniform -> kept
+    assert out[0]["keep"] and out[31]["keep"]
+    # doc 31 (mod 31 == 0) got a planted 'alpha beta' x19 variant at
+    # -32: top 2-gram ('alpha beta' or 'beta alpha') dominates -> drop
+    assert -32 in out and not out[-32]["keep"]
+    assert out[-32]["top2_frac"] > 0.4 and out[-32]["top3_frac"] > 0.3
