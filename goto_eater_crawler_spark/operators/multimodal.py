@@ -172,6 +172,134 @@ def image_decode_sql(mod: int = 7) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# real audio decode path (RIFF/WAV PCM via miniwav)
+# ---------------------------------------------------------------------------
+
+_LIST_PAYLOAD = b"INFOsynthetic!"  # 14 bytes (even: no pad byte)
+
+
+def synth_audio(docs: DataFrame, mod: int = 5) -> DataFrame:
+    """(doc_id, payload) — one REAL 16-bit PCM WAV per selected doc
+    (doc_id % mod == 0), deterministically derived from doc_id:
+
+    - sample_rate = 8000 + 1000*(doc_id % 4)
+    - n_samples   = 400 + (doc_id % 7) * 100
+    - amplitude A = 1000 + (doc_id % 50) * 100
+    - square wave, period p = 2 + (doc_id % 3): sample i = +A when
+      (i % p) < ceil(p/2) else -A  (|x| = A always, so RMS == A)
+    - odd doc_id additionally carries a LIST chunk before data, so the
+      decode gate exercises real chunk walking, not a fixed 44-byte
+      header assumption.
+
+    Encoded through miniwav.wav_encode (real RIFF container); every
+    decoded property has a closed form in doc_id that the SQL oracle
+    computes independently."""
+    from ..functions import miniwav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sr = 8000 + 1000 * (d % 4)
+                n = 400 + (d % 7) * 100
+                amp = 1000 + (d % 50) * 100
+                p = 2 + (d % 3)
+                half = (p + 1) // 2
+                samples = [amp if (i % p) < half else -amp for i in range(n)]
+                ids.append(d)
+                payloads.append(
+                    miniwav.wav_encode(
+                        sr,
+                        samples,
+                        extra_list_chunk=_LIST_PAYLOAD if d % 2 else None,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def audio_decode_metadata(audio: DataFrame) -> DataFrame:
+    """REAL decode of a binary WAV column: (doc_id, n_bytes,
+    sample_rate, channels, bits, n_samples, duration_ms, rms, peak).
+    RIFF chunk walk + PCM unpack by miniwav; undecodable payloads
+    yield a null row (pipeline-safe failure mode, same contract as
+    :func:`image_decode_metadata`)."""
+    from ..functions import miniwav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "n_bytes": [], "sample_rate": [],
+                "channels": [], "bits": [], "n_samples": [],
+                "duration_ms": [], "rms": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                out["doc_id"].append(int(doc_id))
+                out["n_bytes"].append(len(b))
+                try:
+                    sr, ch, bits, samples = miniwav.wav_decode(b)
+                except miniwav.AudioFormatError:
+                    for k in (
+                        "sample_rate", "channels", "bits", "n_samples",
+                        "duration_ms", "rms", "peak",
+                    ):
+                        out[k].append(None)
+                    continue
+                n = len(samples) // ch
+                out["sample_rate"].append(sr)
+                out["channels"].append(ch)
+                out["bits"].append(bits)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(round(n * 1000.0 / sr, 4))
+                sumsq = sum(x * x for x in samples)
+                out["rms"].append(
+                    round((sumsq / len(samples)) ** 0.5, 4) if samples else None
+                )
+                out["peak"].append(max(samples) if samples else None)
+            yield pd.DataFrame(out)
+
+    return audio.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, n_bytes long, sample_rate long, channels long, "
+            "bits long, n_samples long, duration_ms double, rms double, "
+            "peak long"
+        ),
+    )
+
+
+def audio_decode_sql(mod: int = 5) -> str:
+    """Closed-form oracle for audio_decode_metadata(synth_audio(docs)):
+    container size (44-byte canonical layout + 8+14 LIST insertion on
+    odd ids), rate/length params, duration, and the square wave's
+    exact RMS (= amplitude) are all pure functions of doc_id — a
+    chunk-walk or PCM-unpack bug cannot hash-match."""
+    n = "(400 + (doc_id % 7) * 100)"
+    sr = "(8000 + 1000 * (doc_id % 4))"
+    amp = "(1000 + (doc_id % 50) * 100)"
+    return f"""
+    SELECT doc_id,
+           44 + 2 * {n} + CASE WHEN doc_id % 2 = 1 THEN {8 + len(_LIST_PAYLOAD)} ELSE 0 END
+             AS n_bytes,
+           {sr} AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           {n} AS n_samples,
+           round({n} * 1000.0 / {sr}, 4) AS duration_ms,
+           round(CAST({amp} AS DOUBLE), 4) AS rms,
+           {amp} AS peak
+    FROM documents WHERE doc_id % {mod} = 0
+    """
+
+
 def docs_as_binary(docs: DataFrame) -> DataFrame:
     """Model the multimodal table: text bytes stand in for an image
     payload (binary column + id)."""

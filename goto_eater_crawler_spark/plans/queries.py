@@ -1082,6 +1082,21 @@ def q_multimodal_image_decode(spark, sf_dir):
     return _mm.image_decode_metadata(_mm.synth_images(d, 7)).orderBy("doc_id")
 
 
+@_register(
+    "multimodal_audio_decode",
+    # REAL WAV decode gate: synth_audio writes genuine RIFF/PCM
+    # containers (odd ids carry a LIST chunk, so the decoder must walk
+    # chunks, not assume the canonical 44-byte layout); the engine
+    # decodes them (miniwav) and extracts rate/length/duration plus
+    # the square wave's exact RMS and peak; the oracle computes every
+    # property in closed form from doc_id.
+    _mm.audio_decode_sql(5) + " ORDER BY doc_id",
+)
+def q_multimodal_audio_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.audio_decode_metadata(_mm.synth_audio(d, 5)).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Multi-source extraction gate: the registry's 40 single-pass sources
 # extracted by the REAL vectorized engine pass (mapInPandas dispatch,
