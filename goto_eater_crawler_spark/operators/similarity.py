@@ -564,6 +564,112 @@ def cosine_dup_pairs_sql(threshold: float = 0.95, max_id: int | None = None) -> 
     """
 
 
+def semdedup_drops(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    tau: float = 0.35,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then look
+    for near-duplicates ONLY within each cluster — the quadratic
+    pairwise cost is paid per cell (n/k)^2 instead of n^2, and the
+    within-cluster comparison is an equi-join on centroid_id, so at
+    10^9 vectors the corpus shuffles once by cell and each cell's
+    pairs are generated locally. (Contrast :func:`cosine_dup_pairs`,
+    which keeps exact recall via triangle-inequality cell-pair
+    admission; SemDeDup deliberately trades cross-cluster recall for
+    a single equi-join — the published algorithm's actual shape.)
+
+    Output: one row per DROPPED vector — (vec_id, centroid_id,
+    dup_of, cos_sim) where ``dup_of`` is the smallest-id same-cluster
+    neighbor with rounded cosine >= tau (the kept representative
+    chain), so downstream keep-filtering is a broadcast anti-join,
+    same as :func:`textdedup.dedup_keep_documents
+    <..operators.textdedup>`. Deterministic: ties broken on vec_id;
+    mirrored exactly by :func:`semdedup_sql`."""
+    cents = kmeans_centroids(embeddings, n_centroids, lloyd_iters, dim)
+    # referenced twice (both sides of the self-join): persist, or the
+    # whole kmeans assignment pipeline evaluates twice
+    cells = _assign(embeddings, cents).select(
+        "vec_id", "embedding", "centroid_id"
+    ).persist()
+    a = cells.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+        "centroid_id",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        F.col("centroid_id").alias("cb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    return (
+        a.join(b, (F.col("centroid_id") == F.col("cb")) & (F.col("a") > F.col("b")))
+        .select("a", "centroid_id", "b", F.round(sim, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= tau)
+        .groupBy("a", "centroid_id")
+        .agg(F.min_by(F.struct("b", "cos_sim"), F.col("b")).alias("s"))
+        .select(
+            F.col("a").alias("vec_id"),
+            "centroid_id",
+            F.col("s.b").alias("dup_of"),
+            F.col("s.cos_sim").alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_sql(
+    n_centroids: int = 8,
+    tau: float = 0.35,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    d2 = (
+        "list_sum(list_transform(list_zip(v.embedding, c.cent),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    dot = (
+        "list_sum(list_transform(list_zip(x.embedding, y.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    nx = (
+        "sqrt(list_sum(list_transform(x.embedding,"
+        " p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+    )
+    ny = (
+        "sqrt(list_sum(list_transform(y.embedding,"
+        " p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE))))"
+    )
+    return f"""
+    WITH {kmeans_ctes_sql(n_centroids, lloyd_iters, dim)},
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN cents c)
+      WHERE rn = 1)
+    SELECT vec_id, centroid_id, dup_of, cos_sim FROM (
+      SELECT a.vec_id AS vec_id, a.centroid_id, b.vec_id AS dup_of,
+             round({dot} / ({nx} * {ny}), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY b.vec_id) AS keep_rn
+      FROM assign a
+      JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id > b.vec_id
+      JOIN embeddings x ON x.vec_id = a.vec_id
+      JOIN embeddings y ON y.vec_id = b.vec_id
+      WHERE round({dot} / ({nx} * {ny}), 4) >= {tau})
+    WHERE keep_rn = 1 ORDER BY vec_id
+    """
+
+
 def ivf_assign_sql(
     n_centroids: int = 8, lloyd_iters: int = 0, dim: int = 64
 ) -> str:

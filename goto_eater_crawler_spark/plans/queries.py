@@ -900,6 +900,20 @@ def q_similarity_ivf_topk(spark, sf_dir):
 
 
 @_register(
+    "dedup_semdedup",
+    # SemDeDup (Abbas et al. 2023): semantic dedup that pays the
+    # quadratic pairwise cost per k-means cell, not per corpus — the
+    # within-cluster comparison is one equi-join on centroid_id. The
+    # oracle recomputes the same Lloyd centroids (unrolled CTEs), the
+    # same assignment, and the same keep-smallest-id drop rule.
+    _sim.semdedup_sql(8, 0.35, _LLOYD_ITERS),
+)
+def q_dedup_semdedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _sim.semdedup_drops(e, 8, 0.35, _LLOYD_ITERS)
+
+
+@_register(
     "text_langid",
     f"""
     SELECT pred_lang, count(*) AS n FROM (

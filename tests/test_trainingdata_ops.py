@@ -365,6 +365,52 @@ def test_ivf_topk_probes_subset_with_high_recall(spark):
     assert recall >= 0.5  # half the cells probed -> decent recall
 
 
+def test_semdedup_drop_semantics(spark):
+    """SemDeDup invariants on planted near-dups: (a) non-vacuous,
+    (b) every drop points at a smaller-id SAME-CLUSTER neighbor with
+    rounded cosine >= tau, (c) every dropped pair is a real near-dup
+    pair (subset of brute force), (d) after dropping, no same-cluster
+    kept pair is still >= tau (the keep-smallest-id fixpoint)."""
+    tau = 0.95
+    df = spark.createDataFrame(_random_ish_vectors(40, 8), ["vec_id", "embedding"])
+    cents = sim.kmeans_centroids(df, 4, iters=1, dim=8)
+    cell_of = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim.ivf_cells(df, 4, cents).collect()
+    }
+    drops = sim.semdedup_drops(df, 4, tau, lloyd_iters=1, dim=8).collect()
+    assert drops  # planted near-dups (i, n+i) must be caught
+    brute = {
+        (r["a"], r["b"]): r["cos_sim"]
+        for r in sim.cosine_dup_pairs_brute(df, tau).collect()
+    }
+    dropped = set()
+    for r in drops:
+        assert r["dup_of"] < r["vec_id"]
+        assert cell_of[r["dup_of"]] == cell_of[r["vec_id"]] == r["centroid_id"]
+        assert r["cos_sim"] >= tau
+        assert brute[(r["dup_of"], r["vec_id"])] == r["cos_sim"]
+        dropped.add(r["vec_id"])
+    kept = set(cell_of) - dropped
+    for (a, b), s in brute.items():
+        if a in kept and b in kept and cell_of[a] == cell_of[b]:
+            raise AssertionError(f"kept same-cluster pair {(a, b)} at {s}")
+
+
+def test_semdedup_persists_cell_assignment(spark):
+    """Plan shape: the cell relation feeds BOTH sides of the
+    self-join — it must come from the cache (InMemoryTableScan), not
+    re-run the kmeans assignment twice."""
+    df = spark.createDataFrame(_random_ish_vectors(40, 8), ["vec_id", "embedding"])
+    plan = (
+        sim.semdedup_drops(df, 4, 0.95, lloyd_iters=1, dim=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
 def test_kmeans_centroids_improve_cell_balance(spark):
     """Lloyd iterations must (a) keep centroid ids stable, (b)
     partition every vector, and (c) balance cells vs the first-n
