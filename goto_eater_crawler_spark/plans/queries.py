@@ -1343,3 +1343,70 @@ def q_sessionize_gaps(spark, sf_dir):
         .agg(F.countDistinct("session_id").alias("n_sessions"))
         .orderBy("user_id")
     )
+
+
+@_register(
+    "events_asof_join",
+    # as-of join: each click attaches the latest prior purchase state
+    # of the same user (inclusive semantics). Engine = union-merge
+    # (one shuffle per side, no per-key quadratic, operators/asof.py);
+    # oracle = DuckDB's NATIVE ASOF LEFT JOIN — semantics pinned
+    # against an independent implementation.
+    """
+    SELECT l.event_id AS event_id, l.user_id AS user_id,
+           l.ts AS ts, l.value AS value,
+           r.ts AS matched_ts, r.purchase_value AS matched_purchase_value
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'click') l
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, round(max(value), 4) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY event_id
+    """,
+)
+def q_events_asof_join(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", ts="ts", payload=["purchase_value"]
+    ).orderBy("event_id")
+
+
+@_register(
+    "text_length_quantiles",
+    # per-language document-length distribution: exact interpolated
+    # percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
+    # linear interpolation at p*(n-1)) — the corpus-profiling step
+    # before setting quality-filter thresholds.
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99,
+           round(avg(n_chars), 4) AS mean_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_text_length_quantiles(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        )
+        .orderBy("lang")
+    )
