@@ -1346,6 +1346,132 @@ def q_sessionize_gaps(spark, sf_dir):
 
 
 @_register(
+    "text_tfidf_top_terms",
+    # corpus TF-IDF keyword extraction: per-doc top-3 terms by
+    # tf * ln(N/df). Scale shape: tokens shuffle ONCE into the per-doc
+    # tf aggregate (map-side combinable), the document-frequency
+    # relation derives from tf (second bounded shuffle, vocab-sized),
+    # the corpus size rides as a 1-row in-plan broadcast (no driver
+    # scalar), and the top-k is a per-doc window over tf rows — never
+    # over raw tokens. ln parity engine-vs-oracle is the same device
+    # quality_unigram_logprob pins.
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, rank, round(tfidf, 4) AS tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                        tf.term) AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def q_text_tfidf_top_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(
+        F.col("n_docs").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", F.round("tfidf", 4).alias("tfidf"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+@_register(
+    "snapshot_diff",
+    # crawl-snapshot CDC: FULL OUTER join of two corpus snapshots on
+    # doc_id, classifying added / removed / changed rows (unchanged
+    # suppressed). Snapshot B is derived in-plan from the documents
+    # table (deletions %13, edits %11, additions with collision-free
+    # negative ids for %17 — same id device as docs_with_variants), so
+    # the gate is non-vacuous by construction at any scale. At 100 TB
+    # both snapshots bucket by doc_id and the diff is ONE sort-merge
+    # full outer join — no driver-side comparison.
+    """
+    WITH new_snap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id, 'added:' || text AS text
+      FROM documents WHERE doc_id % 17 = 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM documents o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+    ORDER BY doc_id
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    new_snap = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.col("text"), F.lit(" [edited]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (-F.col("doc_id") - 1).alias("doc_id"),
+                F.concat(F.lit("added:"), F.col("text")).alias("text"),
+            )
+        )
+    )
+    o = d.select(
+        F.col("doc_id").alias("o_id"), F.col("text").alias("o_text")
+    )
+    n = new_snap.select(
+        F.col("doc_id").alias("n_id"), F.col("text").alias("n_text")
+    )
+    status = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        o.join(n, o.o_id == n.n_id, "full_outer")
+        .filter(
+            F.col("o_id").isNull()
+            | F.col("n_id").isNull()
+            | (F.col("o_text") != F.col("n_text"))
+        )
+        .select(
+            F.coalesce("o_id", "n_id").alias("doc_id"), status.alias("status")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "events_asof_join",
     # as-of join: each click attaches the latest prior purchase state
     # of the same user (inclusive semantics). Engine = union-merge

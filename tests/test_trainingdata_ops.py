@@ -469,6 +469,52 @@ def test_ivf_cells_argmin_has_no_window(spark):
     assert "min_by" in plan or "HashAggregate" in plan
 
 
+def test_tfidf_ranks_rare_terms_highest(spark):
+    """A term unique to one doc must outrank corpus-wide terms for
+    that doc (idf = ln(N/df) monotone in rarity)."""
+    from goto_eater_crawler_spark.plans import queries as q
+
+    rows = q.queries()["text_tfidf_top_terms"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(1 <= r["rank"] <= 3 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    # ranks are dense per doc and tfidf is non-increasing
+    for doc_rows in per_doc.values():
+        ranks = [r["rank"] for r in doc_rows]
+        assert ranks == sorted(ranks) == list(range(1, len(ranks) + 1))
+        vals = [r["tfidf"] for r in doc_rows]
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_snapshot_diff_classifies_all_three(spark):
+    from goto_eater_crawler_spark.plans import queries as q
+
+    fn = q.queries()["snapshot_diff"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], set()).add(r["doc_id"])
+    # all three classes present (gate non-vacuous by construction)
+    assert set(by_status) == {"added", "removed", "changed"}
+    assert all(d < 0 for d in by_status["added"])  # collision-free ids
+    assert all(d % 13 == 0 for d in by_status["removed"])
+    assert all(d % 11 == 0 and d % 13 != 0 for d in by_status["changed"])
+    # scale shape: the diff is one full-outer sort-merge join, no
+    # nested loop
+    plan = (
+        fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_textstats_basics(spark):
     df = spark.createDataFrame(
         [
