@@ -728,3 +728,85 @@ def line_dedup_sql(docs_rel: str) -> str:
     FROM lines l JOIN keepers k USING (line)
     GROUP BY l.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup — Lee et al. 2022 (arXiv:2107.06499) style
+# ---------------------------------------------------------------------------
+
+SPAN_K = 10  # tokens per span (the paper uses 50 BPE tokens; word-level here)
+
+
+def substring_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, span) — DISTINCT k-token rolling spans per doc, the
+    unit of exact substring dedup ("ExactSubstr"): any text run of k
+    tokens shared verbatim between two documents shows up as an equal
+    span value in both. Same rolling shape as :func:`shingles`, wider
+    window. Grouping is on the span STRING (exact semantics; a
+    production run would group on xxhash64(span) — an engine-local
+    optimization the oracle can't mirror bit-for-bit, so the gate
+    keeps the string and the docstring records the swap)."""
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - k, F.lit(0))),
+                lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
+            )
+        ).alias("span"),
+    ).distinct()
+
+
+def substring_spans_sql(docs_rel: str, k: int = SPAN_K) -> str:
+    return f"""
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i + 1 : i + {k}], ' ') AS span
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM {docs_rel}),
+         UNNEST(range(0, greatest(len(toks) - {k}, 0) + 1)) AS t(i)
+"""
+
+
+def substring_dup_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Per-doc exact-substring duplication profile:
+    (doc_id, n_spans, n_dup_spans, dup_frac) where a span is "dup"
+    when it occurs verbatim in >= 2 distinct documents. This is the
+    detection half of ExactSubstr dedup (the cut step is a per-doc
+    span-mask, same downstream shape as the line-dedup re-assembly).
+
+    Scale shape: one shuffle of distinct spans into the occurrence
+    count (map-side combinable), one equi-join back on span to flag,
+    one per-doc aggregate. The span relation feeds both — persisted so
+    the tokenize+explode pass runs once. No self-join of the corpus,
+    no suffix array: the k-gram rolling window gives the same
+    >=k-token guarantee with pure dataflow ops."""
+    sp = substring_spans(docs, k).persist()
+    occ = sp.groupBy("span").agg(F.count("*").alias("n_docs"))
+    flagged = sp.join(occ, "span").withColumn("is_dup", F.col("n_docs") >= 2)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+        )
+        .orderBy("doc_id")
+    )
+
+
+def substring_dup_sql(docs_rel: str, k: int = SPAN_K) -> str:
+    return f"""
+    WITH sp AS ({substring_spans_sql(docs_rel, k)}),
+    occ AS (SELECT span, count(*) AS n_docs FROM sp GROUP BY span)
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(CASE WHEN occ.n_docs >= 2 THEN 1 END) AS BIGINT)
+             AS n_dup_spans,
+           round(count(CASE WHEN occ.n_docs >= 2 THEN 1 END) / count(*), 4)
+             AS dup_frac
+    FROM sp JOIN occ USING (span)
+    GROUP BY sp.doc_id ORDER BY sp.doc_id
+    """

@@ -690,6 +690,20 @@ def q_dedup_lines(spark, sf_dir):
 
 
 @_register(
+    "dedup_substring_spans",
+    # ExactSubstr-style detection (Lee et al. 2022): per-doc count and
+    # fraction of 10-token rolling spans shared verbatim with another
+    # document. Gated on the variant-augmented corpus, so every
+    # planted near-dup pair contributes guaranteed shared spans (the
+    # variant is the base text minus two leading tokens — their span
+    # sets overlap almost entirely).
+    _td.substring_dup_sql(_AUG_SQL),
+)
+def q_dedup_substring_spans(spark, sf_dir):
+    return _td.substring_dup_stats(_AUG_SPARK(spark, sf_dir))
+
+
+@_register(
     "quality_unigram_logprob",
     # corpus-trained unigram LM score (the CCNet LM-filter analogue
     # without an external model): vocab = global token counts, each
@@ -1381,7 +1395,12 @@ def q_text_tfidf_top_terms(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df aggregation and the scoring join — persist
+    # so the tokenize+explode+groupBy pass runs once (Spark does not
+    # share sub-plans across different shuffle keys)
+    tf = (
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     tfidf = F.col("tf") * F.log(

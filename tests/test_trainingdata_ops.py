@@ -469,6 +469,35 @@ def test_ivf_cells_argmin_has_no_window(spark):
     assert "min_by" in plan or "HashAggregate" in plan
 
 
+def test_substring_spans_planted_positives(spark):
+    """ExactSubstr detection on the variant-augmented corpus: every
+    variant (id < 0) is a strict token-suffix of its base, so ALL its
+    spans are shared (dup_frac == 1.0); the base keeps exactly the
+    two leading spans that include its first two tokens as unique."""
+    docs = td.docs_with_variants(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 5
+    )
+    rows = td.substring_dup_stats(docs).collect()
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    checked = 0
+    for doc_id, r in by_id.items():
+        if doc_id >= 0:
+            continue
+        base = by_id[-doc_id - 1]
+        # the invariant needs full k-token spans on both sides — a doc
+        # shorter than SPAN_K + 2 tokens yields one truncated span
+        # that legitimately differs between base and variant
+        if base["n_spans"] < 3:
+            continue
+        checked += 1
+        assert r["dup_frac"] == 1.0, (doc_id, r)
+        # >= : the two leading spans may ALSO be shared with other
+        # corpus docs; the variant guarantees at least the rest
+        assert base["n_dup_spans"] >= base["n_spans"] - 2, (doc_id, base)
+    assert checked > 10  # the planted positives dominate the corpus
+
+
 def test_tfidf_ranks_rare_terms_highest(spark):
     """A term unique to one doc must outrank corpus-wide terms for
     that doc (idf = ln(N/df) monotone in rarity)."""
