@@ -523,6 +523,7 @@ def q_windowed_event_counts(spark, sf_dir):
 
 from ..functions import textstats as _ts  # noqa: E402
 from ..operators import multimodal as _mm  # noqa: E402
+from ..operators import rhplsh as _rhp  # noqa: E402
 from ..operators import similarity as _sim  # noqa: E402
 from ..operators import textdedup as _td  # noqa: E402
 
@@ -1073,6 +1074,66 @@ def q_text_fingerprint(spark, sf_dir):
 def q_dedup_embedding_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return _sim.cosine_dup_pairs(e, 0.35, 200)
+
+
+@_register(
+    "dedup_embedding_lsh",
+    # the LSH-bucketed similarity scale path (random hyperplanes /
+    # Charikar banding — the other arm next to IVF): engine and oracle
+    # generate the SAME deterministic hyperplane literals, so the
+    # recall-lossy candidate set is identical on both sides; planted
+    # variants (vec_id' = -vec_id-1, cos ~0.999) keep the gate
+    # non-vacuous at every SF.
+    _rhp.rhp_dup_pairs_sql(0.95, 200, 40),
+)
+def q_dedup_embedding_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _rhp.rhp_dup_pairs(e, 0.95, 200, 40)
+
+
+@_register(
+    "url_seen_cuckoo",
+    # P7 through the cuckoo arm: the filter only accelerates, the
+    # exact table decides, so the observable result is exactly the
+    # anti-join the oracle states — while the engine actually routes
+    # candidates through partitioned cuckoo blocks (cogroup probe +
+    # exact confirm of the maybes).
+    """
+    SELECT o.o_orderstatus AS status, count(*) AS n
+    FROM orders o
+    ANTI JOIN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) s
+      ON o.o_custkey = s.c_custkey
+    GROUP BY status ORDER BY status
+    """,
+)
+def q_url_seen_cuckoo(spark, sf_dir):
+    from ..operators import cuckoo as _ck
+
+    params = _ck.CuckooParams(n_blocks=8, n_buckets=1 << 12)
+    seen = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(
+            F.concat(F.lit("https://h"), F.col("c_custkey").cast("string")).alias(
+                "canonical_url"
+            ),
+            F.xxhash64(F.col("c_custkey").cast("string")).alias("url_hash"),
+        )
+    ).persist()
+    blocks = _ck.build_blocks(seen.select("url_hash"), params)
+    cand = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.concat(F.lit("https://h"), F.col("o_custkey").cast("string")).alias(
+            "canonical_url"
+        ),
+        F.xxhash64(F.col("o_custkey").cast("string")).alias("url_hash"),
+    )
+    new_rows, _, _ = _ck.split_new_urls_cuckoo(cand, blocks, seen, params)
+    return (
+        new_rows.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )
 
 
 @_register(
