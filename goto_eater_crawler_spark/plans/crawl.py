@@ -53,6 +53,7 @@ from pyspark.sql import types as T
 from concurrent.futures import ThreadPoolExecutor
 
 from ..functions.urltools import with_url_identity
+from ..operators import cuckoo as _cuckoo
 from ..operators.dedup import BloomParams, build_blocks, split_new_urls, update_blocks
 from ..operators.extract import run_extract, split_pages, split_records_links
 from ..operators.fetch import fetch_join
@@ -89,6 +90,12 @@ class CrawlConfig:
     max_rounds: int = 64
     max_retries: int = 8  # reference settings.py:119
     bloom: BloomParams | None = field(default_factory=BloomParams)
+    # which probabilistic seen-filter arm fronts the exact table:
+    # "bloom" (default; cfg.bloom == None disables filtering entirely)
+    # or "cuckoo" (deletable fingerprints — frontier retraction). The
+    # exact-semantics contract is identical either way.
+    seen_filter: str = "bloom"
+    cuckoo: _cuckoo.CuckooParams | None = None
     fetch_strategy: str = "auto"
     checkpoint_dir: str | None = None
     assign_fetch_seq: bool = True
@@ -183,6 +190,31 @@ def _log_rows(df: DataFrame, round_no: int, status: str) -> DataFrame:
         F.col("host"),
         F.col("depth"),
         F.lit(status).alias("status"),
+    )
+
+
+def _seen_ops(cfg: CrawlConfig):
+    """(enabled, build, update, split, params, label_prefix) for the
+    configured seen-filter arm — bloom (OR-mergeable bitmaps) or
+    cuckoo (deletable fingerprints), both fronting the same exact
+    confirmation."""
+    if cfg.seen_filter == "cuckoo":
+        params = cfg.cuckoo or _cuckoo.CuckooParams()
+        return (
+            True,
+            _cuckoo.build_blocks,
+            _cuckoo.update_blocks,
+            _cuckoo.split_new_urls_cuckoo,
+            params,
+            "cuckoo",
+        )
+    return (
+        cfg.bloom is not None,
+        build_blocks,
+        update_blocks,
+        split_new_urls,
+        cfg.bloom or BloomParams(),
+        "bloom",
     )
 
 
@@ -301,10 +333,9 @@ class CrawlEngine:
             else self.seed_frontier(seed_rows)
         )
         seen = frontier.select("canonical_url", "url_hash")
+        f_on, f_build, _, _, f_params, _ = _seen_ops(self.cfg)
         blocks = (
-            build_blocks(seen.select("url_hash"), self.cfg.bloom)
-            if self.cfg.bloom
-            else None
+            f_build(seen.select("url_hash"), f_params) if f_on else None
         )
         frontier = self._materialize(frontier, 0, "frontier")
         seen = self._materialize(seen, 0, "seen_delta")
@@ -345,7 +376,7 @@ class CrawlEngine:
         seen = eng.store.read_many(committed, "seen_delta", SEEN_SCHEMA)
         blocks = (
             eng.store.read(last_no, "blocks", BLOOM_BLOCK_SCHEMA)
-            if config.bloom
+            if _seen_ops(config)[0]
             else None
         )
         return eng._loop(
@@ -466,9 +497,8 @@ class CrawlEngine:
                 .drop("_rn")
                 .select(*FRONTIER_COLS)
             )
-            new_rows, _, _ = split_new_urls(
-                links_dedup, blocks, seen, cfg.bloom or BloomParams()
-            )
+            _, _, f_update, f_split, f_params, f_pfx = _seen_ops(cfg)
+            new_rows, _, _ = f_split(links_dedup, blocks, seen, f_params)
             # materialize ONCE; this is the round's heavy job — it
             # computes the whole selected->fetch->extract->dedup chain
             # (upstream persists fill here); everything below reads
@@ -480,7 +510,7 @@ class CrawlEngine:
                 obs_via,
                 *[
                     F.count(F.when(F.col("via") == v, 1)).alias(v)
-                    for v in ("exact", "bloom_definite", "bloom_fp")
+                    for v in ("exact", f"{f_pfx}_definite", f"{f_pfx}_fp")
                 ],
             )
             new_rows = self._materialize(new_rows, round_no, "new_rows")
@@ -532,8 +562,8 @@ class CrawlEngine:
             # are overlapped instead of summed.
             futs = {}
             if blocks is not None:
-                new_blocks = update_blocks(
-                    blocks, seen_delta.select("url_hash"), cfg.bloom
+                new_blocks = f_update(
+                    blocks, seen_delta.select("url_hash"), f_params
                 )
                 old_blocks = blocks
                 futs["blocks"] = pool.submit(
@@ -585,8 +615,9 @@ class CrawlEngine:
                 "new_urls": sum(via_counts.values()),
                 # zero -> None preserves the round-2 metric shape
                 # (key absent when no rows carried that via)
-                "bloom_definite_new": via_counts["bloom_definite"] or None,
-                "bloom_fp": via_counts["bloom_fp"] or None,
+                f"{f_pfx}_definite_new": via_counts[f"{f_pfx}_definite"]
+                or None,
+                f"{f_pfx}_fp": via_counts[f"{f_pfx}_fp"] or None,
             }
             fetch_seq_offset += m["fetched"]
 

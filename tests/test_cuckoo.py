@@ -147,3 +147,46 @@ def test_insert_deterministic_bytes():
         _insert_new(table, stash, np.unique(order), params)
         blobs.append(_serialize(table, np.array(stash, dtype=np.int64)))
     assert blobs[0] == blobs[1]
+
+
+def test_crawl_with_cuckoo_filter_matches_oracle(spark):
+    """Full fixture-web crawl with seen_filter='cuckoo': records,
+    fetch order and seen set must equal the single-threaded oracle —
+    the filter arm is swappable without any semantic drift — and the
+    round metrics must carry the cuckoo via-counters."""
+    from goto_eater_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from goto_eater_crawler_spark.schema import FEED_EXPORT_FIELDS
+    from goto_eater_crawler_spark.sources import webgen
+    from tests.oracle import crawl_oracle
+
+    pages, seeds, robots = webgen.build_fixture_web()
+    eng = CrawlEngine(
+        spark,
+        webgen.pages_df(spark, pages),
+        webgen.robots_df(spark, robots),
+        CrawlConfig(round_budget=12.0, max_rounds=32, seen_filter="cuckoo"),
+    )
+    res = eng.run(seeds)
+    page_map = {p["url"]: p["html"] for p in pages}
+    want = crawl_oracle(page_map, seeds, robots, round_budget=12.0, max_rounds=32)
+
+    assert {r["canonical_url"] for r in res.seen.collect()} == want["seen"]
+    got_order = [
+        r["canonical_url"]
+        for r in res.fetch_log.filter("status = 'fetched'")
+        .orderBy("fetch_seq")
+        .select("canonical_url")
+        .collect()
+    ]
+    assert got_order == want["fetch_order"]
+    got = {
+        (r["url"], r["item_index"]): tuple(r[f] for f in FEED_EXPORT_FIELDS)
+        for r in res.records.collect()
+    }
+    want_recs = {
+        (r["url"], r["item_index"]): tuple(r[f] for f in FEED_EXPORT_FIELDS)
+        for r in want["records"]
+    }
+    assert got == want_recs
+    assert any(m.get("cuckoo_definite_new") for m in res.metrics)
+    assert all("bloom_definite_new" not in m for m in res.metrics)
