@@ -1137,6 +1137,48 @@ def q_url_seen_cuckoo(spark, sf_dir):
 
 
 @_register(
+    "warc_ingest",
+    # S-class source op: Common-Crawl-style WARC container ingest.
+    # The engine builds real per-record-gzipped WARC bytes from the
+    # documents table in-plan (groupBy file -> applyInPandas writer),
+    # then parses them back through the mapInPandas 1->many reader
+    # (functions/miniwarc.py, ISO 28500 walk: version line, CRLF
+    # headers, Content-Length payload, HTTP status/headers/body
+    # split, concatenated gzip members). The oracle states the
+    # round-trip invariant directly over documents — any drift in
+    # either codec direction breaks the hash.
+    """
+    SELECT 'https://w' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST('2021-06-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS TIMESTAMP) AS warc_ts,
+           200 AS http_status,
+           'text/html; charset=utf-8' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           text
+    FROM documents ORDER BY url
+    """,
+)
+def q_warc_ingest(spark, sf_dir):
+    from ..sources import warc as _warc
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = _warc.synth_warc_from_docs(d, docs_per_file=50, gzipped=True)
+    return (
+        _warc.warc_pages(blobs)
+        .select(
+            "url",
+            "warc_ts",
+            "http_status",
+            "mime",
+            F.length("html").cast("bigint").alias("n_bytes"),
+            F.decode(F.col("html"), "UTF-8").alias("text"),
+        )
+        .orderBy("url")
+    )
+
+
+@_register(
     "multimodal_frame_sample",
     _mm.frame_sample_sql(4) + " ORDER BY doc_id, frame_idx",
 )
