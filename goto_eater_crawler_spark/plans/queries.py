@@ -1137,6 +1137,30 @@ def q_url_seen_cuckoo(spark, sf_dir):
 
 
 @_register(
+    "hosts_heavy_hitters",
+    # bounded-memory hot-host detection (Misra-Gries, mergeable-
+    # summaries merge): per-partition sketches in one shuffle-free
+    # mapInPandas pass, then only O(partitions x capacity) summary
+    # rows shuffle. Run in the exact regime (capacity >> distinct
+    # hosts -> zero decrements -> counts exact, max_err 0), which the
+    # plain-SQL oracle states directly; the lossy regime is pytest-
+    # covered against brute force.
+    """
+    SELECT user_id AS host, CAST(count(*) AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS max_err
+    FROM events GROUP BY user_id ORDER BY n DESC, host LIMIT 20
+    """,
+)
+def q_hosts_heavy_hitters(spark, sf_dir):
+    from ..operators import sketches as _sk
+
+    e = _t(spark, sf_dir, "events")
+    return _sk.heavy_hitters(e, "user_id", 20, capacity=65536).withColumnRenamed(
+        "user_id", "host"
+    )
+
+
+@_register(
     "warc_ingest",
     # S-class source op: Common-Crawl-style WARC container ingest.
     # The engine builds real per-record-gzipped WARC bytes from the

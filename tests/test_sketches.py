@@ -1,0 +1,69 @@
+"""Misra-Gries heavy-hitters properties: exact regime (capacity >
+distinct -> zero error, counts equal brute force), lossy regime (the
+estimate is a lower bound within max_err of truth and true heavy
+hitters survive), and the summary relation stays bounded."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from goto_eater_crawler_spark.operators.sketches import (
+    heavy_hitters,
+    mg_summaries,
+)
+
+
+def _skewed(spark, n_rows=20000, n_keys=500):
+    # zipf-ish: key = floor(sqrt(hash-uniform)) concentrates low keys
+    return spark.range(n_rows).select(
+        (
+            F.floor(
+                F.sqrt(F.pmod(F.xxhash64("id"), F.lit(n_keys * n_keys)).cast("double"))
+            )
+        ).alias("host")
+    )
+
+
+def test_exact_regime_matches_bruteforce(spark):
+    df = _skewed(spark).repartition(8)
+    got = heavy_hitters(df, "host", 15, capacity=4096).collect()
+    want = (
+        df.groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("host"))
+        .limit(15)
+        .collect()
+    )
+    assert [(r["host"], r["n"]) for r in got] == [
+        (r["host"], r["n"]) for r in want
+    ]
+    assert all(r["max_err"] == 0 for r in got)
+
+
+def test_lossy_regime_lower_bound_within_err(spark):
+    # skewed tail + ONE planted dominant key (count 5000 >> any
+    # possible decrement mass at 20k rows)
+    dominant = spark.range(5000).select(F.lit(999999).alias("host"))
+    df = _skewed(spark).unionByName(dominant).repartition(4)
+    truth = {
+        r["host"]: r["n"]
+        for r in df.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    got = heavy_hitters(df, "host", 10, capacity=32).collect()
+    err = got[0]["max_err"]
+    assert err > 0  # capacity 32 << distinct keys: decrements happened
+    for r in got:
+        t = truth[r["host"]]
+        assert r["n"] <= t, (r, t)
+        assert r["n"] >= t - err, (r, t, err)
+    # a key whose true count exceeds max_err cannot be evicted to
+    # zero: the dominant key must survive and rank first
+    assert got[0]["host"] == 999999
+
+
+def test_summary_relation_bounded(spark):
+    df = _skewed(spark).repartition(6)
+    cap = 32
+    summ = mg_summaries(df, "host", cap)
+    # <= capacity counter rows + 1 error row per partition
+    assert summ.count() <= 6 * (cap + 1)
