@@ -128,22 +128,57 @@ def _d2(vec, cent):
     )
 
 
-def _assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, embedding, centroid_id, ang): nearest-centroid (L2,
+def _assign(
+    embeddings: DataFrame, cents: DataFrame, with_ang: bool = True
+) -> DataFrame:
+    """(vec_id, embedding, centroid_id[, ang]): nearest-centroid (L2,
     ties to lowest centroid_id) assignment against BROADCAST
     centroids. The argmin is a ``min_by`` struct aggregation — partial
     (map-side) combinable, so only n rows reach the shuffle instead of
-    the n x k crossJoin output a row_number window would shuffle."""
+    the n x k crossJoin output a row_number window would shuffle.
+
+    ``with_ang=False`` (the Lloyd-iteration path, which only needs the
+    assignment) skips the angle entirely — Catalyst cannot prune a
+    field out of the min_by struct, and the per-pair angle is 3 extra
+    interpreted array folds (dot + both norms), the dominant cost of
+    an iteration. The with_ang path folds each side's norm ONCE per
+    vector/centroid instead of once per pair; the resulting doubles
+    are identical (same expressions, same inputs), so oracle parity
+    is untouched."""
     # zero-norm guard: a zero vector's angle to anything is undefined
     # (and any cosine PAIR involving it can never qualify), so give it
     # angle 0 — it contributes nothing to the cell radius. Without the
     # guard ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO; the old
     # window plan only survived because column pruning dropped `ang`.
-    norm_prod = _norm(F.col("embedding")) * _norm(F.col("cent"))
+    if not with_ang:
+        scored = embeddings.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            _d2(F.col("embedding"), F.col("cent")).alias("d2"),
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("centroid_id", "embedding"),
+                    F.struct("d2", "centroid_id"),
+                ).alias("s")
+            )
+            .select(
+                "vec_id",
+                F.col("s.embedding").alias("embedding"),
+                F.col("s.centroid_id").alias("centroid_id"),
+            )
+        )
+
+    emb_n = embeddings.withColumn("_vn", _norm(F.col("embedding")))
+    cents_n = cents.withColumn("_cn", _norm(F.col("cent")))
+    norm_prod = F.col("_vn") * F.col("_cn")
     cos_to_cent = F.when(
         norm_prod != 0, _dot(F.col("embedding"), F.col("cent")) / norm_prod
     ).otherwise(F.lit(1.0))
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+    scored = emb_n.crossJoin(F.broadcast(cents_n)).select(
         "vec_id",
         "embedding",
         "centroid_id",
@@ -187,7 +222,7 @@ def kmeans_centroids(
     Mirrored exactly by :func:`kmeans_ctes_sql`."""
     cents = _centroids(embeddings, n_centroids)
     for _ in range(iters):
-        assigned = _assign(embeddings, cents)
+        assigned = _assign(embeddings, cents, with_ang=False)
         means = assigned.groupBy("centroid_id").agg(
             *[
                 F.round(F.avg(F.col("embedding")[i]), KMEANS_ROUND).alias(f"c{i}")

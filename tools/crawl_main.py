@@ -53,6 +53,8 @@ def parse_args(argv=None):
                    help="per-round politeness budget in seconds")
     p.add_argument("--rounds", type=int, default=64, help="max rounds")
     p.add_argument("--master", default=None, help="spark master override")
+    p.add_argument("--seen-filter", default="bloom", choices=("bloom", "cuckoo"),
+                   help="probabilistic seen-set arm fronting the exact table")
     return p.parse_args(argv)
 
 
@@ -104,6 +106,7 @@ def main(argv=None) -> int:
         max_rounds=args.rounds,
         checkpoint_dir=args.checkpoint,
         allowed_domains=cfg_domains,
+        seen_filter=args.seen_filter,
     )
     eng = CrawlEngine(spark, pages, robots, cfg)
     res = (
