@@ -1202,6 +1202,55 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+_PREP_GOPHER_KEEP_SQL = dict(_ts.gopher_rules_sql("text"))["keep"]
+
+
+@_register(
+    "corpus_prep_pipeline",
+    # the end-to-end training-corpus prep flow in ONE plan: WARC
+    # container -> parse (mapInPandas) -> doc identity from URL ->
+    # language ID + quality score + Gopher keep-gate + token count +
+    # PII redaction -> filtered corpus. One scan, one Python stage
+    # (the WARC codec), everything downstream WholeStageCodegen; the
+    # filter composition is what a 100 TB prep job actually runs.
+    # Oracle: same fragments over documents directly (the WARC
+    # round-trip is lossless, so text == original).
+    f"""
+    SELECT doc_id, pred_lang, quality, n_tokens, redacted_md5 FROM (
+      SELECT doc_id,
+             {_ts.lang_pred_sql("text")} AS pred_lang,
+             {_ts.quality_score_sql("text")} AS quality,
+             {_ts.token_count_sql("text")} AS n_tokens,
+             {_PREP_GOPHER_KEEP_SQL} AS keep,
+             md5({_ts.redact_pii_sql("text")}) AS redacted_md5
+      FROM documents)
+    WHERE keep AND quality >= 40 ORDER BY doc_id
+    """,
+)
+def q_corpus_prep_pipeline(spark, sf_dir):
+    from ..sources import warc as _warc
+
+    d = _t(spark, sf_dir, "documents")
+    pages = _warc.warc_pages(_warc.synth_warc_from_docs(d, 50, gzipped=True))
+    keep = dict(_ts.gopher_rules_cols(F.col("text")))["keep"]
+    staged = pages.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+    ).select(
+        "doc_id",
+        _ts.lang_pred_col(F.col("text")).alias("pred_lang"),
+        _ts.quality_score_col(F.col("text")).alias("quality"),
+        _ts.token_count_col(F.col("text")).alias("n_tokens"),
+        keep.alias("keep"),
+        F.md5(_ts.redact_pii_col(F.col("text"))).alias("redacted_md5"),
+    )
+    return (
+        staged.filter(F.col("keep") & (F.col("quality") >= 40))
+        .select("doc_id", "pred_lang", "quality", "n_tokens", "redacted_md5")
+        .orderBy("doc_id")
+    )
+
+
 @_register(
     "multimodal_frame_sample",
     _mm.frame_sample_sql(4) + " ORDER BY doc_id, frame_idx",
