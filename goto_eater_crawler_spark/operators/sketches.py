@@ -94,3 +94,90 @@ def heavy_hitters(
         .limit(k)
         .select(F.col("key").alias(key_col), "n", "max_err")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting (Flajolet, Fusy, Gandouet, Meunier,
+# AofA 2007 — public paper). The 10^10-frontier cardinality counter:
+# per-partition registers fold map-side, only (register, max_rho)
+# rows — at most m per partition — reach the shuffle, and register
+# relations MERGE by groupBy-max (associative + idempotent, the same
+# retry-safety class as the bloom's bitwise OR).
+#
+# Everything is engine-agnostic on purpose: the hash is the corpus's
+# Knuth multiplicative hash mod 2^32 (a bijection for keys < 2^32, so
+# no collisions at test scale), and rho comes from an integer CASE
+# chain over power-of-two thresholds — no float log2 at bit
+# boundaries — so DuckDB can run the IDENTICAL sketch and the oracle
+# gate checks the approximation algorithm itself, not just its output
+# envelope.
+# ---------------------------------------------------------------------------
+
+_HLL_A = 2654435761  # Knuth multiplicative constant (2^32 / phi)
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}  # standard alpha_m
+
+
+def hll_registers(df: DataFrame, key_col: str, log2m: int = 6) -> DataFrame:
+    """(reg, mr) register rows: max rank per register. Mergeable by
+    groupBy(reg).max(mr)."""
+    m = 1 << log2m
+    budget = 32 - log2m
+    h = (F.col(key_col).cast("long") * F.lit(_HLL_A)) % F.lit(1 << 32)
+    reg = (h % m).cast("int")
+    v = F.floor(h / m).cast("long")
+    rho = F.when(v >= (1 << (budget - 1)), F.lit(1))
+    for r in range(2, budget + 1):
+        rho = rho.when(v >= (1 << (budget - r)), F.lit(r))
+    rho = rho.otherwise(F.lit(budget + 1))
+    return (
+        df.select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+
+
+def hll_estimate(registers: DataFrame, log2m: int = 6) -> DataFrame:
+    """One row (est): the HLL estimator with the small-range
+    (linear-counting) correction."""
+    m = 1 << log2m
+    alpha = _HLL_ALPHA[log2m]
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    s = F.col("s_present") + (F.lit(m) - F.col("n_present"))  # absent: 2^0
+    zeros = F.lit(m) - F.col("n_present")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(F.round(est, 4).alias("est"))
+
+
+def hll_sql(table: str, key_expr: str, log2m: int = 6) -> str:
+    """DuckDB mirror of hll_registers + hll_estimate as a scalar
+    subquery expression (SELECT ... AS est)."""
+    m = 1 << log2m
+    alpha = _HLL_ALPHA[log2m]
+    budget = 32 - log2m
+    cases = " ".join(
+        f"WHEN v >= {1 << (budget - r)} THEN {r}" for r in range(1, budget + 1)
+    )
+    return f"""
+    (SELECT round(
+        CASE WHEN ({alpha} * {m} * {m}) / s <= {2.5 * m} AND zeros > 0
+             THEN {float(m)} * ln({float(m)} / zeros)
+             ELSE ({alpha} * {m} * {m}) / s END, 4)
+     FROM (
+       SELECT sum(power(2.0, -mr)) + ({m} - count(*)) AS s,
+              CAST({m} - count(*) AS DOUBLE) AS zeros
+       FROM (
+         SELECT reg, max(rho) AS mr FROM (
+           SELECT CAST(h % {m} AS INT) AS reg,
+                  CASE {cases} ELSE {budget + 1} END AS rho
+           FROM (SELECT ({key_expr} * {_HLL_A}) % {1 << 32} AS h,
+                        CAST(floor((({key_expr} * {_HLL_A}) % {1 << 32}) / {m}) AS BIGINT) AS v
+                 FROM {table}))
+         GROUP BY reg)))
+    """

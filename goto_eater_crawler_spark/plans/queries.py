@@ -1160,6 +1160,38 @@ def q_hosts_heavy_hitters(spark, sf_dir):
     )
 
 
+from ..operators import sketches as _sk  # noqa: E402
+
+@_register(
+    "frontier_hll_distinct",
+    # frontier-cardinality counter: HyperLogLog with an ORACLE-MIRRORED
+    # sketch — engine-agnostic Knuth hash mod 2^32, integer CASE-chain
+    # rho — so DuckDB runs the identical algorithm and the gate checks
+    # the approximation itself. Register rows merge by groupBy-max
+    # (idempotent, retry-safe); only <= m rows per partition shuffle.
+    f"""
+    SELECT est AS est_distinct,
+           exact_n AS exact_distinct,
+           round(abs(est - exact_n) / exact_n * 100, 4) AS rel_err_pct
+    FROM (SELECT {_sk.hll_sql("events", "user_id")} AS est,
+                 CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE)
+                   AS exact_n)
+    """,
+)
+def q_frontier_hll_distinct(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    est = _sk.hll_estimate(_sk.hll_registers(e, "user_id"))
+    exact = e.agg(
+        F.count_distinct("user_id").cast("double").alias("exact_n")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("est").alias("est_distinct"),
+        F.col("exact_n").alias("exact_distinct"),
+        F.round(F.abs(F.col("est") - F.col("exact_n")) / F.col("exact_n") * 100, 4
+                ).alias("rel_err_pct"),
+    )
+
+
 @_register(
     "warc_ingest",
     # S-class source op: Common-Crawl-style WARC container ingest.

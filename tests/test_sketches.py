@@ -67,3 +67,37 @@ def test_summary_relation_bounded(spark):
     summ = mg_summaries(df, "host", cap)
     # <= capacity counter rows + 1 error row per partition
     assert summ.count() <= 6 * (cap + 1)
+
+
+def test_hll_registers_merge_associative(spark):
+    from goto_eater_crawler_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(50000).select((F.col("id") * 7 + 3).alias("k"))
+    whole = {
+        (r["reg"], r["mr"]) for r in hll_registers(df, "k").collect()
+    }
+    lo = hll_registers(df.filter("k % 2 = 0"), "k")
+    hi = hll_registers(df.filter("k % 2 = 1"), "k")
+    merged = {
+        (r["reg"], r["mr"])
+        for r in lo.unionByName(hi)
+        .groupBy("reg")
+        .agg(F.max("mr").alias("mr"))
+        .collect()
+    }
+    assert merged == whole  # sketch of union == merge of sketches
+    # idempotent: merging a sketch with itself changes nothing
+    twice = {
+        (r["reg"], r["mr"])
+        for r in lo.unionByName(lo)
+        .groupBy("reg")
+        .agg(F.max("mr").alias("mr"))
+        .collect()
+    }
+    assert twice == {(r["reg"], r["mr"]) for r in lo.collect()}
+    # m=64 -> standard error ~1.04/8 = 13%; allow 3 sigma
+    est = hll_estimate(hll_registers(df, "k")).collect()[0]["est"]
+    assert abs(est - 50000) / 50000 < 0.4, est
