@@ -274,3 +274,55 @@ def make_store(spark: SparkSession, checkpoint_dir: str | None) -> TableStore:
     if checkpoint_dir.startswith("iceberg:"):
         return IcebergStore(spark, checkpoint_dir[len("iceberg:"):])
     return ParquetManifestStore(spark, checkpoint_dir)
+
+
+def compact_deltas(
+    store: "ParquetManifestStore",
+    schema: T.StructType,
+    name: str = "seen_delta",
+    target_files: int | None = None,
+) -> int:
+    """Table-maintenance: rewrite all committed per-round ``name``
+    deltas into ONE delta under the latest committed round — the
+    parquet-store analogue of Iceberg's ``rewrite_data_files``. After
+    10^4 rounds a 10^10-row seen set is 10^4 small deltas; resume's
+    multi-path scan pays per-file open cost and the cluster pays
+    listing latency, so periodic compaction keeps the file count O(1)
+    while ``read_many`` output stays row-identical.
+
+    Crash-safety: the compacted file lands in a staging dir first and
+    replaces the latest round's delta by rename; older rounds' deltas
+    are deleted only after the swap. A crash between swap and deletes
+    leaves duplicate rows visible — harmless for a SEEN SET (set
+    semantics downstream) and healed by re-running compaction. A crash
+    before the swap leaves state untouched.
+
+    Returns the number of rounds whose deltas were folded in.
+    """
+    import shutil
+
+    rounds = store.committed_rounds()
+    if len(rounds) < 2:
+        return 0
+    last = rounds[-1]
+    union = store.read_many(rounds, name, schema)
+    if target_files is not None:
+        # bounded file count; at 10^10 rows leave None (natural
+        # partitioning) or size target_files to the data, never 1
+        union = union.repartition(target_files)
+    staging = store._dir(last, f"_{name}_compacting")
+    union.write.mode("overwrite").parquet(staging)
+    final = store._dir(last, name)
+    backup = store._dir(last, f"_{name}_old")
+    if os.path.exists(final):
+        os.rename(final, backup)
+    os.rename(staging, final)
+    folded = 0
+    for r in rounds[:-1]:
+        d = store._dir(r, name)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+            folded += 1
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    return folded + 1

@@ -240,3 +240,59 @@ def test_iceberg_store_v1_mode_crawl_and_resume(spark, small_web):
     assert store.committed_rounds() == list(
         range(0, len(resumed.metrics) + 1)
     )
+
+
+def test_resume_after_seen_compaction(spark, small_web, tmp_path_factory):
+    """Table maintenance mid-crawl: compact all committed seen deltas
+    into one, then resume — final state must stay byte-identical to an
+    uninterrupted run, and the compacted store must hold exactly one
+    seen_delta dir."""
+    import os
+
+    from goto_eater_crawler_spark.plans.store import (
+        ParquetManifestStore,
+        compact_deltas,
+    )
+    from goto_eater_crawler_spark.plans.crawl import SEEN_SCHEMA
+
+    pages, seeds, robots = small_web
+    pages_df = webgen.pages_df(spark, pages)
+    robots_df = webgen.robots_df(spark, robots)
+
+    full_dir = str(tmp_path_factory.mktemp("cfull"))
+    full = CrawlEngine(spark, pages_df, robots_df, _cfg(full_dir)).run(seeds)
+    full_state = _state(full)
+
+    cut_dir = str(tmp_path_factory.mktemp("ccut"))
+    CrawlEngine(spark, pages_df, robots_df, _cfg(cut_dir, max_rounds=2)).run(seeds)
+
+    store = ParquetManifestStore(spark, cut_dir)
+    rounds = store.committed_rounds()
+    before = {
+        tuple(r) for r in store.read_many(rounds, "seen_delta", SEEN_SCHEMA).collect()
+    }
+    folded = compact_deltas(store, SEEN_SCHEMA, "seen_delta", target_files=2)
+    assert folded == len(rounds)
+    after = {
+        tuple(r) for r in store.read_many(rounds, "seen_delta", SEEN_SCHEMA).collect()
+    }
+    assert after == before  # read_many row-identical through compaction
+    delta_dirs = [
+        d
+        for d in os.listdir(os.path.join(cut_dir, "rounds"))
+        if os.path.exists(os.path.join(cut_dir, "rounds", d, "seen_delta"))
+    ]
+    assert len(delta_dirs) == 1
+
+    resumed = CrawlEngine.resume(spark, pages_df, robots_df, _cfg(cut_dir))
+    assert {r["canonical_url"] for r in resumed.seen.collect()} == full_state[1]
+    import goto_eater_crawler_spark.schema as S
+
+    all_records = spark.read.schema(resumed.records.schema).parquet(
+        f"{cut_dir}/rounds/round=*/records"
+    )
+    got_records = sorted(
+        (r["url"], r["item_index"], r["shop_name"], r["address"], r["area_name"])
+        for r in all_records.collect()
+    )
+    assert got_records == full_state[0]
