@@ -1162,6 +1162,94 @@ def q_hosts_heavy_hitters(spark, sf_dir):
 
 from ..operators import sketches as _sk  # noqa: E402
 
+_RJ_NW = 24  # range-join window count; width 1.5 strides -> overlaps
+
+
+@_register(
+    "events_range_join",
+    # RANGE JOIN via bucketization — the interval-predicate join a
+    # naive plan turns into a BroadcastNestedLoopJoin over every
+    # (row, range) pair. Scale shape: each range explodes to the
+    # coarse time buckets it covers (<= 2 rows here), rows map to ONE
+    # bucket, and the join is an EQUI-join on bucket with the interval
+    # predicate as a residual — provably the same result (the residual
+    # keeps exactly the true matches; bucket expansion loses none
+    # because a range covers every bucket it intersects). Overlapping
+    # windows make it a genuine m:n range join. The oracle runs the
+    # plain theta join. All bound arithmetic is double and
+    # expression-shape-identical on both sides.
+    f"""
+    WITH b AS (SELECT epoch(min(ts)) AS tmin, epoch(max(ts)) AS tmax
+               FROM events),
+    w AS (SELECT k AS wid,
+                 tmin + k * ((tmax - tmin) / {_RJ_NW}) AS w_start,
+                 tmin + k * ((tmax - tmin) / {_RJ_NW})
+                   + 1.5 * ((tmax - tmin) / {_RJ_NW}) AS w_end
+          FROM b, range({_RJ_NW}) t(k))
+    SELECT wid, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM w JOIN events e
+      ON epoch(e.ts) >= w.w_start AND epoch(e.ts) < w.w_end
+    GROUP BY wid ORDER BY wid
+    """,
+)
+def q_events_range_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        # NTZ -> TZ is the identity instant under the UTC session tz;
+        # the double is then epoch seconds with fraction == DuckDB's
+        # epoch(ts)
+        F.col("ts").cast("timestamp").cast("double").alias("t"),
+        "value",
+    )
+    b = e.agg(F.min("t").alias("tmin"), F.max("t").alias("tmax"))
+    stride = (F.col("tmax") - F.col("tmin")) / _RJ_NW
+    w = (
+        b.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_RJ_NW - 1))).alias("wid"),
+            "tmin",
+            "tmax",
+        )
+        .select(
+            "wid",
+            "tmin",
+            (F.col("tmin") + F.col("wid") * stride).alias("w_start"),
+            (F.col("tmin") + F.col("wid") * stride + 1.5 * stride).alias(
+                "w_end"
+            ),
+            stride.alias("stride"),
+        )
+    )
+    # expand each window to the buckets it intersects (equi-join key)
+    wx = w.select(
+        "wid",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("w_start") - F.col("tmin")) / F.col("stride")),
+                F.floor((F.col("w_end") - F.col("tmin")) / F.col("stride")),
+            )
+        ).alias("bucket"),
+    )
+    eb = e.crossJoin(F.broadcast(b)).select(
+        "t",
+        "value",
+        F.floor((F.col("t") - F.col("tmin")) / ((F.col("tmax") - F.col("tmin")) / _RJ_NW)).alias(
+            "bucket"
+        ),
+    )
+    return (
+        eb.join(F.broadcast(wx), "bucket")
+        .filter((F.col("t") >= F.col("w_start")) & (F.col("t") < F.col("w_end")))
+        .groupBy("wid")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("wid")
+    )
+
+
 @_register(
     "frontier_hll_distinct",
     # frontier-cardinality counter: HyperLogLog with an ORACLE-MIRRORED
