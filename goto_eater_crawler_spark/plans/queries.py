@@ -1251,6 +1251,72 @@ def q_events_range_join(spark, sf_dir):
 
 
 @_register(
+    "events_hypertable_rollup",
+    # hypertable-style continuous-aggregate hierarchy: minute -> hour
+    # -> day, where each coarser grain REAGGREGATES the finer grain's
+    # partials (sum of counts / sum of sums) instead of rescanning raw
+    # rows — the incremental-rollup shape a 100 TB event store
+    # maintains. The oracle computes every grain DIRECTLY from raw
+    # events, so the gate proves partial-reaggregation == direct
+    # aggregation at all three grains. Finer levels persist (each
+    # feeds its own output AND the next level).
+    """
+    SELECT grain, bucket, event_type, n, sum_value FROM (
+      SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket,
+             event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 4) AS sum_value
+      FROM events GROUP BY bucket, event_type
+      UNION ALL
+      SELECT 'hour', date_trunc('hour', ts), event_type,
+             CAST(count(*) AS BIGINT), round(sum(value), 4)
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), event_type,
+             CAST(count(*) AS BIGINT), round(sum(value), 4)
+      FROM events GROUP BY 2, 3)
+    ORDER BY grain, bucket, event_type
+    """,
+)
+def q_events_hypertable_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("bucket"),
+        "event_type",
+        "value",
+    )
+    minute = (
+        ev.groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .persist()
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", F.col("bucket")).alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .persist()
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    def lvl(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("sv", 4).alias("sum_value"),
+        )
+
+    return (
+        lvl(minute, "minute")
+        .unionByName(lvl(hour, "hour"))
+        .unionByName(lvl(day, "day"))
+        .orderBy("grain", "bucket", "event_type")
+    )
+
+
+@_register(
     "frontier_hll_distinct",
     # frontier-cardinality counter: HyperLogLog with an ORACLE-MIRRORED
     # sketch — engine-agnostic Knuth hash mod 2^32, integer CASE-chain
