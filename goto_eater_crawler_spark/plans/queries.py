@@ -1251,6 +1251,99 @@ def q_events_range_join(spark, sf_dir):
 
 
 @_register(
+    "recrawl_priority",
+    # adaptive recrawl scheduling: the CDC diff (snapshot_diff's
+    # derived snapshot B) rolled up per source into a change rate,
+    # weighted by corpus mass -> the next-crawl priority the frontier
+    # O3 ordering consumes. One full-outer diff + one broadcast totals
+    # join; at 100 TB this is the nightly job that decides which hosts
+    # to revisit.
+    """
+    WITH new_snap AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id, source, 'added:' || text AS text
+      FROM documents WHERE doc_id % 17 = 0),
+    changes AS (
+      SELECT coalesce(o.source, n.source) AS source
+      FROM documents o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+      WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text),
+    per_source AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_changed
+      FROM changes GROUP BY source),
+    totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source)
+    SELECT t.source AS source, n_docs,
+           coalesce(n_changed, 0) AS n_changed,
+           round(coalesce(n_changed, 0) / CAST(n_docs AS DOUBLE)
+                 * ln(1 + n_docs), 6) AS priority
+    FROM totals t LEFT JOIN per_source p ON t.source = p.source
+    ORDER BY priority DESC, source
+    """,
+)
+def q_recrawl_priority(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    new_snap = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (-F.col("doc_id") - 1).alias("doc_id"),
+                "source",
+                F.concat(F.lit("added:"), F.col("text")).alias("text"),
+            )
+        )
+    )
+    o = d.select(
+        F.col("doc_id").alias("o_id"), F.col("source").alias("o_src"),
+        F.col("text").alias("o_text"),
+    )
+    n = new_snap.select(
+        F.col("doc_id").alias("n_id"), F.col("source").alias("n_src"),
+        F.col("text").alias("n_text"),
+    )
+    changes = (
+        o.join(n, o.o_id == n.n_id, "full_outer")
+        .filter(
+            F.col("o_id").isNull()
+            | F.col("n_id").isNull()
+            | (F.col("o_text") != F.col("n_text"))
+        )
+        .select(F.coalesce("o_src", "n_src").alias("source"))
+    )
+    per_source = changes.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_changed")
+    )
+    totals = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        totals.join(F.broadcast(per_source), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_changed", F.lit(0)).alias("n_changed"),
+            F.round(
+                F.coalesce("n_changed", F.lit(0))
+                / F.col("n_docs").cast("double")
+                * F.log(1 + F.col("n_docs")),
+                6,
+            ).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("source"))
+    )
+
+
+@_register(
     "events_hypertable_rollup",
     # hypertable-style continuous-aggregate hierarchy: minute -> hour
     # -> day, where each coarser grain REAGGREGATES the finer grain's
