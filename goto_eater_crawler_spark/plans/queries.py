@@ -1251,6 +1251,45 @@ def q_events_range_join(spark, sf_dir):
 
 
 @_register(
+    "skewed_agg_salted",
+    # the skew device the politeness quota uses (salted two-phase),
+    # as an oracle-gated relational op: a derived key sends ~70% of
+    # all events to ONE hot key; the engine aggregates in two phases —
+    # groupBy(key, salt) then groupBy(key) over the <=16-row-per-key
+    # partials — so no single reducer ever sees the hot key's full
+    # row stream. The oracle is the direct GROUP BY; equality proves
+    # the salting is semantics-free.
+    """
+    SELECT hot_key, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM (SELECT CASE WHEN user_id % 10 < 7 THEN 0
+                      ELSE user_id % 100 END AS hot_key, value
+          FROM events)
+    GROUP BY hot_key ORDER BY hot_key
+    """,
+)
+def q_skewed_agg_salted(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id") % 100)
+        .alias("hot_key"),
+        "value",
+        F.pmod(F.col("event_id"), F.lit(16)).alias("_salt"),
+    )
+    partials = e.groupBy("hot_key", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("psv")
+    )
+    return (
+        partials.groupBy("hot_key")
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.round(F.sum("psv"), 4).alias("sum_value"),
+        )
+        .orderBy("hot_key")
+    )
+
+
+@_register(
     "recrawl_priority",
     # adaptive recrawl scheduling: the CDC diff (snapshot_diff's
     # derived snapshot B) rolled up per source into a change rate,
