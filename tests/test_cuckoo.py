@@ -190,3 +190,65 @@ def test_crawl_with_cuckoo_filter_matches_oracle(spark):
     assert got == want_recs
     assert any(m.get("cuckoo_definite_new") for m in res.metrics)
     assert all("bloom_definite_new" not in m for m in res.metrics)
+
+
+def test_insert_delete_fuzz_model():
+    """Hypothesis: any interleaving of insert-batches and delete-
+    batches (deletes only of currently-inserted keys) keeps the
+    no-false-negative invariant vs a python set model."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    params = CuckooParams(n_blocks=1, n_buckets=1 << 9)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.booleans(),
+                st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=40),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def prop(ops):
+        table, _ = _empty_block(params)
+        stash: list[int] = []
+        model: set[int] = set()
+        for is_insert, keys in ops:
+            keys = np.unique(np.array(keys, dtype=np.int64))
+            if is_insert:
+                stash_arr = np.array(stash, dtype=np.int64)
+                fresh = keys[~_contains_mask(table, stash_arr, keys, params)]
+                _insert_new(table, stash, fresh, params)
+                model |= {int(k) for k in keys}
+            else:
+                # delete only currently-inserted keys (the contract)
+                todel = np.array(
+                    [k for k in keys if int(k) in model], dtype=np.int64
+                )
+                model -= {int(k) for k in todel}
+                in_stash = np.isin(todel, np.array(stash, dtype=np.int64))
+                for k in todel[in_stash]:
+                    stash.remove(int(k))
+                rest = todel[~in_stash]
+                if rest.size:
+                    from goto_eater_crawler_spark.operators.cuckoo import (
+                        _fp_i1_i2,
+                    )
+
+                    fps, i1s, i2s = _fp_i1_i2(rest, params)
+                    for j in range(rest.shape[0]):
+                        for b in (int(i1s[j]), int(i2s[j])):
+                            hit = np.flatnonzero(table[b] == fps[j])
+                            if hit.size:
+                                table[b, hit[0]] = 0
+                                break
+            if model:
+                arr = np.array(sorted(model), dtype=np.int64)
+                assert _contains_mask(
+                    table, np.array(stash, dtype=np.int64), arr, params
+                ).all()
+
+    prop()

@@ -121,3 +121,28 @@ def test_spark_warc_pages_source(spark):
     assert all(r["http_status"] == 200 for r in rows)
     assert bytes(rows[0]["html"]).startswith(b"<html>")
     assert rows[0]["warc_ts"].month == 3
+
+
+def test_roundtrip_property_fuzz():
+    """Hypothesis: arbitrary bodies (including CRLF runs, WARC/ marker
+    bytes, empty) and url/date variations round-trip byte-exactly,
+    plain and gzipped."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    body = st.binary(min_size=0, max_size=300)
+    seg = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789-._~/", min_size=1, max_size=30
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(seg, body), min_size=1, max_size=5), st.booleans())
+    def prop(pages, gz):
+        pages = [
+            (f"https://fz.test/{i}/{p}", f"2022-02-{(i % 27) + 1:02d}T00:00:00Z", b)
+            for i, (p, b) in enumerate(pages)
+        ]
+        recs = miniwarc.parse_warc(miniwarc.write_warc(pages, gzipped=gz))
+        assert [(r.target_uri, r.date, r.http_body) for r in recs] == pages
+
+    prop()
