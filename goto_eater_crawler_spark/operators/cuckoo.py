@@ -39,11 +39,16 @@ bitwise OR); eviction victims are chosen by a deterministic
 kick-counter hash, so the serialized block bytes are identical across
 retries of the same update.
 
-Caveat inherited from the data structure (documented in the paper):
+Caveats inherited from the data structure (documented in the paper):
 deleting a key that was never inserted can evict a colliding key's
-fingerprint. Callers must only delete previously-inserted keys —
-``delete_from_blocks`` is fed from the exact seen table, which makes
-that contract checkable.
+fingerprint, so callers must only delete previously-inserted keys;
+and two distinct keys sharing BOTH fingerprint and bucket pair are
+one stored fingerprint, so deleting one un-members the other
+(probability ~1/(2^16 * n_buckets) per pair; the pinned hypothesis
+example 0 vs 2^56 in tests/test_cuckoo.py exhibits it). The crawl
+loop never deletes — its filter verdicts stay exact — and a
+frontier-retraction user accepts that a collided key degrades to
+"will be re-confirmed against the exact table on next sight".
 """
 
 from __future__ import annotations
