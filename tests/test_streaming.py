@@ -361,3 +361,60 @@ def test_streaming_retry_and_dead_letter(spark, landing):
         )
     # the fetched URL never re-emits
     assert all(r["canonical_url"] != "https://a.jp/ok" for r in rows)
+
+
+def test_streaming_hot_hosts_mg_state(spark, landing):
+    """MG heavy hitters in streaming state: counts accumulate across
+    microbatches AND across a restart from checkpoint; in the exact
+    regime (capacity > distinct hosts/shard) the merged counters
+    equal the true per-host totals with zero error."""
+    from goto_eater_crawler_spark.streaming import hotspots_stream
+
+    src = os.path.join(landing, "hh_src")
+    ck = os.path.join(landing, "hh_ck")
+    os.makedirs(src, exist_ok=True)
+
+    def feed(hosts, fname):
+        with open(os.path.join(src, fname), "w") as f:
+            for h in hosts:
+                f.write(json.dumps({"host": h}) + "\n")
+
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append((epoch_id, df.collect()))
+
+    def drain():
+        stream = spark.readStream.schema("host string").json(src)
+        q = (
+            hotspots_stream.hot_hosts_stream(stream, n_shards=4, capacity=64)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    feed(["a.jp"] * 5 + ["b.jp"] * 3 + ["c.jp"], "f1.json")
+    drain()
+    feed(["a.jp"] * 2 + ["c.jp"] * 4 + ["d.jp"], "f2.json")
+    drain()  # restart: state must carry run-1 counts
+
+    # final counters = last emission per shard
+    last = {}
+    for epoch, rows in batches:
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for s, rs in by_shard.items():
+            last[s] = (epoch, rs)
+    merged = {}
+    err = 0
+    for _, rs in last.values():
+        for r in rs:
+            if r["host"] is not None:
+                merged[r["host"]] = merged.get(r["host"], 0) + r["cnt"]
+        err += rs[0]["err"] if rs else 0
+    assert err == 0  # exact regime
+    assert merged == {"a.jp": 7, "b.jp": 3, "c.jp": 5, "d.jp": 1}
