@@ -810,3 +810,100 @@ def substring_dup_sql(docs_rel: str, k: int = SPAN_K) -> str:
     FROM sp JOIN occ USING (span)
     GROUP BY sp.doc_id ORDER BY sp.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment dedup (snippet-in-document detection)
+# ---------------------------------------------------------------------------
+
+CONTAIN_MIN_SHINGLES = 5
+
+
+def containment_corpus(docs: DataFrame, mod: int = 9, prefix: int = 200) -> DataFrame:
+    """Base docs + planted SNIPPET variants (-doc_id - 1 = first
+    ``prefix`` chars of every ``mod``-th doc). A snippet's shingle set
+    is a subset of its source's, so containment(snippet -> source) ~ 1
+    while Jaccard stays low — the asymmetric case this operator
+    exists for (quote/boilerplate/excerpt detection, which symmetric
+    Jaccard misses). Mirrored exactly by :func:`containment_corpus_sql`."""
+    base = docs.select("doc_id", "text")
+    snippets = docs.filter(F.col("doc_id") % mod == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.substring("text", 1, prefix).alias("text"),
+    )
+    return base.unionByName(snippets)
+
+
+def containment_corpus_sql(docs_rel: str, mod: int = 9, prefix: int = 200) -> str:
+    return (
+        f"(SELECT doc_id, text FROM {docs_rel} UNION ALL "
+        f"SELECT -doc_id - 1 AS doc_id, substring(text, 1, {prefix}) AS text "
+        f"FROM {docs_rel} WHERE doc_id % {mod} = 0)"
+    )
+
+
+def containment_pairs(
+    sh: DataFrame, threshold: float = 0.9, df_cap: int | None = None
+) -> DataFrame:
+    """DIRECTED pairs (doc_a, doc_b, containment) with
+    |sh(a) ∩ sh(b)| / |sh(a)| >= threshold, a != b, |sh(a)| >=
+    CONTAIN_MIN_SHINGLES (tiny shingle sets are trivially contained).
+    Same scale discipline as jaccard_pairs: optional broadcast DF cap
+    on hot shingles, ONE persisted shingle relation feeding sizes and
+    both join sides."""
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    return (
+        common.join(sa, "doc_a")
+        .filter(F.col("na") >= CONTAIN_MIN_SHINGLES)
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("na"), 4)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def containment_pairs_sql(
+    docs_rel: str, threshold: float = 0.9, df_cap: int | None = None
+) -> str:
+    cap_cte = (
+        f""",
+    sh AS (SELECT sh_all.* FROM sh_all
+           JOIN (SELECT shingle FROM sh_all
+                 GROUP BY 1 HAVING count(*) <= {df_cap}) ok USING (shingle))"""
+        if df_cap is not None
+        else ""
+    )
+    first = "sh_all" if df_cap is not None else "sh"
+    return f"""
+    WITH {first} AS ({SHINGLES_SQL.format(docs=docs_rel)}){cap_cte},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(n_common / sa.n_sh, 4) AS containment
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE sa.n_sh >= {CONTAIN_MIN_SHINGLES}
+      AND round(n_common / sa.n_sh, 4) >= {threshold}
+    """

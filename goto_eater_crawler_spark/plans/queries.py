@@ -1251,6 +1251,26 @@ def q_events_range_join(spark, sf_dir):
 
 
 @_register(
+    "dedup_shingle_containment",
+    # asymmetric near-dup: containment |sh(a) ∩ sh(b)| / |sh(a)| — the
+    # quote/excerpt/boilerplate case symmetric Jaccard misses. Planted
+    # snippet variants (-doc_id-1 = 200-char prefix of every 9th doc)
+    # guarantee real directed hits at any SF; hot-shingle DF cap and
+    # the one-persisted-shingle-relation discipline as jaccard_pairs.
+    _td.containment_pairs_sql(
+        _td.containment_corpus_sql("documents"), 0.9, df_cap=100
+    ),
+)
+def q_dedup_shingle_containment(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    corpus = _td.containment_corpus(d)
+    return (
+        _td.containment_pairs(_td.shingles(corpus), 0.9, df_cap=100)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@_register(
     "skewed_agg_salted",
     # the skew device the politeness quota uses (salted two-phase),
     # as an oracle-gated relational op: a derived key sends ~70% of
