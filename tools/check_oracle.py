@@ -52,9 +52,11 @@ def main():
         )
 
     failures = []
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -97,7 +99,7 @@ def main():
             continue
         print(f"OK   {name}: rows={len(srows)}")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} matched")
+    print(f"\n{attempted - len(failures)}/{attempted} matched ({len(qs)} registered)")
     spark.stop()
     sys.exit(1 if failures else 0)
 
