@@ -326,3 +326,38 @@ def compact_deltas(
     if os.path.exists(backup):
         shutil.rmtree(backup)
     return folded + 1
+
+
+def compact_deltas_iceberg(
+    store: "IcebergStore", name: str = "seen_delta"
+) -> int:
+    """Catalog-table twin of :func:`compact_deltas`: rewrite every
+    committed round's ``name`` partition into the latest round's
+    partition in ONE table overwrite. On real Iceberg (v2) the
+    overwrite is a single atomic snapshot commit — the crash-safety
+    comes from the table format, not from rename choreography. In v1
+    session-catalog test mode the same logic runs as a
+    materialize-then-overwrite (non-atomic; test-mode limitation,
+    documented — production compaction belongs on the v2 path or
+    Iceberg's own rewrite_data_files procedure).
+
+    Returns the number of rounds folded. No concurrent writers
+    (maintenance-window op, same precondition as the parquet twin).
+    """
+    rounds = store.committed_rounds()
+    if len(rounds) < 2:
+        return 0
+    last = rounds[-1]
+    t = store._table(name)
+    folded = (
+        store.spark.read.table(t)
+        .drop("round")
+        .withColumn("round", F.lit(last))
+    )
+    if store.v2:
+        folded.writeTo(t).overwrite(F.lit(True))
+    else:
+        # break the self-read before overwriting the source table
+        folded = folded.localCheckpoint(eager=True)
+        folded.write.mode("overwrite").partitionBy("round").saveAsTable(t)
+    return len(rounds)

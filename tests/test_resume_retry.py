@@ -296,3 +296,54 @@ def test_resume_after_seen_compaction(spark, small_web, tmp_path_factory):
         for r in all_records.collect()
     )
     assert got_records == full_state[0]
+
+
+def test_resume_after_seen_compaction_iceberg_mode(spark, small_web, tmp_path_factory):
+    """Catalog-table compaction: fold all seen_delta partitions into
+    the latest round, read_many row-identical, resume == uninterrupted
+    (v1 session-catalog mode; the v2 path is the same logic through an
+    atomic Iceberg snapshot overwrite)."""
+    import uuid
+
+    from goto_eater_crawler_spark.plans.crawl import SEEN_SCHEMA
+    from goto_eater_crawler_spark.plans.store import (
+        IcebergStore,
+        compact_deltas_iceberg,
+    )
+
+    pages, seeds, robots = small_web
+    pages_df = webgen.pages_df(spark, pages)
+    robots_df = webgen.robots_df(spark, robots)
+
+    tag = uuid.uuid4().hex[:8]
+    full_prefix = f"iceberg:spark_catalog.default.cc_{tag}_full"
+    cut_prefix = f"iceberg:spark_catalog.default.cc_{tag}_cut"
+
+    full = CrawlEngine(spark, pages_df, robots_df, _cfg(full_prefix)).run(seeds)
+    full_state = _state(full)
+
+    CrawlEngine(spark, pages_df, robots_df, _cfg(cut_prefix, max_rounds=2)).run(
+        seeds
+    )
+    store = IcebergStore(spark, cut_prefix[len("iceberg:"):])
+    rounds = store.committed_rounds()
+    before = {
+        tuple(r)
+        for r in store.read_many(rounds, "seen_delta", SEEN_SCHEMA).collect()
+    }
+    assert compact_deltas_iceberg(store, "seen_delta") == len(rounds)
+    after = {
+        tuple(r)
+        for r in store.read_many(rounds, "seen_delta", SEEN_SCHEMA).collect()
+    }
+    assert after == before
+    # all rows now live in ONE partition (the latest round)
+    t = store._table("seen_delta")
+    parts = {
+        r["round"]
+        for r in spark.read.table(t).select("round").distinct().collect()
+    }
+    assert parts == {rounds[-1]}
+
+    resumed = CrawlEngine.resume(spark, pages_df, robots_df, _cfg(cut_prefix))
+    assert {r["canonical_url"] for r in resumed.seen.collect()} == full_state[1]
