@@ -256,3 +256,21 @@ def fingerprint_sql(expr: str) -> str:
         f" '\\s+', ' ', 'g'))"
     )
     return f"md5({norm})"
+
+
+# BPE-ish pre-tokenization count: word runs / digit runs / punctuation
+# runs (the GPT-2 pre-tokenizer shape, lookahead-free so the SAME
+# pattern executes identically under Java regex (Spark) and RE2
+# (DuckDB) — RE2 has no lookahead, so the original GPT-2 trailing-
+# space case is deliberately omitted). Whitespace itself is not a
+# token. ASCII classes only: engine-agnostic by construction; CJK
+# text lumps per non-ASCII run, which is the documented approximation.
+BPE_PATTERN = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 1))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_PATTERN}', 1))"

@@ -974,6 +974,34 @@ def q_text_token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_register(
+    "text_token_count_bpe",
+    # the build spec's second token-counting mode: BPE-ish regex
+    # pre-tokenization (word/digit/punct runs) next to the whitespace
+    # count, plus their ratio — the tokens-per-word signal quality
+    # filters threshold on. Same pattern string executes under Java
+    # regex and RE2 (lookahead-free by construction).
+    f"""
+    SELECT doc_id,
+           {_ts.bpe_token_count_sql("text")} AS n_bpe,
+           {_ts.token_count_sql("text")} AS n_ws,
+           round({_ts.bpe_token_count_sql("text")}
+                 / CAST({_ts.token_count_sql("text")} AS DOUBLE), 4) AS ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_token_count_bpe(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bpe = _ts.bpe_token_count_col(F.col("text"))
+    ws = _ts.token_count_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe"),
+        ws.alias("n_ws"),
+        F.round(bpe / ws.cast("double"), 4).alias("ratio"),
+    ).orderBy("doc_id")
+
+
 # corpus texts carry no natural PII — plant deterministic emails (every
 # 7th doc) and JP phone numbers (every 11th) identically in both
 # engines so the redaction gate exercises real positives. (Column
