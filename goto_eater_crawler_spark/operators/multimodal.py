@@ -365,3 +365,70 @@ BINARY_METADATA_SQL = """
                 ELSE 'unknown' END AS format
     FROM documents
 """
+
+
+def image_resize_stats(images: DataFrame, out_w: int = 6, out_h: int = 4) -> DataFrame:
+    """REAL resize stage: decode -> luminance -> nearest-neighbor
+    resample to (out_w, out_h) -> (doc_id, out_w, out_h, px_sum,
+    mean_px). The thumbnail/feature-extract step of an image
+    pipeline; the floor mapping src = (dst*src)//dst is exact integer
+    math, so the SQL oracle reproduces every sampled pixel from the
+    synth pattern's closed form."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "out_w": [], "out_h": [], "px_sum": [],
+                   "mean_px": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    w, h, mode, rows = miniimg.decode_image(bytes(payload))
+                except miniimg.ImageFormatError:
+                    for k in ("out_w", "out_h", "px_sum", "mean_px"):
+                        out[k].append(None)
+                    continue
+                small = miniimg.resize_nearest(
+                    miniimg.to_grey(w, h, mode, rows), out_w, out_h
+                )
+                flat = [v for r in small for v in r]
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["px_sum"].append(sum(flat))
+                out["mean_px"].append(round(sum(flat) / len(flat), 4))
+            yield pd.DataFrame(out)
+
+    return images.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema="doc_id long, out_w long, out_h long, px_sum long, mean_px double",
+    )
+
+
+def image_resize_sql(mod: int = 7, out_w: int = 6, out_h: int = 4) -> str:
+    """Closed-form oracle for image_resize_stats(synth_images(docs)):
+    the nearest-neighbor floor mapping samples pixel columns (even
+    doc_id, vertical split) or rows (odd, horizontal split) whose
+    two-tone value is a pure function of doc_id."""
+    w = "(8 + 2*(doc_id % 5))"
+    h = "(8 + (3*doc_id) % 7)"
+    a = "(doc_id % 100)"
+    b = "(155 + doc_id % 100)"
+    # even: sum over sampled columns x'=0..out_w-1, each counted out_h times
+    col_terms = " + ".join(
+        f"(CASE WHEN (({x} * {w}) // {out_w}) < ({w} // 2) THEN {a} ELSE {b} END)"
+        for x in range(out_w)
+    )
+    # odd: sum over sampled rows y'=0..out_h-1, each counted out_w times
+    row_terms = " + ".join(
+        f"(CASE WHEN (({y} * {h}) // {out_h}) < ({h} // 2) THEN {a} ELSE {b} END)"
+        for y in range(out_h)
+    )
+    n = out_w * out_h
+    return f"""
+    SELECT doc_id, {out_w} AS out_w, {out_h} AS out_h,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {out_h} * ({col_terms})
+                     ELSE {out_w} * ({row_terms}) END AS BIGINT) AS px_sum,
+           round(CASE WHEN doc_id % 2 = 0 THEN {out_h} * ({col_terms})
+                      ELSE {out_w} * ({row_terms}) END / {float(n)}, 4)
+             AS mean_px
+    FROM documents WHERE doc_id % {mod} = 0
+    """

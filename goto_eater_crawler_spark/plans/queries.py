@@ -1653,6 +1653,20 @@ def q_multimodal_image_decode(spark, sf_dir):
 
 
 @_register(
+    "multimodal_image_resize",
+    # REAL resize/feature-extract stage: decode the synth PNGs, exact
+    # integer luminance, nearest-neighbor resample — every sampled
+    # pixel has a closed form in doc_id that the oracle computes
+    # without touching a codec, so a resampling off-by-one cannot
+    # survive the gate.
+    _mm.image_resize_sql() + " ORDER BY doc_id",
+)
+def q_multimodal_image_resize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.image_resize_stats(_mm.synth_images(d)).orderBy("doc_id")
+
+
+@_register(
     "multimodal_audio_decode",
     # REAL WAV decode gate: synth_audio writes genuine RIFF/PCM
     # containers (odd ids carry a LIST chunk, so the decoder must walk
