@@ -203,7 +203,7 @@ def test_insert_delete_fuzz_model():
     with a deleted key's signature — everything else must stay
     contained (hypothesis found the 0 vs 2^56 collision that makes
     this precise contract necessary; the example is pinned)."""
-    from hypothesis import given, settings
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     from goto_eater_crawler_spark.operators.cuckoo import _fp_i1_i2
@@ -218,6 +218,10 @@ def test_insert_delete_fuzz_model():
         ]
 
     @settings(max_examples=40, deadline=None)
+    # the fuzz-found signature collision, pinned in code (the local
+    # .hypothesis example DB is untracked): 0 and 2^56 share fp AND
+    # bucket pair, so deleting 0 un-members 2^56 — must stay EXEMPT
+    @example(ops=[(True, [0]), (True, [2**56]), (False, [0])])
     @given(
         st.lists(
             st.tuples(
