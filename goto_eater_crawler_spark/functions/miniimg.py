@@ -82,7 +82,14 @@ def png_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
     if width is None:
         raise ImageFormatError("no IHDR")
     nch = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    rows = _defilter(zlib.decompress(bytes(idat)), width, height, nch)
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}[nch]
+    return width, height, mode, rows
+
+
+def _defilter(raw: bytes, width: int, height: int, nch: int) -> list[bytes]:
+    """Reverse PNG scanline filtering (shared by IDAT and APNG fdAT
+    streams)."""
     stride = width * nch
     if len(raw) != (stride + 1) * height:
         raise ImageFormatError("bad IDAT length")
@@ -111,8 +118,7 @@ def png_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
             raise ImageFormatError(f"bad filter {ftype}")
         prev = bytes(line)
         rows.append(prev)
-    mode = {1: "L", 3: "RGB", 4: "RGBA"}[nch]
-    return width, height, mode, rows
+    return rows
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
@@ -270,3 +276,97 @@ def ahash(grid: list[list[int]], size: int = 8) -> int:
     for v in flat:
         h = (h << 1) | (1 if v >= mean else 0)
     return h
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — the W3C/Mozilla APNG extension chunks over the
+# same codec: acTL (animation control), per-frame fcTL (frame
+# control) + fdAT (frame data = 4-byte sequence number + the same
+# zlib/filter stream as IDAT; frame 0 rides the plain IDAT). All
+# frames here are full-canvas, no blending — the VIDEO container of
+# the multimodal suite, real end to end.
+# ---------------------------------------------------------------------------
+
+
+def apng_encode(
+    width: int, height: int, mode: str, frames: list[list[bytes]]
+) -> bytes:
+    """Encode full-canvas frames (each a rows list like png_encode's)
+    as an APNG; single-frame input degrades to a plain PNG + acTL."""
+    nch = {"L": 1, "RGB": 3, "RGBA": 4}[mode]
+    color = {1: 0, 3: 2, 4: 6}[nch]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    out = bytearray(PNG_SIG)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for fi, rows in enumerate(frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, width, height, 0, 0, 1, 10, 0, 0
+        )
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        raw = b"".join(b"\x00" + r for r in rows)
+        z = zlib.compress(raw, 9)
+        if fi == 0:
+            out += _chunk(b"IDAT", z)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def apng_decode(data: bytes) -> tuple[int, int, str, list[list[bytes]]]:
+    """-> (width, height, mode, frames) — each frame a rows list.
+    Plain PNGs decode as one frame. Frames must be full-canvas (the
+    subset this engine writes; offset frames raise)."""
+    if data[:8] != PNG_SIG:
+        raise ImageFormatError("not a PNG")
+    pos, width = 8, None
+    height = color = None
+    # frame streams in order; index 0 may be the plain IDAT
+    streams: list[bytearray] = []
+    saw_fctl_before_idat = False
+    idat_stream: bytearray | None = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _CHANNELS:
+                raise ImageFormatError(
+                    f"unsupported PNG depth/color {depth}/{color}"
+                )
+        elif ctype == b"fcTL":
+            (_, fw, fh, fx, fy) = struct.unpack(">IIIII", body[:20])
+            if (fw, fh, fx, fy) != (width, height, 0, 0):
+                raise ImageFormatError("offset APNG frames unsupported")
+            if idat_stream is None:
+                saw_fctl_before_idat = True
+            streams.append(bytearray())
+        elif ctype == b"IDAT":
+            if idat_stream is None:
+                idat_stream = (
+                    streams[-1] if saw_fctl_before_idat else bytearray()
+                )
+                if not saw_fctl_before_idat:
+                    streams.insert(0, idat_stream)
+            idat_stream.extend(body)
+        elif ctype == b"fdAT":
+            streams[-1].extend(body[4:])  # strip sequence number
+        elif ctype == b"IEND":
+            break
+    if width is None or not streams:
+        raise ImageFormatError("no IHDR/image data")
+    nch = _CHANNELS[color]
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}[nch]
+    frames = [
+        _defilter(zlib.decompress(bytes(s)), width, height, nch)
+        for s in streams
+    ]
+    return width, height, mode, frames

@@ -432,3 +432,90 @@ def image_resize_sql(mod: int = 7, out_w: int = 6, out_h: int = 4) -> str:
              AS mean_px
     FROM documents WHERE doc_id % {mod} = 0
     """
+
+
+# ---------------------------------------------------------------------------
+# real video path: APNG container (animated PNG) via miniimg
+# ---------------------------------------------------------------------------
+
+
+def synth_videos(docs: DataFrame, mod: int = 13) -> DataFrame:
+    """(doc_id, payload) — one REAL APNG per selected doc: n_frames =
+    2 + doc_id % 3 full-canvas frames, frame f a solid greyscale
+    value (doc_id*7 + f*31) % 256, canvas 8+(doc_id%4)*2 x
+    6+(doc_id%3)*2. Every per-frame property has a closed form in
+    (doc_id, f) for the SQL oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + (d % 4) * 2
+                h = 6 + (d % 3) * 2
+                frames = [
+                    [bytes([(d * 7 + f * 31) % 256] * w) for _ in range(h)]
+                    for f in range(2 + d % 3)
+                ]
+                ids.append(d)
+                payloads.append(miniimg.apng_encode(w, h, "L", frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def video_frame_stats(videos: DataFrame) -> DataFrame:
+    """REAL video-frame extraction: walk the APNG container, decode
+    every frame (fdAT zlib + scanline defilter), emit one row per
+    frame with exact stats — the 1->many frame-sampling stage of a
+    multimodal pipeline, with an actual codec under it instead of
+    opaque byte chunks. Undecodable payloads yield a single null row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [],
+                   "width": [], "height": [], "mean_px": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, mode, frames = miniimg.apng_decode(bytes(payload))
+                except miniimg.ImageFormatError:
+                    out["doc_id"].append(int(doc_id))
+                    for k in ("frame_idx", "n_frames", "width", "height",
+                              "mean_px"):
+                        out[k].append(None)
+                    continue
+                for fi, rows in enumerate(frames):
+                    grid = miniimg.to_grey(w, h, mode, rows)
+                    flat = [v for r in grid for v in r]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(fi)
+                    out["n_frames"].append(len(frames))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_px"].append(sum(flat) / len(flat))
+            yield pd.DataFrame(out)
+
+    return videos.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, frame_idx long, n_frames long, width long, "
+            "height long, mean_px double"
+        ),
+    )
+
+
+def video_frames_sql(mod: int = 13) -> str:
+    """Closed-form oracle for video_frame_stats(synth_videos(docs))."""
+    return f"""
+    SELECT doc_id, f AS frame_idx,
+           2 + doc_id % 3 AS n_frames,
+           8 + (doc_id % 4) * 2 AS width,
+           6 + (doc_id % 3) * 2 AS height,
+           CAST((doc_id * 7 + f * 31) % 256 AS DOUBLE) AS mean_px
+    FROM documents, range(4) t(f)
+    WHERE doc_id % {mod} = 0 AND f < 2 + doc_id % 3
+    """

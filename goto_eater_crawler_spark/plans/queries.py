@@ -1667,6 +1667,22 @@ def q_multimodal_image_resize(spark, sf_dir):
 
 
 @_register(
+    "multimodal_video_frames",
+    # REAL video path: APNG container (acTL/fcTL/fdAT per the public
+    # W3C APNG extension) assembled and decoded by miniimg — frame
+    # extraction now walks an actual container and inflates actual
+    # frame streams instead of slicing opaque byte chunks; per-frame
+    # stats have closed forms in (doc_id, frame_idx) for the oracle.
+    _mm.video_frames_sql() + " ORDER BY doc_id, frame_idx",
+)
+def q_multimodal_video_frames(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.video_frame_stats(_mm.synth_videos(d)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@_register(
     "multimodal_audio_decode",
     # REAL WAV decode gate: synth_audio writes genuine RIFF/PCM
     # containers (odd ids carry a LIST chunk, so the decoder must walk

@@ -87,3 +87,49 @@ def test_image_decode_operator_real_png(spark):
     )
     row = mm.image_decode_metadata(bad).collect()[0]
     assert row["doc_id"] == 99 and row["width"] is None and row["ahash"] is None
+
+
+def test_apng_roundtrip_multiframe():
+    from goto_eater_crawler_spark.functions import miniimg
+
+    w, h = 10, 7
+    frames = [
+        [bytes([(v + y) % 256 for _ in range(w)]) for y in range(h)]
+        for v in (3, 99, 200, 254)
+    ]
+    blob = miniimg.apng_encode(w, h, "L", frames)
+    W, H, mode, out = miniimg.apng_decode(blob)
+    assert (W, H, mode) == (w, h, "L")
+    assert out == frames
+
+
+def test_apng_decodes_plain_png_as_one_frame():
+    from goto_eater_crawler_spark.functions import miniimg
+
+    rows = [bytes([y * 11 % 256] * 5) for y in range(4)]
+    png = miniimg.png_encode(5, 4, "L", rows, filters=[0, 1, 2, 4])
+    W, H, mode, out = miniimg.apng_decode(png)
+    assert (W, H, mode, len(out)) == (5, 4, "L", 1)
+    assert out[0] == rows
+    # and png_decode (shared _defilter) agrees
+    assert miniimg.png_decode(png)[3] == rows
+
+
+def test_apng_rejects_offset_frames():
+    import struct
+
+    import pytest as _pytest
+
+    from goto_eater_crawler_spark.functions import miniimg
+
+    w, h = 6, 4
+    frames = [[bytes([9] * w) for _ in range(h)]] * 2
+    blob = bytearray(miniimg.apng_encode(w, h, "L", frames))
+    # corrupt the second fcTL's x_offset (find the 2nd fcTL chunk)
+    idx = blob.index(b"fcTL", blob.index(b"fcTL") + 4)
+    # body starts 4 bytes after type; x_offset is at body offset 12
+    off = idx + 4 + 12
+    blob[off:off + 4] = struct.pack(">I", 2)
+    # CRC now wrong too, but the offset check fires first
+    with _pytest.raises(miniimg.ImageFormatError):
+        miniimg.apng_decode(bytes(blob))
