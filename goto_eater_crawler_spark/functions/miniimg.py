@@ -12,6 +12,9 @@ Supported:
   Specification, W3C, public.
 - BMP (decode + encode): BITMAPINFOHEADER, 24-bit uncompressed,
   bottom-up or top-down rows.
+- APNG (encode + decode): the W3C animated-PNG extension
+  (acTL/fcTL/fdAT), full-canvas frames — the multimodal VIDEO
+  container, real end to end.
 
 Plus the pixel-level ops a training-data image pipeline runs on decode
 output: greyscale conversion, nearest-neighbor resize, and the 8x8
