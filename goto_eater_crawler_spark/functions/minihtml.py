@@ -212,7 +212,14 @@ def parse(html: str) -> Node:
             node = Node(tag, m.group(3), html, m.start(), m.end())
             node.parent = stack[-1]
             stack[-1].children.append(node)
-            if tag not in VOID and m.group(4) != "/":
+            # XML-style self-close syntax ('<div/>') on a NON-VOID
+            # element is intentionally ignored: the element stays open,
+            # matching the HTML5 spec and the reference's lxml.html /
+            # libxml2 parser (ADVICE r3 #2 — the old `group(4) != '/'`
+            # check was dead code because the attrs group consumes the
+            # trailing '/'; deleted rather than "fixed" since honoring
+            # it would DIVERGE from the reference parser).
+            if tag not in VOID:
                 stack.append(node)
         # else: comment/doctype/CDATA — skipped
     for n in stack[1:]:  # anything unclosed at EOF

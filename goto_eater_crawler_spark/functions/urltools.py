@@ -79,12 +79,18 @@ def fast_urljoin(base: str, href: str) -> str:
     if href.startswith("http://") or href.startswith("https://"):
         return href
     if href.startswith("/") and not href.startswith("//"):
-        m = _BASE_PREFIX.match(base)
-        if m:
-            pre = m.group(0)
-            i = pre.index("://")
-            # urljoin lowercases the scheme of its result
-            return pre[:i].lower() + pre[i:] + href
+        # RFC 3986 §5.2.4: urljoin removes dot segments ('/./', '/../',
+        # trailing '/.' or '/..') from a root-relative path; the fast
+        # path must not skip that. The substring test '/.' is a
+        # conservative superset (it also matches '/.hidden' etc.) —
+        # false positives merely take the slow byte-equal path.
+        if "/." not in href:
+            m = _BASE_PREFIX.match(base)
+            if m:
+                pre = m.group(0)
+                i = pre.index("://")
+                # urljoin lowercases the scheme of its result
+                return pre[:i].lower() + pre[i:] + href
     return urljoin(base, href)
 
 

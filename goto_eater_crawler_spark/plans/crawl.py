@@ -484,13 +484,19 @@ class CrawlEngine:
             else:
                 offsite_links = None
             # partition the intra-round dedup by the 64-bit url_hash
-            # (the engine's universal URL key, north_star seen-set
-            # design): the window's shuffle + sort then key on a long
-            # (radix-sortable prefix) instead of a ~60-byte string.
-            # Identity semantics are unchanged modulo xxhash64
-            # collisions, which the hash-keyed seen set accepts by
-            # design.
-            w = Window.partitionBy("url_hash").orderBy("depth", "url")
+            # FIRST (the engine's universal URL key, north_star
+            # seen-set design): the window's shuffle + sort lead on a
+            # long (radix-sortable prefix) instead of a ~60-byte
+            # string. canonical_url rides along as the second partition
+            # key so identity stays EXACT (ADVICE r3 #3): an xxhash64
+            # collision between two distinct canonical URLs co-locates
+            # them but keeps their windows separate — unlike the seen
+            # filter (which exact-confirms downstream), this window has
+            # no rescue, so hash-only keying here would silently drop a
+            # URL forever.
+            w = Window.partitionBy("url_hash", "canonical_url").orderBy(
+                "depth", "url"
+            )
             links_dedup = (
                 links.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)

@@ -177,8 +177,13 @@ class IcebergStore:
         if not self.v2:
             # INSERT OVERWRITE must be partition-scoped like
             # overwritePartitions; the default static mode truncates
-            # the whole table. Session-wide (not per-write): the crawl
-            # loop writes from concurrent threads.
+            # the whole table. Session-wide (not per-write conf
+            # toggles, which would race the crawl loop's concurrent
+            # materialization threads) — and therefore VISIBLE TO
+            # EVERY OTHER WRITER on this session for its lifetime
+            # (documented at get_spark, ADVICE r3 #4): an unrelated
+            # static full-table INSERT OVERWRITE elsewhere must pin
+            # .option("partitionOverwriteMode", "static") per-write.
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def _table(self, name: str) -> str:

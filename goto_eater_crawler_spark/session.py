@@ -46,6 +46,17 @@ def get_spark(
     (``local[8]`` vs ``local[32]`` for the two-parallelism scaling
     protocol in BASELINE.md) and ``shuffle_partitions`` (sized to
     cores locally; on a real cluster ~2-3x total executor cores).
+
+    Session-wide conf caveat (ADVICE r3 #4): constructing an
+    ``IcebergStore`` in v1 session-catalog mode sets
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` on THIS
+    session for its lifetime (the crawl loop's concurrent
+    materialization threads rule out a per-write toggle). Any other
+    writer sharing the session that relies on STATIC ``INSERT
+    OVERWRITE`` (full-table truncate) must set the mode explicitly on
+    its own write via the DataFrameWriter option
+    ``.option("partitionOverwriteMode", "static")``, which overrides
+    the session conf per-write without racing it.
     """
     # Make the engine importable in executor Python workers no matter
     # where the driver script lives: the equivalent of

@@ -73,11 +73,17 @@ def _update(capacity: int):
             vc = pdf["host"].value_counts()
             _mg_fold(counters, decrement, vc.index, vc.to_numpy(), capacity)
         state.update((json.dumps(counters, sort_keys=True), decrement[0]))
+        # mirror the batch mg_summaries shape (ADVICE r3 #5): ALWAYS
+        # append one (host=null, cnt=decrement) sentinel row so the
+        # shard's error mass reaches the downstream merge even when
+        # heavy decrement churn at tiny capacity empties the counter
+        # set — an empty frame would silently understate the global
+        # error bound for the microbatch.
         yield pd.DataFrame(
             {
                 "shard": shard,
-                "host": list(counters.keys()),
-                "cnt": [int(c) for c in counters.values()],
+                "host": list(counters.keys()) + [None],
+                "cnt": [int(c) for c in counters.values()] + [decrement[0]],
                 "err": decrement[0],
             }
         )
@@ -90,8 +96,12 @@ def hot_hosts_stream(
 ) -> DataFrame:
     """fetch_stream: streaming (host string, ...) rows -> per-shard
     current MG counters (shard, host, cnt, err), re-emitted on every
-    microbatch that touches the shard. Merge downstream with
-    groupBy(host).sum(cnt) and sum of per-shard err."""
+    microbatch that touches the shard, plus one (host=null,
+    cnt=decrement) sentinel row per shard (the batch mg_summaries
+    shape — it keeps the error mass visible even when the counter set
+    is empty). Merge downstream with groupBy(host).sum(cnt) over
+    host IS NOT NULL and sum of per-shard err (or of the sentinels'
+    cnt — identical by construction)."""
     sharded = fetch_stream.select(
         F.pmod(F.xxhash64("host"), F.lit(n_shards)).cast("int").alias("shard"),
         F.col("host"),

@@ -63,6 +63,17 @@ def test_void_and_self_closing_elements_do_not_nest():
     assert doc.find("img").attrs["src"] == "x"
 
 
+def test_self_close_syntax_ignored_on_non_void_elements():
+    # HTML5 / lxml.html semantics (ADVICE r3 #2): '<div/>' is an OPEN
+    # div — XML self-close syntax on a non-void element is ignored, so
+    # the following sibling nests inside it (libxml2 parses the
+    # reference's pages the same way; honoring the '/' would diverge).
+    doc = mh.parse("<div/><p>x</p></div><span>after</span>")
+    div = doc.find("div")
+    assert div.find("p") is not None and div.find("p").text() == "x"
+    assert doc.find("span").text() == "after"
+
+
 def test_attribute_values_stay_raw():
     # entity references and javascript quoting are NOT decoded — the
     # quirk layer owns entity replacement (gunma data-o)

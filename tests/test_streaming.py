@@ -363,6 +363,35 @@ def test_streaming_retry_and_dead_letter(spark, landing):
     assert all(r["canonical_url"] != "https://a.jp/ok" for r in rows)
 
 
+def test_hot_hosts_fold_emits_err_sentinel_when_counters_empty():
+    """ADVICE r3 #5: at tiny capacity, decrement churn can empty the
+    counter dict while decrement mass is nonzero — the fold must still
+    emit the (host=null, cnt=decrement) sentinel row so the shard's
+    error bound survives to the downstream merge."""
+    import pandas as pd
+
+    from goto_eater_crawler_spark.streaming.hotspots_stream import _update
+
+    class _StubState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    state = _StubState()
+    # capacity=1: 'a' occupies the only counter; 'b' triggers a full
+    # decrement (d=1) that zeroes and deletes it -> counters == {}
+    frames = list(
+        _update(1)((7,), iter([pd.DataFrame({"host": ["a.jp", "b.jp"]})]), state)
+    )
+    assert len(frames) == 1
+    f = frames[0]
+    assert len(f) == 1  # the sentinel alone — counters are empty
+    assert f["host"].iloc[0] is None or pd.isna(f["host"].iloc[0])
+    assert int(f["cnt"].iloc[0]) == 1 and int(f["err"].iloc[0]) == 1
+    assert state.value == ("{}", 1)
+
+
 def test_streaming_hot_hosts_mg_state(spark, landing):
     """MG heavy hitters in streaming state: counts accumulate across
     microbatches AND across a restart from checkpoint; in the exact
