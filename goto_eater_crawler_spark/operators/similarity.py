@@ -605,6 +605,7 @@ def semdedup_drops(
     tau: float = 0.35,
     lloyd_iters: int = 2,
     dim: int = 64,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then look
@@ -624,7 +625,11 @@ def semdedup_drops(
     same as :func:`textdedup.dedup_keep_documents
     <..operators.textdedup>`. Deterministic: ties broken on vec_id;
     mirrored exactly by :func:`semdedup_sql`."""
-    cents = kmeans_centroids(embeddings, n_centroids, lloyd_iters, dim)
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, n_centroids, lloyd_iters, dim)
+    )
     # referenced twice (both sides of the self-join): persist, or the
     # whole kmeans assignment pipeline evaluates twice
     cells = _assign(embeddings, cents).select(
