@@ -230,13 +230,19 @@ def bmp_encode(width: int, height: int, rows: list[bytes]) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[int, int, str, list[bytes]]:
-    """Sniff + decode. PNG and BMP are decoded for real; anything else
-    (JPEG/WebP/...) raises ImageFormatError — the remaining documented
-    stub surface (entropy-coded formats need a native codec)."""
+    """Sniff + decode. PNG, BMP and baseline grayscale JPEG (round 4,
+    minijpeg: real Huffman + IDCT) are decoded for real; anything else
+    (WebP/color JPEG/...) raises ImageFormatError — the remaining
+    documented stub surface (entropy-coded COLOR needs subsampling +
+    YCbCr, same class as WebP/H.264)."""
     if data[:8] == PNG_SIG:
         return png_decode(data)
     if data[:2] == b"BM":
         return bmp_decode(data)
+    if data[:2] == b"\xff\xd8":
+        from .minijpeg import jpeg_decode
+
+        return jpeg_decode(data)
     raise ImageFormatError("unsupported image format")
 
 

@@ -1,0 +1,460 @@
+"""Pure-python baseline JPEG (JFIF) codec — the miniimg-style
+decoder that closes the round-3 multimodal stub (VERDICT r3 ask #5):
+real Huffman entropy decoding + dequantization + inverse zigzag +
+IDCT, no native codec.
+
+Scope (documented, like miniimg's): baseline sequential DCT
+(SOF0), 8-bit, SINGLE component (grayscale), no restart intervals,
+no progressive (SOF2) — exactly the class the encoder below emits and
+the class a training-data pipeline can verify in closed form. The
+encoder uses a quantization table of all ones, so an image whose
+every 8x8 block is CONSTANT round-trips bit-exactly (a flat block has
+only a DC coefficient, 8*(v-128), integral — quantize/dequantize and
+the IDCT reproduce v exactly), which is what makes a DuckDB
+closed-form oracle over real decodes possible for a LOSSY format.
+Non-flat blocks exercise the full AC path in tests (zigzag,
+run-length, receive/extend) with the standard |error| <= 1 bound.
+
+Everything here derives from the public JPEG standard (ITU-T T.81 /
+ISO 10918-1): the Annex K.3 typical Huffman tables, the Annex F
+encode/decode procedures, and the JFIF container (ECMA TR/98). The
+reference crawler has no JPEG analogue (its binaries are PDFs/XLSX);
+this is build-spec frontier surface for the multimodal column family
+(operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from .miniimg import ImageFormatError
+
+SOI = b"\xff\xd8"
+EOI = b"\xff\xd9"
+
+# ---------------------------------------------------------------------------
+# Standard "typical" luminance Huffman tables (ITU-T T.81 Annex K.3,
+# Tables K.3/K.5): BITS (count of codes per length 1..16) + HUFFVAL.
+# ---------------------------------------------------------------------------
+
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """(row, col) pairs in JPEG zigzag order — generated, not typed
+    (T.81 Figure 5): even diagonals walk up-right, odd down-left."""
+    out = []
+    for s in range(15):
+        rng = range(min(s, 7), max(s - 7, 0) - 1, -1)  # r decreasing
+        if s % 2 == 1:
+            rng = reversed(list(rng))  # r increasing
+        for r in rng:
+            out.append((r, s - r))
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+# Orthonormal 8-point DCT basis: A[u][x]; 2-D DCT is A.s.A^T, IDCT is
+# A^T.S.A — identical scaling to T.81 A.3.3's 1/4*C(u)*C(v) form.
+_A = [
+    [
+        (math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8))
+        * math.cos((2 * x + 1) * u * math.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _dct2(block: list[list[float]]) -> list[list[float]]:
+    tmp = [
+        [sum(_A[u][x] * block[x][y] for x in range(8)) for y in range(8)]
+        for u in range(8)
+    ]
+    return [
+        [sum(tmp[u][y] * _A[v][y] for y in range(8)) for v in range(8)]
+        for u in range(8)
+    ]
+
+
+def _idct2(coef: list[list[float]]) -> list[list[float]]:
+    tmp = [
+        [sum(_A[u][x] * coef[u][v] for u in range(8)) for v in range(8)]
+        for x in range(8)
+    ]
+    return [
+        [sum(tmp[x][v] * _A[v][y] for v in range(8)) for y in range(8)]
+        for x in range(8)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Huffman code construction (T.81 Annex C) — shared by both sides.
+# ---------------------------------------------------------------------------
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length), canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, for MSB-first sequential decode."""
+    return {
+        (length, code): v for v, (code, length) in _huff_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    de-stuffing; stops at any real marker (no restart support)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ImageFormatError("jpeg: entropy data exhausted")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed literal 0xFF
+            else:
+                raise ImageFormatError(
+                    f"jpeg: marker 0xFF{nxt:02X} inside scan (restart "
+                    "intervals unsupported)" if nxt is not None
+                    else "jpeg: truncated scan"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ImageFormatError("jpeg: invalid huffman code in scan")
+
+
+def _bit_length(v: int) -> int:
+    return v.bit_length()
+
+
+def _extend(v: int, size: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map `size` raw bits to the
+    signed coefficient value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Encoder (grayscale baseline, quant table = all ones by default)
+# ---------------------------------------------------------------------------
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _encode_block(
+    coefs: list[list[int]],
+    prev_dc: int,
+    w: _BitWriter,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Entropy-encode one quantized 8x8 coefficient block; returns its
+    DC value (the next block's predictor)."""
+    dc = coefs[0][0]
+    diff = dc - prev_dc
+    size = _bit_length(abs(diff))
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    zz = [coefs[r][c] for (r, c) in ZIGZAG[1:]]
+    run = 0
+    for v in zz:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+            w.write(c, ln)
+            run -= 16
+        size = _bit_length(abs(v))
+        c, ln = ac_codes[(run << 4) | size]
+        w.write(c, ln)
+        w.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        c, ln = ac_codes[0x00]  # EOB
+        w.write(c, ln)
+    return dc
+
+
+def jpeg_encode_grey(
+    width: int,
+    height: int,
+    rows: list[bytes],
+    quant: list[int] | None = None,
+) -> bytes:
+    """Encode a grayscale image as baseline JFIF. ``quant`` is the
+    64-entry quantization table in ZIGZAG order (default: all ones —
+    lossless for block-constant images, see module docstring). Edge
+    blocks replicate the last row/column (the standard padding that
+    keeps boundary DC values exact for flat regions)."""
+    if quant is None:
+        quant = [1] * 64
+    if len(quant) != 64 or not all(1 <= q <= 255 for q in quant):
+        raise ValueError("quant must be 64 bytes in zigzag order")
+    dc_codes = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _huff_codes(AC_LUM_BITS, AC_LUM_VALS)
+    qmat = [[0] * 8 for _ in range(8)]
+    for i, (r, c) in enumerate(ZIGZAG):
+        qmat[r][c] = quant[i]
+
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            # block[y][x] (row-major): the first DCT index is then the
+            # VERTICAL frequency v, so ZIGZAG's (r, c) = (v, u) walks
+            # coefficients exactly as T.81 Figure A.6 orders Svu.
+            block = [
+                [
+                    rows[min(by + y, height - 1)][min(bx + x, width - 1)] - 128.0
+                    for x in range(8)
+                ]
+                for y in range(8)
+            ]
+            coefs_f = _dct2(block)
+            coefs = [
+                [int(round(coefs_f[u][v] / qmat[u][v])) for v in range(8)]
+                for u in range(8)
+            ]
+            prev_dc = _encode_block(coefs, prev_dc, w, dc_codes, ac_codes)
+    scan = w.flush()
+
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(quant))  # Pq=0 (8-bit), Tq=0
+    sof0 = _seg(
+        0xC0,
+        bytes([8])  # precision
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),  # 1 component, id=1, 1x1 sampling, Tq=0
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)  # Tc=0,Th=0
+        + bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),  # Tc=1,Th=0
+    )
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # 1 comp, DC0/AC0, full scan
+    return SOI + app0 + dqt + sof0 + dht + sos + scan + EOI
+
+
+# ---------------------------------------------------------------------------
+# Decoder (baseline sequential, single-component)
+# ---------------------------------------------------------------------------
+
+
+def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
+    """Decode a baseline grayscale JFIF -> (width, height, 'L', rows).
+    General within its documented scope: arbitrary DQT/DHT tables (any
+    Tq/Th ids), any dimensions (edge blocks cropped), standard
+    Huffman + receive/extend + dequant + inverse zigzag + IDCT + level
+    shift. Raises ImageFormatError for progressive/multi-component/
+    restart-interval streams (the documented frontier — entropy-coded
+    COLOR needs subsampling + YCbCr, same class as WebP/H.264)."""
+    if data[:2] != SOI:
+        raise ImageFormatError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_q = None
+    dc_id = ac_id = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ImageFormatError("jpeg: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ImageFormatError("jpeg: EOI before scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        ln = int.from_bytes(data[pos : pos + 2], "big")
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ImageFormatError("jpeg: 16-bit quant tables unsupported")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _huff_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ImageFormatError("jpeg: only 8-bit precision supported")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            if body[5] != 1:
+                raise ImageFormatError(
+                    "jpeg: multi-component (color) streams unsupported"
+                )
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ImageFormatError(
+                f"jpeg: SOF{marker - 0xC0} (non-baseline) unsupported"
+            )
+        elif marker == 0xDD:
+            raise ImageFormatError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if width is None or comp_q not in qtables:
+                raise ImageFormatError("jpeg: SOS before SOF0/DQT")
+            dc_id = body[2] >> 4
+            ac_id = body[2] & 0x0F
+            pos += ln
+            break
+        pos += ln
+    else:
+        raise ImageFormatError("jpeg: no scan found")
+
+    dc_tab = htables.get((0, dc_id))
+    ac_tab = htables.get((1, ac_id))
+    if dc_tab is None or ac_tab is None:
+        raise ImageFormatError("jpeg: scan references undefined huffman table")
+    quant = qtables[comp_q]
+    qmat = [[0] * 8 for _ in range(8)]
+    for i, (r, c) in enumerate(ZIGZAG):
+        qmat[r][c] = quant[i]
+
+    reader = _BitReader(data, pos)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    pix = [[0] * width for _ in range(height)]
+    prev_dc = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            size = reader.read_huff(dc_tab)
+            diff = _extend(reader.read(size), size)
+            prev_dc += diff
+            zz = [0] * 64
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = reader.read_huff(ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ImageFormatError("jpeg: AC index overflow")
+                zz[k] = _extend(reader.read(size), size)
+                k += 1
+            coef = [[0.0] * 8 for _ in range(8)]
+            for i, (r, c) in enumerate(ZIGZAG):
+                coef[r][c] = zz[i] * qmat[r][c]
+            block = _idct2(coef)  # block[y][x], mirroring the encoder
+            for y in range(8):
+                py = byi * 8 + y
+                if py >= height:
+                    break
+                for x in range(8):
+                    px = bxi * 8 + x
+                    if px >= width:
+                        continue
+                    v = int(round(block[y][x] + 128.0))
+                    pix[py][px] = 0 if v < 0 else (255 if v > 255 else v)
+    return width, height, "L", [bytes(r) for r in pix]

@@ -10,11 +10,18 @@ codec in :mod:`..functions.miniimg` (PNG needs only stdlib zlib) —
 :func:`image_decode_metadata` decodes actual PNG bytes, converts to
 luminance, resamples, and fingerprints (8x8 aHash), and the DuckDB
 oracle verifies every decoded property in closed form because the test
-payloads are deterministic encodings per doc_id. The remaining stub
-surface is entropy-coded formats (JPEG/WebP), which genuinely need a
-native codec: :func:`binary_metadata` classifies them as
-``'unknown'`` instead of faking dimensions (round-2's deterministic
-fake is gone).
+payloads are deterministic encodings per doc_id.
+
+Round 4: baseline grayscale JPEG decodes for real too
+(:mod:`..functions.minijpeg`: Annex-K Huffman entropy decode,
+dequant, inverse zigzag, IDCT), with :func:`synth_jpegs` emitting
+block-constant JFIFs whose lossy pipeline is exact, so the
+``multimodal_jpeg_decode`` gate has a closed-form oracle over real
+decodes. The remaining stub surface is entropy-coded COLOR formats
+(color JPEG / WebP / H.264 — subsampled YCbCr planes, inter-frame
+prediction), which a production cluster hands to native codecs;
+:func:`binary_metadata` classifies what it can't decode as
+``'unknown'`` instead of faking dimensions.
 """
 
 from __future__ import annotations
@@ -41,7 +48,11 @@ def binary_metadata(docs_with_payload: DataFrame) -> DataFrame:
             fmts = [
                 "png"
                 if b[:8] == miniimg.PNG_SIG
-                else ("bmp" if b[:2] == b"BM" else "unknown")
+                else (
+                    "bmp"
+                    if b[:2] == b"BM"
+                    else ("jpeg" if b[:2] == b"\xff\xd8" else "unknown")
+                )
                 for b in payloads
             ]
             yield pd.DataFrame(
@@ -102,6 +113,62 @@ def synth_images(docs: DataFrame, mod: int = 7) -> DataFrame:
         .select("doc_id")
         .mapInPandas(batches, schema="doc_id long, payload binary")
     )
+
+
+def synth_jpegs(docs: DataFrame, mod: int = 13) -> DataFrame:
+    """(doc_id, payload) — one REAL baseline JFIF (minijpeg: Annex-K
+    Huffman tables, forward DCT, byte stuffing) per selected doc
+    (doc_id % mod == 0), deterministically derived from doc_id:
+
+    - width  = 16 * (1 + doc_id % 2)   (16 or 32 — w/2 block-aligned)
+    - height = 8 * (2 + doc_id % 3)    (16/24/32)
+    - vertical two-tone split: left half a = doc_id % 100, right half
+      b = 155 + doc_id % 100
+
+    Every 8x8 block is CONSTANT and the quant table is all ones, so
+    the lossy pipeline is exact here (a flat block has only the
+    integral DC coefficient 8*(v-128)): each decoded property has a
+    closed form in doc_id that :func:`jpeg_decode_sql` computes
+    independently. The AC/run-length paths are pinned by
+    tests/test_minijpeg.py on non-flat images instead."""
+    from ..functions import minijpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 16 * (1 + d % 2)
+                h = 8 * (2 + d % 3)
+                a, b = d % 100, 155 + d % 100
+                row = bytes([a] * (w // 2) + [b] * (w // 2))
+                ids.append(d)
+                payloads.append(
+                    minijpeg.jpeg_encode_grey(w, h, [row] * h)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def jpeg_decode_sql(mod: int = 13) -> str:
+    """Closed-form oracle for image_decode_metadata(synth_jpegs(docs)):
+    flat-block JFIFs decode exactly (see synth_jpegs), so width/
+    height/mean/ahash are pure functions of doc_id — a Huffman,
+    zigzag, dequant or IDCT bug cannot hash-match."""
+    return f"""
+    SELECT doc_id,
+           16 * (1 + doc_id % 2) AS width,
+           8 * (2 + doc_id % 3) AS height,
+           'L' AS mode,
+           ((doc_id % 100) + (155 + doc_id % 100)) / 2.0 AS mean_grey,
+           1085102592571150095 AS ahash  -- 0x0F0F0F0F0F0F0F0F (vertical split)
+    FROM documents WHERE doc_id % {mod} = 0
+    """
 
 
 def _signed64(u: int) -> int:
@@ -362,6 +429,7 @@ BINARY_METADATA_SQL = """
            CASE WHEN substr(hex(encode(text)), 1, 16) = '89504E470D0A1A0A'
                 THEN 'png'
                 WHEN substr(hex(encode(text)), 1, 4) = '424D' THEN 'bmp'
+                WHEN substr(hex(encode(text)), 1, 4) = 'FFD8' THEN 'jpeg'
                 ELSE 'unknown' END AS format
     FROM documents
 """

@@ -84,7 +84,8 @@ _GATE_ORDER: list[str] = [
     "events_asof_join",
     "text_length_quantiles",
     # -- new in round 4 --
-    # (inserted here as they land; must stay inside the first 50)
+    # (must stay inside the first 50)
+    "multimodal_jpeg_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -1774,6 +1775,21 @@ def q_multimodal_binary_meta(spark, sf_dir):
 def q_multimodal_image_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.image_decode_metadata(_mm.synth_images(d, 7)).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_jpeg_decode",
+    # REAL baseline-JPEG decode gate (round 4, VERDICT r3 ask #5):
+    # synth_jpegs writes genuine JFIF streams (Annex-K Huffman,
+    # forward DCT, byte stuffing) and the engine entropy-decodes +
+    # IDCTs them via minijpeg; flat-block images make the lossy
+    # pipeline exact, so the oracle computes every decoded property
+    # in closed form. Stub surface shrinks to WebP/H.264/color-JPEG.
+    _mm.jpeg_decode_sql(13) + " ORDER BY doc_id",
+)
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.image_decode_metadata(_mm.synth_jpegs(d, 13)).orderBy("doc_id")
 
 
 @_register(
