@@ -55,7 +55,18 @@ def _mg_fold(counters: dict, decrement: list[int], vals, cnts, capacity: int):
 def mg_summaries(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries summaries: (key, cnt) counter rows
     plus one (null, decrement) row per partition carrying its total
-    decrement mass."""
+    decrement mass. The key keeps its source type (long ids, string
+    hosts — round 4: the crawl loop's hot-host metric runs this over
+    the host column directly)."""
+    key_type = df.schema[key_col].dataType.simpleString()
+    if key_type not in ("bigint", "int", "string"):
+        # integral ids widen losslessly; anything exotic must be keyed
+        # explicitly by the caller
+        key_type = "bigint"
+        df = df.select(F.col(key_col).cast("long").alias(key_col))
+    elif key_type == "int":
+        key_type = "bigint"
+        df = df.select(F.col(key_col).cast("long").alias(key_col))
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -69,8 +80,8 @@ def mg_summaries(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
         err = pd.DataFrame({"key": [None], "cnt": [decrement[0]]})
         yield pd.concat([out, err], ignore_index=True)
 
-    return df.select(F.col(key_col).cast("long").alias(key_col)).mapInPandas(
-        summarize, schema="key long, cnt long"
+    return df.select(F.col(key_col).alias(key_col)).mapInPandas(
+        summarize, schema=f"key {key_type}, cnt long"
     )
 
 

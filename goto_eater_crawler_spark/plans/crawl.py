@@ -112,6 +112,26 @@ class CrawlConfig:
     # in round form. With host_ranks set, this is where rank drives
     # CROSS-host scheduling: the global cut is a top-K by priority.
     round_capacity: int | None = None
+    # per-round hot-host detection via the Misra-Gries sketch
+    # (operators/sketches.heavy_hitters — VERDICT r3 ask #8): when
+    # set, each round's metrics carry ``hot_hosts`` = the top-k
+    # (host, lower-bound count) pairs over that round's fetched rows
+    # plus the sketch's global error bound. Bounded memory at any
+    # frontier size (capacity counters per partition, only
+    # O(partitions x capacity) summary rows shuffle) and EXACT —
+    # max_err 0 — whenever a round touches fewer distinct hosts than
+    # hot_hosts_capacity, which keeps resume/metric parity at test
+    # scale while staying safe at 10^10. None = off (default).
+    hot_hosts_k: int | None = None
+    hot_hosts_capacity: int = 4096
+    # incremental seen-set cardinality estimate via HyperLogLog
+    # (operators/sketches — VERDICT r3 ask #8): when set (register
+    # count log2), the loop carries <= 2^log2m register rows as state,
+    # folds each round's seen delta in by groupBy-max (associative +
+    # idempotent, the retry-safety class of the bloom OR), and stamps
+    # ``seen_distinct_est`` into the round metrics — the 10^10-scale
+    # cardinality counter that never rescans the seen set. None = off.
+    seen_hll_log2m: int | None = None
 
 
 @dataclass
@@ -120,6 +140,9 @@ class CrawlResult:
     fetch_log: DataFrame
     seen: DataFrame
     metrics: list[dict]
+    # final seen-filter blocks (bloom/cuckoo arm; None when filtering
+    # is off) — what a continuation (retract + run_rounds) resumes from
+    blocks: DataFrame | None = None
 
 
 def _valid_url() -> F.Column:
@@ -190,6 +213,15 @@ def _log_rows(df: DataFrame, round_no: int, status: str) -> DataFrame:
         F.col("host"),
         F.col("depth"),
         F.lit(status).alias("status"),
+    )
+
+
+def _hll_key(seen_like: DataFrame) -> DataFrame:
+    """HLL key prep for url_hash rows: fold the signed 64-bit hash
+    into 31 bits so the sketch's Knuth multiply (k * 2654435761)
+    stays inside a signed long — a hash of a hash is still a hash."""
+    return seen_like.select(
+        F.pmod(F.col("url_hash"), F.lit(1 << 31)).cast("long").alias("k")
     )
 
 
@@ -388,6 +420,95 @@ class CrawlEngine:
             list(info.get("metrics", [])),
         )
 
+    # -- frontier retraction (cuckoo arm) -------------------------------
+
+    def retract(
+        self,
+        seen: DataFrame,
+        blocks: DataFrame | None,
+        urls: "list[str] | DataFrame",
+        rebuild: bool = False,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Remove URLs from the seen set mid-crawl so a later round
+        re-fetches them — the operation the cuckoo arm exists for
+        (deletable fingerprints; a bloom filter cannot retract). The
+        production trigger is a policy change invalidating previously
+        fetched URLs: a robots rule flip, a recrawl decision from the
+        CDC diff, a takedown.
+
+        Path: canonicalize ``urls`` -> keep only rows actually in
+        ``seen`` (the cuckoo deletion precondition: never delete what
+        was not inserted) -> anti-join them out of the exact table and
+        :func:`~..operators.cuckoo.delete_from_blocks` their hashes
+        out of the filter blocks. With ``rebuild=True`` the blocks are
+        rebuilt from the updated exact table instead — one full pass,
+        immune to the documented fingerprint-collision caveat (a key
+        whose (bucket, fp) collides with a retracted key may read
+        definite-new afterward and be re-fetched once; benign for a
+        crawler, pinned in tests/test_cuckoo.py).
+
+        Persistent store: the committed seen deltas are REWRITTEN
+        minus the retracted rows (compaction with a filter — the
+        union-of-deltas read model has no tombstones) and the updated
+        blocks land under the latest committed round, so resume()
+        observes the retraction exactly.
+
+        Returns (seen', blocks', retracted) where ``retracted`` is the
+        (canonical_url, url_hash) rows actually removed.
+        """
+        if self.cfg.seen_filter != "cuckoo":
+            raise ValueError(
+                "frontier retraction requires seen_filter='cuckoo' — "
+                "bloom bitmaps cannot delete (P7/T5 design note)"
+            )
+        if isinstance(urls, list):
+            urls = self.spark.createDataFrame(
+                [(u,) for u in urls], "url string"
+            )
+        retracted = (
+            with_url_identity(urls)
+            .select("canonical_url", "url_hash")
+            .distinct()
+            .join(seen, ["canonical_url", "url_hash"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        params = _seen_ops(self.cfg)[4]
+        new_seen = seen.join(
+            retracted.select("canonical_url"), "canonical_url", "left_anti"
+        )
+        if blocks is not None:
+            if rebuild:
+                new_blocks = _cuckoo.build_blocks(
+                    new_seen.select("url_hash"), params
+                )
+            else:
+                new_blocks = _cuckoo.delete_from_blocks(
+                    blocks, retracted.select("url_hash"), params
+                )
+        else:
+            new_blocks = None
+        if self.store.persistent:
+            from .store import IcebergStore, compact_deltas, compact_deltas_iceberg
+
+            _minus = lambda df: df.join(  # noqa: E731
+                retracted.select("canonical_url"), "canonical_url", "left_anti"
+            )
+            if isinstance(self.store, IcebergStore):
+                compact_deltas_iceberg(self.store, "seen_delta", transform=_minus)
+            else:
+                compact_deltas(
+                    self.store, SEEN_SCHEMA, "seen_delta", transform=_minus
+                )
+            new_seen = self.store.read_many(
+                self.store.committed_rounds(), "seen_delta", SEEN_SCHEMA
+            )
+            if new_blocks is not None:
+                last = self.store.committed_rounds()[-1]
+                new_blocks = self._materialize(new_blocks, last, "blocks")
+        elif new_blocks is not None:
+            new_blocks = new_blocks.localCheckpoint(eager=True)
+        return new_seen, new_blocks, retracted
+
     # -- the round loop -------------------------------------------------
 
     def _loop(
@@ -430,6 +551,16 @@ class CrawlEngine:
     ) -> CrawlResult:
         cfg = self.cfg
         round_no = start_round
+        hll_regs = None
+        if cfg.seen_hll_log2m:
+            from ..operators.sketches import hll_registers
+
+            # bootstrap the register state from the incoming seen set
+            # (one pass at loop entry — resume included); thereafter
+            # only per-round DELTAS are sketched and merged.
+            hll_regs = hll_registers(
+                _hll_key(seen), "k", cfg.seen_hll_log2m
+            ).localCheckpoint(eager=True)
         while round_no <= cfg.max_rounds and not frontier.isEmpty():
             allowed, robots_dropped = robots_split(frontier, self.robots)
             selected, deferred = quota_split(
@@ -610,6 +741,22 @@ class CrawlEngine:
             # until the observed job finishes; all three already have.
             via_counts = obs_via.get
             status_counts = obs_log.get
+            hot_hosts = None
+            if cfg.hot_hosts_k:
+                from ..operators.sketches import heavy_hitters
+
+                # sketch over the round's ALREADY-MATERIALIZED fetch
+                # log (no recompute of the round chain): per-partition
+                # MG counters, O(parts x capacity) rows to the driver-
+                # side top-k — never a full per-host groupBy collect.
+                hh = heavy_hitters(
+                    round_log.filter(F.col("status") == "fetched"),
+                    "host",
+                    cfg.hot_hosts_k,
+                    capacity=cfg.hot_hosts_capacity,
+                ).collect()
+                hot_hosts = [[r["host"], r["n"]] for r in hh]
+                hot_hosts_err = hh[0]["max_err"] if hh else 0
             m = {
                 "round": round_no,
                 "fetched": status_counts["fetched"],
@@ -625,6 +772,28 @@ class CrawlEngine:
                 or None,
                 f"{f_pfx}_fp": via_counts[f"{f_pfx}_fp"] or None,
             }
+            if hot_hosts is not None:
+                m["hot_hosts"] = hot_hosts
+                m["hot_hosts_max_err"] = hot_hosts_err
+            if hll_regs is not None:
+                from ..operators.sketches import hll_estimate, hll_registers
+
+                # merge the delta's registers by max (associative,
+                # idempotent — a replayed round changes nothing), keep
+                # the tiny (<= 2^log2m rows) state flat via checkpoint
+                hll_regs = (
+                    hll_regs.unionByName(
+                        hll_registers(
+                            _hll_key(seen_delta), "k", cfg.seen_hll_log2m
+                        )
+                    )
+                    .groupBy("reg")
+                    .agg(F.max("mr").alias("mr"))
+                    .localCheckpoint(eager=True)
+                )
+                m["seen_distinct_est"] = hll_estimate(
+                    hll_regs, cfg.seen_hll_log2m
+                ).collect()[0]["est"]
             fetch_seq_offset += m["fetched"]
 
             if self.store.persistent:
@@ -687,4 +856,4 @@ class CrawlEngine:
             all_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
             for p in log_parts:
                 all_log = all_log.unionByName(p)
-        return CrawlResult(all_records, all_log, seen, metrics)
+        return CrawlResult(all_records, all_log, seen, metrics, blocks)

@@ -286,6 +286,7 @@ def compact_deltas(
     schema: T.StructType,
     name: str = "seen_delta",
     target_files: int | None = None,
+    transform=None,
 ) -> int:
     """Table-maintenance: rewrite all committed per-round ``name``
     deltas into ONE delta under the latest committed round — the
@@ -302,15 +303,25 @@ def compact_deltas(
     semantics downstream) and healed by re-running compaction. A crash
     before the swap leaves state untouched.
 
+    ``transform`` (optional, DataFrame -> DataFrame) is applied to the
+    union before the rewrite — the hook CrawlEngine.retract uses to
+    drop retracted rows from EVERY committed delta in one pass (a
+    filter over the union-of-deltas model needs a rewrite; per-delta
+    tombstones would leak into read_many).
+
     Returns the number of rounds whose deltas were folded in.
     """
     import shutil
 
     rounds = store.committed_rounds()
-    if len(rounds) < 2:
+    if not rounds or (len(rounds) < 2 and transform is None):
         return 0
     last = rounds[-1]
     union = store.read_many(rounds, name, schema)
+    if transform is not None:
+        # staging write reads the original paths, so no self-read:
+        # the swap happens only after the transformed rewrite lands
+        union = transform(union)
     if target_files is not None:
         # bounded file count; at 10^10 rows leave None (natural
         # partitioning) or size target_files to the data, never 1
@@ -334,7 +345,7 @@ def compact_deltas(
 
 
 def compact_deltas_iceberg(
-    store: "IcebergStore", name: str = "seen_delta"
+    store: "IcebergStore", name: str = "seen_delta", transform=None
 ) -> int:
     """Catalog-table twin of :func:`compact_deltas`: rewrite every
     committed round's ``name`` partition into the latest round's
@@ -350,15 +361,14 @@ def compact_deltas_iceberg(
     (maintenance-window op, same precondition as the parquet twin).
     """
     rounds = store.committed_rounds()
-    if len(rounds) < 2:
+    if not rounds or (len(rounds) < 2 and transform is None):
         return 0
     last = rounds[-1]
     t = store._table(name)
-    folded = (
-        store.spark.read.table(t)
-        .drop("round")
-        .withColumn("round", F.lit(last))
-    )
+    folded = store.spark.read.table(t).drop("round")
+    if transform is not None:  # retraction hook — see the parquet twin
+        folded = transform(folded)
+    folded = folded.withColumn("round", F.lit(last))
     if store.v2:
         folded.writeTo(t).overwrite(F.lit(True))
     else:

@@ -111,6 +111,72 @@ def test_quota_respected(engine_result, fixture_web):
         assert r["count"] <= quota, (r, quota)
 
 
+def test_hot_host_sketch_metrics_match_exact(spark, fixture_web, tmp_path):
+    """VERDICT r3 ask #8 — MG heavy hitters wired into the round
+    metrics: with hot_hosts_k set, every round's metrics carry the
+    sketch's top-k hot hosts; in the exact regime (capacity > distinct
+    hosts/partition) they equal the true per-host fetch counts with
+    max_err 0, and the metric survives a checkpoint manifest
+    round-trip (resume parity)."""
+    pages, seeds, robots = fixture_web
+    eng = CrawlEngine(
+        spark,
+        webgen.pages_df(spark, pages),
+        webgen.robots_df(spark, robots),
+        CrawlConfig(
+            round_budget=ROUND_BUDGET,
+            max_rounds=32,
+            hot_hosts_k=4,
+            seen_hll_log2m=6,
+            checkpoint_dir=str(tmp_path / "hh_ckpt"),
+        ),
+    )
+    res = eng.run(seeds)
+    exact = {}
+    for r in (
+        res.fetch_log.filter("status = 'fetched'")
+        .groupBy("round", "host")
+        .count()
+        .collect()
+    ):
+        exact.setdefault(r["round"], {})[r["host"]] = r["count"]
+    assert any(m.get("hot_hosts") for m in res.metrics)
+    for m in res.metrics:
+        if not m["fetched"]:
+            continue
+        want = sorted(
+            exact[m["round"]].items(), key=lambda kv: (-kv[1], kv[0])
+        )[:4]
+        assert [tuple(h) for h in m["hot_hosts"]] == want, m["round"]
+        assert m["hot_hosts_max_err"] == 0  # exact regime
+    # resume parity: the manifest JSON round-trips the sketch metric
+    info = eng.store.round_info(eng.store.committed_rounds()[-1])
+    assert [mm.get("hot_hosts") for mm in info["metrics"]] == [
+        mm.get("hot_hosts") for mm in res.metrics
+    ]
+
+    # HLL seen-cardinality metric (same ask): the incrementally-merged
+    # register state must equal a one-shot sketch over the final seen
+    # set (associativity of the groupBy-max merge), and the metric is
+    # monotone across rounds
+    from goto_eater_crawler_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from goto_eater_crawler_spark.plans.crawl import _hll_key
+
+    ests = [m["seen_distinct_est"] for m in res.metrics]
+    assert ests == sorted(ests)
+    oneshot = hll_estimate(
+        hll_registers(_hll_key(res.seen), "k", 6), 6
+    ).collect()[0]["est"]
+    assert ests[-1] == oneshot
+    # and it is a sane estimate of the true cardinality (m=64
+    # registers => ~13% standard error; 3 sigma bound)
+    true_n = res.seen.count()
+    assert abs(ests[-1] - true_n) / true_n < 0.4
+
+
 def test_multiple_rounds_happened(engine_result):
     assert len(engine_result.metrics) >= 3
     assert sum(m["fetched"] for m in engine_result.metrics) > 20
