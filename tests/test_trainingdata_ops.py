@@ -607,18 +607,23 @@ def test_multimodal_binary_plumbing(spark):
 
 def test_binary_metadata_sniffs_real_formats(spark):
     """Format sniff on real encoded payloads (round 3: the fake
-    dimensions stub is gone; PNG/BMP are decoded for real in
-    image_decode_metadata, entropy-coded formats report 'unknown')."""
+    dimensions stub is gone; round 4: FFD8 sniffs as 'jpeg' now that
+    minijpeg decodes baseline JFIFs for real; WebP stays 'unknown')."""
     from goto_eater_crawler_spark.functions import miniimg as mi
 
     png = mi.png_encode(2, 1, "L", [bytes([1, 2])])
     bmp = mi.bmp_encode(1, 1, [bytes([1, 2, 3])])
     df = spark.createDataFrame(
-        [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(b"\xff\xd8JPEG"))],
+        [
+            (1, bytearray(png)),
+            (2, bytearray(bmp)),
+            (3, bytearray(b"\xff\xd8JPEG")),
+            (4, bytearray(b"RIFF\x00\x00\x00\x00WEBP")),
+        ],
         "doc_id long, payload binary",
     )
     got = {r["doc_id"]: r["format"] for r in mm.binary_metadata(df).collect()}
-    assert got == {1: "png", 2: "bmp", 3: "unknown"}
+    assert got == {1: "png", 2: "bmp", 3: "jpeg", 4: "unknown"}
 
 
 def test_line_dedup_drops_boilerplate(spark):
