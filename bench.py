@@ -104,6 +104,56 @@ def ensure_bench_web() -> int:
     return _ensure_web(BENCH_DATA, N_HOSTS)
 
 
+PAGES_DDL_COLS = (
+    "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
+)
+N_BUCKETS = 64
+
+
+def _bucketed_table(data: str, hosts: int) -> tuple[str, str]:
+    """(table_name, location) for the bucketed twin of a scale web."""
+    name = f"bench_pages_h{hosts}_b{N_BUCKETS}"
+    return name, os.path.join(_REPO, ".warehouse", name)
+
+
+def _ensure_bucketed(data: str, hosts: int) -> str:
+    """Materialize the bucketed-by-url pages table ONCE (cached like
+    the webs) — the 10^10-scale layout (operators/fetch.py
+    write_bucketed_pages: Iceberg's bucket(url) transform stand-in).
+    Returns the table name; each session re-registers it via DDL
+    (the in-memory catalog does not persist table metadata)."""
+    name, loc = _bucketed_table(data, hosts)
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        spark = get_spark(
+            "bench-bucket-gen", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            spark.read.parquet(data)
+            # one file per bucket: co-partition the write so the SMJ
+            # reads sorted buckets without a per-file merge
+            .repartition(N_BUCKETS, "url")
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, "url")
+            .sortBy("url")
+            .format("parquet")
+            .option("path", loc)
+            .saveAsTable(name)
+        )
+        spark.stop()
+    return name
+
+
+def _register_bucketed(spark, data: str, hosts: int) -> str:
+    name, loc = _bucketed_table(data, hosts)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({PAGES_DDL_COLS}) "
+        f"USING PARQUET CLUSTERED BY (url) SORTED BY (url) "
+        f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
+    )
+    return name
+
+
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -160,18 +210,35 @@ def run_crawl(cores: int) -> dict:
     }
 
 
-def run_steady_round(cores: int, data: str = SCALE_DATA, hosts: int = SCALE_HOSTS) -> dict:
+def run_steady_round(
+    cores: int,
+    data: str = SCALE_DATA,
+    hosts: int = SCALE_HOSTS,
+    bucketed: bool = False,
+) -> dict:
     """One steady-state crawl round over the scale web — the scaling
     protocol's unit of work (BASELINE.md): a production 10^10 crawl
     repeats this round thousands of times, so its throughput IS the
     engine's throughput; driver round-trip latency (~seconds/round) is
     noise there but would dominate a toy multi-round run here.
     Config (bloom geometry, salts) is IDENTICAL at both core counts —
-    only master threads + shuffle partitions scale."""
+    only master threads + shuffle partitions scale.
+
+    ``bucketed`` (the clean-window protocol since round 4): pages read
+    from the bucketed-by-url table and the fetch join pinned to
+    sort-merge — bucket-pruned pages side, zero pages Exchange, only
+    the frontier shuffles. At the 4x web's 2M-URL frontier the
+    broadcast arm builds a 25 s SINGLE-TASK hash relation per round
+    (measured, BASELINE.md round 4), i.e. a serial term that caps
+    N->4N scaling; the bucketed layout is the documented 10^10 design
+    (operators/fetch.py) and both levels run the identical plan."""
     spark = get_spark(
         f"bench-steady-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
-    pages = spark.read.parquet(data)
+    if bucketed:
+        pages = spark.read.table(_register_bucketed(spark, data, hosts))
+    else:
+        pages = spark.read.parquet(data)
     from goto_eater_crawler_spark.schema import ROBOTS_SCHEMA
 
     robots = spark.createDataFrame(
@@ -186,11 +253,13 @@ def run_steady_round(cores: int, data: str = SCALE_DATA, hosts: int = SCALE_HOST
         bloom=BloomParams(n_blocks=64, m_bits=1 << 24, k=5),
         assign_fetch_seq=False,
         quota_salts=32,
-        # a round's selected frontier is quota-bounded (hosts x
-        # budget/delay) and slim — broadcast it so the pages corpus is
-        # never shuffled; AQE reaches the same plan at some core
-        # counts but not all, so pin it for a fair N-vs-4N comparison.
-        fetch_strategy="broadcast",
+        # 1x window: a round's selected frontier is quota-bounded
+        # (hosts x budget/delay) and slim — broadcast it so the pages
+        # corpus is never shuffled. 4x clean window (bucketed=True):
+        # sort-merge against the bucketed table (see docstring). AQE
+        # reaches different plans at different core counts, so pin one
+        # per window for a fair N-vs-4N comparison.
+        fetch_strategy="sortmerge" if bucketed else "broadcast",
     )
     # warm the python worker pool + codegen before timing (a cluster's
     # steady state; worker fork/import storms are startup, not
@@ -322,12 +391,15 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         out["scale_web_pages"] = _ensure_web(SCALE_DATA, SCALE_HOSTS)
         out["scale4x_web_pages"] = _ensure_web(SCALE4X_DATA, SCALE4X_HOSTS)
+        _ensure_bucketed(SCALE4X_DATA, SCALE4X_HOSTS)
         # second gate right before the scaling legs — the number the
         # north_rule grades; re-wait if the box got loud meanwhile
         out["membw_calibration"] = membw_gate(lo, mid)
 
         def clean(cores: int) -> dict:
-            return run_steady_round(cores, SCALE4X_DATA, SCALE4X_HOSTS)
+            return run_steady_round(
+                cores, SCALE4X_DATA, SCALE4X_HOSTS, bucketed=True
+            )
 
         # TWO N->4N windows (BASELINE.md scaling protocol): the
         # contention-free window (cpus/16 -> cpus/4, i.e. 2->8 on the

@@ -124,6 +124,17 @@ class CrawlConfig:
     # scale while staying safe at 10^10. None = off (default).
     hot_hosts_k: int | None = None
     hot_hosts_capacity: int = 4096
+    # join strategy hint for the EXACT-CONFIRM joins against the seen
+    # table (fp-confirm anti-join in the seen split). "auto" lets AQE
+    # pick — right for small/fixture crawls where seen broadcasts
+    # cheaply. At steady scale the seen table is the biggest relation
+    # in the round (10^10 rows in production; 2M at the 4x bench) and
+    # AQE's broadcast choice builds a single-task hash relation — a
+    # measured 25 s SERIAL stage per round at the 4x web. The scale
+    # bench pins "shuffle_hash": both sides shuffle-partition on the
+    # key and build per-partition tables in parallel (round-4
+    # profiling, BASELINE.md).
+    seen_confirm_join: str = "auto"
     # incremental seen-set cardinality estimate via HyperLogLog
     # (operators/sketches — VERDICT r3 ask #8): when set (register
     # count log2), the loop carries <= 2^log2m register rows as state,
@@ -635,7 +646,12 @@ class CrawlEngine:
                 .select(*FRONTIER_COLS)
             )
             _, _, f_update, f_split, f_params, f_pfx = _seen_ops(cfg)
-            new_rows, _, _ = f_split(links_dedup, blocks, seen, f_params)
+            exact_seen = (
+                seen
+                if cfg.seen_confirm_join == "auto"
+                else seen.hint(cfg.seen_confirm_join)
+            )
+            new_rows, _, _ = f_split(links_dedup, blocks, exact_seen, f_params)
             # materialize ONCE; this is the round's heavy job — it
             # computes the whole selected->fetch->extract->dedup chain
             # (upstream persists fill here); everything below reads

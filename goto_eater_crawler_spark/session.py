@@ -93,12 +93,28 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # frontier rows are slim and compress hard; the default 1m
-        # coalesce floor collapses CPU-heavy shuffles (url identity,
-        # windows, SMJ sorts) to 1-2 tasks and serializes the round.
-        # Keep partitions parallelism-first with a small floor.
+        # Size post-shuffle partitions to the DATA, not the core count
+        # (round 4). parallelismFirst=true (the Spark default, and this
+        # engine's default through round 3) coalesces only down to the
+        # core count, so every slim post-extract shuffle becomes
+        # cores-many tiny tasks whose fixed per-task cost dominates —
+        # the measured single-JVM "inflation": summed task CPU of the
+        # post-extract stages nearly DOUBLED from 2 to 8 cores on the
+        # same input (BASELINE.md round-4 profiling). Size-first
+        # coalescing cut the steady round ~30% at BOTH parallelism
+        # levels (64.3->44.9 s at 2 cores, 31.2->22.2 s at 8) and the
+        # heavy-query set ~20% at sf0.1 (dedup_clusters 12.8->6.3 s).
+        # The round-1 concern that a size floor serializes CPU-heavy
+        # shuffles no longer binds: those shuffles got cheap (Catalyst
+        # canonicalization, fast_urljoin), and 64m advisory still
+        # splits anything that matters at scale.
+        # 16m advisory: equal to 64m on the sf0.1 query suite (37.6 vs
+        # 38.4 s heavy set) but keeps the steady round's 100-200 MB
+        # join shuffles at ~8-12 tasks instead of 2-4 — the 4x-web
+        # 8-core leg measured 75.6 s @16m vs 81.4 s @64m.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html bodies make default 10k-row Arrow batches ~10MB — G1
         # humongous allocations (> half the 16MB region) that fragment
