@@ -415,14 +415,29 @@ def main() -> None:
         eff = lambda hi_d, lo_d, r: round(  # noqa: E731
             (hi_d["urls_per_sec"] / lo_d["urls_per_sec"]) / r, 3
         )
-        if eff(steady_mid, steady_lo, mid / lo) < 0.7:
-            # one adaptive retry per leg: single-box virtualization
-            # noise is the dominant error bar (BASELINE.md r2/r3
-            # scaling notes) — a second draw per level, best-of, only
-            # when the first pair looks contaminated.
-            a, b = clean(lo), clean(mid)
-            steady_lo = max(steady_lo, a, key=lambda d: d["urls_per_sec"])
-            steady_mid = max(steady_mid, b, key=lambda d: d["urls_per_sec"])
+        # adaptive best-of retries: single-box virtualization noise is
+        # the dominant error bar (BASELINE.md r2/r3 scaling notes) —
+        # rerun a leg only when the pair looks contaminated, in EITHER
+        # direction: eff < 0.7 means the hi leg probably drew a slow
+        # sample; eff > 0.95 is unphysical for this workload (no
+        # per-core cache growth here) and means the LO leg drew the
+        # slow sample — reporting a superlinear ratio would overstate
+        # the engine, so the slow leg re-draws and best-of applies.
+        for _ in range(2):
+            e = eff(steady_mid, steady_lo, mid / lo)
+            if e < 0.7:
+                steady_mid = max(
+                    steady_mid, clean(mid), key=lambda d: d["urls_per_sec"]
+                )
+                steady_lo = max(
+                    steady_lo, clean(lo), key=lambda d: d["urls_per_sec"]
+                )
+            elif e > 0.95:
+                steady_lo = max(
+                    steady_lo, clean(lo), key=lambda d: d["urls_per_sec"]
+                )
+            else:
+                break
         steady_mid_1x = run_steady_round(mid)
         steady_hi = run_steady_round(CPUS)
         if eff(steady_hi, steady_mid_1x, CPUS / mid) < 0.5:
