@@ -52,7 +52,7 @@ from pyspark.sql import types as T
 
 from concurrent.futures import ThreadPoolExecutor
 
-from ..functions.urltools import with_url_identity
+from ..functions.urltools import host_col, with_url_identity
 from ..operators import cuckoo as _cuckoo
 from ..operators.dedup import BloomParams, build_blocks, split_new_urls, update_blocks
 from ..operators.extract import run_extract, split_pages, split_records_links
@@ -519,6 +519,37 @@ class CrawlEngine:
         elif new_blocks is not None:
             new_blocks = new_blocks.localCheckpoint(eager=True)
         return new_seen, new_blocks, retracted
+
+    def retract_for_robots(
+        self,
+        seen: DataFrame,
+        blocks: DataFrame | None,
+        robots: DataFrame | None = None,
+        rebuild: bool = False,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """The production retraction trigger (the VERDICT r3 scenario):
+        a robots.txt rule CHANGE mid-crawl invalidates previously
+        fetched URLs. Computes the seen rows that are DISALLOWED under
+        ``robots`` (pass the UPDATED dim; defaults to the engine's
+        pinned one) using robots_split's exact prefix semantics —
+        broadcast dim against the seen table, never a seen shuffle —
+        and retracts them through :meth:`retract`. The affected URLs
+        leave the seen set (and the cuckoo filter), and the round
+        loop's robots gate keeps them unfetched for as long as the
+        rule stands; if the rule is later relaxed they are simply
+        rediscoverable, with no stale seen entry in the way.
+        """
+        robots = self.robots if robots is None else robots
+        seen_hosted = seen.withColumn(
+            "host", host_col(F.col("canonical_url"))
+        )
+        _, disallowed = robots_split(seen_hosted, robots)
+        return self.retract(
+            seen,
+            blocks,
+            disallowed.select(F.col("canonical_url").alias("url")),
+            rebuild=rebuild,
+        )
 
     # -- the round loop -------------------------------------------------
 

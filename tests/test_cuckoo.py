@@ -279,6 +279,84 @@ def test_crawl_retraction_refetches_only_retracted_url(spark):
         bloom_eng.retract(res1.seen, res1.blocks, [d_url])
 
 
+def test_robots_change_retraction_with_rebuild(spark):
+    """Production trigger for retraction: a robots rule FLIP (one host
+    goes fully disallowed mid-crawl). retract_for_robots must retract
+    exactly that host's seen URLs — computed with robots_split's own
+    prefix semantics — and with rebuild=True the filter is rebuilt
+    from the surviving seen set (the arm immune to the
+    fingerprint-collision caveat): every retracted URL reads as new,
+    every surviving URL still reads as seen, and a follow-up crawl
+    under the new robots refuses to refetch the host."""
+    from goto_eater_crawler_spark.operators import cuckoo as ck
+    from goto_eater_crawler_spark.plans.crawl import (
+        CrawlConfig,
+        CrawlEngine,
+        _seen_ops,
+    )
+    from goto_eater_crawler_spark.sources import webgen
+
+    pages, seeds, robots = webgen.build_fixture_web()
+    cfg = CrawlConfig(round_budget=1e6, max_rounds=8, seen_filter="cuckoo")
+    eng = CrawlEngine(
+        spark, webgen.pages_df(spark, pages), webgen.robots_df(spark, robots), cfg
+    )
+    res1 = eng.run(seeds)
+    host = "list-a.example.jp"
+    host_urls = {
+        r["canonical_url"]
+        for r in res1.seen.collect()
+        if f"//{host}/" in r["canonical_url"]
+    }
+    assert host_urls  # the host was crawled
+    # blocked.example.jp is disallowed-all from round 0; its SEED is
+    # in the seen set (dupefilter marks at enqueue) and is equally
+    # disallowed under the new robots, so retraction covers it too
+    expected = host_urls | {
+        r["canonical_url"]
+        for r in res1.seen.collect()
+        if "//blocked.example.jp/" in r["canonical_url"]
+    }
+
+    # the rule flip: host fully disallowed
+    new_robots = [
+        dict(r, disallow_prefixes=["/"]) if r["host"] == host else dict(r)
+        for r in robots
+    ]
+    seen2, blocks2, retracted = eng.retract_for_robots(
+        res1.seen,
+        res1.blocks,
+        webgen.robots_df(spark, new_robots),
+        rebuild=True,
+    )
+    assert {r["canonical_url"] for r in retracted.collect()} == expected
+    survivors = {r["canonical_url"] for r in seen2.collect()}
+    assert survivors == {
+        r["canonical_url"] for r in res1.seen.collect()
+    } - expected
+
+    # rebuilt filter: retracted -> new, survivors -> seen (exact
+    # end-to-end through the split)
+    params = _seen_ops(cfg)[4]
+    cand = res1.seen.select("canonical_url", "url_hash")
+    new_rows, _, _ = ck.split_new_urls_cuckoo(cand, blocks2, seen2, params)
+    assert {
+        r["canonical_url"] for r in new_rows.collect()
+    } == expected
+
+    # a recrawl under the new robots refuses the host entirely
+    eng2 = CrawlEngine(
+        spark,
+        webgen.pages_df(spark, pages),
+        webgen.robots_df(spark, new_robots),
+        cfg,
+    )
+    seed = next(s for s in seeds if host in s["url"])
+    res2 = eng2.run_rounds(eng2.seed_frontier([seed]), seen2, blocks2)
+    assert res2.fetch_log.filter("status = 'fetched'").isEmpty()
+    assert not res2.fetch_log.filter("status = 'robots_dropped'").isEmpty()
+
+
 def test_retraction_persists_through_checkpoint_store(spark, tmp_path):
     """Persistent-store retraction (T6 x cuckoo deletion): the
     committed seen deltas are rewritten minus the retracted rows and
