@@ -164,10 +164,21 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padding) and emit RSTn — markers are written
+        raw, never byte-stuffed (T.81 F.1.2.3: stuffing applies to
+        entropy-coded bytes only)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (n % 8))
+
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    de-stuffing; stops at any real marker (no restart support)."""
+    de-stuffing; raises on an unexpected marker (RSTn is consumed
+    explicitly via :meth:`sync_restart` at interval boundaries)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -185,8 +196,8 @@ class _BitReader:
                 self.pos += 2  # stuffed literal 0xFF
             else:
                 raise ImageFormatError(
-                    f"jpeg: marker 0xFF{nxt:02X} inside scan (restart "
-                    "intervals unsupported)" if nxt is not None
+                    f"jpeg: unexpected marker 0xFF{nxt:02X} inside scan"
+                    if nxt is not None
                     else "jpeg: truncated scan"
                 )
         else:
@@ -209,6 +220,23 @@ class _BitReader:
             if (length, code) in table:
                 return table[(length, code)]
         raise ImageFormatError("jpeg: invalid huffman code in scan")
+
+    def sync_restart(self, n: int) -> None:
+        """Consume an RSTn at an interval boundary (T.81 F.2.1.3.1):
+        discard the pad bits to the byte boundary, then the marker —
+        the caller resets the DC predictor."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (n % 8)
+        ):
+            got = self.data[self.pos : self.pos + 2].hex()
+            raise ImageFormatError(
+                f"jpeg: expected RST{n % 8} at restart boundary, got 0x{got}"
+            )
+        self.pos += 2
 
 
 def _bit_length(v: int) -> int:
@@ -276,12 +304,17 @@ def jpeg_encode_grey(
     height: int,
     rows: list[bytes],
     quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a grayscale image as baseline JFIF. ``quant`` is the
     64-entry quantization table in ZIGZAG order (default: all ones —
     lossless for block-constant images, see module docstring). Edge
     blocks replicate the last row/column (the standard padding that
-    keeps boundary DC values exact for flat regions)."""
+    keeps boundary DC values exact for flat regions).
+    ``restart_interval`` > 0 emits a DRI segment and RST0..RST7
+    markers every that-many MCUs (DC predictor reset + byte
+    alignment, T.81 F.1.2.3) — the resync structure real camera
+    JPEGs carry."""
     if quant is None:
         quant = [1] * 64
     if len(quant) != 64 or not all(1 <= q <= 255 for q in quant):
@@ -294,8 +327,15 @@ def jpeg_encode_grey(
 
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             # block[y][x] (row-major): the first DCT index is then the
             # VERTICAL frequency v, so ZIGZAG's (r, c) = (v, u) walks
             # coefficients exactly as T.81 Figure A.6 orders Svu.
@@ -329,7 +369,12 @@ def jpeg_encode_grey(
         + bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),  # Tc=1,Th=0
     )
     sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # 1 comp, DC0/AC0, full scan
-    return SOI + app0 + dqt + sof0 + dht + sos + scan + EOI
+    dri = (
+        _seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
+    return SOI + app0 + dqt + dri + sof0 + dht + sos + scan + EOI
 
 
 # ---------------------------------------------------------------------------
@@ -340,11 +385,12 @@ def jpeg_encode_grey(
 def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
     """Decode a baseline grayscale JFIF -> (width, height, 'L', rows).
     General within its documented scope: arbitrary DQT/DHT tables (any
-    Tq/Th ids), any dimensions (edge blocks cropped), standard
+    Tq/Th ids), any dimensions (edge blocks cropped), restart
+    intervals (DRI + RST0..7 resync with DC-predictor reset), standard
     Huffman + receive/extend + dequant + inverse zigzag + IDCT + level
-    shift. Raises ImageFormatError for progressive/multi-component/
-    restart-interval streams (the documented frontier — entropy-coded
-    COLOR needs subsampling + YCbCr, same class as WebP/H.264)."""
+    shift. Raises ImageFormatError for progressive/multi-component
+    streams (the documented frontier — entropy-coded COLOR needs
+    subsampling + YCbCr, same class as WebP/H.264)."""
     if data[:2] != SOI:
         raise ImageFormatError("jpeg: missing SOI")
     pos = 2
@@ -353,6 +399,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
     width = height = None
     comp_q = None
     dc_id = ac_id = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ImageFormatError("jpeg: expected marker")
@@ -395,8 +442,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
             raise ImageFormatError(
                 f"jpeg: SOF{marker - 0xC0} (non-baseline) unsupported"
             )
-        elif marker == 0xDD:
-            raise ImageFormatError("jpeg: restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if width is None or comp_q not in qtables:
                 raise ImageFormatError("jpeg: SOS before SOF0/DQT")
@@ -422,8 +469,15 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
     bh = (height + 7) // 8
     pix = [[0] * width for _ in range(height)]
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for byi in range(bh):
         for bxi in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             size = reader.read_huff(dc_tab)
             diff = _extend(reader.read(size), size)
             prev_dc += diff

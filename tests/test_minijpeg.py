@@ -72,6 +72,35 @@ def test_nonstandard_quant_table_is_read_from_dqt():
     assert err > 0 or out == rows  # sanity: q=16 actually quantized
 
 
+def test_restart_intervals_roundtrip_and_resync():
+    """DRI + RSTn (T.81 F.1.2.3 / F.2.1.3.1): the resync structure
+    real camera JPEGs carry — byte-aligned RST markers every k MCUs,
+    DC predictor reset on both sides, and a corrupted marker is a
+    loud error, not silent garbage."""
+    rnd = random.Random(5)
+    rows = _grad(32, 24, lambda x, y: rnd.randrange(256))  # 12 MCUs
+    enc = mj.jpeg_encode_grey(32, 24, rows, restart_interval=4)
+    assert b"\xff\xdd" in enc  # DRI present
+    scan = enc[enc.index(b"\xda") :]
+    assert b"\xff\xd0" in scan and b"\xff\xd1" in scan  # RST0, RST1
+    W, H, mode, out = mj.jpeg_decode(enc)
+    assert (W, H, mode) == (32, 24, "L")
+    assert max(
+        abs(a - b) for ra, rb in zip(rows, out) for a, b in zip(ra, rb)
+    ) <= 1
+    # flat image with restarts stays exact (DC-only blocks, reset
+    # predictors included)
+    flat = [bytes([50] * 16 + [210] * 16)] * 16
+    enc2 = mj.jpeg_encode_grey(32, 16, flat, restart_interval=3)
+    assert mj.jpeg_decode(enc2)[3] == flat
+    # corrupt the first RST marker -> loud resync error
+    bad = bytearray(enc)
+    i = bad.index(b"\xff\xd0")
+    bad[i + 1] = 0xD5
+    with pytest.raises(ImageFormatError, match="RST"):
+        mj.jpeg_decode(bytes(bad))
+
+
 def test_unsupported_streams_raise_imageformaterror():
     rows = [bytes([1] * 8)] * 8
     enc = bytearray(mj.jpeg_encode_grey(8, 8, rows))
