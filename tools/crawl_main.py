@@ -55,6 +55,18 @@ def parse_args(argv=None):
     p.add_argument("--master", default=None, help="spark master override")
     p.add_argument("--seen-filter", default="bloom", choices=("bloom", "cuckoo"),
                    help="probabilistic seen-set arm fronting the exact table")
+    p.add_argument("--hot-hosts-k", type=int, default=None,
+                   help="per-round top-k hot hosts in the metrics via the "
+                        "Misra-Gries sketch (bounded memory at any scale)")
+    p.add_argument("--seen-hll-log2m", type=int, default=None,
+                   help="per-round seen-set cardinality estimate in the "
+                        "metrics via incremental HyperLogLog (2^log2m "
+                        "registers)")
+    p.add_argument("--retract", default="",
+                   help="comma-separated URLs to retract from the seen set "
+                        "of an existing checkpoint (requires --checkpoint "
+                        "and --seen-filter cuckoo; runs BEFORE --resume so "
+                        "the resumed crawl can re-fetch them)")
     return p.parse_args(argv)
 
 
@@ -107,8 +119,35 @@ def main(argv=None) -> int:
         checkpoint_dir=args.checkpoint,
         allowed_domains=cfg_domains,
         seen_filter=args.seen_filter,
+        hot_hosts_k=args.hot_hosts_k,
+        seen_hll_log2m=args.seen_hll_log2m,
     )
     eng = CrawlEngine(spark, pages, robots, cfg)
+    if args.retract:
+        # frontier retraction against an existing checkpoint (cuckoo
+        # arm): rewrites the committed seen deltas + blocks in place,
+        # so a subsequent --resume (this invocation or a later one)
+        # can re-discover and re-fetch the URLs.
+        assert args.checkpoint and args.seen_filter == "cuckoo", (
+            "--retract requires --checkpoint and --seen-filter cuckoo"
+        )
+        from goto_eater_crawler_spark.plans.crawl import SEEN_SCHEMA
+        from goto_eater_crawler_spark.schema import BLOOM_BLOCK_SCHEMA
+
+        committed = eng.store.committed_rounds()
+        assert committed, "--retract needs an existing committed checkpoint"
+        seen = eng.store.read_many(committed, "seen_delta", SEEN_SCHEMA)
+        blocks = eng.store.read(committed[-1], "blocks", BLOOM_BLOCK_SCHEMA)
+        _, _, retracted = eng.retract(
+            seen, blocks, args.retract.split(",")
+        )
+        print(json.dumps({"retracted": retracted.count()}))
+        if not args.resume:
+            # maintenance-only invocation: the checkpoint is rewritten;
+            # a fresh run() would bootstrap over it and re-mark the
+            # URLs seen, so stop here (resume later re-fetches them).
+            spark.stop()
+            return 0
     res = (
         CrawlEngine.resume(spark, pages, robots, cfg)
         if args.resume
