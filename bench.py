@@ -78,8 +78,9 @@ SCALE4X_DATA = os.path.join(
     _BASE, f"web_h{SCALE4X_HOSTS}_l{LISTS}_d{DETAILS}_x{HOT}"
 )
 DETAIL_FILE = os.path.join(_REPO, "BENCH_DETAIL.json")
-# quiet-box gate (VERDICT r3 ask #3)
-MEMBW_MIN = float(os.environ.get("BENCH_MEMBW_MIN", "0.75"))
+# quiet-box gate (VERDICT r3 ask #3: membw >= 0.8 alongside the
+# headline; quiet-box draws read 0.86-1.01 here)
+MEMBW_MIN = float(os.environ.get("BENCH_MEMBW_MIN", "0.8"))
 MEMBW_TRIES = int(os.environ.get("BENCH_MEMBW_TRIES", "6"))
 MEMBW_SLEEP = float(os.environ.get("BENCH_MEMBW_SLEEP", "45"))
 
