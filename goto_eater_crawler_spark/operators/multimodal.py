@@ -124,6 +124,10 @@ def synth_jpegs(docs: DataFrame, mod: int = 13) -> DataFrame:
     - height = 8 * (2 + doc_id % 3)    (16/24/32)
     - vertical two-tone split: left half a = doc_id % 100, right half
       b = 155 + doc_id % 100
+    - odd doc_ids encode with a RESTART interval of 2 (DRI + RSTn
+      markers, DC-predictor resets), so the gate drives the resync
+      path through real decodes too — flat blocks stay exact with or
+      without restarts, so the closed-form oracle is unchanged.
 
     Every 8x8 block is CONSTANT and the quant table is all ones, so
     the lossy pipeline is exact here (a flat block has only the
@@ -144,7 +148,9 @@ def synth_jpegs(docs: DataFrame, mod: int = 13) -> DataFrame:
                 row = bytes([a] * (w // 2) + [b] * (w // 2))
                 ids.append(d)
                 payloads.append(
-                    minijpeg.jpeg_encode_grey(w, h, [row] * h)
+                    minijpeg.jpeg_encode_grey(
+                        w, h, [row] * h, restart_interval=2 * (d % 2)
+                    )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
