@@ -3,10 +3,11 @@ decoder that closes the round-3 multimodal stub (VERDICT r3 ask #5):
 real Huffman entropy decoding + dequantization + inverse zigzag +
 IDCT, no native codec.
 
-Scope (documented, like miniimg's): baseline sequential DCT
-(SOF0), 8-bit, SINGLE component (grayscale), no restart intervals,
-no progressive (SOF2) — exactly the class the encoder below emits and
-the class a training-data pipeline can verify in closed form. The
+Scope (documented, like miniimg's): baseline sequential DCT (SOF0),
+8-bit, grayscale or 4:4:4 interleaved color (JFIF YCbCr, 1x1 sampling
+factors), restart intervals — no subsampled color, no progressive
+(SOF2) — exactly the class the encoders below emit and the class a
+training-data pipeline can verify in closed form. The
 encoder uses a quantization table of all ones, so an image whose
 every 8x8 block is CONSTANT round-trips bit-exactly (a flat block has
 only a DC coefficient, 8*(v-128), integral — quantize/dequantize and
@@ -299,6 +300,47 @@ def _encode_block(
     return dc
 
 
+def _quantized_block(plane, width, height, bx, by, qmat):
+    """Level-shift + forward DCT + quantize one 8x8 block of a pixel
+    plane; edge blocks replicate the last row/column. block[y][x]
+    (row-major): the first DCT index is then the VERTICAL frequency v,
+    so ZIGZAG's (r, c) = (v, u) walks coefficients exactly as T.81
+    Figure A.6 orders Svu."""
+    block = [
+        [
+            plane[min(by + y, height - 1)][min(bx + x, width - 1)] - 128.0
+            for x in range(8)
+        ]
+        for y in range(8)
+    ]
+    cf = _dct2(block)
+    return [
+        [int(round(cf[u][v] / qmat[u][v])) for v in range(8)] for u in range(8)
+    ]
+
+
+def _clamp(v: float) -> int:
+    i = int(round(v))
+    return 0 if i < 0 else (255 if i > 255 else i)
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF (ECMA TR/98) full-range color transform, rounded+clamped."""
+    return (
+        _clamp(0.299 * r + 0.587 * g + 0.114 * b),
+        _clamp(128 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+        _clamp(128 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+    )
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    return (
+        _clamp(y + 1.402 * (cr - 128)),
+        _clamp(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        _clamp(y + 1.772 * (cb - 128)),
+    )
+
+
 def jpeg_encode_grey(
     width: int,
     height: int,
@@ -336,21 +378,7 @@ def jpeg_encode_grey(
                 rst = (rst + 1) % 8
                 prev_dc = 0
             mcu += 1
-            # block[y][x] (row-major): the first DCT index is then the
-            # VERTICAL frequency v, so ZIGZAG's (r, c) = (v, u) walks
-            # coefficients exactly as T.81 Figure A.6 orders Svu.
-            block = [
-                [
-                    rows[min(by + y, height - 1)][min(bx + x, width - 1)] - 128.0
-                    for x in range(8)
-                ]
-                for y in range(8)
-            ]
-            coefs_f = _dct2(block)
-            coefs = [
-                [int(round(coefs_f[u][v] / qmat[u][v])) for v in range(8)]
-                for u in range(8)
-            ]
+            coefs = _quantized_block(rows, width, height, bx, by, qmat)
             prev_dc = _encode_block(coefs, prev_dc, w, dc_codes, ac_codes)
     scan = w.flush()
 
@@ -377,28 +405,106 @@ def jpeg_encode_grey(
     return SOI + app0 + dqt + dri + sof0 + dht + sos + scan + EOI
 
 
+def jpeg_encode_color(
+    width: int,
+    height: int,
+    rgb_rows: list[bytes],
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an interleaved-RGB image (rows of 3*width bytes) as a
+    baseline 4:4:4 color JFIF: JFIF RGB->YCbCr, three components with
+    1x1 sampling (one block each per MCU, interleaved Y Cb Cr —
+    T.81 A.2.3), shared quant/Huffman tables (ids are read from the
+    stream by any conforming decoder, so one table set is legal and
+    keeps the module free of a second 162-entry table to mistype)."""
+    if quant is None:
+        quant = [1] * 64
+    dc_codes = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _huff_codes(AC_LUM_BITS, AC_LUM_VALS)
+    qmat = [[0] * 8 for _ in range(8)]
+    for i, (r, c) in enumerate(ZIGZAG):
+        qmat[r][c] = quant[i]
+
+    planes = [[], [], []]  # Y, Cb, Cr
+    for row in rgb_rows:
+        ys, cbs, crs = [], [], []
+        for x in range(width):
+            y, cb, cr = rgb_to_ycbcr(row[3 * x], row[3 * x + 1], row[3 * x + 2])
+            ys.append(y)
+            cbs.append(cb)
+            crs.append(cr)
+        planes[0].append(ys)
+        planes[1].append(cbs)
+        planes[2].append(crs)
+
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0, 0, 0]
+            mcu += 1
+            for ci in range(3):
+                coefs = _quantized_block(planes[ci], width, height, bx, by, qmat)
+                prev_dc[ci] = _encode_block(
+                    coefs, prev_dc[ci], w, dc_codes, ac_codes
+                )
+    scan = w.flush()
+
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(quant))
+    sof0 = _seg(
+        0xC0,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([3])  # 3 components, each 1x1 sampling, Tq=0
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+        + bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    dri = (
+        _seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
+    return SOI + app0 + dqt + dri + sof0 + dht + sos + scan + EOI
+
+
 # ---------------------------------------------------------------------------
-# Decoder (baseline sequential, single-component)
+# Decoder (baseline sequential; grayscale or 4:4:4 interleaved color)
 # ---------------------------------------------------------------------------
 
 
 def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
-    """Decode a baseline grayscale JFIF -> (width, height, 'L', rows).
+    """Decode a baseline JFIF -> (width, height, mode, rows): mode 'L'
+    (rows of width bytes) for single-component streams, 'RGB' (rows of
+    3*width bytes, JFIF YCbCr->RGB) for 3-component 4:4:4 streams.
     General within its documented scope: arbitrary DQT/DHT tables (any
-    Tq/Th ids), any dimensions (edge blocks cropped), restart
-    intervals (DRI + RST0..7 resync with DC-predictor reset), standard
-    Huffman + receive/extend + dequant + inverse zigzag + IDCT + level
-    shift. Raises ImageFormatError for progressive/multi-component
-    streams (the documented frontier — entropy-coded COLOR needs
-    subsampling + YCbCr, same class as WebP/H.264)."""
+    Tq/Th ids, per component), any dimensions (edge blocks cropped),
+    restart intervals (DRI + RST0..7 resync with per-component
+    DC-predictor reset), standard Huffman + receive/extend + dequant +
+    inverse zigzag + IDCT + level shift. Raises ImageFormatError for
+    progressive and SUBSAMPLED-color streams (sampling factors other
+    than 1x1 — the remaining documented frontier, the class WebP/H.264
+    belong to)."""
     if data[:2] != SOI:
         raise ImageFormatError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     width = height = None
-    comp_q = None
-    dc_id = ac_id = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_ids: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -433,11 +539,20 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
                 raise ImageFormatError("jpeg: only 8-bit precision supported")
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
-            if body[5] != 1:
+            ncomp = body[5]
+            if ncomp not in (1, 3):
                 raise ImageFormatError(
-                    "jpeg: multi-component (color) streams unsupported"
+                    f"jpeg: {ncomp}-component streams unsupported"
                 )
-            comp_q = body[8]
+            comps = []
+            for i in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
+                if sampling != 0x11:
+                    raise ImageFormatError(
+                        "jpeg: subsampled color (sampling factors != 1x1) "
+                        "unsupported"
+                    )
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ImageFormatError(
                 f"jpeg: SOF{marker - 0xC0} (non-baseline) unsupported"
@@ -445,30 +560,46 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
-            if width is None or comp_q not in qtables:
+            if width is None or any(tq not in qtables for _, tq in comps):
                 raise ImageFormatError("jpeg: SOS before SOF0/DQT")
-            dc_id = body[2] >> 4
-            ac_id = body[2] & 0x0F
+            ns = body[0]
+            if ns != len(comps):
+                raise ImageFormatError(
+                    "jpeg: partial-scan SOS unsupported (progressive class)"
+                )
+            for i in range(ns):
+                cid, dcac = body[1 + 2 * i : 3 + 2 * i]
+                scan_ids[cid] = (dcac >> 4, dcac & 0x0F)
             pos += ln
             break
         pos += ln
     else:
         raise ImageFormatError("jpeg: no scan found")
 
-    dc_tab = htables.get((0, dc_id))
-    ac_tab = htables.get((1, ac_id))
-    if dc_tab is None or ac_tab is None:
-        raise ImageFormatError("jpeg: scan references undefined huffman table")
-    quant = qtables[comp_q]
-    qmat = [[0] * 8 for _ in range(8)]
-    for i, (r, c) in enumerate(ZIGZAG):
-        qmat[r][c] = quant[i]
+    per_comp = []  # (dc_tab, ac_tab, qmat) in SOF component order
+    for cid, tq in comps:
+        if cid not in scan_ids:
+            raise ImageFormatError(f"jpeg: component {cid} missing from SOS")
+        dc_id, ac_id = scan_ids[cid]
+        dc_tab = htables.get((0, dc_id))
+        ac_tab = htables.get((1, ac_id))
+        if dc_tab is None or ac_tab is None:
+            raise ImageFormatError(
+                "jpeg: scan references undefined huffman table"
+            )
+        quant = qtables[tq]
+        qmat = [[0] * 8 for _ in range(8)]
+        for i, (r, c) in enumerate(ZIGZAG):
+            qmat[r][c] = quant[i]
+        per_comp.append((dc_tab, ac_tab, qmat))
 
     reader = _BitReader(data, pos)
     bw = (width + 7) // 8
     bh = (height + 7) // 8
-    pix = [[0] * width for _ in range(height)]
-    prev_dc = 0
+    planes = [
+        [[0] * width for _ in range(height)] for _ in per_comp
+    ]
+    prev_dc = [0] * len(per_comp)
     mcu = 0
     rst = 0
     for byi in range(bh):
@@ -476,39 +607,54 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.sync_restart(rst)
                 rst = (rst + 1) % 8
-                prev_dc = 0
+                prev_dc = [0] * len(per_comp)
             mcu += 1
-            size = reader.read_huff(dc_tab)
-            diff = _extend(reader.read(size), size)
-            prev_dc += diff
-            zz = [0] * 64
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = reader.read_huff(ac_tab)
-                run, size = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ImageFormatError("jpeg: AC index overflow")
-                zz[k] = _extend(reader.read(size), size)
-                k += 1
-            coef = [[0.0] * 8 for _ in range(8)]
-            for i, (r, c) in enumerate(ZIGZAG):
-                coef[r][c] = zz[i] * qmat[r][c]
-            block = _idct2(coef)  # block[y][x], mirroring the encoder
-            for y in range(8):
-                py = byi * 8 + y
-                if py >= height:
-                    break
-                for x in range(8):
-                    px = bxi * 8 + x
-                    if px >= width:
+            # one MCU = one block per component, interleaved in SOF
+            # order (T.81 A.2.3; 1x1 sampling throughout)
+            for ci, (dc_tab, ac_tab, qmat) in enumerate(per_comp):
+                size = reader.read_huff(dc_tab)
+                diff = _extend(reader.read(size), size)
+                prev_dc[ci] += diff
+                zz = [0] * 64
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.read_huff(ac_tab)
+                    run, size = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
                         continue
-                    v = int(round(block[y][x] + 128.0))
-                    pix[py][px] = 0 if v < 0 else (255 if v > 255 else v)
-    return width, height, "L", [bytes(r) for r in pix]
+                    k += run
+                    if k > 63:
+                        raise ImageFormatError("jpeg: AC index overflow")
+                    zz[k] = _extend(reader.read(size), size)
+                    k += 1
+                coef = [[0.0] * 8 for _ in range(8)]
+                for i, (r, c) in enumerate(ZIGZAG):
+                    coef[r][c] = zz[i] * qmat[r][c]
+                block = _idct2(coef)  # block[y][x], mirroring the encoder
+                pix = planes[ci]
+                for y in range(8):
+                    py = byi * 8 + y
+                    if py >= height:
+                        break
+                    for x in range(8):
+                        px = bxi * 8 + x
+                        if px >= width:
+                            continue
+                        pix[py][px] = _clamp(block[y][x] + 128.0)
+    if len(per_comp) == 1:
+        return width, height, "L", [bytes(r) for r in planes[0]]
+    rows = []
+    for py in range(height):
+        row = bytearray()
+        for px in range(width):
+            row.extend(
+                ycbcr_to_rgb(
+                    planes[0][py][px], planes[1][py][px], planes[2][py][px]
+                )
+            )
+        rows.append(bytes(row))
+    return width, height, "RGB", rows

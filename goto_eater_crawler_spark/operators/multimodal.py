@@ -17,10 +17,11 @@ Round 4: baseline grayscale JPEG decodes for real too
 dequant, inverse zigzag, IDCT), with :func:`synth_jpegs` emitting
 block-constant JFIFs whose lossy pipeline is exact, so the
 ``multimodal_jpeg_decode`` gate has a closed-form oracle over real
-decodes. The remaining stub surface is entropy-coded COLOR formats
-(color JPEG / WebP / H.264 — subsampled YCbCr planes, inter-frame
-prediction), which a production cluster hands to native codecs;
-:func:`binary_metadata` classifies what it can't decode as
+decodes; 4:4:4 interleaved COLOR (JFIF YCbCr) and restart intervals
+decode for real too. The remaining stub surface is SUBSAMPLED /
+progressive color and WebP / H.264 (chroma-plane resampling,
+inter-frame prediction), which a production cluster hands to native
+codecs; :func:`binary_metadata` classifies what it can't decode as
 ``'unknown'`` instead of faking dimensions.
 """
 

@@ -101,6 +101,56 @@ def test_restart_intervals_roundtrip_and_resync():
         mj.jpeg_decode(bytes(bad))
 
 
+def test_color_444_roundtrip():
+    """Baseline 4:4:4 color: interleaved Y/Cb/Cr MCUs (one block per
+    component, per-component DC predictors), JFIF color transform both
+    ways. Error budget: quant is all-ones, so the bound is the two
+    float color transforms + DCT rounding (<= 3 levels measured; pin
+    4 for slack)."""
+    rnd = random.Random(9)
+    for w, h, ri in [(16, 16, 0), (21, 13, 2), (8, 8, 0)]:
+        rgb = [
+            bytes(rnd.randrange(256) for _ in range(3 * w)) for _ in range(h)
+        ]
+        W, H, mode, out = mj.jpeg_decode(
+            mj.jpeg_encode_color(w, h, rgb, restart_interval=ri)
+        )
+        assert (W, H, mode) == (w, h, "RGB")
+        err = max(
+            abs(a - b) for ra, rb in zip(rgb, out) for a, b in zip(ra, rb)
+        )
+        assert err <= 4, (w, h, ri, err)
+
+
+def test_color_flat_regions_stay_tight():
+    # flat color halves: only the color-transform rounding remains
+    w, h = 16, 16
+    rgb = [bytes(([200, 30, 60] * (w // 2)) + ([20, 180, 240] * (w // 2)))] * h
+    W, H, mode, out = mj.jpeg_decode(mj.jpeg_encode_color(w, h, rgb))
+    assert mode == "RGB"
+    assert max(
+        abs(a - b) for ra, rb in zip(rgb, out) for a, b in zip(ra, rb)
+    ) <= 1
+
+
+def test_color_transform_pair_is_near_inverse():
+    rnd = random.Random(21)
+    for _ in range(200):
+        r, g, b = rnd.randrange(256), rnd.randrange(256), rnd.randrange(256)
+        r2, g2, b2 = mj.ycbcr_to_rgb(*mj.rgb_to_ycbcr(r, g, b))
+        assert abs(r - r2) <= 2 and abs(g - g2) <= 2 and abs(b - b2) <= 2
+
+
+def test_subsampled_color_raises():
+    enc = bytearray(mj.jpeg_encode_color(8, 8, [bytes([1, 2, 3] * 8)] * 8))
+    i = enc.index(b"\xff\xc0")
+    # marker(2) len(2) precision(1) height(2) width(2) ncomp(1) then
+    # (id, sampling, tq) triplets — flip Y's sampling factor to 2x2
+    enc[i + 11] = 0x22
+    with pytest.raises(ImageFormatError, match="subsampled"):
+        mj.jpeg_decode(bytes(enc))
+
+
 def test_unsupported_streams_raise_imageformaterror():
     rows = [bytes([1] * 8)] * 8
     enc = bytearray(mj.jpeg_encode_grey(8, 8, rows))
