@@ -178,6 +178,130 @@ def jpeg_decode_sql(mod: int = 13) -> str:
     """
 
 
+def synth_color_jpegs(docs: DataFrame, mod: int = 17) -> DataFrame:
+    """(doc_id, payload) — one REAL baseline 4:4:4 COLOR JFIF per
+    selected doc (doc_id % mod == 0): a 16x16 vertical two-tone split
+    (both halves 8-aligned, so every Y/Cb/Cr block is flat and the
+    DCT pipeline is exact per component), tones derived from doc_id:
+
+    - left  (r1,g1,b1) = (doc_id%100, (doc_id*7)%256, (155+doc_id%100)%256)
+    - right (r2,g2,b2) = ((20+doc_id)%256, (180+3*doc_id)%256, (240+7*doc_id)%256)
+
+    The only lossy steps are the two JFIF color transforms
+    (RGB->YCbCr at encode, YCbCr->RGB at decode), both defined by
+    IEEE-double expressions that :func:`color_decode_sql` replicates
+    literally — so the decoded channel means have closed forms in
+    doc_id (round() parity python vs DuckDB verified over the tone
+    space; the .5 boundary never lands exactly on these doubles)."""
+    from ..functions import minijpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                c1 = (d % 100, (d * 7) % 256, (155 + d % 100) % 256)
+                c2 = ((20 + d) % 256, (180 + 3 * d) % 256, (240 + 7 * d) % 256)
+                row = bytes(list(c1) * 8 + list(c2) * 8)
+                ids.append(d)
+                payloads.append(minijpeg.jpeg_encode_color(16, 16, [row] * 16))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def color_decode_metadata(images: DataFrame) -> DataFrame:
+    """REAL decode of color payloads: (doc_id, width, height, mode,
+    mean_r, mean_g, mean_b) — channel means over the decoded RGB
+    pixels (the color-statistics stage of an image pipeline);
+    undecodable payloads yield a null row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "mode": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    w, h, mode, rows = miniimg.decode_image(bytes(payload))
+                except miniimg.ImageFormatError:
+                    for k in ("width", "height", "mode",
+                              "mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                    continue
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append(mode)
+                if mode == "RGB":
+                    n = w * h
+                    for ki, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                        out[k].append(
+                            sum(r[3 * x + ki] for r in rows for x in range(w))
+                            / n
+                        )
+                else:
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return images.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, width long, height long, mode string, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+def color_decode_sql(mod: int = 17) -> str:
+    """Closed-form oracle for color_decode_metadata(synth_color_jpegs):
+    replicates the JFIF transform pair (the only lossy steps — the
+    flat-block DCT pipeline is exact) as literal IEEE-double SQL, so a
+    Huffman/MCU-interleave/color-transform bug cannot hash-match."""
+
+    def clamp(e: str) -> str:
+        return f"LEAST(255, GREATEST(0, CAST(round({e}) AS BIGINT)))"
+
+    tones = {
+        "r1": "(doc_id % 100)", "g1": "((doc_id * 7) % 256)",
+        "b1": "((155 + doc_id % 100) % 256)",
+        "r2": "((20 + doc_id) % 256)", "g2": "((180 + 3 * doc_id) % 256)",
+        "b2": "((240 + 7 * doc_id) % 256)",
+    }
+    ycc = []
+    for s in ("1", "2"):
+        r, g, b = tones[f"r{s}"], tones[f"g{s}"], tones[f"b{s}"]
+        ycc += [
+            f"{clamp(f'0.299*{r} + 0.587*{g} + 0.114*{b}')} AS y{s}",
+            f"{clamp(f'128 - 0.168736*{r} - 0.331264*{g} + 0.5*{b}')} AS cb{s}",
+            f"{clamp(f'128 + 0.5*{r} - 0.418688*{g} - 0.081312*{b}')} AS cr{s}",
+        ]
+    back = []
+    for s in ("1", "2"):
+        back += [
+            f"{clamp(f'y{s} + 1.402*(cr{s} - 128)')} AS rr{s}",
+            f"{clamp(f'y{s} - 0.344136*(cb{s} - 128) - 0.714136*(cr{s} - 128)')} AS gg{s}",
+            f"{clamp(f'y{s} + 1.772*(cb{s} - 128)')} AS bb{s}",
+        ]
+    return f"""
+    WITH y AS (
+      SELECT doc_id, {', '.join(ycc)}
+      FROM documents WHERE doc_id % {mod} = 0),
+    o AS (SELECT doc_id, {', '.join(back)} FROM y)
+    SELECT doc_id, 16 AS width, 16 AS height, 'RGB' AS mode,
+           (rr1 + rr2) / 2.0 AS mean_r,
+           (gg1 + gg2) / 2.0 AS mean_g,
+           (bb1 + bb2) / 2.0 AS mean_b
+    FROM o
+    """
+
+
 def _signed64(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 

@@ -86,6 +86,7 @@ _GATE_ORDER: list[str] = [
     # -- new in round 4 --
     # (must stay inside the first 50)
     "multimodal_jpeg_decode",
+    "multimodal_color_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -1790,6 +1791,23 @@ def q_multimodal_image_decode(spark, sf_dir):
 def q_multimodal_jpeg_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.image_decode_metadata(_mm.synth_jpegs(d, 13)).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_color_decode",
+    # REAL 4:4:4 color-JPEG decode gate (round 4): synth_color_jpegs
+    # writes genuine 3-component interleaved JFIF streams; the engine
+    # entropy-decodes three blocks per MCU with per-component DC
+    # predictors, IDCTs each plane, and converts JFIF YCbCr->RGB; the
+    # only lossy steps (the two color transforms) are replicated as
+    # literal IEEE-double SQL, so channel means have closed forms.
+    _mm.color_decode_sql(17) + " ORDER BY doc_id",
+)
+def q_multimodal_color_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.color_decode_metadata(_mm.synth_color_jpegs(d, 17)).orderBy(
+        "doc_id"
+    )
 
 
 @_register(
