@@ -4,8 +4,10 @@ real Huffman entropy decoding + dequantization + inverse zigzag +
 IDCT, no native codec.
 
 Scope (documented, like miniimg's): baseline sequential DCT (SOF0),
-8-bit, grayscale or 4:4:4 interleaved color (JFIF YCbCr, 1x1 sampling
-factors), restart intervals — no subsampled color, no progressive
+8-bit, grayscale or interleaved color (JFIF YCbCr) at arbitrary
+sampling factors 1..4 — 4:4:4 and 4:2:0 (2x2 luma + box-downsampled
+chroma, the camera-JPEG layout) both emitted by the encoders below,
+4:2:2/4:4:0 decode-side — plus restart intervals; no progressive
 (SOF2) — exactly the class the encoders below emit and the class a
 training-data pipeline can verify in closed form. The
 encoder uses a quantization table of all ones, so an image whose
@@ -405,19 +407,43 @@ def jpeg_encode_grey(
     return SOI + app0 + dqt + dri + sof0 + dht + sos + scan + EOI
 
 
+def _box_downsample(plane: list[list[int]], w: int, h: int) -> list[list[int]]:
+    """2x2 box-average downsample with edge replication for odd dims
+    (the standard chroma decimation for 4:2:0); averages of a constant
+    region are exact, which is what keeps flat-tile test images
+    lossless through the subsampled path."""
+    cw, ch = -(-w // 2), -(-h // 2)
+    out = []
+    for cy in range(ch):
+        y0, y1 = 2 * cy, min(2 * cy + 1, h - 1)
+        row = []
+        for cx in range(cw):
+            x0, x1 = 2 * cx, min(2 * cx + 1, w - 1)
+            s = plane[y0][x0] + plane[y0][x1] + plane[y1][x0] + plane[y1][x1]
+            row.append(int(round(s / 4.0)))
+        out.append(row)
+    return out
+
+
 def jpeg_encode_color(
     width: int,
     height: int,
     rgb_rows: list[bytes],
     quant: list[int] | None = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode an interleaved-RGB image (rows of 3*width bytes) as a
-    baseline 4:4:4 color JFIF: JFIF RGB->YCbCr, three components with
-    1x1 sampling (one block each per MCU, interleaved Y Cb Cr —
-    T.81 A.2.3), shared quant/Huffman tables (ids are read from the
+    baseline color JFIF: JFIF RGB->YCbCr, interleaved MCUs
+    (T.81 A.2.3), shared quant/Huffman tables (ids are read from the
     stream by any conforming decoder, so one table set is legal and
-    keeps the module free of a second 162-entry table to mistype)."""
+    keeps the module free of a second 162-entry table to mistype).
+    ``subsampling`` '444' emits 1x1 factors for all three components
+    (one block each per MCU); '420' emits 2x2 luma / 1x1 chroma
+    factors — a 16x16-pixel MCU of 4 Y blocks + 1 box-downsampled Cb
+    + 1 Cr, the layout virtually every camera JPEG uses."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     if quant is None:
         quant = [1] * 64
     dc_codes = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
@@ -442,18 +468,50 @@ def jpeg_encode_color(
     prev_dc = [0, 0, 0]
     mcu = 0
     rst = 0
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                w.restart(rst)
-                rst = (rst + 1) % 8
-                prev_dc = [0, 0, 0]
-            mcu += 1
-            for ci in range(3):
-                coefs = _quantized_block(planes[ci], width, height, bx, by, qmat)
-                prev_dc[ci] = _encode_block(
-                    coefs, prev_dc[ci], w, dc_codes, ac_codes
-                )
+    if subsampling == "420":
+        cw, ch = -(-width // 2), -(-height // 2)
+        chroma = [_box_downsample(planes[i], width, height) for i in (1, 2)]
+        # (plane, plane w, plane h, blocks per MCU as (dx, dy) in
+        # 8-px units) per component: Y contributes a 2x2 block quad
+        samp = [
+            (planes[0], width, height, [(0, 0), (1, 0), (0, 1), (1, 1)]),
+            (chroma[0], cw, ch, [(0, 0)]),
+            (chroma[1], cw, ch, [(0, 0)]),
+        ]
+        for my in range(0, height, 16):
+            for mx in range(0, width, 16):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    w.restart(rst)
+                    rst = (rst + 1) % 8
+                    prev_dc = [0, 0, 0]
+                mcu += 1
+                for ci, (plane, pw, ph, units) in enumerate(samp):
+                    scale = 1 if ci == 0 else 2
+                    for dx, dy in units:
+                        coefs = _quantized_block(
+                            plane, pw, ph,
+                            mx // scale + 8 * dx, my // scale + 8 * dy, qmat,
+                        )
+                        prev_dc[ci] = _encode_block(
+                            coefs, prev_dc[ci], w, dc_codes, ac_codes
+                        )
+        sof_samp = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    else:
+        for by in range(0, height, 8):
+            for bx in range(0, width, 8):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    w.restart(rst)
+                    rst = (rst + 1) % 8
+                    prev_dc = [0, 0, 0]
+                mcu += 1
+                for ci in range(3):
+                    coefs = _quantized_block(
+                        planes[ci], width, height, bx, by, qmat
+                    )
+                    prev_dc[ci] = _encode_block(
+                        coefs, prev_dc[ci], w, dc_codes, ac_codes
+                    )
+        sof_samp = bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
     scan = w.flush()
 
     app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -463,8 +521,8 @@ def jpeg_encode_color(
         bytes([8])
         + height.to_bytes(2, "big")
         + width.to_bytes(2, "big")
-        + bytes([3])  # 3 components, each 1x1 sampling, Tq=0
-        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        + bytes([3])
+        + sof_samp,
     )
     dht = _seg(
         0xC4,
@@ -488,22 +546,24 @@ def jpeg_encode_color(
 def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
     """Decode a baseline JFIF -> (width, height, mode, rows): mode 'L'
     (rows of width bytes) for single-component streams, 'RGB' (rows of
-    3*width bytes, JFIF YCbCr->RGB) for 3-component 4:4:4 streams.
+    3*width bytes, JFIF YCbCr->RGB) for 3-component streams.
     General within its documented scope: arbitrary DQT/DHT tables (any
     Tq/Th ids, per component), any dimensions (edge blocks cropped),
+    ARBITRARY sampling factors 1..4 per component (4:4:4, 4:2:0,
+    4:2:2, 4:4:0 — interleaved MCUs per T.81 A.2.3, chroma planes
+    upsampled by sample replication, the JFIF "simple" upsample),
     restart intervals (DRI + RST0..7 resync with per-component
     DC-predictor reset), standard Huffman + receive/extend + dequant +
     inverse zigzag + IDCT + level shift. Raises ImageFormatError for
-    progressive and SUBSAMPLED-color streams (sampling factors other
-    than 1x1 — the remaining documented frontier, the class WebP/H.264
-    belong to)."""
+    progressive streams (successive-approximation entropy state — the
+    remaining documented frontier, the class WebP/H.264 belong to)."""
     if data[:2] != SOI:
         raise ImageFormatError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     width = height = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, quant id)
     scan_ids: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
     restart_interval = 0
     while pos < len(data):
@@ -547,12 +607,17 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
             comps = []
             for i in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
-                if sampling != 0x11:
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise ImageFormatError(
-                        "jpeg: subsampled color (sampling factors != 1x1) "
-                        "unsupported"
+                        f"jpeg: sampling factor {hs}x{vs} out of range"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hs, vs, tq))
+            if ncomp == 1:
+                # single-component scans are non-interleaved (T.81
+                # A.2.2): the MCU is one data unit and the declared
+                # sampling factors don't apply to the scan layout
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ImageFormatError(
                 f"jpeg: SOF{marker - 0xC0} (non-baseline) unsupported"
@@ -560,7 +625,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
-            if width is None or any(tq not in qtables for _, tq in comps):
+            if width is None or any(tq not in qtables for *_, tq in comps):
                 raise ImageFormatError("jpeg: SOS before SOF0/DQT")
             ns = body[0]
             if ns != len(comps):
@@ -576,8 +641,12 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
     else:
         raise ImageFormatError("jpeg: no scan found")
 
-    per_comp = []  # (dc_tab, ac_tab, qmat) in SOF component order
-    for cid, tq in comps:
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    # (dc_tab, ac_tab, qmat, h, v, plane width, plane height) per
+    # component in SOF order; plane dims per T.81 A.1.1 (ceil scaling)
+    per_comp = []
+    for cid, hs, vs, tq in comps:
         if cid not in scan_ids:
             raise ImageFormatError(f"jpeg: component {cid} missing from SOS")
         dc_id, ac_id = scan_ids[cid]
@@ -591,69 +660,88 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
         qmat = [[0] * 8 for _ in range(8)]
         for i, (r, c) in enumerate(ZIGZAG):
             qmat[r][c] = quant[i]
-        per_comp.append((dc_tab, ac_tab, qmat))
+        cw = -(-width * hs // hmax)
+        ch = -(-height * vs // vmax)
+        per_comp.append((dc_tab, ac_tab, qmat, hs, vs, cw, ch))
 
     reader = _BitReader(data, pos)
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+    mcols = -(-width // (8 * hmax))
+    mrows = -(-height // (8 * vmax))
     planes = [
-        [[0] * width for _ in range(height)] for _ in per_comp
+        [[0] * cw for _ in range(ch)]
+        for *_, cw, ch in per_comp
     ]
     prev_dc = [0] * len(per_comp)
     mcu = 0
     rst = 0
-    for byi in range(bh):
-        for bxi in range(bw):
+    for myi in range(mrows):
+        for mxi in range(mcols):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.sync_restart(rst)
                 rst = (rst + 1) % 8
                 prev_dc = [0] * len(per_comp)
             mcu += 1
-            # one MCU = one block per component, interleaved in SOF
-            # order (T.81 A.2.3; 1x1 sampling throughout)
-            for ci, (dc_tab, ac_tab, qmat) in enumerate(per_comp):
-                size = reader.read_huff(dc_tab)
-                diff = _extend(reader.read(size), size)
-                prev_dc[ci] += diff
-                zz = [0] * 64
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.read_huff(ac_tab)
-                    run, size = rs >> 4, rs & 0x0F
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ImageFormatError("jpeg: AC index overflow")
-                    zz[k] = _extend(reader.read(size), size)
-                    k += 1
-                coef = [[0.0] * 8 for _ in range(8)]
-                for i, (r, c) in enumerate(ZIGZAG):
-                    coef[r][c] = zz[i] * qmat[r][c]
-                block = _idct2(coef)  # block[y][x], mirroring the encoder
-                pix = planes[ci]
-                for y in range(8):
-                    py = byi * 8 + y
-                    if py >= height:
-                        break
-                    for x in range(8):
-                        px = bxi * 8 + x
-                        if px >= width:
-                            continue
-                        pix[py][px] = _clamp(block[y][x] + 128.0)
+            # one MCU = h x v data units per component, raster order
+            # within the component, components interleaved in SOF
+            # order (T.81 A.2.3)
+            for ci, (dc_tab, ac_tab, qmat, hs, vs, cw, ch) in enumerate(
+                per_comp
+            ):
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        size = reader.read_huff(dc_tab)
+                        diff = _extend(reader.read(size), size)
+                        prev_dc[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_huff(ac_tab)
+                            run, size = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ImageFormatError(
+                                    "jpeg: AC index overflow"
+                                )
+                            zz[k] = _extend(reader.read(size), size)
+                            k += 1
+                        coef = [[0.0] * 8 for _ in range(8)]
+                        for i, (r, c) in enumerate(ZIGZAG):
+                            coef[r][c] = zz[i] * qmat[r][c]
+                        # block[y][x], mirroring the encoder
+                        block = _idct2(coef)
+                        pix = planes[ci]
+                        y0 = (myi * vs + byi) * 8
+                        x0 = (mxi * hs + bxi) * 8
+                        for y in range(8):
+                            py = y0 + y
+                            if py >= ch:
+                                break
+                            for x in range(8):
+                                px = x0 + x
+                                if px >= cw:
+                                    continue
+                                pix[py][px] = _clamp(block[y][x] + 128.0)
     if len(per_comp) == 1:
         return width, height, "L", [bytes(r) for r in planes[0]]
     rows = []
+    ys, cbp, crp = planes
+    (_, _, _, h0, v0, _, _) = per_comp[0]
+    (_, _, _, h1, v1, _, _) = per_comp[1]
+    (_, _, _, h2, v2, _, _) = per_comp[2]
     for py in range(height):
         row = bytearray()
         for px in range(width):
             row.extend(
                 ycbcr_to_rgb(
-                    planes[0][py][px], planes[1][py][px], planes[2][py][px]
+                    ys[py * v0 // vmax][px * h0 // hmax],
+                    cbp[py * v1 // vmax][px * h1 // hmax],
+                    crp[py * v2 // vmax][px * h2 // hmax],
                 )
             )
         rows.append(bytes(row))

@@ -17,11 +17,14 @@ Round 4: baseline grayscale JPEG decodes for real too
 dequant, inverse zigzag, IDCT), with :func:`synth_jpegs` emitting
 block-constant JFIFs whose lossy pipeline is exact, so the
 ``multimodal_jpeg_decode`` gate has a closed-form oracle over real
-decodes; 4:4:4 interleaved COLOR (JFIF YCbCr) and restart intervals
-decode for real too. The remaining stub surface is SUBSAMPLED /
-progressive color and WebP / H.264 (chroma-plane resampling,
-inter-frame prediction), which a production cluster hands to native
-codecs; :func:`binary_metadata` classifies what it can't decode as
+decodes; interleaved COLOR (JFIF YCbCr) decodes for real at any
+sampling factors — 4:4:4, 4:2:0 (the camera layout: block-quad luma
+MCUs + box-downsampled chroma, gated by
+``multimodal_color_420_decode``), 4:2:2/4:4:0 — plus restart
+intervals. The remaining stub surface is progressive JPEG and
+WebP / H.264 (successive-approximation entropy state, inter-frame
+prediction), which a production cluster hands to native codecs;
+:func:`binary_metadata` classifies what it can't decode as
 ``'unknown'`` instead of faking dimensions.
 """
 
@@ -178,11 +181,19 @@ def jpeg_decode_sql(mod: int = 13) -> str:
     """
 
 
-def synth_color_jpegs(docs: DataFrame, mod: int = 17) -> DataFrame:
-    """(doc_id, payload) — one REAL baseline 4:4:4 COLOR JFIF per
-    selected doc (doc_id % mod == 0): a 16x16 vertical two-tone split
-    (both halves 8-aligned, so every Y/Cb/Cr block is flat and the
-    DCT pipeline is exact per component), tones derived from doc_id:
+def synth_color_jpegs(
+    docs: DataFrame, mod: int = 17, subsampling: str = "444"
+) -> DataFrame:
+    """(doc_id, payload) — one REAL baseline COLOR JFIF per
+    selected doc (doc_id % mod == 0): a vertical two-tone split with
+    both halves MCU-aligned, so every Y/Cb/Cr block is flat and the
+    DCT pipeline is exact per component. ``subsampling`` '444' emits
+    the 16x16 1x1-sampled layout (8-px halves); '420' emits a 32x16
+    image with 16-px halves — each half exactly one 2x2-luma MCU, so
+    the box chroma downsample averages a constant region and the
+    4:2:0 path (MCU block-quad interleave, chroma decimation at
+    encode, replication upsample at decode) stays closed-form exact.
+    Tones derived from doc_id:
 
     - left  (r1,g1,b1) = (doc_id%100, (doc_id*7)%256, (155+doc_id%100)%256)
     - right (r2,g2,b2) = ((20+doc_id)%256, (180+3*doc_id)%256, (240+7*doc_id)%256)
@@ -195,6 +206,8 @@ def synth_color_jpegs(docs: DataFrame, mod: int = 17) -> DataFrame:
     space; the .5 boundary never lands exactly on these doubles)."""
     from ..functions import minijpeg
 
+    half = 8 if subsampling == "444" else 16
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads = [], []
@@ -202,9 +215,13 @@ def synth_color_jpegs(docs: DataFrame, mod: int = 17) -> DataFrame:
                 d = int(doc_id)
                 c1 = (d % 100, (d * 7) % 256, (155 + d % 100) % 256)
                 c2 = ((20 + d) % 256, (180 + 3 * d) % 256, (240 + 7 * d) % 256)
-                row = bytes(list(c1) * 8 + list(c2) * 8)
+                row = bytes(list(c1) * half + list(c2) * half)
                 ids.append(d)
-                payloads.append(minijpeg.jpeg_encode_color(16, 16, [row] * 16))
+                payloads.append(
+                    minijpeg.jpeg_encode_color(
+                        2 * half, 16, [row] * 16, subsampling=subsampling
+                    )
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return (
@@ -259,11 +276,15 @@ def color_decode_metadata(images: DataFrame) -> DataFrame:
     )
 
 
-def color_decode_sql(mod: int = 17) -> str:
+def color_decode_sql(mod: int = 17, width: int = 16) -> str:
     """Closed-form oracle for color_decode_metadata(synth_color_jpegs):
     replicates the JFIF transform pair (the only lossy steps — the
-    flat-block DCT pipeline is exact) as literal IEEE-double SQL, so a
-    Huffman/MCU-interleave/color-transform bug cannot hash-match."""
+    flat-block DCT pipeline is exact, including 4:2:0's chroma
+    box-average/replication over constant MCU tiles) as literal
+    IEEE-double SQL, so a Huffman/MCU-interleave/chroma-resample/
+    color-transform bug cannot hash-match. ``width`` 16 matches the
+    4:4:4 layout, 32 the 4:2:0 one; the two equal-area halves make
+    the channel means (c1+c2)/2 in either case."""
 
     def clamp(e: str) -> str:
         return f"LEAST(255, GREATEST(0, CAST(round({e}) AS BIGINT)))"
@@ -294,7 +315,7 @@ def color_decode_sql(mod: int = 17) -> str:
       SELECT doc_id, {', '.join(ycc)}
       FROM documents WHERE doc_id % {mod} = 0),
     o AS (SELECT doc_id, {', '.join(back)} FROM y)
-    SELECT doc_id, 16 AS width, 16 AS height, 'RGB' AS mode,
+    SELECT doc_id, {width} AS width, 16 AS height, 'RGB' AS mode,
            (rr1 + rr2) / 2.0 AS mean_r,
            (gg1 + gg2) / 2.0 AS mean_g,
            (bb1 + bb2) / 2.0 AS mean_b

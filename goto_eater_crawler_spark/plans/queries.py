@@ -87,6 +87,7 @@ _GATE_ORDER: list[str] = [
     # (must stay inside the first 50)
     "multimodal_jpeg_decode",
     "multimodal_color_decode",
+    "multimodal_color_420_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -1808,6 +1809,25 @@ def q_multimodal_color_decode(spark, sf_dir):
     return _mm.color_decode_metadata(_mm.synth_color_jpegs(d, 17)).orderBy(
         "doc_id"
     )
+
+
+@_register(
+    "multimodal_color_420_decode",
+    # REAL 4:2:0 subsampled color-JPEG decode gate (round 4): the
+    # camera-JPEG layout — 16x16 MCUs of a 2x2 luma block quad plus
+    # one box-downsampled Cb and Cr block each; the engine decodes
+    # the block-quad interleave with per-component DC predictors and
+    # replication-upsamples the chroma planes. Each image half is one
+    # constant MCU, so decimation/upsampling are exact and the only
+    # lossy steps stay the two JFIF color transforms the oracle
+    # replicates as literal IEEE-double SQL.
+    _mm.color_decode_sql(19, width=32) + " ORDER BY doc_id",
+)
+def q_multimodal_color_420_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.color_decode_metadata(
+        _mm.synth_color_jpegs(d, 19, subsampling="420")
+    ).orderBy("doc_id")
 
 
 @_register(

@@ -141,14 +141,73 @@ def test_color_transform_pair_is_near_inverse():
         assert abs(r - r2) <= 2 and abs(g - g2) <= 2 and abs(b - b2) <= 2
 
 
-def test_subsampled_color_raises():
+def test_420_flat_mcu_tiles_roundtrip_exactly():
+    # two 16x16 constant tiles = two full 4:2:0 MCUs: the chroma
+    # box-average and replication upsample are exact over constants,
+    # so the only lossy steps are the two color transforms
+    c1, c2 = (40, 77, 211), (190, 23, 99)
+    row = bytes(list(c1) * 16 + list(c2) * 16)
+    w, h, mode, out = mj.jpeg_decode(
+        mj.jpeg_encode_color(32, 16, [row] * 16, subsampling="420")
+    )
+    assert (w, h, mode) == (32, 16, "RGB")
+    e1 = bytes(mj.ycbcr_to_rgb(*mj.rgb_to_ycbcr(*c1)) * 16)
+    e2 = bytes(mj.ycbcr_to_rgb(*mj.rgb_to_ycbcr(*c2)) * 16)
+    assert all(r == e1 + e2 for r in out)
+
+
+def test_420_odd_dims_flat_exact_and_restart_equivalent():
+    c = (100, 150, 200)
+    rows = [bytes(list(c) * 20)] * 12  # 20x12: partial edge MCUs
+    w, h, mode, out = mj.jpeg_decode(
+        mj.jpeg_encode_color(20, 12, rows, subsampling="420")
+    )
+    exp = bytes(mj.ycbcr_to_rgb(*mj.rgb_to_ycbcr(*c)) * 20)
+    assert (w, h) == (20, 12) and all(r == exp for r in out)
+    # DRI/RSTn resync with the block-quad MCU layout decodes the same
+    two = bytes(list(c) * 16 + list((9, 99, 199)) * 16)
+    plain = mj.jpeg_decode(
+        mj.jpeg_encode_color(32, 16, [two] * 16, subsampling="420")
+    )
+    rst = mj.jpeg_decode(
+        mj.jpeg_encode_color(
+            32, 16, [two] * 16, subsampling="420", restart_interval=1
+        )
+    )
+    assert plain == rst
+
+
+def test_420_luma_gradient_within_unit_error():
+    # chroma-flat (grey) gradient: subsampling loses nothing, so the
+    # full AC path at 4:2:0 must stay within the standard |err|<=1
+    rows = [
+        bytes(
+            v
+            for x in range(24)
+            for v in ((x * 11 + y * 5) % 256,) * 3
+        )
+        for y in range(16)
+    ]
+    w, h, mode, out = mj.jpeg_decode(
+        mj.jpeg_encode_color(24, 16, rows, subsampling="420")
+    )
+    assert (w, h, mode) == (24, 16, "RGB")
+    assert max(
+        abs(a - b) for ra, rb in zip(rows, out) for a, b in zip(ra, rb)
+    ) <= 1
+
+
+def test_sampling_factor_out_of_range_raises():
     enc = bytearray(mj.jpeg_encode_color(8, 8, [bytes([1, 2, 3] * 8)] * 8))
     i = enc.index(b"\xff\xc0")
     # marker(2) len(2) precision(1) height(2) width(2) ncomp(1) then
-    # (id, sampling, tq) triplets — flip Y's sampling factor to 2x2
-    enc[i + 11] = 0x22
-    with pytest.raises(ImageFormatError, match="subsampled"):
+    # (id, sampling, tq) triplets — set Y's sampling factor to 5x5
+    enc[i + 11] = 0x55
+    with pytest.raises(ImageFormatError, match="out of range"):
         mj.jpeg_decode(bytes(enc))
+    with pytest.raises(ValueError, match="subsampling"):
+        mj.jpeg_encode_color(8, 8, [bytes([1, 2, 3] * 8)] * 8,
+                             subsampling="422")
 
 
 def test_unsupported_streams_raise_imageformaterror():
