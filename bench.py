@@ -293,6 +293,43 @@ def run_steady_round(
     }
 
 
+def steady_isolated(
+    cores: int,
+    data: str = SCALE_DATA,
+    hosts: int = SCALE_HOSTS,
+    bucketed: bool = False,
+) -> dict:
+    """run_steady_round in a FRESH python/JVM subprocess (the
+    spark-submit-per-job shape). In-process legs inherit the JVM the
+    70-query suite + crawl + web generation just ran in — heap
+    fragmentation and lingering GC pressure measurably slow the 2-core
+    leg (round 4: in-process full-bench lo leg drew 265 s where
+    standalone draws of the same commit read 180-205 s, pushing the
+    reported ratio unphysically past 1.0), so each leg gets the clean
+    JVM a real cluster would give it. BENCH_LEG_ISOLATION=0 restores
+    the in-process path."""
+    if os.environ.get("BENCH_LEG_ISOLATION") == "0":
+        return run_steady_round(cores, data, hosts, bucketed)
+    import subprocess
+
+    r = subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__), "--steady",
+            str(cores), data, str(hosts), "1" if bucketed else "0",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+        timeout=3600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"steady leg subprocess failed (cores={cores}): "
+            f"{r.stderr[-2000:]}"
+        )
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def membw_calibration(n_lo: int, n_hi: int, mb: int = 192, reps: int = 10) -> dict:
     """Box calibration: per-process memcpy bandwidth at n_lo and n_hi
     concurrent processes (zero Spark, zero Python-overhead — pure
@@ -398,7 +435,7 @@ def main() -> None:
         out["membw_calibration"] = membw_gate(lo, mid)
 
         def clean(cores: int) -> dict:
-            return run_steady_round(
+            return steady_isolated(
                 cores, SCALE4X_DATA, SCALE4X_HOSTS, bucketed=True
             )
 
@@ -439,10 +476,10 @@ def main() -> None:
                 )
             else:
                 break
-        steady_mid_1x = run_steady_round(mid)
-        steady_hi = run_steady_round(CPUS)
+        steady_mid_1x = steady_isolated(mid)
+        steady_hi = steady_isolated(CPUS)
         if eff(steady_hi, steady_mid_1x, CPUS / mid) < 0.5:
-            a, b = run_steady_round(mid), run_steady_round(CPUS)
+            a, b = steady_isolated(mid), steady_isolated(CPUS)
             steady_mid_1x = max(steady_mid_1x, a, key=lambda d: d["urls_per_sec"])
             steady_hi = max(steady_hi, b, key=lambda d: d["urls_per_sec"])
         out["steady_round_N_clean"] = steady_lo
@@ -514,4 +551,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--steady":
+        # subprocess arm for steady_isolated: one leg, one JSON line
+        _cores, _data, _hosts, _bucketed = sys.argv[2:6]
+        print(
+            json.dumps(
+                run_steady_round(
+                    int(_cores), _data, int(_hosts), _bucketed == "1"
+                )
+            )
+        )
+    else:
+        main()

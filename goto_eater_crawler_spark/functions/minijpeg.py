@@ -3,13 +3,14 @@ decoder that closes the round-3 multimodal stub (VERDICT r3 ask #5):
 real Huffman entropy decoding + dequantization + inverse zigzag +
 IDCT, no native codec.
 
-Scope (documented, like miniimg's): baseline sequential DCT (SOF0),
-8-bit, grayscale or interleaved color (JFIF YCbCr) at arbitrary
-sampling factors 1..4 — 4:4:4 and 4:2:0 (2x2 luma + box-downsampled
-chroma, the camera-JPEG layout) both emitted by the encoders below,
-4:2:2/4:4:0 decode-side — plus restart intervals; no progressive
-(SOF2) — exactly the class the encoders below emit and the class a
-training-data pipeline can verify in closed form. The
+Scope (documented, like miniimg's): baseline sequential DCT (SOF0)
+AND progressive (SOF2 — spectral selection, EOBn end-of-band runs,
+successive-approximation DC/AC refinement scans), 8-bit, grayscale or
+interleaved color (JFIF YCbCr) at arbitrary sampling factors 1..4 —
+4:4:4 and 4:2:0 (2x2 luma + box-downsampled chroma, the camera-JPEG
+layout) both emitted by the encoders below, 4:2:2/4:4:0 decode-side —
+plus restart intervals — exactly the class the encoders below emit
+and the class a training-data pipeline can verify in closed form. The
 encoder uses a quantization table of all ones, so an image whose
 every 8x8 block is CONSTANT round-trips bit-exactly (a flat block has
 only a DC coefficient, 8*(v-128), integral — quantize/dequantize and
@@ -538,41 +539,588 @@ def jpeg_encode_color(
     return SOI + app0 + dqt + dri + sof0 + dht + sos + scan + EOI
 
 
+
+
 # ---------------------------------------------------------------------------
-# Decoder (baseline sequential; grayscale or 4:4:4 interleaved color)
+# Progressive encoder (SOF2): spectral selection + one successive-
+# approximation level, per-scan balanced Huffman tables.
 # ---------------------------------------------------------------------------
+
+
+def _balanced_table(syms: set[int]) -> tuple[list[int], list[int]]:
+    """BITS/HUFFVAL for a fixed-length canonical code over exactly the
+    symbols a scan uses: all at length L = ceil(log2(n + 1)), which
+    leaves the all-ones code of that length unassigned (the T.81 C.2
+    convention) and trivially satisfies Kraft. Optimal-length coding
+    is a compression concern, not a correctness one — the gate's
+    decoder resolves whatever DHT the stream carries."""
+    vals = sorted(syms) if syms else [0]
+    length = 1
+    while (1 << length) - 1 < len(vals):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    return bits, vals
+
+
+class _SymCollector:
+    """Pass-1 emitter: records which Huffman symbols a scan needs."""
+
+    def __init__(self):
+        self.syms: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.syms.add(s)
+
+    def raw(self, v: int, n: int) -> None:
+        pass
+
+
+class _ScanEmitter:
+    """Pass-2 emitter: writes Huffman codes + raw bits to a writer."""
+
+    def __init__(self, w: _BitWriter, codes: dict[int, tuple[int, int]]):
+        self.w = w
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        code, length = self.codes[s]
+        self.w.write(code, length)
+
+    def raw(self, v: int, n: int) -> None:
+        if n:
+            self.w.write(v, n)
+
+
+def _emit_dc_first(comp_blocks: list[list[list[int]]], al: int, out) -> None:
+    """DC first scan body (T.81 G.1.2.1), components interleaved in
+    the given order (all 1x1 sampling here, so one unit each per MCU);
+    the point transform on DC is an arithmetic shift right."""
+    preds = [0] * len(comp_blocks)
+    for unit in range(len(comp_blocks[0])):
+        for ci, blocks in enumerate(comp_blocks):
+            v = blocks[unit][0] >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = _bit_length(abs(diff))
+            out.sym(size)
+            out.raw(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+
+def _emit_dc_refine(comp_blocks: list[list[list[int]]], al: int, w) -> None:
+    """DC refinement scan body: one raw magnitude bit per unit —
+    no Huffman coding at all (T.81 G.1.2.1)."""
+    for unit in range(len(comp_blocks[0])):
+        for blocks in comp_blocks:
+            w.write((blocks[unit][0] >> al) & 1, 1)
+
+
+def _emit_ac_first(blocks: list[list[int]], ss: int, se: int, al: int, out):
+    """AC first scan body for one component (T.81 G.1.2.2): run/size
+    over the point-transformed band, EOBn runs accumulated across
+    fully/trailing-zero bands and flushed at the next coded unit or
+    scan end. AC point transform truncates toward zero."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            out.sym(r << 4)
+            out.raw(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        band = []
+        for k in range(ss, se + 1):
+            m = abs(zz[k]) >> al
+            band.append(m if zz[k] >= 0 else -m)
+        last = -1
+        for i, v in enumerate(band):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for v in band[: last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                out.sym(0xF0)  # ZRL
+                run -= 16
+            size = _bit_length(abs(v))
+            out.sym((run << 4) | size)
+            out.raw(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < se - ss:
+            eobrun += 1  # the band's zero tail starts an EOB run
+    flush()
+
+
+def _emit_ac_refine(blocks: list[list[int]], ss: int, se: int, al: int, out):
+    """AC refinement scan body for one component (T.81 G.1.2.3, the
+    jcphuff-shaped control flow): newly-significant coefficients
+    (scaled magnitude exactly 1) are coded as size-1 run/size pairs,
+    already-nonzero history coefficients append buffered correction
+    bits that ride behind the next coded symbol, and EOB runs cover
+    band tails with their correction bits queued after the EOBn."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed after the next sym
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            out.sym(r << 4)
+            out.raw(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            out.raw(b, 1)
+        pending.clear()
+
+    for zz in blocks:
+        scaled = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        eob = 0  # band index AFTER the last newly-significant coef
+        for i, m in enumerate(scaled):
+            if m == 1:
+                eob = i + 1
+        if eob == 0:
+            # nothing newly significant: the whole band joins the EOB
+            # run; history coefficients still owe correction bits
+            eobrun += 1
+            pending.extend(m & 1 for m in scaled if m > 1)
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        cbits: list[int] = []
+        for i in range(eob):
+            m = scaled[i]
+            if m == 0:
+                run += 1
+                continue
+            # ZRLs must flush on reaching ANY nonzero position — the
+            # decoder's ZRL walk consumes correction bits only among
+            # the 16 zeros it skips, so a history bit buffered while
+            # run > 15 would land in the wrong span
+            while run > 15:
+                out.sym(0xF0)
+                for b in cbits:
+                    out.raw(b, 1)
+                cbits.clear()
+                run -= 16
+            if m > 1:  # history: correction bit, run unbroken
+                cbits.append(m & 1)
+                continue
+            out.sym((run << 4) | 1)
+            out.raw(1 if zz[ss + i] > 0 else 0, 1)
+            for b in cbits:
+                out.raw(b, 1)
+            cbits.clear()
+            run = 0
+        if eob <= se - ss:
+            eobrun += 1
+            pending.extend(m & 1 for m in scaled[eob:] if m > 1)
+    flush()
+
+
+def jpeg_encode_progressive(
+    width: int,
+    height: int,
+    rows: list[bytes],
+    quant: list[int] | None = None,
+) -> bytes:
+    """Encode as PROGRESSIVE JFIF (SOF2): grayscale if rows carry
+    width bytes, 4:4:4 color (JFIF RGB->YCbCr) if 3*width. Scan
+    script — the representative shape with one successive-
+    approximation level, exercising every progressive decode path:
+
+    1. DC first, all components interleaved, Ah=0 Al=1
+    2. per component: AC first, Ss=1 Se=63, Ah=0 Al=1 (EOBn runs)
+    3. DC refinement, interleaved, Ah=1 Al=0 (raw bits)
+    4. per component: AC refinement, Ss=1 Se=63, Ah=1 Al=0
+       (correction bits + newly-significant +-1s)
+
+    DC scans use the Annex K.3 DC table; each AC scan carries its own
+    DHT built over exactly the symbols it emits (EOBn symbols are not
+    in the K.3 AC table). Same closed-form property as the baseline
+    encoders: all-ones quant + block-constant image round-trips
+    exactly (AC scans are then pure EOB runs and DC carries
+    everything)."""
+    if quant is None:
+        quant = [1] * 64
+    color = len(rows[0]) == 3 * width
+    qmat = [[0] * 8 for _ in range(8)]
+    for i, (r, c) in enumerate(ZIGZAG):
+        qmat[r][c] = quant[i]
+
+    if color:
+        planes = [[], [], []]
+        for row in rows:
+            ys, cbs, crs = [], [], []
+            for x in range(width):
+                y, cb, cr = rgb_to_ycbcr(
+                    row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                )
+                ys.append(y)
+                cbs.append(cb)
+                crs.append(cr)
+            planes[0].append(ys)
+            planes[1].append(cbs)
+            planes[2].append(crs)
+    else:
+        planes = [[list(r) for r in rows]]
+
+    # quantized blocks in zigzag order, component-grid raster order
+    comp_blocks: list[list[list[int]]] = []
+    for plane in planes:
+        blocks = []
+        for by in range(0, height, 8):
+            for bx in range(0, width, 8):
+                cf = _quantized_block(plane, width, height, bx, by, qmat)
+                blocks.append([cf[r][c] for (r, c) in ZIGZAG])
+        comp_blocks.append(blocks)
+    ncomp = len(comp_blocks)
+
+    dc_codes = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
+    w_scans: list[bytes] = []
+
+    # scan 1: DC first (K.3 DC table is sufficient: sizes 0..11)
+    wtr = _BitWriter()
+    _emit_dc_first(comp_blocks, 1, _ScanEmitter(wtr, dc_codes))
+    sos1 = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos1 += bytes([cid, 0x00])
+    w_scans.append(_seg(0xDA, sos1 + bytes([0, 0, 0x01])) + wtr.flush())
+
+    # scans 2..: AC first per component, custom DHT (table id 1)
+    for ci in range(ncomp):
+        col = _SymCollector()
+        _emit_ac_first(comp_blocks[ci], 1, 63, 1, col)
+        bits, vals = _balanced_table(col.syms)
+        wtr = _BitWriter()
+        _emit_ac_first(
+            comp_blocks[ci], 1, 63, 1,
+            _ScanEmitter(wtr, _huff_codes(bits, vals)),
+        )
+        dht = _seg(0xC4, bytes([0x11]) + bytes(bits) + bytes(vals))
+        sos = bytes([1, ci + 1, 0x01, 1, 63, 0x01])
+        w_scans.append(dht + _seg(0xDA, sos) + wtr.flush())
+
+    # scan: DC refinement (raw bits, no tables)
+    wtr = _BitWriter()
+    _emit_dc_refine(comp_blocks, 0, wtr)
+    sosr = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sosr += bytes([cid, 0x00])
+    w_scans.append(_seg(0xDA, sosr + bytes([0, 0, 0x10])) + wtr.flush())
+
+    # scans: AC refinement per component, custom DHT
+    for ci in range(ncomp):
+        col = _SymCollector()
+        _emit_ac_refine(comp_blocks[ci], 1, 63, 0, col)
+        bits, vals = _balanced_table(col.syms)
+        wtr = _BitWriter()
+        _emit_ac_refine(
+            comp_blocks[ci], 1, 63, 0,
+            _ScanEmitter(wtr, _huff_codes(bits, vals)),
+        )
+        dht = _seg(0xC4, bytes([0x11]) + bytes(bits) + bytes(vals))
+        sos = bytes([1, ci + 1, 0x01, 1, 63, 0x10])
+        w_scans.append(dht + _seg(0xDA, sos) + wtr.flush())
+
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(quant))
+    sof_comps = b""
+    for cid in range(1, ncomp + 1):
+        sof_comps += bytes([cid, 0x11, 0])
+    sof2 = _seg(
+        0xC2,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([ncomp])
+        + sof_comps,
+    )
+    dht_dc = _seg(0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    return SOI + app0 + dqt + sof2 + dht_dc + b"".join(w_scans) + EOI
+
+
+# ---------------------------------------------------------------------------
+# Decoder (baseline sequential + progressive; grayscale or interleaved
+# color at arbitrary sampling factors)
+# ---------------------------------------------------------------------------
+
+
+def _decode_dc_first(reader, dc_tab, blk, pred, al):
+    """DC coefficient, first (or only) scan: Huffman size class +
+    receive/extend difference coding (T.81 F.2.2.1), point transform
+    by Al (G.2: the progressive DC first scan stores coef << Al;
+    baseline is the Al=0 case). Returns the new predictor."""
+    size = reader.read_huff(dc_tab)
+    pred += _extend(reader.read(size), size)
+    blk[0] = pred << al
+    return pred
+
+
+def _decode_ac_first(reader, ac_tab, blk, ss, se, al, eobrun):
+    """AC band [ss, se] of one data unit, first scan (T.81 F.2.2.2 /
+    G.2.1): run/size pairs with ZRL and — in progressive scans — EOBn
+    end-of-band runs (2^r - 1 + r appended bits of FURTHER all-zero
+    band units). Returns the updated end-of-band run; baseline AC is
+    the ss=1, se=63, al=0, eobrun-always-0 special case (EOB0)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_huff(ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += reader.read(run)
+            break
+        k += run
+        if k > se:
+            raise ImageFormatError("jpeg: AC index overflow")
+        blk[k] = _extend(reader.read(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(reader, ac_tab, blk, ss, se, al, eobrun):
+    """Successive-approximation refinement of the AC band (T.81
+    G.2.2, the jdphuff-shaped control flow): already-nonzero history
+    coefficients receive one correction bit each (applied only when
+    the bit at position Al is still 0); zero-history positions carry
+    the run counts; newly-significant coefficients arrive as size-1
+    values +-(1 << Al). Band units inside an EOB run — including the
+    tail of the unit that started it — still carry correction bits
+    for their nonzero coefficients. Returns the updated EOB run."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_huff(ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run != 15:  # EOBn: this unit + (eobrun - 1) more
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.read(run)
+                    break
+                # ZRL: skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ImageFormatError(
+                        "jpeg: refinement scan with size != 1"
+                    )
+                newval = p1 if reader.read(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if k > se and newval:
+                raise ImageFormatError("jpeg: refinement run past band")
+            if newval:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    data, pos, body, comps, grids, coefs, htables,
+    progressive, restart_interval, mcols, mrows,
+):
+    """Entropy-decode one scan into the frame's coefficient buffers;
+    returns the stream position just past the scan's entropy data.
+    Interleaved scans (ns > 1) walk MCUs over the padded block grids;
+    single-component scans are non-interleaved and walk exactly the
+    component's own ceil(cw/8) x ceil(ch/8) grid (T.81 A.2.2)."""
+    ns = body[0]
+    cid_index = {c[0]: i for i, c in enumerate(comps)}
+    scomps = []
+    for i in range(ns):
+        cid, dcac = body[1 + 2 * i : 3 + 2 * i]
+        if cid not in cid_index:
+            raise ImageFormatError(f"jpeg: scan component {cid} not in frame")
+        scomps.append((cid_index[cid], dcac >> 4, dcac & 0x0F))
+    ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ImageFormatError(
+                "jpeg: progressive scan with Ss=0 must have Se=0"
+            )
+        if ss > 0 and ns != 1:
+            raise ImageFormatError(
+                "jpeg: progressive AC scan must be single-component"
+            )
+        if se > 63 or ss > se:
+            raise ImageFormatError("jpeg: bad spectral selection")
+    else:
+        if ns != len(comps):
+            raise ImageFormatError(
+                "jpeg: partial-scan SOS unsupported (progressive class)"
+            )
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ImageFormatError("jpeg: bad baseline scan parameters")
+
+    resolved = []
+    for ci, dci, aci in scomps:
+        dc_tab = htables.get((0, dci))
+        ac_tab = htables.get((1, aci))
+        if (ss == 0 and ah == 0 and dc_tab is None) or (
+            se > 0 and ac_tab is None
+        ):
+            raise ImageFormatError(
+                "jpeg: scan references undefined huffman table"
+            )
+        resolved.append((ci, dc_tab, ac_tab))
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    rst = 0
+    nunit = 0
+    if ns > 1:
+        units = (
+            (myi, mxi) for myi in range(mrows) for mxi in range(mcols)
+        )
+        for myi, mxi in units:
+            if restart_interval and nunit and nunit % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+                eobrun = 0
+            nunit += 1
+            for ci, dc_tab, ac_tab in resolved:
+                _, hs, vs, _ = comps[ci]
+                pw = grids[ci][2]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        blk = coefs[ci][
+                            (myi * vs + byi) * pw + (mxi * hs + bxi)
+                        ]
+                        if ah == 0:
+                            preds[ci] = _decode_dc_first(
+                                reader, dc_tab, blk, preds[ci], al
+                            )
+                        else:
+                            blk[0] |= reader.read(1) << al
+                        if se > 0:  # baseline: AC follows DC in-unit
+                            eobrun = _decode_ac_first(
+                                reader, ac_tab, blk, 1, se, al, eobrun
+                            )
+    else:
+        ci, dc_tab, ac_tab = resolved[0]
+        bw, bh, pw = grids[ci][0], grids[ci][1], grids[ci][2]
+        for byi in range(bh):
+            for bxi in range(bw):
+                if restart_interval and nunit and nunit % restart_interval == 0:
+                    reader.sync_restart(rst)
+                    rst = (rst + 1) % 8
+                    preds = [0] * len(comps)
+                    eobrun = 0
+                nunit += 1
+                blk = coefs[ci][byi * pw + bxi]
+                if ss == 0:
+                    if ah == 0:
+                        preds[ci] = _decode_dc_first(
+                            reader, dc_tab, blk, preds[ci], al
+                        )
+                    else:
+                        blk[0] |= reader.read(1) << al
+                    if se > 0:  # sequential single-component frame
+                        eobrun = _decode_ac_first(
+                            reader, ac_tab, blk, 1, se, al, eobrun
+                        )
+                elif ah == 0:
+                    eobrun = _decode_ac_first(
+                        reader, ac_tab, blk, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        reader, ac_tab, blk, ss, se, al, eobrun
+                    )
+    return reader.pos
 
 
 def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
-    """Decode a baseline JFIF -> (width, height, mode, rows): mode 'L'
-    (rows of width bytes) for single-component streams, 'RGB' (rows of
-    3*width bytes, JFIF YCbCr->RGB) for 3-component streams.
-    General within its documented scope: arbitrary DQT/DHT tables (any
-    Tq/Th ids, per component), any dimensions (edge blocks cropped),
-    ARBITRARY sampling factors 1..4 per component (4:4:4, 4:2:0,
-    4:2:2, 4:4:0 — interleaved MCUs per T.81 A.2.3, chroma planes
-    upsampled by sample replication, the JFIF "simple" upsample),
-    restart intervals (DRI + RST0..7 resync with per-component
-    DC-predictor reset), standard Huffman + receive/extend + dequant +
-    inverse zigzag + IDCT + level shift. Raises ImageFormatError for
-    progressive streams (successive-approximation entropy state — the
-    remaining documented frontier, the class WebP/H.264 belong to)."""
+    """Decode a JFIF stream -> (width, height, mode, rows): mode 'L'
+    (rows of width bytes) for single-component frames, 'RGB' (rows of
+    3*width bytes, JFIF YCbCr->RGB) for 3-component frames.
+    General within its documented scope:
+
+    - baseline sequential (SOF0) AND progressive (SOF2) frames — the
+      progressive path drives spectral selection (DC scans + per-
+      component AC band scans with EOBn end-of-band runs) and
+      successive approximation (point-transformed first scans + DC/AC
+      refinement scans) into per-component coefficient buffers, with
+      one dequant + inverse zigzag + IDCT pass after EOI;
+    - arbitrary DQT/DHT tables (any Tq/Th ids, per component, emitted
+      in any segment order, redefinable between scans);
+    - any dimensions (edge blocks cropped) and ARBITRARY sampling
+      factors 1..4 per component (4:4:4, 4:2:0, 4:2:2, 4:4:0 —
+      interleaved MCUs per T.81 A.2.3 over MCU-padded block grids,
+      non-interleaved scans over the component's own grid, chroma
+      planes upsampled by sample replication, the JFIF "simple"
+      upsample);
+    - restart intervals (DRI + RST0..7 resync with per-component
+      DC-predictor and EOB-run reset).
+
+    Raises ImageFormatError for non-DCT / hierarchical SOFs, 16-bit
+    quant tables, and malformed scans. The remaining format frontier
+    is WebP / H.264 (VP8 boolean arithmetic coding, inter-frame
+    prediction — the class a production cluster hands to native
+    codecs)."""
     if data[:2] != SOI:
         raise ImageFormatError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     width = height = None
+    progressive = False
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, quant id)
-    scan_ids: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
+    grids: list[tuple[int, int, int, int, int, int]] = []
+    coefs: list[list[list[int]]] = []
+    hmax = vmax = 1
+    mcols = mrows = 0
     restart_interval = 0
-    while pos < len(data):
+    saw_scan = False
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ImageFormatError("jpeg: expected marker")
+        while data[pos + 1] == 0xFF:  # 0xFF fill bytes before a marker
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ImageFormatError("jpeg: EOI before scan data")
+            if not saw_scan:
+                raise ImageFormatError("jpeg: EOI before scan data")
+            break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
         ln = int.from_bytes(data[pos : pos + 2], "big")
@@ -594,7 +1142,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
                 vals = list(body[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _huff_decoder(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise ImageFormatError("jpeg: only 8-bit precision supported")
             height = int.from_bytes(body[1:3], "big")
@@ -618,7 +1167,22 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
                 # A.2.2): the MCU is one data unit and the declared
                 # sampling factors don't apply to the scan layout
                 comps = [(comps[0][0], 1, 1, comps[0][3])]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcols = -(-width // (8 * hmax))
+            mrows = -(-height // (8 * vmax))
+            grids, coefs = [], []
+            for _, hs, vs, _ in comps:
+                # component plane dims per T.81 A.1.1 (ceil scaling);
+                # buffers sized to the MCU-PADDED grid so interleaved
+                # scans can decode the dummy edge units in place
+                cw = -(-width * hs // hmax)
+                ch = -(-height * vs // vmax)
+                bw, bh = -(-cw // 8), -(-ch // 8)
+                pw, ph = mcols * hs, mrows * vs
+                grids.append((bw, bh, pw, ph, cw, ch))
+                coefs.append([[0] * 64 for _ in range(pw * ph)])
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ImageFormatError(
                 f"jpeg: SOF{marker - 0xC0} (non-baseline) unsupported"
             )
@@ -627,113 +1191,49 @@ def jpeg_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
         elif marker == 0xDA:  # SOS — entropy data follows
             if width is None or any(tq not in qtables for *_, tq in comps):
                 raise ImageFormatError("jpeg: SOS before SOF0/DQT")
-            ns = body[0]
-            if ns != len(comps):
-                raise ImageFormatError(
-                    "jpeg: partial-scan SOS unsupported (progressive class)"
-                )
-            for i in range(ns):
-                cid, dcac = body[1 + 2 * i : 3 + 2 * i]
-                scan_ids[cid] = (dcac >> 4, dcac & 0x0F)
-            pos += ln
-            break
+            pos = _decode_scan(
+                data, pos + ln, body, comps, grids, coefs, htables,
+                progressive, restart_interval, mcols, mrows,
+            )
+            saw_scan = True
+            continue
         pos += ln
-    else:
+    if not saw_scan:
         raise ImageFormatError("jpeg: no scan found")
 
-    hmax = max(h for _, h, _, _ in comps)
-    vmax = max(v for _, _, v, _ in comps)
-    # (dc_tab, ac_tab, qmat, h, v, plane width, plane height) per
-    # component in SOF order; plane dims per T.81 A.1.1 (ceil scaling)
-    per_comp = []
-    for cid, hs, vs, tq in comps:
-        if cid not in scan_ids:
-            raise ImageFormatError(f"jpeg: component {cid} missing from SOS")
-        dc_id, ac_id = scan_ids[cid]
-        dc_tab = htables.get((0, dc_id))
-        ac_tab = htables.get((1, ac_id))
-        if dc_tab is None or ac_tab is None:
-            raise ImageFormatError(
-                "jpeg: scan references undefined huffman table"
-            )
+    # one dequant + inverse zigzag + IDCT + level-shift pass over the
+    # REAL blocks of every component (padded dummy units discarded)
+    planes = []
+    for idx, (_, hs, vs, tq) in enumerate(comps):
         quant = qtables[tq]
         qmat = [[0] * 8 for _ in range(8)]
         for i, (r, c) in enumerate(ZIGZAG):
             qmat[r][c] = quant[i]
-        cw = -(-width * hs // hmax)
-        ch = -(-height * vs // vmax)
-        per_comp.append((dc_tab, ac_tab, qmat, hs, vs, cw, ch))
+        bw, bh, pw, _, cw, ch = grids[idx]
+        plane = [[0] * cw for _ in range(ch)]
+        for byi in range(bh):
+            for bxi in range(bw):
+                zz = coefs[idx][byi * pw + bxi]
+                coefm = [[0.0] * 8 for _ in range(8)]
+                for i, (r, c) in enumerate(ZIGZAG):
+                    coefm[r][c] = zz[i] * qmat[r][c]
+                block = _idct2(coefm)  # block[y][x], mirroring the encoder
+                for y in range(8):
+                    py = byi * 8 + y
+                    if py >= ch:
+                        break
+                    for x in range(8):
+                        px = bxi * 8 + x
+                        if px >= cw:
+                            continue
+                        plane[py][px] = _clamp(block[y][x] + 128.0)
+        planes.append(plane)
 
-    reader = _BitReader(data, pos)
-    mcols = -(-width // (8 * hmax))
-    mrows = -(-height // (8 * vmax))
-    planes = [
-        [[0] * cw for _ in range(ch)]
-        for *_, cw, ch in per_comp
-    ]
-    prev_dc = [0] * len(per_comp)
-    mcu = 0
-    rst = 0
-    for myi in range(mrows):
-        for mxi in range(mcols):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                reader.sync_restart(rst)
-                rst = (rst + 1) % 8
-                prev_dc = [0] * len(per_comp)
-            mcu += 1
-            # one MCU = h x v data units per component, raster order
-            # within the component, components interleaved in SOF
-            # order (T.81 A.2.3)
-            for ci, (dc_tab, ac_tab, qmat, hs, vs, cw, ch) in enumerate(
-                per_comp
-            ):
-                for byi in range(vs):
-                    for bxi in range(hs):
-                        size = reader.read_huff(dc_tab)
-                        diff = _extend(reader.read(size), size)
-                        prev_dc[ci] += diff
-                        zz = [0] * 64
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_huff(ac_tab)
-                            run, size = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ImageFormatError(
-                                    "jpeg: AC index overflow"
-                                )
-                            zz[k] = _extend(reader.read(size), size)
-                            k += 1
-                        coef = [[0.0] * 8 for _ in range(8)]
-                        for i, (r, c) in enumerate(ZIGZAG):
-                            coef[r][c] = zz[i] * qmat[r][c]
-                        # block[y][x], mirroring the encoder
-                        block = _idct2(coef)
-                        pix = planes[ci]
-                        y0 = (myi * vs + byi) * 8
-                        x0 = (mxi * hs + bxi) * 8
-                        for y in range(8):
-                            py = y0 + y
-                            if py >= ch:
-                                break
-                            for x in range(8):
-                                px = x0 + x
-                                if px >= cw:
-                                    continue
-                                pix[py][px] = _clamp(block[y][x] + 128.0)
-    if len(per_comp) == 1:
+    if len(comps) == 1:
         return width, height, "L", [bytes(r) for r in planes[0]]
     rows = []
     ys, cbp, crp = planes
-    (_, _, _, h0, v0, _, _) = per_comp[0]
-    (_, _, _, h1, v1, _, _) = per_comp[1]
-    (_, _, _, h2, v2, _, _) = per_comp[2]
+    (_, h0, v0, _), (_, h1, v1, _), (_, h2, v2, _) = comps
     for py in range(height):
         row = bytearray()
         for px in range(width):

@@ -21,8 +21,10 @@ decodes; interleaved COLOR (JFIF YCbCr) decodes for real at any
 sampling factors — 4:4:4, 4:2:0 (the camera layout: block-quad luma
 MCUs + box-downsampled chroma, gated by
 ``multimodal_color_420_decode``), 4:2:2/4:4:0 — plus restart
-intervals. The remaining stub surface is progressive JPEG and
-WebP / H.264 (successive-approximation entropy state, inter-frame
+intervals; PROGRESSIVE (SOF2) streams decode for real as well
+(spectral selection + successive approximation, gated by
+``multimodal_progressive_decode``). The remaining stub surface is
+WebP / H.264 (VP8 boolean arithmetic coding, inter-frame
 prediction), which a production cluster hands to native codecs;
 :func:`binary_metadata` classifies what it can't decode as
 ``'unknown'`` instead of faking dimensions.
@@ -182,7 +184,10 @@ def jpeg_decode_sql(mod: int = 13) -> str:
 
 
 def synth_color_jpegs(
-    docs: DataFrame, mod: int = 17, subsampling: str = "444"
+    docs: DataFrame,
+    mod: int = 17,
+    subsampling: str = "444",
+    progressive: bool = False,
 ) -> DataFrame:
     """(doc_id, payload) — one REAL baseline COLOR JFIF per
     selected doc (doc_id % mod == 0): a vertical two-tone split with
@@ -193,6 +198,11 @@ def synth_color_jpegs(
     the box chroma downsample averages a constant region and the
     4:2:0 path (MCU block-quad interleave, chroma decimation at
     encode, replication upsample at decode) stays closed-form exact.
+    ``progressive`` encodes the 4:4:4 layout as a PROGRESSIVE (SOF2)
+    stream instead — spectral-selection scan script with one
+    successive-approximation level (minijpeg.jpeg_encode_progressive);
+    flat blocks keep the same closed form (DC scans carry everything,
+    AC scans are pure EOB runs the decoder must still walk).
     Tones derived from doc_id:
 
     - left  (r1,g1,b1) = (doc_id%100, (doc_id*7)%256, (155+doc_id%100)%256)
@@ -217,11 +227,18 @@ def synth_color_jpegs(
                 c2 = ((20 + d) % 256, (180 + 3 * d) % 256, (240 + 7 * d) % 256)
                 row = bytes(list(c1) * half + list(c2) * half)
                 ids.append(d)
-                payloads.append(
-                    minijpeg.jpeg_encode_color(
-                        2 * half, 16, [row] * 16, subsampling=subsampling
+                if progressive:
+                    payloads.append(
+                        minijpeg.jpeg_encode_progressive(
+                            2 * half, 16, [row] * 16
+                        )
                     )
-                )
+                else:
+                    payloads.append(
+                        minijpeg.jpeg_encode_color(
+                            2 * half, 16, [row] * 16, subsampling=subsampling
+                        )
+                    )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return (

@@ -197,6 +197,56 @@ def test_420_luma_gradient_within_unit_error():
     ) <= 1
 
 
+def test_progressive_flat_roundtrips_exactly():
+    rows = [bytes([55] * 16)] * 16
+    assert mj.jpeg_decode(mj.jpeg_encode_progressive(16, 16, rows)) == (
+        16, 16, "L", rows
+    )
+    c1, c2 = (40, 77, 211), (190, 23, 99)
+    row = bytes(list(c1) * 8 + list(c2) * 8)
+    w, h, mode, out = mj.jpeg_decode(
+        mj.jpeg_encode_progressive(16, 16, [row] * 16)
+    )
+    e1 = bytes(mj.ycbcr_to_rgb(*mj.rgb_to_ycbcr(*c1)) * 8)
+    e2 = bytes(mj.ycbcr_to_rgb(*mj.rgb_to_ycbcr(*c2)) * 8)
+    assert mode == "RGB" and all(r == e1 + e2 for r in out)
+
+
+def test_progressive_decode_equals_baseline_decode():
+    # the strongest oracle available: both codecs quantize to the SAME
+    # coefficients, so the decoded pixels must be IDENTICAL — any
+    # EOB-run / refinement / correction-bit desync shows immediately
+    rnd = random.Random(42)
+    for trial in range(20):
+        w = rnd.choice([8, 16, 24, 17, 23])
+        h = rnd.choice([8, 16, 19, 24])
+        if rnd.random() < 0.5:
+            rows = [bytes(rnd.randrange(256) for _ in range(w)) for _ in range(h)]
+            base = mj.jpeg_encode_grey(w, h, rows)
+        else:
+            rows = [
+                bytes(rnd.randrange(256) for _ in range(3 * w)) for _ in range(h)
+            ]
+            base = mj.jpeg_encode_color(w, h, rows)
+        prog = mj.jpeg_encode_progressive(w, h, rows)
+        assert mj.jpeg_decode(base) == mj.jpeg_decode(prog), f"trial {trial}"
+
+
+def test_progressive_equivalence_under_coarse_quant():
+    # quant=16 forces multi-bit AC magnitudes, long zero runs and real
+    # EOB runs, so the successive-approximation refinement scans carry
+    # genuine correction bits (not just flat-block DC)
+    q = [16] * 64
+    for trial in range(6):
+        rows = [
+            bytes((x * 37 + y * 11 + trial * 5) % 256 for x in range(24))
+            for y in range(16)
+        ]
+        assert mj.jpeg_decode(
+            mj.jpeg_encode_grey(24, 16, rows, quant=q)
+        ) == mj.jpeg_decode(mj.jpeg_encode_progressive(24, 16, rows, quant=q))
+
+
 def test_sampling_factor_out_of_range_raises():
     enc = bytearray(mj.jpeg_encode_color(8, 8, [bytes([1, 2, 3] * 8)] * 8))
     i = enc.index(b"\xff\xc0")
@@ -213,10 +263,15 @@ def test_sampling_factor_out_of_range_raises():
 def test_unsupported_streams_raise_imageformaterror():
     rows = [bytes([1] * 8)] * 8
     enc = bytearray(mj.jpeg_encode_grey(8, 8, rows))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF3 (lossless sequential)
     i = enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC3
     with pytest.raises(ImageFormatError, match="non-baseline"):
+        mj.jpeg_decode(bytes(enc))
+    # flip SOF0 -> SOF2: the frame parses (progressive is supported)
+    # but a full-band Ss=0..63 scan is malformed inside SOF2
+    enc[i + 1] = 0xC2
+    with pytest.raises(ImageFormatError, match="Se=0"):
         mj.jpeg_decode(bytes(enc))
     with pytest.raises(ImageFormatError, match="SOI"):
         mj.jpeg_decode(b"\x89PNGnot-a-jpeg")
