@@ -44,9 +44,9 @@ from ..functions import miniimg
 def binary_metadata(docs_with_payload: DataFrame) -> DataFrame:
     """(doc_id, n_bytes, header_hex, format) over a binary ``payload``
     column — one Arrow pass. ``format`` is sniffed from magic bytes
-    ('png' | 'bmp' | 'unknown'); byte length + header hex + sniff are
-    pure functions of the bytes so DuckDB verifies the plumbing end to
-    end."""
+    ('png' | 'bmp' | 'jpeg' | 'gif' | 'unknown'); byte length + header
+    hex + sniff are pure functions of the bytes so DuckDB verifies the
+    plumbing end to end."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -57,7 +57,11 @@ def binary_metadata(docs_with_payload: DataFrame) -> DataFrame:
                 else (
                     "bmp"
                     if b[:2] == b"BM"
-                    else ("jpeg" if b[:2] == b"\xff\xd8" else "unknown")
+                    else (
+                        "jpeg"
+                        if b[:2] == b"\xff\xd8"
+                        else ("gif" if b[:4] == b"GIF8" else "unknown")
+                    )
                 )
                 for b in payloads
             ]
@@ -337,6 +341,121 @@ def color_decode_sql(mod: int = 17, width: int = 16) -> str:
            (gg1 + gg2) / 2.0 AS mean_g,
            (bb1 + bb2) / 2.0 AS mean_b
     FROM o
+    """
+
+
+def synth_gifs(docs: DataFrame, mod: int = 29) -> DataFrame:
+    """(doc_id, payload) — one REAL GIF89a (minigif: variable-width
+    LSB-first LZW, global palette) per selected doc, deterministically
+    derived from doc_id:
+
+    - 16x8 canvas, four 4-px vertical stripes indexing a 4-color
+      palette: pal[i] = ((d + 13*i) % 256, (3*d + 29*i) % 256,
+      (5*d + 57*i) % 256)
+    - odd doc_ids store the image INTERLACED (the 4-pass row order —
+      decode output is identical, so the closed-form oracle also
+      drives the deinterlace path, like the jpeg gate's restarts)
+    - doc_id % 3 == 0 adds a second frame with the stripe order
+      reversed (same color multiset), so the gate also walks the
+      multi-frame compositing path with an unchanged closed form
+
+    Stripes have equal area, so every decoded channel mean over all
+    frames is the palette-channel average — a pure function of doc_id
+    that :func:`gif_decode_sql` computes independently."""
+    from ..functions import minigif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pal = [
+                    ((d + 13 * i) % 256, (3 * d + 29 * i) % 256,
+                     (5 * d + 57 * i) % 256)
+                    for i in range(4)
+                ]
+                f1 = bytes((x // 4) % 4 for _ in range(8) for x in range(16))
+                frames = [f1]
+                if d % 3 == 0:
+                    frames.append(
+                        bytes(3 - (x // 4) % 4 for _ in range(8)
+                              for x in range(16))
+                    )
+                ids.append(d)
+                payloads.append(
+                    minigif.gif_encode(
+                        16, 8, pal, frames,
+                        delays_cs=[4] * len(frames),
+                        interlace=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def gif_decode_metadata(images: DataFrame) -> DataFrame:
+    """REAL decode of GIF payloads: (doc_id, width, height, n_frames,
+    mean_r, mean_g, mean_b) — channel means over ALL composited
+    frames' pixels; undecodable payloads yield a null row."""
+    from ..functions import minigif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_frames": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    w, h, frames = minigif.gif_decode(bytes(payload))
+                except miniimg.ImageFormatError:
+                    for k in ("width", "height", "n_frames",
+                              "mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                    continue
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                n = w * h * len(frames)
+                for ki, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[k].append(
+                        sum(rgb[3 * p + ki] for _, rgb in frames
+                            for p in range(w * h)) / n
+                    )
+            yield pd.DataFrame(out)
+
+    return images.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, width long, height long, n_frames long, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+def gif_decode_sql(mod: int = 29) -> str:
+    """Closed-form oracle for gif_decode_metadata(synth_gifs): equal-
+    area stripes make each channel mean the 4-color palette average —
+    an LZW, palette, interlace, or compositing bug cannot hash-match
+    (frame 2 reverses stripe ORDER only, so the means are invariant
+    while n_frames still pins the animation walk)."""
+    chans = {"mean_r": (1, 13), "mean_g": (3, 29), "mean_b": (5, 57)}
+    means = ", ".join(
+        f"({' + '.join(f'(({a} * doc_id + {b * i}) % 256)' for i in range(4))})"
+        f" / 4.0 AS {name}"
+        for name, (a, b) in chans.items()
+    )
+    return f"""
+    SELECT doc_id, 16 AS width, 8 AS height,
+           1 + CAST(doc_id % 3 = 0 AS BIGINT) AS n_frames,
+           {means}
+    FROM documents WHERE doc_id % {mod} = 0
     """
 
 

@@ -89,6 +89,7 @@ _GATE_ORDER: list[str] = [
     "multimodal_color_decode",
     "multimodal_color_420_decode",
     "multimodal_progressive_decode",
+    "multimodal_gif_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -1849,6 +1850,22 @@ def q_multimodal_progressive_decode(spark, sf_dir):
     return _mm.color_decode_metadata(
         _mm.synth_color_jpegs(d, 23, progressive=True)
     ).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_gif_decode",
+    # REAL GIF decode gate (round 4): synth_gifs writes genuine GIF89a
+    # streams — variable-width LSB-first LZW, global palettes, odd
+    # doc_ids interlaced, every third doc animated — and the engine
+    # LZW-decodes, deinterlaces, and composites them via minigif.
+    # Equal-area palette stripes make the channel means closed-form in
+    # doc_id, so an LZW width-growth, palette, interlace-pass, or
+    # frame-compositing bug cannot hash-match.
+    _mm.gif_decode_sql(29) + " ORDER BY doc_id",
+)
+def q_multimodal_gif_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.gif_decode_metadata(_mm.synth_gifs(d, 29)).orderBy("doc_id")
 
 
 @_register(

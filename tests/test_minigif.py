@@ -1,0 +1,102 @@
+"""minigif codec contract: GIF-LZW roundtrips (variable width growth,
+KwKwK, 4096-dictionary resets), container roundtrips (palettes,
+interlace, multi-frame compositing, transparency), error modes.
+
+No reference analogue (the reference crawler decodes no images);
+build-spec frontier for the multimodal family — see
+operators/multimodal.py and the multimodal_gif_decode gate.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from goto_eater_crawler_spark.functions import minigif as mg
+from goto_eater_crawler_spark.functions.miniimg import ImageFormatError
+
+PAL16 = [(i * 3 % 256, i * 7 % 256, i * 11 % 256) for i in range(16)]
+
+
+def test_lzw_roundtrip_fuzz_covers_growth_and_reset():
+    rnd = random.Random(1)
+    for trial in range(40):
+        mcs = rnd.choice([2, 3, 4, 8])
+        n = rnd.choice([1, 7, 100, 3000, 20000])
+        alpha = 1 << mcs
+        if rnd.random() < 0.4:
+            data = bytes(rnd.randrange(alpha) for _ in range(n))
+        else:  # repetitive input keeps the dictionary under pressure
+            unit = bytes(
+                rnd.randrange(alpha) for _ in range(rnd.randrange(1, 9))
+            )
+            data = (unit * (n // len(unit) + 1))[:n]
+        enc = mg.lzw_encode(mcs, data)
+        assert mg.lzw_decode(mcs, enc, n) == data, f"trial {trial}"
+
+
+def test_lzw_kwkwk_case():
+    # 'ababab...' immediately reuses the just-defined code
+    data = bytes([0, 1] * 200)
+    assert mg.lzw_decode(2, mg.lzw_encode(2, data), len(data)) == data
+
+
+def test_single_frame_roundtrip_and_interlace():
+    idx = bytes((x + y) % 16 for y in range(13) for x in range(21))
+    exp = b"".join(bytes(PAL16[i]) for i in idx)
+    for interlace in (False, True):
+        w, h, frames = mg.gif_decode(
+            mg.gif_encode(21, 13, PAL16, [idx], interlace=interlace)
+        )
+        assert (w, h, len(frames)) == (21, 13, 1)
+        assert frames[0][1] == exp
+
+
+def test_multiframe_delays_and_compositing():
+    f1 = bytes((x + y) % 16 for y in range(13) for x in range(21))
+    f2 = bytes((x * y) % 16 for y in range(13) for x in range(21))
+    w, h, frames = mg.gif_decode(
+        mg.gif_encode(21, 13, PAL16, [f1, f2], delays_cs=[5, 12])
+    )
+    assert [d for d, _ in frames] == [5, 12]
+    assert frames[1][1] == b"".join(bytes(PAL16[i]) for i in f2)
+
+
+def test_two_color_palette_uses_min_code_size_2():
+    g = mg.gif_encode(8, 8, [(0, 0, 0), (255, 255, 255)], [bytes([0, 1] * 32)])
+    w, h, frames = mg.gif_decode(g)
+    assert frames[0][1][:6] == bytes([0, 0, 0, 255, 255, 255])
+
+
+def test_transparency_leaves_canvas():
+    # frame 2 paints index 1 everywhere but declares it transparent:
+    # the composited canvas must still show frame 1
+    f1 = bytes([0] * 64)
+    enc = bytearray(mg.gif_encode(8, 8, [(9, 9, 9), (200, 1, 2)], [f1, f1]))
+    # flip frame 2's GCE to transparent-on with transparent index 1,
+    # and its pixels to index 1 by re-encoding frame 2's data: simpler
+    # to rebuild the stream with minigif primitives
+    body = mg.gif_encode(8, 8, [(9, 9, 9), (200, 1, 2)], [f1])
+    # append a transparent frame by hand: GCE flags=0x05, tidx=1
+    patch = bytes([0x21, 0xF9, 4, 0x05, 0, 0, 1, 0])
+    patch += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+    patch += (8).to_bytes(2, "little") * 2 + b"\x00\x02"
+    patch += mg._subblocks(mg.lzw_encode(2, bytes([1] * 64)))
+    data = body[:-1] + patch + b"\x3b"
+    w, h, frames = mg.gif_decode(bytes(data))
+    assert len(frames) == 2
+    assert frames[1][1] == frames[0][1]  # transparent overlay: no change
+    assert frames[0][1][:3] == bytes([9, 9, 9])
+    _ = enc
+
+
+def test_error_modes():
+    with pytest.raises(ImageFormatError, match="signature"):
+        mg.gif_decode(b"NOTAGIF.....")
+    idx = bytes([0] * 64)
+    good = mg.gif_encode(8, 8, PAL16, [idx])
+    with pytest.raises(ImageFormatError):
+        mg.gif_decode(good[:20])  # truncated
+    with pytest.raises(ValueError, match="palette"):
+        mg.gif_encode(8, 8, [(0, 0, 0)], [idx])
