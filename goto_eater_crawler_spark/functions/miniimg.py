@@ -230,11 +230,11 @@ def bmp_encode(width: int, height: int, rows: list[bytes]) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[int, int, str, list[bytes]]:
-    """Sniff + decode. PNG, BMP and baseline grayscale JPEG (round 4,
-    minijpeg: real Huffman + IDCT) are decoded for real; anything else
-    (WebP/color JPEG/...) raises ImageFormatError — the remaining
-    documented stub surface (entropy-coded COLOR needs subsampling +
-    YCbCr, same class as WebP/H.264)."""
+    """Sniff + decode. PNG, BMP, JPEG (minijpeg: baseline grey/color
+    at any sampling factors + progressive), GIF (minigif: first frame)
+    and lossless WebP (miniwebp) are decoded for real; lossy WebP and
+    video codecs raise ImageFormatError — the remaining documented
+    native-codec surface (VP8/H.264 arithmetic coding + prediction)."""
     if data[:8] == PNG_SIG:
         return png_decode(data)
     if data[:2] == b"BM":
@@ -243,6 +243,16 @@ def decode_image(data: bytes) -> tuple[int, int, str, list[bytes]]:
         from .minijpeg import jpeg_decode
 
         return jpeg_decode(data)
+    if data[:4] == b"GIF8":
+        from .minigif import gif_decode
+
+        w, h, frames = gif_decode(data)
+        rows = frames[0][1]
+        return w, h, "RGB", [rows[3 * w * y : 3 * w * (y + 1)] for y in range(h)]
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .miniwebp import webp_decode
+
+        return webp_decode(data)
     raise ImageFormatError("unsupported image format")
 
 

@@ -1,0 +1,596 @@
+"""Pure-python WebP LOSSLESS (VP8L) codec in the miniimg style: real
+canonical prefix coding, LZ77 backward references, and the color
+cache — no native codec, stdlib only.
+
+Scope (documented): the RIFF/WEBP/VP8L container and the VP8L
+lossless bitstream — LSB-first bit packing, simple (1-2 symbol) and
+normal (code-length-coded) prefix codes, the five-code group
+(green+length+cache, red, blue, alpha, distance), greedy LZ77 with
+the 40-symbol length/distance prefix classes and the 120-entry
+two-dimensional distance neighbor map, an optional color cache
+(multiplicative 0x1e35a7bd hash), and the subtract-green transform.
+Not implemented: the predictor / cross-color / color-indexing
+transforms and meta-prefix (entropy-image) segmentation on the
+ENCODE side — the decoder rejects streams using them with a
+documented error; lossy WebP (VP8 — boolean arithmetic coding,
+intra prediction) stays native-codec territory.
+
+Everything here derives from the public WebP Lossless Bitstream
+Specification (Google, 2012-2023) and RIFF (Microsoft/IBM 1991).
+Honesty note: encoder and decoder are built from the same reading of
+the spec and cross-checked by roundtrip fuzzing plus structural
+tests (canonical code reconstruction, LZ77 window edges, cache
+eviction) — no native dwebp exists in this sandbox to cross-validate
+byte streams, so conformance is documented as self-consistent.
+The reference crawler has no WebP analogue; this is build-spec
+frontier surface for the multimodal family (operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from .miniimg import ImageFormatError
+
+# order in which code-length-code lengths are stored (spec 5.2.2)
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 2D distance neighbor map: the first 120 distance codes address
+# nearby pixels as (dx, dy) offsets with dist = dx + dy*width, dy in
+# 0..7, dx in -8..7 (dy==0 restricted to dx>=1 — other dy==0 offsets
+# would be non-positive distances), ordered near-to-far and truncated
+# to 120 entries. NOTE (honesty, module docstring): the real spec
+# hardcodes a specific 120-entry order; this pair generates a
+# deterministic one and uses it on BOTH sides, so streams are
+# self-consistent but the map order is an implementation detail.
+
+
+def _neighbor_map() -> list[tuple[int, int]]:
+    cand = []
+    for dy in range(8):
+        for dx in range(-8, 8):
+            if dy == 0 and dx < 1:
+                continue
+            cand.append((dx, dy))
+    cand.sort(key=lambda p: (p[1] * p[1] + p[0] * p[0], p[1], abs(p[0])))
+    return cand[:120]
+
+
+_DIST_MAP = _neighbor_map()
+_DIST_INDEX = {p: i for i, p in enumerate(_DIST_MAP)}
+
+
+class _LsbWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def code(self, code: int, length: int) -> None:
+        """Prefix-code bits enter the stream MSB-of-code first."""
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _LsbReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def bits(self, n: int) -> int:
+        if self.pos + n > self.nbits:
+            raise ImageFormatError("webp: bitstream exhausted")
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            if (self.data[p >> 3] >> (p & 7)) & 1:
+                v |= 1 << i
+        self.pos += n
+        return v
+
+    def code(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | self.bits(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ImageFormatError("webp: invalid prefix code in stream")
+
+
+# ---------------------------------------------------------------------------
+# Canonical prefix codes (DEFLATE-style: lengths -> codes)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for nonzero lengths, canonical
+    assignment (codes per length in increasing symbol order)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    for length in range(1, 16):
+        for sym, sl in enumerate(lengths):
+            if sl == length:
+                out[sym] = (code, length)
+                code += 1
+        code <<= 1
+    return out
+
+
+def _canonical_decoder(lengths: list[int]) -> dict[tuple[int, int], int]:
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(lengths).items()
+    }
+
+
+def _code_lengths(freqs: dict[int, int], max_len: int = 15) -> list[int]:
+    """Huffman code lengths from frequencies (heap construction),
+    flattened to ``max_len`` by the simple demotion pass. VP8L allows
+    lengths 1..15; our alphabets and gate-scale payloads stay well
+    under that, asserted rather than package-merged."""
+    syms = [s for s, f in freqs.items() if f > 0]
+    n = (max(syms) + 1) if syms else 1
+    lengths = [0] * n
+    if not syms:
+        return lengths
+    if len(syms) == 1:
+        lengths[syms[0]] = 1
+        return lengths
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items())) if f > 0]
+    heapq.heapify(heap)
+    tick = len(heap)
+    while len(heap) > 1:
+        fa, _, sa = heapq.heappop(heap)
+        fb, _, sb = heapq.heappop(heap)
+        for s in sa + sb:
+            lengths[s] += 1
+        heapq.heappush(heap, (fa + fb, tick, sa + sb))
+        tick += 1
+    too_deep = max(lengths)
+    if too_deep > max_len:
+        raise ImageFormatError(
+            f"webp: huffman depth {too_deep} > {max_len} (payload class "
+            "outside the documented encoder scope)"
+        )
+    return lengths
+
+
+def _emit_prefix_code(w: _LsbWriter, lengths: list[int]) -> None:
+    """Store one prefix code (spec 5.2.2): 'simple' for 1-2 symbols,
+    else the code-length-code path (literal lengths, no 16/17/18
+    repeats — size-suboptimal, structurally conformant)."""
+    syms = [s for s, sl in enumerate(lengths) if sl > 0]
+    if 1 <= len(syms) <= 2 and max(syms) < 256:
+        w.bits(1, 1)  # simple
+        w.bits(len(syms) - 1, 1)
+        if syms[0] < 2:
+            w.bits(0, 1)  # first symbol in 1 bit
+            w.bits(syms[0], 1)
+        else:
+            w.bits(1, 1)  # first symbol in 8 bits
+            w.bits(syms[0], 8)
+        if len(syms) == 2:
+            w.bits(syms[1], 8)
+        return
+    w.bits(0, 1)  # normal
+    # code-length code: we emit every symbol's length literally, so
+    # the CL alphabet is just the distinct lengths present (incl. 0)
+    cl_freq: dict[int, int] = {}
+    for sl in lengths:
+        cl_freq[sl] = cl_freq.get(sl, 0) + 1
+    cl_lengths = _code_lengths(cl_freq, max_len=7)
+    cl_lengths += [0] * (19 - len(cl_lengths))
+    # number of CL lengths stored, in _CLC_ORDER, trailing zeros cut
+    order_lengths = [cl_lengths[s] for s in _CLC_ORDER]
+    num = 19
+    while num > 4 and order_lengths[num - 1] == 0:
+        num -= 1
+    w.bits(num - 4, 4)
+    for i in range(num):
+        w.bits(order_lengths[i], 3)
+    w.bits(0, 1)  # no max_symbol shortcut
+    cl_codes = _canonical_codes(cl_lengths)
+    for sl in lengths:
+        c, ln = cl_codes[sl]
+        w.code(c, ln)
+
+
+def _read_prefix_code(r: _LsbReader, alphabet_size: int) -> dict:
+    """Inverse of :func:`_emit_prefix_code`, including the 16/17/18
+    repeat symbols and the max_symbol shortcut other encoders emit."""
+    if r.bits(1):  # simple
+        nsym = r.bits(1) + 1
+        if r.bits(1):
+            first = r.bits(8)
+        else:
+            first = r.bits(1)
+        lengths = [0] * alphabet_size
+        if nsym == 1:
+            lengths[first] = 1
+        else:
+            second = r.bits(8)
+            if first == second:
+                raise ImageFormatError("webp: duplicate simple symbols")
+            lengths[first] = 1
+            lengths[second] = 1
+        return _canonical_decoder(lengths)
+    num = r.bits(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num):
+        cl_lengths[_CLC_ORDER[i]] = r.bits(3)
+    cl_dec = _canonical_decoder(cl_lengths)
+    max_symbol = alphabet_size
+    if r.bits(1):  # max_symbol shortcut
+        length_nbits = 2 + 2 * r.bits(3)
+        max_symbol = 2 + r.bits(length_nbits)
+        if max_symbol > alphabet_size:
+            raise ImageFormatError("webp: max_symbol beyond alphabet")
+    lengths = [0] * alphabet_size
+    prev = 8
+    i = 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        sl = r.code(cl_dec)
+        if sl < 16:
+            lengths[i] = sl
+            i += 1
+            if sl:
+                prev = sl
+        elif sl == 16:
+            rep = 3 + r.bits(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev
+                    i += 1
+        elif sl == 17:
+            i += 3 + r.bits(3)
+        else:  # 18
+            i += 11 + r.bits(7)
+    return _canonical_decoder(lengths)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 length/distance prefix classes (spec 5.2.3): 40 symbols,
+# symbol < 4 -> value symbol+1; else extra = (symbol-2) >> 1,
+# offset = (2 + (symbol & 1)) << extra, value = offset + bits + 1.
+# ---------------------------------------------------------------------------
+
+
+def _class_of(value: int) -> tuple[int, int, int]:
+    """value (>= 1) -> (symbol, extra_bits, extra_value)."""
+    v = value - 1
+    if v < 4:
+        return v, 0, 0
+    bits = v.bit_length() - 2
+    sym = 2 * bits + ((v >> bits) & 1)
+    offset = (2 + ((v >> bits) & 1)) << bits
+    return sym + 2, bits, v - offset
+    # sym layout: symbols 4.. encode ranges [offset+1, offset+2^bits]
+
+
+def _class_value(r: _LsbReader, symbol: int) -> int:
+    if symbol < 4:
+        return symbol + 1
+    bits = (symbol - 2) >> 1
+    offset = (2 + (symbol & 1)) << bits
+    return offset + r.bits(bits) + 1
+
+
+def _cache_hash(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def webp_encode(
+    width: int,
+    height: int,
+    rows: list[bytes],
+    use_cache_bits: int = 6,
+    subtract_green: bool = False,
+    lz77: bool = True,
+) -> bytes:
+    """Encode RGB rows (3*width bytes each; alpha fixed 255) as a
+    lossless RIFF/WEBP/VP8L stream: one prefix-code group, greedy
+    LZ77 over a hash of 3-pixel runs, optional color cache and
+    subtract-green transform. Bit-exact by construction (lossless
+    format), so every decode oracle is closed-form."""
+    if len(rows) != height or any(len(r) != 3 * width for r in rows):
+        raise ValueError("rows must be height x 3*width RGB")
+    argb = []
+    for r in rows:
+        for x in range(width):
+            argb.append(
+                (0xFF << 24) | (r[3 * x] << 16) | (r[3 * x + 1] << 8)
+                | r[3 * x + 2]
+            )
+    if subtract_green:
+        argb = [
+            (p & 0xFF000000)
+            | ((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16
+            | (p & 0xFF00)
+            | ((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF
+            for p in argb
+        ]
+
+    cache_size = (1 << use_cache_bits) if use_cache_bits else 0
+    cache = [None] * cache_size
+
+    # token stream: ('lit', argb) | ('cache', idx) | ('copy', len, dist)
+    tokens: list[tuple] = []
+    n = len(argb)
+    window: dict[tuple[int, int, int], int] = {}
+    i = 0
+    while i < n:
+        match_len = 0
+        match_dist = 0
+        if lz77 and i + 2 < n:
+            key = (argb[i], argb[i + 1], argb[i + 2])
+            j = window.get(key)
+            if j is not None and i - j <= (1 << 20) - 120:
+                match_len = 3
+                maxl = min(n - i, 4096)
+                while (
+                    match_len < maxl
+                    and argb[j + match_len] == argb[i + match_len]
+                ):
+                    match_len += 1
+                match_dist = i - j
+            window[key] = i
+        if match_len >= 3:
+            tokens.append(("copy", match_len, match_dist))
+            for k in range(i, i + match_len):
+                if cache_size:
+                    cache[_cache_hash(argb[k], use_cache_bits)] = argb[k]
+                if lz77 and k + 2 < n:
+                    # newest index wins: recent matches = short distances
+                    window[(argb[k], argb[k + 1], argb[k + 2])] = k
+            i += match_len
+            continue
+        p = argb[i]
+        if cache_size:
+            h = _cache_hash(p, use_cache_bits)
+            if cache[h] == p:
+                tokens.append(("cache", h))
+            else:
+                tokens.append(("lit", p))
+            cache[h] = p
+        else:
+            tokens.append(("lit", p))
+        i += 1
+
+    # distance codes: map near offsets through the 2D neighbor table
+    # (dist = dx + dy*width has two (dx, dy) readings for small dist —
+    # try both; fall back to the linear code past the map)
+    def dist_code(dist: int, pos: int) -> int:
+        dy, dx = divmod(dist, width)
+        for cdx, cdy in ((dx, dy), (dx - width, dy + 1)):
+            idx = _DIST_INDEX.get((cdx, cdy))
+            if idx is not None:
+                return idx + 1
+        return dist + 120
+
+    # frequencies for the five codes
+    green_f: dict[int, int] = {}
+    red_f: dict[int, int] = {}
+    blue_f: dict[int, int] = {}
+    alpha_f: dict[int, int] = {}
+    dist_f: dict[int, int] = {}
+    pos = 0
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            green_f[(p >> 8) & 0xFF] = green_f.get((p >> 8) & 0xFF, 0) + 1
+            red_f[(p >> 16) & 0xFF] = red_f.get((p >> 16) & 0xFF, 0) + 1
+            blue_f[p & 0xFF] = blue_f.get(p & 0xFF, 0) + 1
+            alpha_f[(p >> 24) & 0xFF] = alpha_f.get((p >> 24) & 0xFF, 0) + 1
+            pos += 1
+        elif t[0] == "cache":
+            s = 256 + 24 + t[1]
+            green_f[s] = green_f.get(s, 0) + 1
+            pos += 1
+        else:
+            lsym, _, _ = _class_of(t[1])
+            green_f[256 + lsym] = green_f.get(256 + lsym, 0) + 1
+            dsym, _, _ = _class_of(dist_code(t[2], pos))
+            dist_f[dsym] = dist_f.get(dsym, 0) + 1
+            pos += t[1]
+
+    green_alpha = 256 + 24 + cache_size
+    green_l = _code_lengths(green_f) + [0] * green_alpha
+    green_l = green_l[:green_alpha]
+    red_l = (_code_lengths(red_f) + [0] * 256)[:256]
+    blue_l = (_code_lengths(blue_f) + [0] * 256)[:256]
+    alpha_l = (_code_lengths(alpha_f) + [0] * 256)[:256]
+    dist_l = (_code_lengths(dist_f) + [0] * 40)[:40]
+    green_c = _canonical_codes(green_l)
+    red_c = _canonical_codes(red_l)
+    blue_c = _canonical_codes(blue_l)
+    alpha_c = _canonical_codes(alpha_l)
+    dist_c = _canonical_codes(dist_l)
+
+    w = _LsbWriter()
+    w.bits(width - 1, 14)
+    w.bits(height - 1, 14)
+    w.bits(0, 1)  # alpha hint
+    w.bits(0, 3)  # version
+    if subtract_green:
+        w.bits(1, 1)  # a transform follows
+        w.bits(2, 2)  # subtract-green (type 2), no payload
+    w.bits(0, 1)  # no more transforms
+    if cache_size:
+        w.bits(1, 1)
+        w.bits(use_cache_bits, 4)
+    else:
+        w.bits(0, 1)
+    w.bits(0, 1)  # no meta-prefix
+    for lengths in (green_l, red_l, blue_l, alpha_l, dist_l):
+        _emit_prefix_code(w, lengths)
+
+    pos = 0
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            c, ln = green_c[(p >> 8) & 0xFF]
+            w.code(c, ln)
+            c, ln = red_c[(p >> 16) & 0xFF]
+            w.code(c, ln)
+            c, ln = blue_c[p & 0xFF]
+            w.code(c, ln)
+            c, ln = alpha_c[(p >> 24) & 0xFF]
+            w.code(c, ln)
+            pos += 1
+        elif t[0] == "cache":
+            c, ln = green_c[256 + 24 + t[1]]
+            w.code(c, ln)
+            pos += 1
+        else:
+            lsym, lbits, lval = _class_of(t[1])
+            c, ln = green_c[256 + lsym]
+            w.code(c, ln)
+            w.bits(lval, lbits)
+            dsym, dbits, dval = _class_of(dist_code(t[2], pos))
+            c, ln = dist_c[dsym]
+            w.code(c, ln)
+            w.bits(dval, dbits)
+            pos += t[1]
+    payload = b"\x2f" + w.flush()
+    if len(payload) % 2:
+        padded = payload + b"\x00"
+    else:
+        padded = payload
+    riff_size = 4 + 8 + len(padded)
+    return (
+        b"RIFF" + riff_size.to_bytes(4, "little") + b"WEBP"
+        + b"VP8L" + len(payload).to_bytes(4, "little") + padded
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def webp_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
+    """Decode a lossless RIFF/WEBP/VP8L stream -> (width, height,
+    'RGB', rows). Supports simple and code-length-coded prefix codes
+    (incl. 16/17/18 repeats and max_symbol), LZ77 with the 2D
+    distance map, color cache, and the subtract-green transform;
+    raises ImageFormatError for lossy VP8/VP8X containers and for the
+    predictor / cross-color / color-indexing transforms and
+    meta-prefix segmentation (documented out of scope)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ImageFormatError("webp: bad RIFF container")
+    fourcc = data[12:16]
+    if fourcc in (b"VP8 ", b"VP8X"):
+        raise ImageFormatError(
+            "webp: lossy/extended WebP (VP8 arithmetic coding) unsupported"
+        )
+    if fourcc != b"VP8L":
+        raise ImageFormatError(f"webp: unknown chunk {fourcc!r}")
+    size = int.from_bytes(data[16:20], "little")
+    payload = data[20 : 20 + size]
+    if not payload or payload[0] != 0x2F:
+        raise ImageFormatError("webp: bad VP8L signature")
+    r = _LsbReader(payload[1:])
+    width = r.bits(14) + 1
+    height = r.bits(14) + 1
+    r.bits(1)  # alpha hint
+    if r.bits(3) != 0:
+        raise ImageFormatError("webp: unknown VP8L version")
+    subtract_green = False
+    while r.bits(1):  # transforms
+        ttype = r.bits(2)
+        if ttype == 2:
+            subtract_green = True
+        else:
+            raise ImageFormatError(
+                f"webp: transform type {ttype} unsupported "
+                "(predictor/color/indexing out of scope)"
+            )
+    cache_bits = 0
+    if r.bits(1):
+        cache_bits = r.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ImageFormatError("webp: bad color-cache size")
+    if r.bits(1):
+        raise ImageFormatError("webp: meta-prefix segmentation unsupported")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_d = _read_prefix_code(r, 256 + 24 + cache_size)
+    red_d = _read_prefix_code(r, 256)
+    blue_d = _read_prefix_code(r, 256)
+    alpha_d = _read_prefix_code(r, 256)
+    dist_d = _read_prefix_code(r, 40)
+
+    n = width * height
+    argb: list[int] = []
+    cache = [0] * cache_size
+
+    def push(p: int) -> None:
+        argb.append(p)
+        if cache_size:
+            cache[_cache_hash(p, cache_bits)] = p
+
+    while len(argb) < n:
+        s = r.code(green_d)
+        if s < 256:
+            g = s
+            red = r.code(red_d)
+            b = r.code(blue_d)
+            a = r.code(alpha_d)
+            push((a << 24) | (red << 16) | (g << 8) | b)
+        elif s < 256 + 24:
+            length = _class_value(r, s - 256)
+            dcode = _class_value(r, r.code(dist_d))
+            if dcode <= 120:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dx + dy * width
+                if dist < 1:
+                    dist = 1
+            else:
+                dist = dcode - 120
+            if dist > len(argb):
+                raise ImageFormatError("webp: LZ77 distance before start")
+            for _ in range(min(length, n - len(argb))):
+                push(argb[-dist])
+        else:
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise ImageFormatError("webp: cache index out of range")
+            push(cache[idx])
+
+    if subtract_green:
+        argb = [
+            (p & 0xFF000000)
+            | ((((p >> 16) & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF) << 16
+            | (p & 0xFF00)
+            | ((p & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF
+            for p in argb
+        ]
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            p = argb[y * width + x]
+            row += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+        rows.append(bytes(row))
+    return width, height, "RGB", rows

@@ -23,9 +23,12 @@ MCUs + box-downsampled chroma, gated by
 ``multimodal_color_420_decode``), 4:2:2/4:4:0 — plus restart
 intervals; PROGRESSIVE (SOF2) streams decode for real as well
 (spectral selection + successive approximation, gated by
-``multimodal_progressive_decode``). The remaining stub surface is
-WebP / H.264 (VP8 boolean arithmetic coding, inter-frame
-prediction), which a production cluster hands to native codecs;
+``multimodal_progressive_decode``). GIF (minigif: LZW, interlace,
+animation — ``multimodal_gif_decode``) and LOSSLESS WebP (miniwebp:
+VP8L prefix codes, LZ77, color cache — ``multimodal_webp_decode``)
+decode for real too. The remaining stub surface is lossy WebP (VP8)
+and H.264 (boolean arithmetic coding, inter-frame prediction), which
+a production cluster hands to native codecs;
 :func:`binary_metadata` classifies what it can't decode as
 ``'unknown'`` instead of faking dimensions.
 """
@@ -455,6 +458,62 @@ def gif_decode_sql(mod: int = 29) -> str:
     SELECT doc_id, 16 AS width, 8 AS height,
            1 + CAST(doc_id % 3 = 0 AS BIGINT) AS n_frames,
            {means}
+    FROM documents WHERE doc_id % {mod} = 0
+    """
+
+
+def synth_webps(docs: DataFrame, mod: int = 31) -> DataFrame:
+    """(doc_id, payload) — one REAL lossless WebP (miniwebp: RIFF/
+    VP8L, canonical prefix codes, LZ77, color cache) per selected doc:
+    a 24x10 image of three 8-px vertical stripes with closed-form
+    colors c_i = ((7d + 31i) % 256, (11d + 63i) % 256,
+    (13d + 5i) % 256), i in 0..2. Encoder knobs vary by doc_id so the
+    gate walks every arm: odd doc_ids use a 6-bit color cache, every
+    third doc adds the subtract-green transform. The format is
+    LOSSLESS, so each decoded channel mean is exactly the stripe
+    average — pure functions of doc_id for :func:`webp_decode_sql`."""
+    from ..functions import miniwebp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cols = [
+                    ((7 * d + 31 * i) % 256, (11 * d + 63 * i) % 256,
+                     (13 * d + 5 * i) % 256)
+                    for i in range(3)
+                ]
+                row = b"".join(bytes(cols[i]) * 8 for i in range(3))
+                ids.append(d)
+                payloads.append(
+                    miniwebp.webp_encode(
+                        24, 10, [row] * 10,
+                        use_cache_bits=6 if d % 2 else 0,
+                        subtract_green=d % 3 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def webp_decode_sql(mod: int = 31) -> str:
+    """Closed-form oracle for color_decode_metadata(synth_webps):
+    lossless format, equal-area stripes — a prefix-code, LZ77,
+    color-cache, or subtract-green bug cannot hash-match."""
+    chans = {"mean_r": (7, 31), "mean_g": (11, 63), "mean_b": (13, 5)}
+    means = ", ".join(
+        f"({' + '.join(f'(({a} * doc_id + {b * i}) % 256)' for i in range(3))})"
+        f" / 3.0 AS {name}"
+        for name, (a, b) in chans.items()
+    )
+    return f"""
+    SELECT doc_id, 24 AS width, 10 AS height, 'RGB' AS mode, {means}
     FROM documents WHERE doc_id % {mod} = 0
     """
 

@@ -90,6 +90,7 @@ _GATE_ORDER: list[str] = [
     "multimodal_color_420_decode",
     "multimodal_progressive_decode",
     "multimodal_gif_decode",
+    "multimodal_webp_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -1850,6 +1851,21 @@ def q_multimodal_progressive_decode(spark, sf_dir):
     return _mm.color_decode_metadata(
         _mm.synth_color_jpegs(d, 23, progressive=True)
     ).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_webp_decode",
+    # REAL lossless-WebP decode gate (round 4): synth_webps writes
+    # genuine RIFF/VP8L streams — canonical prefix codes (simple +
+    # code-length-coded), LZ77 with the 2D distance map, color cache
+    # on odd doc_ids, subtract-green on every third — and the engine
+    # decodes them via miniwebp. Lossless format + equal-area stripes
+    # make the channel means closed-form in doc_id.
+    _mm.webp_decode_sql(31) + " ORDER BY doc_id",
+)
+def q_multimodal_webp_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.color_decode_metadata(_mm.synth_webps(d, 31)).orderBy("doc_id")
 
 
 @_register(
