@@ -91,6 +91,7 @@ _GATE_ORDER: list[str] = [
     "multimodal_progressive_decode",
     "multimodal_gif_decode",
     "multimodal_webp_decode",
+    "quality_bigram_logprob",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -861,6 +862,81 @@ def q_quality_unigram_logprob(spark, sf_dir):
                 F.sum(
                     F.col("tf")
                     * F.log(F.col("cnt").cast("double") / F.col("total"))
+                )
+                / F.sum("tf"),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "quality_bigram_logprob",
+    # corpus-trained BIGRAM LM score (one order up from
+    # quality_unigram_logprob — the CCNet/KenLM-filter shape with
+    # conditional probabilities): each doc scored by the mean
+    # ln P(w_i | w_{i-1}) with P = cnt(w1 w2) / cnt_prefix(w1), both
+    # counts from the corpus itself (every scored bigram is observed,
+    # so no smoothing term is needed for normalized probabilities).
+    # Scale shape: bigrams form INSIDE the token array (one
+    # transform, zero shuffle), per-doc tf shrinks the join relation,
+    # bigram/context counts are map-side-combinable groupBys, and the
+    # corpus never re-tokenizes (tf persisted, round-2 lesson). The
+    # w1-keyed context join is the skew point at 100 TB (stopword
+    # prefixes) — AQE skew-join covers it here; salting is the
+    # documented production arm (operators/politeness.py pattern).
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ts[g] AS w1, ts[g + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(g)
+    ),
+    tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    bcnt AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS bcnt
+             FROM tf GROUP BY 1, 2),
+    ccnt AS (SELECT w1, CAST(sum(bcnt) AS BIGINT) AS ccnt FROM bcnt GROUP BY 1)
+    SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+           round(sum(tf.tf * ln(CAST(b.bcnt AS DOUBLE) / c.ccnt)) / sum(tf.tf), 4)
+             AS avg_logprob
+    FROM tf JOIN bcnt b USING (w1, w2) JOIN ccnt c USING (w1)
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+)
+def q_quality_bigram_logprob(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ts = d.select("doc_id", _td.tokens_col(F.col("text")).alias("ts"))
+    # bigram pairs inside the array: slice drops the last token, the
+    # 0-based transform index reaches the successor via ts[i + 1]
+    bg = ts.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda w, i: F.struct(
+                    w.alias("w1"), F.col("ts")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    tf = (
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf")).persist()
+    )
+    bcnt = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("bcnt"))
+    ccnt = bcnt.groupBy("w1").agg(F.sum("bcnt").alias("ccnt"))
+    return (
+        tf.join(bcnt, ["w1", "w2"])
+        .join(ccnt, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("bcnt").cast("double") / F.col("ccnt"))
                 )
                 / F.sum("tf"),
                 4,
