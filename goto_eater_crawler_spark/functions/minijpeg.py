@@ -323,7 +323,14 @@ def _quantized_block(plane, width, height, bx, by, qmat):
 
 
 def _clamp(v: float) -> int:
-    i = int(round(v))
+    # half-UP, not Python's banker's round: the closed-form DuckDB
+    # oracles replicate the color transforms with SQL round()
+    # (half-away-from-zero), and tone combinations exist whose IEEE
+    # transform lands exactly on .5 (doc 2945's (45,135,200) at
+    # sf0.1 caught the divergence) — same rounding rule on both
+    # sides removes the whole boundary class. Negative inputs only
+    # occur below the 0-clamp, where the two rules agree.
+    i = math.floor(v + 0.5)
     return 0 if i < 0 else (255 if i > 255 else i)
 
 

@@ -313,6 +313,22 @@ def color_decode_sql(mod: int = 17, width: int = 16) -> str:
     def clamp(e: str) -> str:
         return f"LEAST(255, GREATEST(0, CAST(round({e}) AS BIGINT)))"
 
+    # coefficients CAST to DOUBLE: DuckDB parses bare 0.299 as
+    # DECIMAL, whose exact arithmetic lands on true .5 boundaries the
+    # engine's IEEE doubles sit just below (doc 2945: decimal 115.500
+    # vs double 115.4999...). Forcing DOUBLE makes both sides evaluate
+    # the bit-identical expression, removing the boundary class
+    # entirely (same literal order as rgb_to_ycbcr / ycbcr_to_rgb).
+    C = {
+        k: f"CAST({v} AS DOUBLE)"
+        for k, v in {
+            "kr": "0.299", "kg": "0.587", "kb": "0.114",
+            "cbr": "0.168736", "cbg": "0.331264", "half": "0.5",
+            "crg": "0.418688", "crb": "0.081312",
+            "rcr": "1.402", "gcb": "0.344136", "gcr": "0.714136",
+            "bcb": "1.772",
+        }.items()
+    }
     tones = {
         "r1": "(doc_id % 100)", "g1": "((doc_id * 7) % 256)",
         "b1": "((155 + doc_id % 100) % 256)",
@@ -323,16 +339,22 @@ def color_decode_sql(mod: int = 17, width: int = 16) -> str:
     for s in ("1", "2"):
         r, g, b = tones[f"r{s}"], tones[f"g{s}"], tones[f"b{s}"]
         ycc += [
-            f"{clamp(f'0.299*{r} + 0.587*{g} + 0.114*{b}')} AS y{s}",
-            f"{clamp(f'128 - 0.168736*{r} - 0.331264*{g} + 0.5*{b}')} AS cb{s}",
-            f"{clamp(f'128 + 0.5*{r} - 0.418688*{g} - 0.081312*{b}')} AS cr{s}",
+            clamp(f"{C['kr']}*{r} + {C['kg']}*{g} + {C['kb']}*{b}")
+            + f" AS y{s}",
+            clamp(f"128 - {C['cbr']}*{r} - {C['cbg']}*{g} + {C['half']}*{b}")
+            + f" AS cb{s}",
+            clamp(f"128 + {C['half']}*{r} - {C['crg']}*{g} - {C['crb']}*{b}")
+            + f" AS cr{s}",
         ]
     back = []
     for s in ("1", "2"):
         back += [
-            f"{clamp(f'y{s} + 1.402*(cr{s} - 128)')} AS rr{s}",
-            f"{clamp(f'y{s} - 0.344136*(cb{s} - 128) - 0.714136*(cr{s} - 128)')} AS gg{s}",
-            f"{clamp(f'y{s} + 1.772*(cb{s} - 128)')} AS bb{s}",
+            clamp(f"y{s} + {C['rcr']}*(cr{s} - 128)") + f" AS rr{s}",
+            clamp(
+                f"y{s} - {C['gcb']}*(cb{s} - 128) - {C['gcr']}*(cr{s} - 128)"
+            )
+            + f" AS gg{s}",
+            clamp(f"y{s} + {C['bcb']}*(cb{s} - 128)") + f" AS bb{s}",
         ]
     return f"""
     WITH y AS (
