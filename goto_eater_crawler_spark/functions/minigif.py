@@ -5,11 +5,11 @@ multi-frame animations — no native codec, stdlib only.
 Scope (documented): global and local color tables, interlaced and
 sequential images, Graphic Control Extensions (frame delay,
 transparency index), multi-frame streams composited over the logical
-screen with disposal methods 0/1 (none / do not dispose), LZW with
-dictionary growth to 4096 and mid-stream CLEAR resets. Not decoded:
-disposal methods 2/3 (restore-to-background/previous — parsed and
-surfaced, composition treats them as 1), plain-text/application
-extensions (skipped per spec as sub-block chains).
+screen with ALL disposal methods — 0/1 (none / do not dispose), 2
+(restore patch rect to the background color), 3 (restore to the
+pre-frame canvas) — and LZW with dictionary growth to 4096 and
+mid-stream CLEAR resets. Plain-text/application extensions are
+skipped per spec as sub-block chains.
 
 Everything here derives from the public GIF89a specification
 (CompuServe 1990, also W3C-hosted) and the classic LZW construction
@@ -255,9 +255,11 @@ def gif_decode(
 ) -> tuple[int, int, list[tuple[int, bytes]]]:
     """Decode a GIF stream -> (width, height, frames) where each frame
     is (delay_cs, RGB rows concatenated: height * 3*width bytes),
-    composited over the logical screen (disposal "do not dispose"
-    semantics — each image patch paints over the running canvas;
-    transparent pixels leave the canvas unchanged)."""
+    composited over the logical screen with full disposal-method
+    semantics: 0/1 (none / do not dispose — the patch stays), 2
+    (restore the patch RECT to the background color after the frame
+    shows), 3 (restore the canvas to its pre-frame state). Transparent
+    pixels leave the canvas unchanged."""
     if data[:6] not in (GIF87A, GIF89A):
         raise ImageFormatError("gif: bad signature")
     if len(data) < 14:
@@ -277,9 +279,11 @@ def gif_decode(
         ]
         pos += 3 * n
     canvas = bytearray(3 * width * height)  # black logical screen
+    bg_rgb = bytes(gct[data[11]]) if gct and data[11] < len(gct) else b"\x00\x00\x00"
     frames: list[tuple[int, bytes]] = []
     delay = 0
     transparent: int | None = None
+    disposal = 0
     while pos < len(data):
         b = data[pos]
         pos += 1
@@ -292,6 +296,7 @@ def gif_decode(
             if label == 0xF9 and len(body) >= 4:  # graphic control
                 delay = int.from_bytes(body[1:3], "little")
                 transparent = body[3] if body[0] & 0x01 else None
+                disposal = (body[0] >> 2) & 0x07
             continue
         if b != 0x2C:
             raise ImageFormatError(f"gif: unexpected block 0x{b:02X}")
@@ -328,6 +333,7 @@ def gif_decode(
             for src, y in enumerate(_interlace_order(ih)):
                 rows[y] = idx[src * iw : (src + 1) * iw]
             idx = b"".join(rows)
+        before = bytes(canvas) if disposal == 3 else None
         for y in range(ih):
             cy = top + y
             if cy >= height:
@@ -344,8 +350,22 @@ def gif_decode(
                 off = 3 * (cy * width + cx)
                 canvas[off : off + 3] = bytes(pal[ci])
         frames.append((delay, bytes(canvas)))
+        if disposal == 2:  # restore the patch rect to background
+            for y in range(ih):
+                cy = top + y
+                if cy >= height:
+                    break
+                for x in range(iw):
+                    cx = left + x
+                    if cx >= width:
+                        continue
+                    off = 3 * (cy * width + cx)
+                    canvas[off : off + 3] = bg_rgb
+        elif disposal == 3 and before is not None:  # restore previous
+            canvas = bytearray(before)
         delay = 0
         transparent = None
+        disposal = 0
     if not frames:
         raise ImageFormatError("gif: no image data")
     return width, height, frames

@@ -91,6 +91,57 @@ def test_transparency_leaves_canvas():
     _ = enc
 
 
+def _set_disposal(data: bytes, frame: int, method: int) -> bytes:
+    """Flip the disposal bits in the frame-th GCE of an encoded gif."""
+    out = bytearray(data)
+    seen = -1
+    i = 13 + 3 * 16  # after header + 16-color GCT
+    while i < len(out):
+        if out[i] == 0x21 and out[i + 1] == 0xF9:
+            seen += 1
+            if seen == frame:
+                out[i + 3] = (out[i + 3] & ~0x1C) | (method << 2)
+                return bytes(out)
+            i += 8
+        else:
+            i += 1
+    raise AssertionError("GCE not found")
+
+
+def test_disposal_restore_background_and_previous():
+    # frame 1 paints color 5 everywhere; frame 2 paints color 9.
+    # With disposal 2 on frame 1, the canvas resets to the BACKGROUND
+    # color (index 0 — NON-black here so the two disposal modes are
+    # distinguishable) before frame 2 — but frame 2 repaints fully, so
+    # probe with a frame 2 that's transparent everywhere instead.
+    pal = [(7, 77, 177)] + PAL16[1:]
+    f1 = bytes([5] * 64)
+    f2 = bytes([9] * 64)
+    base = mg.gif_encode(8, 8, pal, [f1, f2], delays_cs=[1, 1])
+
+    # disposal 1 (encoder default): frame 2 shows its own paint
+    _, _, frames = mg.gif_decode(base)
+    assert frames[1][1][:3] == bytes(pal[9])
+
+    # make frame 2 fully transparent so the post-disposal canvas shows
+    enc = bytearray(_set_disposal(base, 0, 2))
+    i = enc.index(bytes([0x21, 0xF9]), 20)  # frame 1's GCE
+    j = enc.index(bytes([0x21, 0xF9]), i + 8)  # frame 2's GCE
+    enc[j + 3] |= 0x01  # transparency on
+    enc[j + 6] = 9  # transparent index = frame 2's only color
+    _, _, frames = mg.gif_decode(bytes(enc))
+    assert frames[0][1][:3] == bytes(pal[5])
+    assert frames[1][1][:3] == bytes(pal[0])  # background restored (7,77,177)
+
+    # disposal 3: canvas reverts to the PRE-frame state (black start)
+    enc3 = bytearray(_set_disposal(base, 0, 3))
+    j = enc3.index(bytes([0x21, 0xF9]), enc3.index(bytes([0x21, 0xF9]), 20) + 8)
+    enc3[j + 3] |= 0x01
+    enc3[j + 6] = 9
+    _, _, frames = mg.gif_decode(bytes(enc3))
+    assert frames[1][1][:3] == b"\x00\x00\x00"  # pre-frame canvas
+
+
 def test_error_modes():
     with pytest.raises(ImageFormatError, match="signature"):
         mg.gif_decode(b"NOTAGIF.....")
