@@ -540,6 +540,81 @@ def webp_decode_sql(mod: int = 31) -> str:
     """
 
 
+def transcode_png_webp_stats(images: DataFrame) -> DataFrame:
+    """REAL transcode stage — the 'normalize every image to one
+    format' step of a multimodal ingest pipeline: decode the PNG
+    payload, expand grey to RGB, RE-ENCODE as lossless WebP
+    (miniwebp), decode THAT stream, and report channel means over the
+    webp-decoded pixels. Both codecs are lossless, so the means equal
+    the PNG closed form — but only if the full PNG-decode ->
+    WebP-encode -> WebP-decode chain is bit-faithful; a defect in any
+    of the three stages breaks the hash match."""
+    from ..functions import miniwebp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "mode": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    w, h, mode, rows = miniimg.decode_image(bytes(payload))
+                    if mode == "L":
+                        rows = [
+                            bytes(b for v in r for b in (v, v, v))
+                            for r in rows
+                        ]
+                    wp = miniwebp.webp_encode(w, h, rows)
+                    w2, h2, mode2, rows2 = miniwebp.webp_decode(wp)
+                except miniimg.ImageFormatError:
+                    for k in ("width", "height", "mode",
+                              "mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                    continue
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["mode"].append(mode2)
+                n = w2 * h2
+                for ki, k in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[k].append(
+                        sum(r[3 * x + ki] for r in rows2 for x in range(w2))
+                        / n
+                    )
+            yield pd.DataFrame(out)
+
+    return images.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, width long, height long, mode string, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+def transcode_sql(mod: int = 7) -> str:
+    """Closed-form oracle for transcode_png_webp_stats(synth_images):
+    lossless PNG -> lossless WebP, so every channel mean equals the
+    PNG two-tone closed form (grey expanded to equal R=G=B)."""
+    mean = """
+           CASE WHEN doc_id % 2 = 0
+                THEN ((doc_id % 100) + (155 + doc_id % 100)) / 2.0
+                ELSE ((doc_id % 100) * ((8 + (3*doc_id) % 7) // 2)
+                      + (155 + doc_id % 100)
+                        * ((8 + (3*doc_id) % 7) - (8 + (3*doc_id) % 7) // 2))
+                     / CAST(8 + (3*doc_id) % 7 AS DOUBLE)
+           END"""
+    return f"""
+    SELECT doc_id,
+           8 + 2*(doc_id % 5) AS width,
+           8 + (3*doc_id) % 7 AS height,
+           'RGB' AS mode,
+           {mean} AS mean_r, {mean} AS mean_g, {mean} AS mean_b
+    FROM documents WHERE doc_id % {mod} = 0
+    """
+
+
 def _signed64(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 

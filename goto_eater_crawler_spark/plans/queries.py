@@ -91,6 +91,7 @@ _GATE_ORDER: list[str] = [
     "multimodal_progressive_decode",
     "multimodal_gif_decode",
     "multimodal_webp_decode",
+    "multimodal_transcode",
     "quality_bigram_logprob",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
@@ -1942,6 +1943,23 @@ def q_multimodal_progressive_decode(spark, sf_dir):
 def q_multimodal_webp_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.color_decode_metadata(_mm.synth_webps(d, 31)).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_transcode",
+    # REAL transcode gate (round 4): PNG-decode -> grey-to-RGB ->
+    # lossless-WebP ENCODE -> WebP decode, channel means over the
+    # final pixels — the 'normalize every image to one format' ingest
+    # stage, driving two full codecs plus the expansion in ONE Arrow
+    # pass. Both formats are lossless, so the means equal the PNG
+    # two-tone closed form; a defect in any stage breaks the hash.
+    _mm.transcode_sql(7) + " ORDER BY doc_id",
+)
+def q_multimodal_transcode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.transcode_png_webp_stats(_mm.synth_images(d, 7)).orderBy(
+        "doc_id"
+    )
 
 
 @_register(
