@@ -10,14 +10,15 @@ parse the bodies vectorized (Arrow batches via mapInPandas — there
 are only ~#hosts of them, but they arrive inside a 100 TB page
 corpus, so the parse must be a pipelined scan, never a collect).
 
-Parser semantics (RFC 9309 subset, matching robots_split's prefix
-model): User-agent groups (a group = consecutive UA lines followed by
-rules), group selection by longest agent-substring match with ``*``
-fallback, Allow/Disallow path prefixes (empty Disallow = allow all),
-Crawl-delay, comments and case-insensitive field names. Unsupported
-constructs (wildcards inside paths, Sitemap) are ignored — the
-engine's allow-overrides prefix semantics are documented at
-politeness.robots_split.
+Parser semantics (RFC 9309): User-agent groups (a group = consecutive
+UA lines followed by rules), group selection by longest
+agent-substring match with ``*`` fallback, Allow/Disallow path RULES
+(passed through verbatim — including ``*`` wildcards and trailing
+``$`` anchors, which politeness.robots_split matches with the RFC's
+longest-pattern-wins semantics since round 4; empty Disallow = allow
+all), Crawl-delay, comments and case-insensitive field names.
+``Sitemap`` lines are ignored (no sitemap fetch stage by design —
+the reference discovers URLs purely by crawling).
 """
 
 from __future__ import annotations

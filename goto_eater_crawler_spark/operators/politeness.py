@@ -80,32 +80,64 @@ def offsite_split(
     return in_scope, offsite
 
 
+def _robots_rules_col(arr_col: str):
+    """array<string> of RFC 9309 path patterns -> array<struct<pat,
+    len>>: ``pat`` is the SQL LIKE translation (``*`` -> ``%``,
+    trailing ``$`` drops the implicit prefix wildcard, LIKE metas
+    escaped with the default backslash), ``len`` the original pattern
+    length (the RFC's specificity measure). Computed ONCE per dim row
+    before the broadcast — the per-frontier-row work is only the LIKE
+    matches."""
+
+    def to_struct(p):
+        anchored = p.endswith("$")
+        body = F.when(anchored, p.substr(F.lit(1), F.length(p) - 1)).otherwise(p)
+        esc = F.replace(body, F.lit("\\"), F.lit("\\\\"))
+        esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+        esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+        wild = F.replace(esc, F.lit("*"), F.lit("%"))
+        pat = F.when(anchored, wild).otherwise(F.concat(wild, F.lit("%")))
+        return F.struct(pat.alias("pat"), F.length(p).alias("len"))
+
+    return F.transform(F.coalesce(F.col(arr_col), F.array()), to_struct)
+
+
 def robots_split(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (allowed, robots_dropped).
 
-    Prefix semantics: a URL is blocked when its path matches any
-    disallow prefix and no allow prefix (allow wins — the common
-    robots longest-match simplified to allow-overrides, enough for
-    the reference's usage which is all-or-nothing, main.py:32).
+    RFC 9309 §2.2.2 semantics (round 4 — matching the reference's
+    scrapy/Protego stack, which supports path wildcards): rule paths
+    may contain ``*`` (any octet sequence) and a trailing ``$``
+    (end-of-path anchor); among ALL matching allow and disallow rules
+    the LONGEST pattern wins, with allow winning length ties. Rules
+    are translated to SQL LIKE patterns on the dim side (one
+    Catalyst transform per host row, before the broadcast), so the
+    per-row hot path stays whole-stage-codegen LIKE matching — no
+    Python, no regex compilation per row.
     Robots is a per-host dim table — broadcast, never shuffled.
 
     Path extraction is a regexp, NOT parse_url: parse_url is
     interpreted (java.net.URI per row) and an order of magnitude
     slower in this per-round hot filter.
     """
+    rb = robots.withColumn(
+        "_rdis", _robots_rules_col("disallow_prefixes")
+    ).withColumn("_rall", _robots_rules_col("allow_prefixes"))
     path = F.regexp_extract(F.col("canonical_url"), r"^[a-z]+://[^/?#]*([^?#]*)", 1)
-    joined = frontier.join(F.broadcast(robots), "host", "left").withColumn(
+    joined = frontier.join(F.broadcast(rb), "host", "left").withColumn(
         "_path", F.when(path.isNull() | (path == ""), "/").otherwise(path)
     )
-    disallowed = F.exists(
-        F.coalesce(F.col("disallow_prefixes"), F.array()),
-        lambda p: F.col("_path").startswith(p),
-    )
-    allowed_override = F.exists(
-        F.coalesce(F.col("allow_prefixes"), F.array()),
-        lambda p: F.col("_path").startswith(p),
-    )
-    blocked = disallowed & ~allowed_override
+
+    def best(col: str):
+        # longest matching pattern's length, -1 if none (NULL array —
+        # host absent from the dim — aggregates to NULL, coalesced to
+        # "not blocked" by the caller)
+        return F.expr(
+            f"aggregate(filter({col}, r -> _path LIKE r.pat), "
+            "cast(-1 as int), (a, r) -> greatest(a, r.len))"
+        )
+
+    blocked = F.coalesce(best("_rdis") > best("_rall"), F.lit(False))
     keep_cols = frontier.columns
     return (
         joined.filter(~blocked).select(*keep_cols),

@@ -142,6 +142,32 @@ def test_disposal_restore_background_and_previous():
     assert frames[1][1][:3] == b"\x00\x00\x00"  # pre-frame canvas
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    mcs=st.integers(2, 8),
+    seed=st.integers(0, 2**32 - 1),
+    n=st.integers(0, 6000),
+    runny=st.booleans(),
+)
+def test_lzw_roundtrip_property(mcs, seed, n, runny):
+    rnd = random.Random(seed)
+    alpha = 1 << mcs
+    if runny:  # long runs force KwKwK + dictionary growth/reset
+        unit = bytes(rnd.randrange(alpha) for _ in range(rnd.randrange(1, 5)))
+        data = (unit * (n // max(len(unit), 1) + 1))[:n]
+    else:
+        data = bytes(rnd.randrange(alpha) for _ in range(n))
+    assert mg.lzw_decode(mcs, mg.lzw_encode(mcs, data), n) == data
+
+
 def test_error_modes():
     with pytest.raises(ImageFormatError, match="signature"):
         mg.gif_decode(b"NOTAGIF.....")

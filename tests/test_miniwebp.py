@@ -113,6 +113,42 @@ def test_decode_image_dispatches_webp_and_gif():
     assert decode_image(mw.webp_encode(8, 4, rows)) == (8, 4, "RGB", rows)
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**32 - 1),
+    cb=st.sampled_from([0, 3, 6]),
+    sg=st.booleans(),
+    lz=st.booleans(),
+    palette=st.integers(2, 40),
+)
+def test_roundtrip_property(w, h, seed, cb, sg, lz, palette):
+    # low-cardinality pixel palettes maximize LZ77/cache interplay;
+    # hypothesis shrinks any failing stream to a minimal image
+    rnd = random.Random(seed)
+    colors = [
+        bytes(rnd.randrange(256) for _ in range(3)) for _ in range(palette)
+    ]
+    rows = [
+        b"".join(colors[rnd.randrange(palette)] for _ in range(w))
+        for _ in range(h)
+    ]
+    out = mw.webp_decode(
+        mw.webp_encode(w, h, rows, use_cache_bits=cb, subtract_green=sg,
+                       lz77=lz)
+    )
+    assert out == (w, h, "RGB", rows)
+
+
 def test_error_modes():
     with pytest.raises(ImageFormatError, match="RIFF"):
         mw.webp_decode(b"NOTRIFF.....")

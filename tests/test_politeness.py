@@ -126,3 +126,84 @@ def test_robots_prefix_semantics(spark, frontier):
     assert a_hot and all(u.startswith("https://x/1") for u in a_hot)
     assert d_hot and not any(u.startswith("https://x/1") for u in d_hot)
     assert len(a_hot) + len(d_hot) == 1000
+
+
+def _split_urls(spark, rules, urls):
+    """Run robots_split over one host with the given allow/disallow
+    pattern lists; return (allowed set, dropped set) of paths."""
+    fr = spark.createDataFrame(
+        [
+            {
+                "host": "h.example.jp",
+                "canonical_url": f"https://h.example.jp{p}",
+                "priority": 1.0,
+                "depth": 0,
+            }
+            for p in urls
+        ]
+    )
+    rb = spark.createDataFrame(
+        [
+            {
+                "host": "h.example.jp",
+                "allow_prefixes": rules.get("allow", []),
+                "disallow_prefixes": rules.get("disallow", []),
+                "crawl_delay": 1.0,
+            }
+        ],
+        ROBOTS_SCHEMA,
+    )
+    allowed, dropped = robots_split(fr, rb)
+    pre = len("https://h.example.jp")
+    return (
+        {r["canonical_url"][pre:] for r in allowed.collect()},
+        {r["canonical_url"][pre:] for r in dropped.collect()},
+    )
+
+
+def test_robots_wildcard_patterns_rfc9309(spark):
+    # * matches any octet sequence; trailing $ anchors the end
+    a, d = _split_urls(
+        spark,
+        {"disallow": ["/*.pdf$"]},
+        ["/x/doc.pdf", "/doc.pdf", "/doc.pdfx", "/pdf/doc.txt"],
+    )
+    assert d == {"/x/doc.pdf", "/doc.pdf"}
+    assert a == {"/doc.pdfx", "/pdf/doc.txt"}
+
+    a, d = _split_urls(
+        spark,
+        {"disallow": ["/private*"], "allow": ["/private/ok*"]},
+        ["/private/a", "/private/ok/1", "/privateX", "/public"],
+    )
+    assert d == {"/private/a", "/privateX"}
+    assert a == {"/private/ok/1", "/public"}
+
+
+def test_robots_longest_match_wins(spark):
+    # RFC 9309 §2.2.2: the LONGEST matching pattern wins, allow wins
+    # length ties — NOT the old allow-always-overrides simplification
+    a, d = _split_urls(
+        spark,
+        {"allow": ["/a"], "disallow": ["/a/b/c"]},
+        ["/a/x", "/a/b/c/d"],
+    )
+    assert a == {"/a/x"} and d == {"/a/b/c/d"}
+
+    # equal lengths: allow wins
+    a, d = _split_urls(
+        spark, {"allow": ["/ab"], "disallow": ["/ab"]}, ["/ab/x"]
+    )
+    assert a == {"/ab/x"} and d == set()
+
+
+def test_robots_like_metacharacters_are_literal(spark):
+    # %, _ and backslash in rule paths must match literally, not as
+    # SQL LIKE metacharacters
+    a, d = _split_urls(
+        spark,
+        {"disallow": ["/q%20x", "/u_v", "/w\\z"]},
+        ["/q%20x/1", "/qA20x", "/u_v", "/uXv", "/w\\z", "/wz"],
+    )
+    assert d == {"/q%20x/1", "/u_v", "/w\\z"}
+    assert a == {"/qA20x", "/uXv", "/wz"}
