@@ -93,6 +93,7 @@ _GATE_ORDER: list[str] = [
     "multimodal_webp_decode",
     "multimodal_transcode",
     "quality_bigram_logprob",
+    "sample_dsir_importance",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -942,6 +943,98 @@ def q_quality_bigram_logprob(spark, sf_dir):
                 / F.sum("tf"),
                 4,
             ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "sample_dsir_importance",
+    # DSIR-style importance resampling (Xie et al. 2023, public):
+    # score every raw doc by how target-like its token distribution
+    # is — log w(d) = mean over tokens of ln p_target(tok) -
+    # ln q_corpus(tok), add-one smoothed over the corpus vocabulary —
+    # and select docs with positive mean log-ratio. Target domain
+    # here: lang='fr' (a ~13% minority), so the gate is non-vacuous
+    # (French docs must surface with selected=true). Scale shape: ONE
+    # tokenize pass persisted as per-doc tf; target counts via a
+    # broadcast semi-filter on the slim tf relation; corpus/vocab
+    # totals as a 1-row in-plan broadcast; scoring is a single
+    # map-side-combinable groupBy over tf.
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    tgt AS (SELECT doc_id FROM documents WHERE lang = 'fr'),
+    ct AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ct
+           FROM tf SEMI JOIN tgt USING (doc_id) GROUP BY 1),
+    cq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cq FROM tf GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS tt,
+                   (SELECT CAST(sum(cq) AS BIGINT) FROM cq) AS tq,
+                   (SELECT count(*) FROM cq) AS v)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           -- numerators CAST to DOUBLE: bare 1.0 is DECIMAL in DuckDB
+           -- and decimal division diverges from the engine's IEEE
+           -- doubles exactly where these near-zero ratios round
+           -- + 0.0 collapses IEEE negative zero: round() lands some
+           -- near-zero docs on -0.0 in one engine and +0.0 in the
+           -- other (numerically equal, string-normalized DIFFERENT
+           -- by any %f-style comparator)
+           round(sum(tf.tf * (ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                                 / (t.tt + t.v))
+                              - ln(CAST(cq.cq + 1 AS DOUBLE)
+                                   / (t.tq + t.v))))
+                 / sum(tf.tf), 4) + 0.0 AS avg_logratio,
+           (sum(tf.tf * (ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                            / (t.tt + t.v))
+                         - ln(CAST(cq.cq + 1 AS DOUBLE)
+                              / (t.tq + t.v)))) > 0)
+             AS selected
+    FROM tf JOIN cq USING (token) LEFT JOIN ct USING (token) CROSS JOIN tot t
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+)
+def q_sample_dsir_importance(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_td.tokens_col(F.col("text"))).alias("token")
+    )
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    tgt = d.filter(F.col("lang") == "fr").select("doc_id")
+    ct = (
+        tf.join(F.broadcast(tgt), "doc_id", "left_semi")
+        .groupBy("token")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    cq = tf.groupBy("token").agg(F.sum("tf").alias("cq"))
+    tot = ct.agg(F.sum("ct").alias("tt")).crossJoin(
+        cq.agg(F.sum("cq").alias("tq"), F.count("*").alias("v"))
+    )
+    logratio = F.col("tf") * (
+        F.log(
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+            / (F.col("tt") + F.col("v"))
+        )
+        - F.log((F.col("cq") + 1.0) / (F.col("tq") + F.col("v")))
+    )
+    return (
+        tf.join(cq, "token")
+        .join(ct, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.round(F.sum(logratio) / F.sum("tf"), 4) + 0.0).alias(
+                "avg_logratio"
+            ),
+            (F.sum(logratio) > 0).alias("selected"),
         )
         .orderBy("doc_id")
     )

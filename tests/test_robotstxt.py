@@ -118,3 +118,52 @@ def test_robots_from_pages_feeds_robots_split(spark):
         "https://closed.example.jp/shop/1",
         "https://open.example.jp/admin/x",
     }
+
+
+def test_wildcard_rules_flow_from_body_to_split(spark):
+    # RFC 9309 wildcards parsed from a real robots.txt body drive the
+    # engine's split end to end: '*.pdf$' anchor + 'Allow' carve-out
+    # with longest-match semantics
+    from pyspark.sql import functions as F
+
+    from goto_eater_crawler_spark.functions.urltools import with_url_identity
+    from goto_eater_crawler_spark.operators.politeness import robots_split
+    from goto_eater_crawler_spark.schema import PAGES_SCHEMA
+
+    body = (
+        b"User-agent: *\n"
+        b"Disallow: /*.pdf$\n"
+        b"Disallow: /private*\n"
+        b"Allow: /private/ok*\n"
+    )
+    pages = spark.createDataFrame(
+        [
+            {
+                "url": "https://w.example.jp/robots.txt",
+                "warc_ts": None,
+                "html": body,
+                "text": None,
+                "lang": None,
+            }
+        ],
+        PAGES_SCHEMA,
+    )
+    robots = robots_from_pages(pages)
+    frontier = with_url_identity(
+        spark.createDataFrame(
+            [
+                ("https://w.example.jp/a/doc.pdf",),
+                ("https://w.example.jp/a/doc.pdfx",),
+                ("https://w.example.jp/private/no",),
+                ("https://w.example.jp/private/ok/1",),
+            ],
+            ["url"],
+        ).select("url", F.lit(1.0).alias("priority"), F.lit(0).alias("depth"))
+    ).withColumn(
+        "host", F.regexp_extract("canonical_url", r"^[a-z]+://([^/]*)", 1)
+    )
+    allowed, dropped = robots_split(frontier, robots)
+    a = {r["canonical_url"].rsplit("jp", 1)[1] for r in allowed.collect()}
+    d = {r["canonical_url"].rsplit("jp", 1)[1] for r in dropped.collect()}
+    assert d == {"/a/doc.pdf", "/private/no"}
+    assert a == {"/a/doc.pdfx", "/private/ok/1"}

@@ -20,7 +20,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6f}"
+        return f"{v + 0.0:.6f}" if v == 0 else f"{v:.6f}"  # -0.0 == +0.0
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
