@@ -99,6 +99,21 @@ def fast_urljoin(base: str, href: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+# Fast-path guard: URLs that are ALREADY canonical by construction —
+# lowercase http/https scheme, lowercase ASCII reg-name authority with
+# no userinfo/port/IPv6 (none of @ : [ fit the char class), a present
+# path, and no query/fragment/whitespace anywhere. For a matching
+# string every step of the canonical form is the identity: lower() is
+# a no-op, the default-port strip cannot fire, path is non-empty and
+# preserved as-is (case included), and there is no query to sort or
+# fragment to drop. Discovered links in a crawl round are
+# overwhelmingly in this class, and the guard is ONE anchored regex of
+# plain character classes vs the ~7-op full tree (profiled round 4:
+# the canonicalization tree was the largest JVM-side cost of the
+# extract stage at ~5M links/round).
+_CANONICAL_ALREADY = r"^https?://[a-z0-9.-]+/[^?#\s]*$"
+
+
 def canonicalize_url_col(url: Column) -> Column:
     """Canonical URL as a pure Catalyst expression (no Python).
 
@@ -107,10 +122,19 @@ def canonicalize_url_col(url: Column) -> Column:
     and Catalyst re-inlines this whole tree at every downstream
     reference (filters, window keys, join keys, hashes) — regexps stay
     inside WholeStageCodegen and are ~an order of magnitude cheaper.
-    Byte-parity with :func:`canonicalize_url` is pinned by
-    tests/test_urltools.py.
+    Already-canonical URLs short-circuit through the
+    :data:`_CANONICAL_ALREADY` guard (CaseWhen evaluates the full tree
+    lazily, only for rows that fail the guard). Byte-parity with
+    :func:`canonicalize_url` is pinned by tests/test_urltools.py.
     """
     u = F.trim(url)
+    return F.when(u.rlike(_CANONICAL_ALREADY), u).otherwise(
+        _canonicalize_url_col_full(u)
+    )
+
+
+def _canonicalize_url_col_full(u: Column) -> Column:
+    """The full canonicalization tree over an already-trimmed column."""
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     authority = F.lower(
         F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
@@ -144,7 +168,14 @@ def host_col(url: Column) -> Column:
     host = F.when(v6 != "", v6).otherwise(
         F.regexp_replace(no_user, r":\d*$", "")
     )
-    return F.lower(host)
+    u = F.trim(url)
+    # same already-canonical guard as canonicalize_url_col: for a
+    # matching URL the authority IS the host (no userinfo/port/IPv6 in
+    # the char class, already lowercase) — one extract instead of four
+    return F.when(
+        u.rlike(_CANONICAL_ALREADY),
+        F.regexp_extract(u, r"^https?://([^/]+)", 1),
+    ).otherwise(F.lower(host))
 
 
 def url_hash_col(canonical_url: Column) -> Column:

@@ -30,6 +30,21 @@ URLS = [
     "https://[2001:db8::7]/path?a=1",
     "http://user:pw@example.jp:8080/y",
     "http://user@[::1]/z",
+    # already-canonical fast-path guard boundaries (urltools.py
+    # _CANONICAL_ALREADY): inside the guard with tricky payloads ...
+    "https://e.jp/",
+    "https://e.jp/UPPER/Case",  # path case preserved on both paths
+    "https://e.jp/a@b:c",  # @ and : in path, not authority
+    "https://e.jp./x",  # trailing-dot host stays as-is
+    "https://b9.example.com/shops/detail/123",
+    # ... and just outside it (each must take the full tree)
+    "https://e.jp",  # no path -> '/' appended
+    "HTTPS://e.jp/x",  # scheme case folds
+    "https://e.jp:443/x",  # default port strips
+    "https://E.jp/x",  # host case folds
+    "https://e.jp/x?b=2&a=1",  # query sorts
+    "https://e.jp/x#f",  # fragment drops
+    "  https://e.jp/x ",  # surrounding whitespace trims
 ]
 
 
