@@ -94,6 +94,9 @@ _GATE_ORDER: list[str] = [
     "multimodal_transcode",
     "quality_bigram_logprob",
     "sample_dsir_importance",
+    "crawl_cdx_index",
+    "recrawl_change_rate",
+    "domain_pld_extract",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -116,6 +119,11 @@ _GATE_ORDER: list[str] = [
     "dedup_keep_documents",
     "dedup_lines",
     "dedup_shingle_containment",
+    # ================= position 50 boundary =================
+    # everything below already has driver-green rows (r1/r2/r3) —
+    # pinned by tests/test_gate_order.py against the committed
+    # CORRECTNESS_r*.json files; redundant-sibling or simple gates
+    # per the VERDICT's guidance
     "quality_unigram_logprob",
     "text_repetition",
     "similarity_cosine_topk",
@@ -127,9 +135,6 @@ _GATE_ORDER: list[str] = [
     "text_redact_pii",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
-    # ================= position 50 boundary =================
-    # everything below already has driver-green rows (r1/r2/r3);
-    # redundant-sibling or simple gates per the VERDICT's guidance
     "dedup_simhash_pairs",  # sibling of dedup_simhash
     "dedup_substring_spans",  # sibling of dedup_shingle_containment
     "dedup_contamination",  # same shingle machinery as ngram_jaccard
@@ -2545,4 +2550,183 @@ def q_text_length_quantiles(spark, sf_dir):
             F.round(F.avg("n_chars"), 4).alias("mean_chars"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-infrastructure operators (round 4): CDX capture index,
+# change-rate recrawl estimation, registered-domain extraction
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "crawl_cdx_index",
+    # O1/T6-adjacent — the CDX capture index every archive-grade crawl
+    # emits (CDXJ per ISO 28500 companion practice): SURT-ordered keys
+    # (host labels reversed + path), capture instant, payload digest.
+    # A projection + global sort: at production scale a rangepartition
+    # write; digest = md5 over the UTF-8 payload bytes on both sides.
+    """
+    SELECT array_to_string(list_reverse(string_split(
+             source || '.example.org', '.')), ',')
+             || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
+           CAST(doc_id % 86400 AS BIGINT) AS fetch_sec,
+           md5(text) AS digest
+    FROM documents ORDER BY surt_key, fetch_sec
+    """,
+)
+def q_crawl_cdx_index(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        surt.alias("surt_key"),
+        (F.col("doc_id") % 86400).cast("long").alias("fetch_sec"),
+        F.md5(F.col("text")).alias("digest"),
+    ).orderBy("surt_key", "fetch_sec")
+
+
+@_register(
+    "recrawl_change_rate",
+    # O3 frontier-science — Cho & Garcia-Molina (TOIT 2003) Poisson
+    # change-rate estimator: pages revisited n times with X observed
+    # changes at mean revisit interval I get
+    #   lambda_hat = ln((n + 0.5) / (n - X + 0.5)) / I
+    # (the bias-corrected estimator; written as a positive log ratio so
+    # X = 0 yields exactly +0.0 on both engines — no IEEE -0.0 from
+    # negating ln(1)). One hash aggregation over the visit log; the
+    # interval math stays in integer microseconds until one double
+    # division, so both engines round the same doubles.
+    """
+    WITH visits AS (
+      SELECT user_id AS page_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS changed
+      FROM events),
+    agg AS (
+      SELECT page_id, CAST(count(*) AS BIGINT) AS n_visits,
+             CAST(sum(changed) AS BIGINT) AS n_changes,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      FROM visits GROUP BY page_id)
+    SELECT page_id, n_visits, n_changes,
+           round(ln((n_visits + 0.5) / (n_visits - n_changes + 0.5))
+                 / (span_us / (n_visits - 1) / 3600000000.0), 6)
+             AS lambda_per_hour
+    FROM agg WHERE n_visits >= 2 AND span_us > 0
+    ORDER BY page_id
+    """,
+)
+def q_recrawl_change_rate(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    visits = e.select(
+        F.col("user_id").alias("page_id"),
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, 1).otherwise(0).alias("changed"),
+    )
+    agg = visits.groupBy("page_id").agg(
+        F.count("*").alias("n_visits"),
+        F.sum("changed").alias("n_changes"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("span_us"),
+    )
+    interval_hours = (
+        F.col("span_us") / (F.col("n_visits") - 1) / F.lit(3600000000.0)
+    )
+    lam = F.log(
+        (F.col("n_visits") + 0.5) / (F.col("n_visits") - F.col("n_changes") + 0.5)
+    ) / interval_hours
+    return (
+        agg.filter((F.col("n_visits") >= 2) & (F.col("span_us") > 0))
+        .select(
+            "page_id",
+            "n_visits",
+            "n_changes",
+            F.round(lam, 6).alias("lambda_per_hour"),
+        )
+        .orderBy("page_id")
+    )
+
+
+@_register(
+    "domain_pld_extract",
+    # P4 at web scale — registered-domain (pay-level-domain) extraction
+    # with public-suffix longest-match semantics (publicsuffix.org
+    # algorithm): candidate last-k label runs, ONE broadcast join
+    # against the suffix dim, max_by longest match (hash agg, no window
+    # sort), PSL default rule as the no-match fallback. The engine side
+    # runs operators/domains.py; the oracle mirrors the algorithm in
+    # SQL over the same inline suffix dim.
+    """
+    WITH hosts AS (
+      SELECT DISTINCT
+        'w' || CAST(c_custkey % 7 AS VARCHAR) || '.s'
+            || CAST(c_custkey % 13 AS VARCHAR) || '.' ||
+        CASE c_custkey % 8
+          WHEN 0 THEN 'co.jp' WHEN 1 THEN 'com' WHEN 2 THEN 'ne.jp'
+          WHEN 3 THEN 'org' WHEN 4 THEN 'ac.uk' WHEN 5 THEN 'com.au'
+          WHEN 6 THEN 'jp' ELSE 'dev' END AS host
+      FROM customer),
+    psl(suffix, n_labels) AS (VALUES
+      ('jp', 1), ('com', 1), ('org', 1), ('io', 1),
+      ('co.jp', 2), ('ne.jp', 2), ('ac.uk', 2), ('com.au', 2)),
+    cand AS (
+      SELECT h.host, k.k,
+             CASE WHEN len(string_split(h.host, '.')) > k.k
+                  THEN array_to_string(list_slice(
+                         string_split(h.host, '.'), -k.k, -1), '.')
+                  ELSE '' END AS cand
+      FROM hosts h CROSS JOIN (SELECT unnest([1, 2]) AS k) k),
+    m AS (
+      SELECT host, max(coalesce(p.n_labels, -1)) AS best_n
+      FROM cand LEFT JOIN psl p ON cand.cand = p.suffix
+      GROUP BY host),
+    reg AS (
+      SELECT host,
+             CASE WHEN best_n > 0 THEN best_n + 1
+                  ELSE least(2, len(string_split(host, '.'))) END AS reg_k
+      FROM m)
+    SELECT array_to_string(list_slice(
+             string_split(host, '.'), -reg_k, -1), '.') AS registered_domain,
+           CAST(count(*) AS BIGINT) AS n_hosts
+    FROM reg GROUP BY registered_domain ORDER BY registered_domain
+    """,
+)
+def q_domain_pld_extract(spark, sf_dir):
+    from ..operators.domains import registered_domain, suffix_dim
+
+    c = _t(spark, sf_dir, "customer")
+    suffix = (
+        F.when(F.col("c_custkey") % 8 == 0, "co.jp")
+        .when(F.col("c_custkey") % 8 == 1, "com")
+        .when(F.col("c_custkey") % 8 == 2, "ne.jp")
+        .when(F.col("c_custkey") % 8 == 3, "org")
+        .when(F.col("c_custkey") % 8 == 4, "ac.uk")
+        .when(F.col("c_custkey") % 8 == 5, "com.au")
+        .when(F.col("c_custkey") % 8 == 6, "jp")
+        .otherwise("dev")
+    )
+    hosts = c.select(
+        F.concat(
+            F.lit("w"),
+            (F.col("c_custkey") % 7).cast("string"),
+            F.lit(".s"),
+            (F.col("c_custkey") % 13).cast("string"),
+            F.lit("."),
+            suffix,
+        ).alias("host")
+    ).distinct()
+    psl = suffix_dim(
+        spark,
+        ["jp", "com", "org", "io", "co.jp", "ne.jp", "ac.uk", "com.au"],
+    )
+    return (
+        registered_domain(hosts, psl)
+        .groupBy("registered_domain")
+        .agg(F.count("*").alias("n_hosts"))
+        .orderBy("registered_domain")
     )
