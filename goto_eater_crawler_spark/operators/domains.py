@@ -7,24 +7,39 @@ scoring, crawl-budget allocation) by REGISTERED domain, not raw host:
 owner ``example.co.jp``. The Public Suffix List semantics (publicly
 documented at publicsuffix.org; Mozilla's algorithm) are
 longest-match: the registrable domain is the matching public suffix
-plus the single label to its left.
+plus the single label to its left, with two special rule forms:
+
+* wildcard rules (``*.ck``): any single label in the ``*`` position
+  is part of the public suffix — ``foo.bar.ck`` registers as
+  ``foo.bar.ck``'s last three labels;
+* exception rules (``!www.ck``): cancel a wildcard — the prevailing
+  exception has its leftmost label removed to form the public suffix,
+  so ``www.ck`` itself is the registrable domain.
+
+Exception beats wildcard beats longer-normal beats shorter-normal
+(PSL spec: exceptions prevail outright; otherwise most labels wins).
 
 Spark-first shape (no UDF, corpus never collected):
 
-* candidate suffixes of each host — its last 1..K label runs — are
-  generated with native array expressions (``slice``/``array_join``),
-* matched against the suffix dim via ONE broadcast equi-join (the
-  real PSL is ~9k rules — a classic broadcast dim at any scale),
-* the longest match per host wins via a ``max_by`` aggregation keyed
-  by the host (hash agg with map-side partial — no window sort),
+* candidate forms of each host — its last 1..K label runs, each in
+  exact (``b.ck``), wildcard (``*.ck``) and exception (``!b.ck``)
+  spelling — are generated with native array expressions
+  (``slice``/``array_join``/``posexplode``),
+* matched against the rule dim via ONE broadcast equi-join on the
+  LITERAL rule string (the real PSL is ~9k rules — a classic
+  broadcast dim at any scale),
+* the prevailing rule per host wins via a ``max_by`` aggregation
+  keyed by the host (hash agg with map-side partial — no window
+  sort), priority = n_labels + a large exception bonus,
 * hosts matching no rule fall back to their last 2 labels (the PSL
   default "*" rule: unknown TLDs are treated as single-label
   suffixes).
 
-Wildcard (``*.ck``) and exception (``!www.ck``) PSL rules are out of
-scope here (the dim is exact-match); the reference crawler's
-allowed_domains scoping (operators/politeness.py offsite_split) never
-needed them either.
+One documented divergence from Mozilla: a host that IS a public
+suffix (``co.jp``, or ``b.ck`` under ``*.ck``) has no registrable
+domain per the PSL; this operator falls back to the default rule's
+last-2 labels (never NULL) so downstream per-domain grouping always
+has a key.
 
 Reference analogue: the per-prefecture crawler pins one registered
 domain per source (SURVEY.md §2 P4); at web scale the same scoping
@@ -36,24 +51,47 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# a deterministic sandbox-sized suffix dim for tests/gates; a real
-# deployment broadcasts the full PSL snapshot instead
+# a deterministic sandbox-sized rule dim for tests/gates; a real
+# deployment broadcasts the full PSL snapshot instead. Rules use the
+# PSL's literal syntax: plain, "*." wildcard, "!" exception.
 DEFAULT_SUFFIXES = [
     "jp", "com", "org", "io", "co.jp", "ne.jp", "ac.uk", "com.au",
+    "*.ck", "!www.ck",
 ]
+
+_EXCEPTION_BONUS = 1_000_000  # exceptions prevail over any label count
 
 
 def suffix_dim(spark, suffixes: list[str] | None = None) -> DataFrame:
-    rows = [(s, s.count(".") + 1) for s in (suffixes or DEFAULT_SUFFIXES)]
-    return spark.createDataFrame(rows, "suffix string, n_labels int")
+    """PSL rules -> (rule, n_labels, reg_k, priority).
+
+    ``n_labels`` counts the rule's labels (``*`` counts — ``*.ck`` has
+    2); ``reg_k`` is the registrable-domain label count a prevailing
+    match implies (suffix + 1 for normal/wildcard; n_labels for an
+    exception, whose leftmost label is removed to form the suffix);
+    ``priority`` implements exception > most-labels.
+    """
+    rows = []
+    for s in suffixes or DEFAULT_SUFFIXES:
+        is_exc = s.startswith("!")
+        n = s.lstrip("!").count(".") + 1
+        reg_k = n if is_exc else n + 1
+        prio = n + (_EXCEPTION_BONUS if is_exc else 0)
+        rows.append((s, n, reg_k, prio))
+    return spark.createDataFrame(
+        rows, "rule string, n_labels int, reg_k int, priority int"
+    )
 
 
-def _last_labels(labels: Column, k: int) -> Column:
-    """The suffix made of the last ``k`` labels, '' when too short."""
-    return F.when(
-        F.size(labels) > k,  # need at least one label LEFT of the suffix
-        F.array_join(F.slice(labels, -k, k), "."),
-    ).otherwise(F.lit(""))
+def _last_labels(labels: Column, k: int, *, allow_equal: bool) -> Column:
+    """The suffix made of the last ``k`` labels, '' when the host is
+    too short. ``allow_equal`` admits a host exactly k labels long
+    (exception rules match the whole host; normal/wildcard rules need
+    one label LEFT of the suffix to register)."""
+    ok = F.size(labels) >= k if allow_equal else F.size(labels) > k
+    return F.when(ok, F.array_join(F.slice(labels, -k, k), ".")).otherwise(
+        F.lit("")
+    )
 
 
 def registered_domain(
@@ -66,41 +104,66 @@ def registered_domain(
 
     Distinct hosts only is the caller's choice; the op is a projection
     + one broadcast join + one hash agg either way.
+
+    ``max_suffix_labels`` must be >= the longest rule's n_labels
+    (2 covers the gate dim; the real PSL needs 5).
     """
     labels = F.split(F.col(host_col), r"\.")
-    cands = hosts.select(
-        host_col,
-        F.posexplode(
-            F.array(
-                *[_last_labels(labels, k) for k in range(1, max_suffix_labels + 1)]
+    cand_forms: list[Column] = []
+    for k in range(1, max_suffix_labels + 1):
+        exact = _last_labels(labels, k, allow_equal=False)
+        # normal rule "b.ck": literal tail, one label left required
+        cand_forms.append(exact)
+        # exception rule "!www.ck": whole-host match allowed (reg_k
+        # == n_labels, nothing left of the suffix is needed)
+        whole = _last_labels(labels, k, allow_equal=True)
+        cand_forms.append(
+            F.when(whole != "", F.concat(F.lit("!"), whole)).otherwise(
+                F.lit("")
             )
-        ).alias("k0", "cand"),
+        )
+        # wildcard rule "*.ck" (k labels incl. the *): host tail =
+        # [any-label, last k-1 labels], one label left of the FULL
+        # k-label suffix required -> size > k
+        if k >= 2:
+            tail = F.when(
+                F.size(labels) > k,
+                F.array_join(F.slice(labels, -(k - 1), k - 1), "."),
+            ).otherwise(F.lit(""))
+            cand_forms.append(
+                F.when(tail != "", F.concat(F.lit("*."), tail)).otherwise(
+                    F.lit("")
+                )
+            )
+    cands = hosts.select(
+        host_col, F.posexplode(F.array(*cand_forms)).alias("k0", "cand")
     )
-    # '' candidates (host too short for that suffix length) are kept:
-    # they match no dim row and land on the fallback path, so a
+    # '' candidates (host too short for that form) are kept: they
+    # match no dim row and land on the fallback path, so a
     # single-label host still yields an output row
     matched = (
         cands.join(
-            F.broadcast(suffixes), cands["cand"] == suffixes["suffix"], "left"
+            F.broadcast(suffixes), cands["cand"] == suffixes["rule"], "left"
         )
-        # longest matching suffix wins; NULL n_labels (no match) loses
-        # to any match via coalesce(-1)
+        # prevailing rule: exception first, then most labels; no match
+        # loses to any match via coalesce(-1)
         .groupBy(host_col)
         .agg(
             F.max_by(
-                "suffix", F.coalesce("n_labels", F.lit(-1))
-            ).alias("best_suffix"),
-            F.max(F.coalesce("n_labels", F.lit(-1))).alias("best_n"),
+                "reg_k", F.coalesce("priority", F.lit(-1))
+            ).alias("best_reg_k"),
+            F.max(F.coalesce("priority", F.lit(-1))).alias("best_prio"),
         )
     )
     labels_m = F.split(F.col(host_col), r"\.")
     n = F.size(labels_m)
-    # registrable = best suffix plus one label left of it; PSL default
-    # rule (no match): unknown TLD acts as a 1-label suffix -> last 2
+    # PSL default rule (no match): unknown TLD acts as a 1-label
+    # suffix -> last 2; a prevailing rule may still imply more labels
+    # than the host has (whole-host exception) -> clamp to n
     fallback_k = F.least(F.lit(2), n)
-    reg_k = F.when(F.col("best_n") > 0, F.col("best_n") + 1).otherwise(
-        fallback_k
-    )
+    reg_k = F.when(
+        F.col("best_prio") > 0, F.least(F.col("best_reg_k"), n)
+    ).otherwise(fallback_k)
     return matched.select(
         host_col,
         F.array_join(F.slice(labels_m, -reg_k, reg_k), ".").alias(

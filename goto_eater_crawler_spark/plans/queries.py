@@ -97,6 +97,9 @@ _GATE_ORDER: list[str] = [
     "crawl_cdx_index",
     "recrawl_change_rate",
     "domain_pld_extract",
+    "sitemap_extract",
+    "crawltrap_detect",
+    "host_mirror_jaccard",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -116,14 +119,14 @@ _GATE_ORDER: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_keep_documents",
-    "dedup_lines",
-    "dedup_shingle_containment",
     # ================= position 50 boundary =================
     # everything below already has driver-green rows (r1/r2/r3) —
     # pinned by tests/test_gate_order.py against the committed
     # CORRECTNESS_r*.json files; redundant-sibling or simple gates
     # per the VERDICT's guidance
+    "dedup_keep_documents",
+    "dedup_lines",
+    "dedup_shingle_containment",
     "quality_unigram_logprob",
     "text_repetition",
     "similarity_cosine_topk",
@@ -2729,4 +2732,217 @@ def q_domain_pld_extract(spark, sf_dir):
         .groupBy("registered_domain")
         .agg(F.count("*").alias("n_hosts"))
         .orderBy("registered_domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-infrastructure operators (round 4, session 7): sitemap ingest,
+# crawl-trap detection, host-mirror detection
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sitemap_extract",
+    # S-adjacent frontier source — the sitemaps.org protocol feed every
+    # production crawler ingests alongside discovered links: one XML
+    # blob per host, parsed back into (host, loc, lastmod) frontier
+    # candidates. The synthesis half (string_agg per host) stands in
+    # for the fetch; the PARSE half is the operator under test — a
+    # shuffle-free 1->many explode via native regexp_extract_all +
+    # positional zip, the miniwarc ingest shape (VERDICT r3: WARC
+    # ingest) applied to the sitemap artifact. At 100 TB the parse is
+    # embarrassingly parallel per blob; only the final presentation
+    # sort shuffles (range partition).
+    """
+    WITH sm AS (
+      SELECT source AS host,
+             '<urlset>' || string_agg(
+               '<url><loc>https://' || source || '.example.org/doc/'
+                 || CAST(doc_id AS VARCHAR) || '</loc><lastmod>2020-01-'
+                 || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 || '</lastmod></url>', '' ORDER BY doc_id)
+               || '</urlset>' AS xml
+      FROM documents GROUP BY source),
+    parsed AS (
+      SELECT host,
+             unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc,
+             unnest(regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1))
+               AS lastmod
+      FROM sm)
+    SELECT host, loc, lastmod FROM parsed ORDER BY loc
+    """,
+)
+def q_sitemap_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2020-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"),
+    )
+    sm = (
+        d.select(F.col("source").alias("host"), "doc_id", entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                        lambda s: s["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    # the operator: per-blob 1->many parse, zero shuffle until the sort
+    zipped = F.arrays_zip(
+        F.regexp_extract_all("xml", F.lit("<loc>([^<]*)</loc>"), F.lit(1)),
+        F.regexp_extract_all(
+            "xml", F.lit("<lastmod>([^<]*)</lastmod>"), F.lit(1)
+        ),
+    )
+    return (
+        sm.select("host", F.explode(zipped).alias("z"))
+        .select("host", F.col("z.0").alias("loc"), F.col("z.1").alias("lastmod"))
+        .orderBy("loc")
+    )
+
+
+@_register(
+    "crawltrap_detect",
+    # T-adjacent frontier hygiene — crawler-trap detection by URL-path
+    # shape (calendar/session-id traps generate unbounded low-value
+    # URL spaces; every production frontier filters them). Heuristic:
+    # a path is a trap candidate when it is deep AND self-repeating
+    # (distinct-segment ratio <= 1/2), or absurdly deep. Pure native
+    # string/array expressions, WholeStageCodegen end to end, no
+    # shuffle before the presentation sort — at 100 TB this is a
+    # filter riding the extract stage, not a job.
+    """
+    WITH urls AS (
+      SELECT 'h' || CAST(o_custkey % 5 AS VARCHAR) || '.example.org' AS host,
+             'a' || CAST(o_orderkey % 100 AS VARCHAR)
+               || repeat('/s' || CAST(o_orderkey % 7 AS VARCHAR),
+                         CAST(o_orderkey % 10 AS INT)) AS path
+      FROM orders),
+    shaped AS (
+      SELECT host, path,
+             CAST(len(string_split(path, '/')) AS BIGINT) AS depth,
+             CAST(len(list_distinct(string_split(path, '/'))) AS BIGINT)
+               AS uniq
+      FROM urls)
+    SELECT host, path, depth, uniq
+    FROM shaped
+    WHERE (depth >= 6 AND uniq * 2 <= depth) OR depth > 8
+    ORDER BY host, path
+    """,
+)
+def q_crawltrap_detect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    path = F.concat(
+        F.lit("a"),
+        (F.col("o_orderkey") % 100).cast("string"),
+        F.repeat(
+            F.concat(F.lit("/s"), (F.col("o_orderkey") % 7).cast("string")),
+            (F.col("o_orderkey") % 10).cast("int"),
+        ),
+    )
+    urls = o.select(
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 5).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host"),
+        path.alias("path"),
+    )
+    segs = F.split(F.col("path"), "/")
+    shaped = urls.select(
+        "host",
+        "path",
+        F.size(segs).cast("long").alias("depth"),
+        F.size(F.array_distinct(segs)).cast("long").alias("uniq"),
+    )
+    return shaped.filter(
+        ((F.col("depth") >= 6) & (F.col("uniq") * 2 <= F.col("depth")))
+        | (F.col("depth") > 8)
+    ).orderBy("host", "path")
+
+
+@_register(
+    "host_mirror_jaccard",
+    # P7-at-host-granularity — mirror detection: hosts serving
+    # near-identical content sets (www/non-www, CDN mirrors, parked
+    # duplicates) waste crawl budget; production crawlers collapse
+    # them by content-digest set similarity. Shape: distinct
+    # (host, digest) pairs, intersections via ONE equi-join on digest
+    # (bucketed by digest — never all-pairs-of-hosts), Jaccard from
+    # per-host set sizes joined as a dim. A digest shared by k hosts
+    # contributes k^2/2 pairs — the hot-digest DF cap from the shingle
+    # dedups (textdedup.py) is the production arm; exact here at gate
+    # scale. content_key stands in for md5(body) so overlap is
+    # deterministic and non-vacuous.
+    """
+    WITH pages AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             doc_id % 101 AS content_key
+      FROM documents),
+    sizes AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n FROM pages GROUP BY host),
+    inter AS (
+      SELECT a.host AS host_a, b.host AS host_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM pages a JOIN pages b
+        ON a.content_key = b.content_key AND a.host < b.host
+      GROUP BY a.host, b.host)
+    SELECT host_a, host_b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.host = host_a
+    JOIN sizes sb ON sb.host = host_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ORDER BY host_a, host_b
+    """,
+)
+def q_host_mirror_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        (F.col("doc_id") % 101).alias("content_key"),
+    ).distinct()
+    sizes = pages.groupBy("host").agg(F.count("*").alias("n"))
+    a, b = pages.alias("a"), pages.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.content_key") == F.col("b.content_key"))
+            & (F.col("a.host") < F.col("b.host")),
+        )
+        .groupBy(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jacc = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.alias("sa")), F.col("sa.host") == F.col("host_a")
+        )
+        .join(
+            F.broadcast(sizes.alias("sb")), F.col("sb.host") == F.col("host_b")
+        )
+        .filter(jacc >= 0.5)
+        .select(
+            "host_a", "host_b", "n_common", F.round(jacc, 6).alias("jaccard")
+        )
+        .orderBy("host_a", "host_b")
     )

@@ -50,6 +50,36 @@ def test_default_rule_and_short_hosts(spark):
     assert got["co.jp"] == "co.jp"
 
 
+def test_wildcard_rule(spark):
+    # *.ck: any single label under ck is itself a public suffix
+    got = _run(
+        spark,
+        [
+            "foo.bar.ck",  # suffix = bar.ck (wildcard) -> foo.bar.ck
+            "a.foo.bar.ck",  # same suffix, deeper host
+            "bar.ck",  # IS a public suffix: documented fallback last-2
+        ],
+    )
+    assert got["foo.bar.ck"] == "foo.bar.ck"
+    assert got["a.foo.bar.ck"] == "foo.bar.ck"
+    assert got["bar.ck"] == "bar.ck"
+
+
+def test_exception_rule_beats_wildcard(spark):
+    # !www.ck cancels *.ck: suffix = ck, registrable = www.ck
+    got = _run(
+        spark,
+        [
+            "www.ck",  # the exception itself is registrable
+            "foo.www.ck",  # deeper host under the exception
+            "a.b.www.ck",
+        ],
+    )
+    assert got["www.ck"] == "www.ck"
+    assert got["foo.www.ck"] == "www.ck"
+    assert got["a.b.www.ck"] == "www.ck"
+
+
 def test_suffix_join_is_broadcast(spark):
     df = spark.createDataFrame([("a.example.co.jp",)], ["host"])
     out = registered_domain(df, suffix_dim(spark))
