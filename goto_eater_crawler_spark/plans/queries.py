@@ -100,6 +100,8 @@ _GATE_ORDER: list[str] = [
     "sitemap_extract",
     "crawltrap_detect",
     "host_mirror_jaccard",
+    "boilerplate_lines",
+    "index_postings",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -117,21 +119,21 @@ _GATE_ORDER: list[str] = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
     # ================= position 50 boundary =================
     # everything below already has driver-green rows (r1/r2/r3) —
     # pinned by tests/test_gate_order.py against the committed
     # CORRECTNESS_r*.json files; redundant-sibling or simple gates
     # per the VERDICT's guidance
+    "dedup_simhash",
+    "dedup_clusters",
     "dedup_keep_documents",
     "dedup_lines",
     "dedup_shingle_containment",
     "quality_unigram_logprob",
-    "text_repetition",
     "similarity_cosine_topk",
     "similarity_ivf_assign",
     "similarity_ivf_topk",
+    "text_repetition",
     "dedup_semdedup",
     "text_langid",
     "text_token_count_bpe",
@@ -2945,4 +2947,138 @@ def q_host_mirror_jaccard(spark, sf_dir):
             "host_a", "host_b", "n_common", F.round(jacc, 6).alias("jaccard")
         )
         .orderBy("host_a", "host_b")
+    )
+
+
+# the dedup_lines reshape pattern, spelled for a DuckDB single-quoted
+# regex literal (textdedup._LINE_BREAK_RE — same bytes, no escaping
+# differences: \S and {n} are RE2-and-Java-common)
+_LINE_PAT_SQL = _td._LINE_BREAK_RE
+
+
+@_register(
+    "boilerplate_lines",
+    # F1-at-corpus-scale — per-host template/boilerplate detection
+    # (trafilatura/jusText's frequency arm, done corpus-side): a line
+    # occurring in >= half of a host's documents is template chrome
+    # (nav, header, footer, cookie banner), not content. Reuses the
+    # dedup_lines reshape (planted per-source header + global footer,
+    # textdedup.docs_with_lines) so positives exist at every SF.
+    # Shape: distinct (host, doc, line) -> one map-side-combinable
+    # groupBy(host, line) -> ratio vs the broadcast per-host doc
+    # count. Unlike dedup_lines (global first-occurrence keeper) this
+    # is per-host document frequency — the complementary signal a
+    # production pipeline uses to STRIP rather than keep-first.
+    f"""
+    WITH lined AS (
+      SELECT doc_id, source,
+             '<<hdr:' || source || '>>' || chr(10)
+             || regexp_replace(text, '{_LINE_PAT_SQL}', '\\1' || chr(10), 'g')
+             || chr(10) || '<<footer:terms-of-service>>' AS text
+      FROM documents),
+    lines AS (
+      SELECT DISTINCT source, doc_id, unnest(string_split(text, chr(10)))
+               AS line
+      FROM lined),
+    hostdocs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    linedf AS (
+      SELECT source, line, CAST(count(*) AS BIGINT) AS df
+      FROM lines GROUP BY source, line)
+    SELECT l.source, l.line, l.df, h.n_docs,
+           round(CAST(l.df AS DOUBLE) / h.n_docs, 6) AS ratio
+    FROM linedf l JOIN hostdocs h ON l.source = h.source
+    WHERE l.df * 2 >= h.n_docs AND l.df >= 2
+    ORDER BY l.source, l.line
+    """,
+)
+def q_boilerplate_lines(spark, sf_dir):
+    from ..operators import textdedup as _tdm
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.regexp_replace(F.col("text"), _tdm._LINE_BREAK_RE, "$1\n")
+    text2 = F.concat(
+        F.lit("<<hdr:"), F.col("source"), F.lit(">>\n"),
+        body,
+        F.lit("\n<<footer:terms-of-service>>"),
+    )
+    lines = (
+        d.select("source", "doc_id", F.explode(F.split(text2, "\n")).alias("line"))
+        .distinct()
+    )
+    hostdocs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    linedf = lines.groupBy("source", "line").agg(F.count("*").alias("df"))
+    ratio = F.col("df").cast("double") / F.col("n_docs")
+    return (
+        linedf.join(F.broadcast(hostdocs), "source")
+        .filter((F.col("df") * 2 >= F.col("n_docs")) & (F.col("df") >= 2))
+        .select(
+            "source", "line", "df", "n_docs", F.round(ratio, 6).alias("ratio")
+        )
+        .orderBy("source", "line")
+    )
+
+
+@_register(
+    "index_postings",
+    # The indexing terminus of the crawl->corpus pipeline: inverted
+    # posting lists (term -> sorted (doc, tf) postings + document
+    # frequency), the shape every search/index build job reduces to.
+    # Two map-side-combinable shuffles: tokens -> (tok, doc) tf, then
+    # (tok) postings. Postings capped at the first 64 docs by doc_id
+    # (stop-token skew bound — at 100 TB a stop word's full postings
+    # list is a hot key; the cap keeps the gate deterministic and the
+    # production arm shards hot terms by doc-range, same device as the
+    # textdedup DF caps). df >= 20 keeps the gate non-trivially
+    # selective at every SF.
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+               AS tok
+      FROM documents),
+    tf AS (
+      SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY tok, doc_id),
+    agg AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS total_tf,
+             array_to_string(list_slice(
+               list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+                    ORDER BY doc_id), 1, 64), ' ') AS postings
+      FROM tf GROUP BY tok)
+    SELECT tok, df, total_tf, postings
+    FROM agg WHERE df >= 20 ORDER BY tok
+    """,
+)
+def q_index_postings(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    postings = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat(
+                    s["doc_id"].cast("string"), F.lit(":"), s["tf"].cast("string")
+                ),
+            ),
+            1,
+            64,
+        ),
+        " ",
+    )
+    return (
+        tf.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            postings.alias("postings"),
+        )
+        .filter(F.col("df") >= 20)
+        .select("tok", "df", "total_tf", "postings")
+        .orderBy("tok")
     )
