@@ -132,6 +132,118 @@ def host_rank_sql(edges_sql: str, iterations: int = 5, damping: float = 0.85) ->
     )
 
 
+def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Kleinberg HITS over (src, dst) host edges: (host, authority,
+    hub) after ``iterations`` mutual-reinforcement steps, L1-normalized
+    each half-step, rounded to 6 decimals.
+
+    Complements :func:`host_rank` on the same crawl-accumulated graph:
+    PageRank prioritizes FETCH order (authority of the page itself),
+    HITS separates hub quality (seed/directory pages whose out-links
+    are worth expanding — the crawl's frontier-expansion signal) from
+    authority (pages worth keeping — the corpus-quality signal).
+
+    Scale design mirrors :func:`host_rank`: each half-step is ONE
+    hash-partitioned join of the slim per-host score relation against
+    the edge list + ONE map-side-combinable groupBy sum; the L1
+    normalizer stays in-plan as a 1-row broadcast (no driver collect
+    per iteration); scores localCheckpoint per iteration so the
+    lineage stays O(1). Iteration count FIXED so the DuckDB oracle
+    (:func:`hits_sql`) reproduces results exactly.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn(
+            "authority", F.lit(0.0).cast("double")
+        ).withColumn("hub", F.lit(0.0).cast("double"))
+    edges = edges.localCheckpoint(eager=True)
+
+    def _l1(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col).alias("_t"))
+        return scores.crossJoin(F.broadcast(total)).select(
+            "host", (F.col(col) / F.col("_t")).alias(col)
+        )
+
+    hub = nodes.withColumn("hub", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iterations):
+        # a = E^T h : authority inflow summed over in-edges
+        a_raw = (
+            edges.join(hub, edges["src"] == hub["host"])
+            .groupBy(F.col("dst").alias("h2"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _l1(
+            nodes.join(a_raw, nodes["host"] == a_raw["h2"], "left")
+            .select(
+                "host",
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            ),
+            "authority",
+        ).localCheckpoint(eager=True)
+        # h = E a : hub outflow summed over out-edges
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["host"])
+            .groupBy(F.col("src").alias("h2"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = _l1(
+            nodes.join(h_raw, nodes["host"] == h_raw["h2"], "left")
+            .select("host", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        ).localCheckpoint(eager=True)
+    return (
+        auth.join(hub, "host")
+        .select(
+            "host",
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+    )
+
+
+def hits_sql(edges_sql: str, iterations: int = 3) -> str:
+    """The same fixed-iteration HITS recurrence unrolled as chained
+    CTEs (the :func:`host_rank_sql` device)."""
+    parts = [
+        f"""WITH edges AS ({edges_sql}),
+    nodes AS (SELECT DISTINCT host FROM (
+        SELECT src AS host FROM edges UNION SELECT dst FROM edges)),
+    h0 AS (SELECT host, 1.0 / (SELECT count(*) FROM nodes) AS hub
+           FROM nodes)"""
+    ]
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS (SELECT e.dst AS host, sum(h.hub) AS authority
+        FROM edges e JOIN {prev_h} h ON e.src = h.host GROUP BY 1),
+    a{i} AS (SELECT n.host,
+               coalesce(r.authority, 0.0)
+                 / (SELECT sum(authority) FROM ar{i}) AS authority
+             FROM nodes n LEFT JOIN ar{i} r ON n.host = r.host),
+    hr{i} AS (SELECT e.src AS host, sum(a.authority) AS hub
+        FROM edges e JOIN a{i} a ON e.dst = a.host GROUP BY 1),
+    h{i} AS (SELECT n.host,
+               coalesce(r.hub, 0.0) / (SELECT sum(hub) FROM hr{i}) AS hub
+             FROM nodes n LEFT JOIN hr{i} r ON n.host = r.host)"""
+        )
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT host, round(a.authority, 6) AS authority,
+           round(h.hub, 6) AS hub
+    FROM {prev_a} a JOIN {prev_h} h USING (host)"""
+    )
+
+
 def with_host_rank(frontier: DataFrame, ranks: DataFrame, weight: float = 100.0) -> DataFrame:
     """Re-prioritize a frontier with computed host ranks:
     priority = host_rank x W - depth (north_rule O3). Ranks is a slim

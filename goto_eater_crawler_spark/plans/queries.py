@@ -102,6 +102,10 @@ _GATE_ORDER: list[str] = [
     "host_mirror_jaccard",
     "boilerplate_lines",
     "index_postings",
+    "graph_hits",
+    "index_bm25_topk",
+    "anchor_text_agg",
+    "text_readability",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -3082,3 +3086,286 @@ def q_index_postings(spark, sf_dir):
         .select("tok", "df", "total_tf", "postings")
         .orderBy("tok")
     )
+
+
+@_register(
+    "graph_hits",
+    # Kleinberg HITS (hubs & authorities) over the same deterministic
+    # 50-node host graph as host_pagerank: the crawl's SECOND graph
+    # signal — hub scores rank seed/directory hosts whose out-links
+    # deserve frontier expansion, authority scores rank hosts worth
+    # keeping in the corpus. Fixed 3 iterations, L1-normalized per
+    # half-step; oracle = the recurrence unrolled as chained CTEs
+    # (operators/hostrank.hits_sql), same device as host_pagerank.
+    _hr.hits_sql(_HOST_EDGES_SQL, iterations=3) + " ORDER BY host",
+)
+def q_graph_hits(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("h"), (F.col("o_orderkey") % 50).cast("string")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return _hr.hits(edges, iterations=3).orderBy("host")
+
+
+# BM25 constants (Robertson et al., the Okapi defaults) and the fixed
+# probe query. idf uses the +1-inside-the-log BM25+ spelling so every
+# term contributes positively regardless of df/N.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+@_register(
+    "index_bm25_topk",
+    # Retrieval terminus of the index build: BM25 ranking of the
+    # corpus for a fixed multi-term query — the standard relevance
+    # function every search stack computes over exactly the
+    # (tf, df, doclen) statistics index_postings materializes.
+    # Shape: ONE tokens->tf shuffle (map-side combinable), per-term
+    # df + corpus avgdl as broadcast dims, score = sum over <=3
+    # matched terms per doc (one slim groupBy), top-20 via a single
+    # total-order window with doc_id tiebreak (deterministic LIMIT
+    # boundary on both engines).
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+               AS tok
+      FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    tf AS (
+      SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM toks
+      WHERE tok IN {str(tuple(_BM25_TERMS))}
+      GROUP BY tok, doc_id),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id,
+             sum(
+               ln((( SELECT n FROM stats) - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * t.tf * ({_BM25_K1} + 1.0)
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * d.dl / (SELECT avgdl FROM stats)))
+             ) AS score,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM tf t JOIN df f ON t.tok = f.tok JOIN dl d ON t.doc_id = d.doc_id
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_terms, round(score, 6) AS score
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_index_bm25_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * F.lit(_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_score).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    w = Window.orderBy(F.round("score", 6).desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select("doc_id", "n_terms", F.round("score", 6).alias("score"))
+        .orderBy(F.round("score", 6).desc(), "doc_id")
+    )
+
+
+@_register(
+    "anchor_text_agg",
+    # Anchor-text aggregation — the classic web-index enrichment step
+    # (a target page is described by the anchors of its in-links;
+    # Brin & Page 1998 §2.2). The link graph is derived
+    # deterministically from the corpus itself (two out-links per doc
+    # via multiplicative-hash modulo the corpus size — both engines
+    # compute the identical graph in-plan, no collected N), anchor =
+    # the source doc's first 4 tokens. Shape: distinct (dst, anchor)
+    # pairs -> ONE map-side-combinable groupBy(dst); anchors capped
+    # at 8 sorted entries (hot-target skew bound, same device as
+    # index_postings' posting cap).
+    """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    links AS (
+      SELECT doc_id AS src,
+             (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst,
+             array_to_string(list_slice(
+               string_split_regex(trim(lower(text)), '\\s+'), 1, 4), ' ')
+               AS anchor
+      FROM documents
+      UNION ALL
+      SELECT doc_id AS src,
+             (doc_id * 13 + 11) % (SELECT n FROM nn) AS dst,
+             array_to_string(list_slice(
+               string_split_regex(trim(lower(text)), '\\s+'), 1, 4), ' ')
+               AS anchor
+      FROM documents),
+    pairs AS (
+      SELECT DISTINCT dst, anchor FROM links WHERE src <> dst),
+    inl AS (
+      SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks
+      FROM links WHERE src <> dst GROUP BY dst)
+    SELECT p.dst AS doc_id, i.n_inlinks,
+           CAST(count(*) AS BIGINT) AS n_distinct_anchors,
+           array_to_string(list_slice(
+             list(p.anchor ORDER BY p.anchor), 1, 8), ' | ') AS anchors
+    FROM pairs p JOIN inl i ON p.dst = i.dst
+    GROUP BY p.dst, i.n_inlinks
+    ORDER BY doc_id
+    """,
+)
+def q_anchor_text_agg(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nn = d.agg(F.count("*").alias("n"))
+    anchor = F.array_join(
+        F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 4), " "
+    )
+    base = d.crossJoin(F.broadcast(nn)).select(
+        F.col("doc_id").alias("src"), F.col("n"), anchor.alias("anchor")
+    )
+    links = base.select(
+        "src", ((F.col("src") * 7 + 3) % F.col("n")).alias("dst"), "anchor"
+    ).unionByName(
+        base.select(
+            "src",
+            ((F.col("src") * 13 + 11) % F.col("n")).alias("dst"),
+            "anchor",
+        )
+    ).filter(F.col("src") != F.col("dst"))
+    pairs = links.select("dst", "anchor").distinct()
+    inl = links.groupBy("dst").agg(F.count("*").alias("n_inlinks"))
+    return (
+        pairs.groupBy("dst")
+        .agg(
+            F.count("*").alias("n_distinct_anchors"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("anchor")), 1, 8), " | "
+            ).alias("anchors"),
+        )
+        .join(inl, "dst")
+        .select(
+            F.col("dst").alias("doc_id"),
+            "n_inlinks",
+            "n_distinct_anchors",
+            "anchors",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "text_readability",
+    # Flesch reading-ease scoring (Flesch 1948; Kincaid et al. 1975
+    # recalibration constants) — the classic readability arm of corpus
+    # quality filtering, next to the Gopher rules and LM-logprob
+    # scores already in the suite. Words / sentences / syllable
+    # approximation (vowel-group runs) are all single-pass native
+    # regexp counts (WholeStageCodegen, zero shuffle before the
+    # per-doc projection); the banding CASE gives the filterable
+    # label a pipeline actually keys on.
+    """
+    SELECT doc_id,
+           words, sentences, syllables,
+           round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words), 4) AS flesch,
+           CASE
+             WHEN 206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                  - 84.6 * (CAST(syllables AS DOUBLE) / words) >= 60 THEN 'easy'
+             WHEN 206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                  - 84.6 * (CAST(syllables AS DOUBLE) / words) >= 30 THEN 'medium'
+             ELSE 'hard'
+           END AS band
+    FROM (
+      SELECT doc_id,
+             greatest(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(trim(text), '[^ \\t\\n]+'))
+                    AS BIGINT)) AS words,
+             greatest(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+               AS sentences,
+             greatest(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT)) AS syllables
+      FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q_text_readability(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    one = F.lit(1).cast("long")
+    words = F.greatest(one, F.regexp_count(F.trim("text"), F.lit(r"[^ \t\n]+")))
+    sentences = F.greatest(one, F.regexp_count(F.col("text"), F.lit(r"[.!?]+")))
+    syllables = F.greatest(
+        one, F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+"))
+    )
+    scored = d.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    return scored.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(flesch, 4).alias("flesch"),
+        F.when(flesch >= 60, F.lit("easy"))
+        .when(flesch >= 30, F.lit("medium"))
+        .otherwise(F.lit("hard"))
+        .alias("band"),
+    ).orderBy("doc_id")

@@ -135,3 +135,45 @@ def test_with_host_rank_reprioritizes_frontier(spark):
     )
     (row,) = hr.with_host_rank(more, ranks).collect()
     assert row["priority"] == pytest.approx(-1.0)
+
+
+def test_hits_matches_numpy_power_iteration(spark, star_edges):
+    """hits() reproduces the textbook mutual-reinforcement recurrence
+    (a = E^T h, h = E a, L1-normalized per half-step) computed
+    densely on the driver."""
+    rows = star_edges.collect()
+    hosts = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    E = [[0.0] * n for _ in range(n)]
+    for r in rows:
+        E[idx[r["src"]]][idx[r["dst"]]] = 1.0
+    h = [1.0 / n] * n
+    for _ in range(3):
+        a = [sum(E[u][v] * h[u] for u in range(n)) for v in range(n)]
+        sa = sum(a)
+        a = [x / sa for x in a]
+        h = [sum(E[u][v] * a[v] for v in range(n)) for u in range(n)]
+        sh = sum(h)
+        h = [x / sh for x in h]
+    got = {r["host"]: (r["authority"], r["hub"]) for r in hr.hits(star_edges, 3).collect()}
+    for host in hosts:
+        assert got[host][0] == pytest.approx(a[idx[host]], abs=1e-6)
+        assert got[host][1] == pytest.approx(h[idx[host]], abs=1e-6)
+
+
+def test_hits_hub_authority_separation(spark, star_edges):
+    """In the star graph the leaves are pure hubs (they only point at
+    center) and 'center'/'a' carry the authority — HITS separates the
+    two roles where PageRank conflates them into one score."""
+    got = {r["host"]: r for r in hr.hits(star_edges, 3).collect()}
+    assert got["center"]["authority"] > got["n0"]["authority"]
+    assert got["n0"]["hub"] > got["a"]["hub"]
+    # L1 invariants: each score vector sums to 1
+    assert sum(r["authority"] for r in got.values()) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["hub"] for r in got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_hits_empty_graph(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hr.hits(empty, 3).count() == 0
