@@ -106,6 +106,9 @@ _GATE_ORDER: list[str] = [
     "index_bm25_topk",
     "anchor_text_agg",
     "text_readability",
+    "warc_wet_extract",
+    "soft404_detect",
+    "graph_degree_dist",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -3369,3 +3372,206 @@ def q_text_readability(spark, sf_dir):
         .otherwise(F.lit("hard"))
         .alias("band"),
     ).orderBy("doc_id")
+
+
+# the single-line HTML wrapper synth_warc_from_docs applies under
+# html_wrap=True, restated for SQL string concatenation; the WET
+# strip regex is shared verbatim by both engines (no '>' occurs
+# inside the synthesized tags, so the character-class spelling is
+# engine-agnostic — no lazy quantifier / DOTALL divergence risk)
+_WET_TAG_RE = r"</?[^ >/][^>]*>"
+
+
+@_register(
+    "warc_wet_extract",
+    # WARC -> WET conversion (the Common Crawl wet-file derivation):
+    # response records with HTML payloads reduced to plain-text
+    # conversion records (url, ts, extracted text, length, digest).
+    # The engine builds REAL per-record-gzipped WARC bytes whose
+    # bodies are HTML-wrapped docs (title + nav boilerplate + body
+    # paragraph), re-parses them through the mapInPandas reader, and
+    # strips markup with native regexp exprs — one Python codec
+    # stage, everything downstream WholeStageCodegen, no shuffle
+    # before the presentation sort. Oracle reconstructs the identical
+    # HTML from documents and applies the same strip pipeline.
+    f"""
+    WITH pages AS (
+      SELECT 'https://w' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             CAST('2021-06-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               || ' 12:00:00' AS TIMESTAMP) AS warc_ts,
+             '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+               || '</title></head><body><nav>home | about</nav><p>'
+               || text || '</p></body></html>' AS html
+      FROM documents),
+    wet AS (
+      SELECT url, warc_ts,
+             trim(regexp_replace(
+               regexp_replace(html, '{_WET_TAG_RE}', ' ', 'g'),
+               ' +', ' ', 'g')) AS wet_text
+      FROM pages)
+    SELECT url, warc_ts, wet_text,
+           CAST(length(wet_text) AS BIGINT) AS n_chars,
+           md5(wet_text) AS digest
+    FROM wet ORDER BY url
+    """,
+)
+def q_warc_wet_extract(spark, sf_dir):
+    from ..sources import warc as _warc
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = _warc.synth_warc_from_docs(
+        d, docs_per_file=50, gzipped=True, html_wrap=True
+    )
+    pages = _warc.warc_pages(blobs)
+    wet = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.decode(F.col("html"), "UTF-8"), _WET_TAG_RE, " "
+            ),
+            " +",
+            " ",
+        )
+    )
+    return (
+        pages.select("url", "warc_ts", wet.alias("wet_text"))
+        .select(
+            "url",
+            "warc_ts",
+            "wet_text",
+            F.length("wet_text").cast("bigint").alias("n_chars"),
+            F.md5(F.encode(F.col("wet_text"), "UTF-8")).alias("digest"),
+        )
+        .orderBy("url")
+    )
+
+
+# the planted error-page body (both engines construct it in-plan, so
+# positives exist deterministically at every SF — the dedup-variant
+# planting device)
+_SOFT404_BODY = (
+    "error 404 - the page you requested was not found on this server"
+)
+
+
+@_register(
+    "soft404_detect",
+    # Soft-404 detection (Bar-Yossef et al., WWW 2004 "Sic transit
+    # gloria telae"): pages served with HTTP 200 whose CONTENT is an
+    # error page — a real crawl must drop them before they pollute
+    # the corpus and the link graph. Every doc_id % 23 == 0 page is
+    # planted as an error body in-plan; the classifier is the
+    # standard content-signal vote (error-phrase hit + abnormally
+    # short body), all native string exprs, zero shuffle before the
+    # presentation sort.
+    f"""
+    WITH served AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 0 THEN '{_SOFT404_BODY}'
+                  ELSE text END AS body
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(trim(body), '[^ ]+')) AS BIGINT)
+               AS n_words,
+             (body LIKE '%not found%') AS sig_notfound,
+             (body LIKE '%404%') AS sig_404
+      FROM served)
+    SELECT doc_id, n_words,
+           concat(CASE WHEN sig_notfound THEN 'notfound' ELSE '' END,
+                  CASE WHEN sig_404 THEN '+404' ELSE '' END) AS signals
+    FROM sig
+    WHERE sig_notfound OR (sig_404 AND n_words < 30)
+    ORDER BY doc_id
+    """,
+)
+def q_soft404_detect(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 23 == 0, F.lit(_SOFT404_BODY)
+    ).otherwise(F.col("text"))
+    sig = d.select(
+        "doc_id",
+        F.regexp_count(F.trim(body), F.lit("[^ ]+"))
+        .cast("bigint")
+        .alias("n_words"),
+        body.contains("not found").alias("sig_notfound"),
+        body.contains("404").alias("sig_404"),
+    )
+    return (
+        sig.filter(
+            F.col("sig_notfound")
+            | (F.col("sig_404") & (F.col("n_words") < 30))
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.concat(
+                F.when(F.col("sig_notfound"), F.lit("notfound")).otherwise(
+                    F.lit("")
+                ),
+                F.when(F.col("sig_404"), F.lit("+404")).otherwise(F.lit("")),
+            ).alias("signals"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "graph_degree_dist",
+    # Web-graph degree distribution (the Broder et al. 2000 bow-tie
+    # analysis's first table): per-host in/out degrees bucketed into
+    # log2 bands. Two map-side-combinable groupBys over the slim edge
+    # relation; the band index is PURE INTEGER (length of the binary
+    # spelling minus 1 == floor(log2(deg))) so no libm floor-boundary
+    # divergence cross-engine.
+    f"""
+    WITH edges AS ({_HOST_EDGES_SQL}),
+    degs AS (
+      SELECT 'out' AS direction, src AS host,
+             CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 2
+      UNION ALL
+      SELECT 'in' AS direction, dst AS host,
+             CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 2)
+    SELECT direction,
+           CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_hosts,
+           min(deg) AS min_deg, max(deg) AS max_deg
+    FROM degs GROUP BY direction, log2_bucket
+    ORDER BY direction, log2_bucket
+    """,
+)
+def q_graph_degree_dist(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("h"), (F.col("o_orderkey") % 50).cast("string")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    degs = (
+        edges.groupBy(F.col("src").alias("host"))
+        .agg(F.count("*").alias("deg"))
+        .select(F.lit("out").alias("direction"), "host", "deg")
+        .unionByName(
+            edges.groupBy(F.col("dst").alias("host"))
+            .agg(F.count("*").alias("deg"))
+            .select(F.lit("in").alias("direction"), "host", "deg")
+        )
+    )
+    bucket = (F.length(F.bin("deg")) - 1).cast("bigint")
+    return (
+        degs.groupBy("direction", bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").alias("n_hosts"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .orderBy("direction", "log2_bucket")
+    )

@@ -61,13 +61,30 @@ def warc_pages(warc_blobs: DataFrame, blob_col: str = "data") -> DataFrame:
     return warc_blobs.mapInPandas(parse, schema=WARC_PAGE_SCHEMA)
 
 
+def html_wrap_body(doc_id: int, text: str) -> str:
+    """The deterministic HTML page layout ``synth_warc_from_docs``
+    wraps doc text in when ``html_wrap=True`` — single-line markup
+    (title + nav boilerplate + one paragraph) that a WET conversion
+    strips back to plain text. Exposed so the oracle SQL can state
+    the same construction."""
+    return (
+        f"<html><head><title>doc {doc_id}</title></head>"
+        f"<body><nav>home | about</nav><p>{text}</p></body></html>"
+    )
+
+
 def synth_warc_from_docs(
-    documents: DataFrame, docs_per_file: int = 50, gzipped: bool = False
+    documents: DataFrame,
+    docs_per_file: int = 50,
+    gzipped: bool = False,
+    html_wrap: bool = False,
 ) -> DataFrame:
     """Deterministic WARC blobs from the documents table: doc_id ->
     url https://w{doc_id % 7}.example.test/doc/{doc_id}, fixed date
-    spread, body = utf-8 text. One blob per ``doc_id // docs_per_file``
-    group (the grouping mirrors WARC's many-records-per-file layout)."""
+    spread, body = utf-8 text (wrapped in the ``html_wrap_body``
+    markup when ``html_wrap=True``). One blob per
+    ``doc_id // docs_per_file`` group (the grouping mirrors WARC's
+    many-records-per-file layout)."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
@@ -75,7 +92,9 @@ def synth_warc_from_docs(
             (
                 f"https://w{int(d) % 7}.example.test/doc/{int(d)}",
                 f"2021-06-{int(d) % 28 + 1:02d}T12:00:00Z",
-                t.encode("utf-8"),
+                (html_wrap_body(int(d), t) if html_wrap else t).encode(
+                    "utf-8"
+                ),
             )
             for d, t in zip(pdf["doc_id"], pdf["text"])
         ]
