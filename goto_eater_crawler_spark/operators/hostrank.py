@@ -259,3 +259,220 @@ def with_host_rank(frontier: DataFrame, ranks: DataFrame, weight: float = 100.0)
         )
         .drop("rank")
     )
+
+
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank whose teleport vector is restricted to a hand-vetted
+    trusted seed set, so trust decays with link distance from the
+    seeds — the standard spam-demotion signal a production crawl
+    runs NEXT TO :func:`host_rank` (rank says "fetch first", trust
+    says "believe the content").
+
+    Recurrence: r = (1-d)*t + d*(dangling_mass)*t + d*A'r with
+    t(v) = 1/|S| on seed hosts, 0 elsewhere (biased teleport AND
+    biased dangling redistribution — mass never leaks to untrusted
+    hosts except through actual links).
+
+    Scale design is :func:`host_rank`'s exactly: per iteration ONE
+    hash-partitioned join of the slim (host, rank) relation against
+    the precomputed contribution fractions + ONE map-side-combinable
+    groupBy sum; dangling mass stays in-plan as a 1-row broadcast;
+    iteration count FIXED so :func:`trust_rank_sql` reproduces the
+    doubles exactly.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_hosts = (
+        nodes.join(seeds.select("host").distinct(), "host", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    ns = seed_hosts.count()
+    if ns == 0:
+        # no trusted seed appears in the graph: trust is identically
+        # zero (the paper's semantics), not a divide-by-zero
+        return nodes.withColumn("trust", F.lit(0.0).cast("double"))
+    tv = (
+        nodes.join(
+            seed_hosts.withColumn("_s", F.lit(1)), "host", "left"
+        )
+        .select(
+            "host",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    frac = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = tv.select("host", F.col("t").alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        contribs = (
+            frac.join(ranks, frac["src"] == ranks["host"])
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("rank") * F.col("f")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = ranks.join(
+            out_deg, ranks["host"] == out_deg["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        ranks = (
+            tv.join(contribs, "host", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping) * F.col("_dm") * F.col("t")
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("host", F.round("rank", 6).alias("trust"))
+
+
+def trust_rank_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """The same fixed-iteration biased-teleport recurrence unrolled
+    as chained CTEs (the :func:`host_rank_sql` device)."""
+    d = damping
+    parts = [
+        f"""WITH edges AS ({edges_sql}),
+    nodes AS (SELECT DISTINCT host FROM (
+        SELECT src AS host FROM edges UNION SELECT dst FROM edges)),
+    seeds AS (SELECT DISTINCT host FROM ({seeds_sql})
+              WHERE host IN (SELECT host FROM nodes)),
+    ns AS (SELECT count(*) AS n FROM seeds),
+    tv AS (SELECT n.host,
+                  CASE WHEN s.host IS NOT NULL
+                       THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS t
+           FROM nodes n LEFT JOIN seeds s ON n.host = s.host),
+    out_deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    frac AS (SELECT e.src, e.dst, 1.0 / o.deg AS f
+             FROM edges e JOIN out_deg o ON e.src = o.src),
+    r0 AS (SELECT host, t AS rank FROM tv)"""
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS m FROM {prev} r
+        ANTI JOIN out_deg o ON r.host = o.src),
+    r{i} AS (
+      SELECT t.host,
+             (1.0 - {d}) * t.t
+             + {d} * (SELECT m FROM d{i}) * t.t
+             + {d} * coalesce(c.inflow, 0.0) AS rank
+      FROM tv t LEFT JOIN (
+        SELECT f.dst AS host, sum(r.rank * f.f) AS inflow
+        FROM frac f JOIN {prev} r ON f.src = r.host GROUP BY 1) c
+      ON t.host = c.host)"""
+        )
+        prev = f"r{i}"
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT host, round(rank, 6) AS trust FROM {prev}"
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-host triangle counts over the undirected host graph —
+    the clustering/community signal of the Broder et al. web-graph
+    measurements, computed with the degree-ordered "forward"
+    algorithm (Schank & Wagner 2005; Ortmann & Brandes 2014): orient
+    every undirected edge from its lower (deg, host) endpoint to the
+    higher, making the oriented graph a DAG whose out-degrees are
+    bounded by the graph's arboricity (O(sqrt(m))), then count each
+    triangle exactly once as an oriented wedge a->b, a->c closed by
+    the oriented edge b->c.
+
+    Scale design: wedges fan out from the LOW-degree endpoint only,
+    so a 10^6-degree hub host never generates its quadratic wedge
+    set (the naive node-iterator's 10^12-row blowup); the degree
+    relation is hosts-only and broadcast; every join is a
+    hash-partitioned equi-join on slim (host, host) pairs.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("host"))
+        .unionByName(und.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    du = F.broadcast(deg.select(F.col("host").alias("u"), F.col("deg").alias("du")))
+    dv = F.broadcast(deg.select(F.col("host").alias("v"), F.col("deg").alias("dv")))
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("bdeg"),
+        )
+        .localCheckpoint(eager=True)  # referenced 3x below
+    )
+    o1 = oriented.select(
+        F.col("a"), F.col("b").alias("x"), F.col("bdeg").alias("xdeg")
+    )
+    o2 = oriented.select(
+        F.col("a"), F.col("b").alias("y"), F.col("bdeg").alias("ydeg")
+    )
+    wedge_lt = (F.col("xdeg") < F.col("ydeg")) | (
+        (F.col("xdeg") == F.col("ydeg")) & (F.col("x") < F.col("y"))
+    )
+    closer = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = (
+        o1.join(o2, "a")
+        .filter(wedge_lt)
+        .join(closer, ["x", "y"], "left_semi")
+        .select("a", "x", "y")
+    )
+    per_host = (
+        tris.select(F.col("a").alias("host"))
+        .unionByName(tris.select(F.col("x").alias("host")))
+        .unionByName(tris.select(F.col("y").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").alias("triangles"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    return nodes.join(per_host, "host", "left").select(
+        "host", F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles")
+    )

@@ -109,6 +109,11 @@ _GATE_ORDER: list[str] = [
     "warc_wet_extract",
     "soft404_detect",
     "graph_degree_dist",
+    "graph_trustrank",
+    "graph_components",
+    "graph_triangles",
+    "crawl_cdx_revisit",
+    "data_pack_sequences",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -3575,3 +3580,231 @@ def q_graph_degree_dist(spark, sf_dir):
         )
         .orderBy("direction", "log2_bucket")
     )
+
+
+# trusted seeds for TrustRank: every 10th host — the "hand-vetted
+# whitelist" of Gyongyi et al., synthesized deterministically so both
+# engines derive the identical seed set in-plan
+_TRUST_SEEDS_SQL = """
+    SELECT DISTINCT 'h' || CAST(o_custkey % 50 AS VARCHAR) AS host
+    FROM orders WHERE o_custkey % 10 = 0
+"""
+
+
+@_register(
+    "graph_trustrank",
+    # TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004): the
+    # spam-demotion counterpart of host_pagerank — teleport restricted
+    # to a trusted seed whitelist so trust decays with link distance
+    # from the seeds. Same fixed-iteration power loop as host_pagerank
+    # (one join + one map-side-combinable groupBy per step, dangling
+    # mass as a 1-row in-plan broadcast); oracle = the recurrence
+    # unrolled as chained CTEs.
+    _hr.trust_rank_sql(_HOST_EDGES_SQL, _TRUST_SEEDS_SQL, iterations=5)
+    + " ORDER BY host",
+)
+def q_graph_trustrank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("h"), (F.col("o_orderkey") % 50).cast("string")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = (
+        o.filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias(
+                "host"
+            )
+        )
+        .distinct()
+    )
+    return _hr.trust_rank(edges, seeds, iterations=5).orderBy("host")
+
+
+# sparse host graph with KNOWN component structure for the CC gate:
+# every host n links to (n+5) mod 50, so components are exactly the
+# residue classes mod 5 (five 10-host rings) — non-vacuous at every SF
+_CC_PAIRS_SQL = """
+    SELECT DISTINCT CAST(c_custkey % 50 AS BIGINT) AS doc_a,
+                    CAST((c_custkey % 50 + 5) % 50 AS BIGINT) AS doc_b
+    FROM customer
+"""
+
+
+@_register(
+    "graph_components",
+    # Undirected connected components over the host graph — the
+    # web-graph structure pass (mirror farms, link rings; the Broder
+    # et al. 2000 bow-tie analysis's SCC precursor). Reuses the
+    # pointer-doubling min-label machinery of dedup_clusters
+    # (O(log diameter) iterations, each one bounded hash shuffle of
+    # the slim (node, label) relation); oracle = recursive-CTE
+    # transitive closure, component id = min member id.
+    f"""
+    WITH comp AS ({_td.dedup_clusters_sql(_CC_PAIRS_SQL)}),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS comp_size
+              FROM comp GROUP BY 1)
+    SELECT 'h' || CAST(c.doc_id AS VARCHAR) AS host,
+           c.cluster_id AS component, s.comp_size
+    FROM comp c JOIN sizes s USING (cluster_id)
+    ORDER BY host
+    """,
+)
+def q_graph_components(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = (F.col("c_custkey") % 50).cast("long")
+    pairs = c.select(
+        a.alias("doc_a"), ((a + 5) % 50).cast("long").alias("doc_b")
+    ).distinct()
+    labels = _td.dedup_clusters(pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("comp_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+            F.col("cluster_id").alias("component"),
+            "comp_size",
+        )
+        .orderBy("host")
+    )
+
+
+@_register(
+    "graph_triangles",
+    # Degree-ordered "forward" triangle counting (Schank & Wagner
+    # 2005; Ortmann & Brandes 2014): orient undirected edges from the
+    # lower (deg, host) endpoint so wedges fan out from low-degree
+    # nodes only — the hot-host quadratic wedge blowup of the naive
+    # node-iterator never materializes. Oracle states the identical
+    # orientation with row-value comparisons.
+    f"""
+    WITH edges AS ({_HOST_EDGES_SQL}),
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges WHERE src <> dst),
+    deg AS (SELECT host, count(*) AS deg FROM (
+              SELECT u AS host FROM und UNION ALL SELECT v FROM und)
+            GROUP BY 1),
+    o AS (SELECT CASE WHEN (du.deg, u.u) < (dv.deg, u.v)
+                      THEN u.u ELSE u.v END AS a,
+                 CASE WHEN (du.deg, u.u) < (dv.deg, u.v)
+                      THEN u.v ELSE u.u END AS b,
+                 CASE WHEN (du.deg, u.u) < (dv.deg, u.v)
+                      THEN dv.deg ELSE du.deg END AS bdeg
+          FROM und u JOIN deg du ON du.host = u.u
+                     JOIN deg dv ON dv.host = u.v),
+    tris AS (SELECT o1.a, o1.b AS x, o2.b AS y
+             FROM o o1 JOIN o o2 ON o1.a = o2.a
+             WHERE (o1.bdeg, o1.b) < (o2.bdeg, o2.b)
+               AND EXISTS (SELECT 1 FROM o c
+                           WHERE c.a = o1.b AND c.b = o2.b)),
+    per_host AS (SELECT host, count(*) AS triangles FROM (
+                   SELECT a AS host FROM tris
+                   UNION ALL SELECT x FROM tris
+                   UNION ALL SELECT y FROM tris) GROUP BY 1),
+    nodes AS (SELECT DISTINCT host FROM (
+        SELECT src AS host FROM edges UNION SELECT dst FROM edges))
+    SELECT n.host, CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN per_host p ON n.host = p.host
+    ORDER BY n.host
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 50).cast("string")).alias(
+            "dst"
+        ),
+    ).filter(F.col("src") != F.col("dst"))
+    return _hr.triangle_counts(edges).orderBy("host")
+
+
+@_register(
+    "crawl_cdx_revisit",
+    # WARC revisit-record detection — the Common Crawl / IIPC dedup
+    # mechanism (WARC 1.1 §6.7.2 "revisit" records): a capture whose
+    # payload digest was already archived for the same URL at an
+    # earlier instant is stored as a slim revisit record pointing at
+    # the original capture. One window min over (page, digest) — no
+    # self-join, no skewed all-captures shuffle key.
+    """
+    WITH caps AS (
+      SELECT user_id AS page_id, ts,
+             md5('p' || CAST(user_id AS VARCHAR) || '#'
+                 || CAST(event_id % 3 AS VARCHAR)) AS digest
+      FROM events),
+    firsts AS (SELECT page_id, digest, min(ts) AS orig_ts
+               FROM caps GROUP BY 1, 2)
+    SELECT c.page_id, c.ts AS fetch_ts, c.digest, f.orig_ts
+    FROM caps c JOIN firsts f USING (page_id, digest)
+    WHERE c.ts > f.orig_ts
+    ORDER BY page_id, fetch_ts, digest
+    """,
+)
+def q_crawl_cdx_revisit(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    caps = e.select(
+        F.col("user_id").alias("page_id"),
+        "ts",
+        F.md5(
+            F.concat(
+                F.lit("p"),
+                F.col("user_id").cast("string"),
+                F.lit("#"),
+                (F.col("event_id") % 3).cast("string"),
+            )
+        ).alias("digest"),
+    )
+    w = Window.partitionBy("page_id", "digest")
+    return (
+        caps.withColumn("orig_ts", F.min("ts").over(w))
+        .filter(F.col("ts") > F.col("orig_ts"))
+        .select(
+            "page_id", F.col("ts").alias("fetch_ts"), "digest", "orig_ts"
+        )
+        .orderBy("page_id", "fetch_ts", "digest")
+    )
+
+
+from ..operators import packing as _pk  # noqa: E402
+
+_PACK_DOCS_SQL = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(trim(text), '[^ ]+')) AS BIGINT)
+             AS tok
+    FROM documents
+"""
+
+
+@_register(
+    "data_pack_sequences",
+    # Token-budget sequence packing (Krell et al. 2021 context; the
+    # streaming next-fit discipline production corpus builders run):
+    # documents packed into <=256-token training sequences, one
+    # shuffle on the shard key, per-shard O(1) state inside
+    # applyInPandas. Oracle = the identical per-shard scan as a
+    # recursive CTE.
+    _pk.pack_next_fit_sql(_PACK_DOCS_SQL, capacity=256, shards=8)
+    + " ORDER BY doc_id",
+)
+def q_data_pack_sequences(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.regexp_count(F.trim("text"), F.lit("[^ ]+"))
+        .cast("bigint")
+        .alias("tok"),
+    )
+    return _pk.pack_next_fit(docs, capacity=256, shards=8).orderBy("doc_id")
