@@ -114,6 +114,9 @@ _GATE_ORDER: list[str] = [
     "graph_triangles",
     "crawl_cdx_revisit",
     "data_pack_sequences",
+    "dedup_keep_best",
+    "index_phrase_search",
+    "similarity_ann_recall",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -3808,3 +3811,163 @@ def q_data_pack_sequences(spark, sf_dir):
         .alias("tok"),
     )
     return _pk.pack_next_fit(docs, capacity=256, shards=8).orderBy("doc_id")
+
+
+@_register(
+    "dedup_keep_best",
+    # The representative-selection step real pipelines run INSTEAD of
+    # keep-min-id (RefinedWeb / FineWeb practice): within each
+    # near-dup cluster keep the HIGHEST-QUALITY member (quality-score
+    # argmax, doc_id tiebreak). Composes the pointer-doubling cluster
+    # labels with the textstats quality score: one window over the
+    # slim (cluster_id, doc_id, quality) relation — the corpus text
+    # never re-shuffles; quality is pre-rounded to 4 on both engines
+    # so the DESC ordering can't diverge on double bits.
+    f"""
+    WITH clusters AS ({_td.dedup_clusters_sql(_td.jaccard_pairs_sql(_AUG_SQL, 0.8))}),
+    q AS (
+      SELECT c.cluster_id, c.doc_id,
+             {_ts.quality_score_sql('a.text')} AS quality
+      FROM clusters c JOIN {_AUG_SQL} a ON a.doc_id = c.doc_id),
+    ranked AS (
+      SELECT cluster_id, doc_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM q)
+    SELECT cluster_id, doc_id AS kept_doc_id, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    aug = _td.docs_with_variants(d, _AUG_MOD)
+    clusters = _td.dedup_clusters(_td.minhash_lsh_pairs(aug, 0.8))
+    q = clusters.join(aug, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        _ts.quality_score_col(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        q.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.desc("quality"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn("n_members", F.count("*").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality",
+            F.col("n_members").cast("bigint"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# the phrase under test — two adjacent corpus-vocabulary tokens with
+# non-trivial but selective frequency at every SF
+_PHRASE = ("table", "scan")
+
+
+@_register(
+    "index_phrase_search",
+    # Positional phrase query — the evaluation shape a positional
+    # inverted index exists for (Manning/IR ch.2 biword vs positional
+    # tradeoff): intersect the two terms' positional postings on
+    # (doc, pos+1 = pos). Both posting relations are FILTERED before
+    # the join (the selective path — at 100 TB you join two posting
+    # lists, never the token stream against itself); positions are
+    # 1-based on both engines.
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS l
+            FROM documents)),
+    t1 AS (SELECT doc_id, pos FROM toks WHERE tok = '{_PHRASE[0]}'),
+    t2 AS (SELECT doc_id, pos FROM toks WHERE tok = '{_PHRASE[1]}')
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(a.pos) AS BIGINT) AS first_pos
+    FROM t1 a JOIN t2 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+)
+def q_index_phrase_search(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            "pos0", "tok"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    t1 = toks.filter(F.col("tok") == _PHRASE[0]).select("doc_id", "pos")
+    t2 = toks.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        t1.join(t2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "similarity_ann_recall",
+    # The ANN evaluation harness every IVF deployment needs: recall@k
+    # of the probed path against the exact brute-force scan, per
+    # query. Composes the two existing gates; the exact relation is
+    # persisted (referenced twice), the approx side reuses the shared
+    # k-means centroids, and the compare is a semi-join on the slim
+    # (query, neighbor) id pairs — no embedding ever re-shuffles.
+    f"""
+    WITH exact AS ({_sim.cosine_topk_sql(5, 10)}),
+    approx AS ({_sim.ivf_topk_sql(5, 10, 8, 3, _LLOYD_ITERS)}),
+    hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM exact e JOIN approx a
+               USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(coalesce(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+           round(coalesce(max(h.n_hit), 0) / CAST(count(*) AS DOUBLE), 4)
+             AS recall
+    FROM exact e LEFT JOIN hits h ON e.query_id = h.query_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def q_similarity_ann_recall(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    exact = _sim.cosine_topk(e, 5, 10).persist()
+    approx = _sim.ivf_topk(
+        e, 5, 10, 8, 3, _kmeans_shared(spark, sf_dir, 8, _LLOYD_ITERS)
+    )
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("k").cast("double"), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
