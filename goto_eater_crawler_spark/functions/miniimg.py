@@ -231,10 +231,11 @@ def bmp_encode(width: int, height: int, rows: list[bytes]) -> bytes:
 
 def decode_image(data: bytes) -> tuple[int, int, str, list[bytes]]:
     """Sniff + decode. PNG, BMP, JPEG (minijpeg: baseline grey/color
-    at any sampling factors + progressive), GIF (minigif: first frame)
-    and lossless WebP (miniwebp) are decoded for real; lossy WebP and
-    video codecs raise ImageFormatError — the remaining documented
-    native-codec surface (VP8/H.264 arithmetic coding + prediction)."""
+    at any sampling factors + progressive), GIF (minigif: first
+    frame), lossless WebP (miniwebp) and lossy intra-frame WebP
+    (minivp8: bool-coded VP8 keyframes) are decoded for real; the
+    remaining documented native-codec surface is H.264 (inter
+    prediction + CABAC)."""
     if data[:8] == PNG_SIG:
         return png_decode(data)
     if data[:2] == b"BM":

@@ -12,8 +12,8 @@ two-dimensional distance neighbor map, an optional color cache
 Not implemented: the predictor / cross-color / color-indexing
 transforms and meta-prefix (entropy-image) segmentation on the
 ENCODE side — the decoder rejects streams using them with a
-documented error; lossy WebP (VP8 — boolean arithmetic coding,
-intra prediction) stays native-codec territory.
+documented error. Lossy WebP ('VP8 ' chunks) is handled by the
+sibling :mod:`.minivp8` intra-frame codec (round 4).
 
 Everything here derives from the public WebP Lossless Bitstream
 Specification (Google, 2012-2023) and RIFF (Microsoft/IBM 1991).
@@ -491,20 +491,27 @@ def webp_encode(
 
 
 def webp_decode(data: bytes) -> tuple[int, int, str, list[bytes]]:
-    """Decode a lossless RIFF/WEBP/VP8L stream -> (width, height,
-    'RGB', rows). Supports simple and code-length-coded prefix codes
+    """Decode a RIFF/WEBP stream -> (width, height, 'RGB', rows).
+    VP8L (lossless): simple and code-length-coded prefix codes
     (incl. 16/17/18 repeats and max_symbol), LZ77 with the 2D
-    distance map, color cache, and the subtract-green transform;
-    raises ImageFormatError for lossy VP8/VP8X containers and for the
-    predictor / cross-color / color-indexing transforms and
-    meta-prefix segmentation (documented out of scope)."""
+    distance map, color cache, and the subtract-green transform.
+    'VP8 ' (lossy): intra-frame VP8 via :mod:`.minivp8` with integer
+    BT.601 YUV420->RGB. Raises ImageFormatError for VP8X extended
+    containers and for the predictor / cross-color / color-indexing
+    transforms and meta-prefix segmentation (documented out of
+    scope)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ImageFormatError("webp: bad RIFF container")
     fourcc = data[12:16]
-    if fourcc in (b"VP8 ", b"VP8X"):
-        raise ImageFormatError(
-            "webp: lossy/extended WebP (VP8 arithmetic coding) unsupported"
-        )
+    if fourcc == b"VP8 ":
+        # lossy WebP: intra-frame VP8 decode (minivp8) + integer
+        # BT.601 conversion for the generic RGB path
+        from .minivp8 import webp_decode_lossy, yuv420_to_rgb_rows
+
+        w, h, y, u, v = webp_decode_lossy(data)
+        return w, h, "RGB", yuv420_to_rgb_rows(w, h, y, u, v)
+    if fourcc == b"VP8X":
+        raise ImageFormatError("webp: extended (VP8X) container unsupported")
     if fourcc != b"VP8L":
         raise ImageFormatError(f"webp: unknown chunk {fourcc!r}")
     size = int.from_bytes(data[16:20], "little")

@@ -540,6 +540,114 @@ def webp_decode_sql(mod: int = 31) -> str:
     """
 
 
+def synth_lossy_webps(docs: DataFrame, mod: int = 37) -> DataFrame:
+    """(doc_id, payload) — one REAL lossy WebP (minivp8: RIFF 'VP8 '
+    keyframe — boolean arithmetic coding, keyframe mode trees, token
+    entropy coding, Y2 WHT layer, integer iDCT, DC/TM prediction) per
+    selected doc, deterministically derived from doc_id:
+
+    - width  = 16 * (1 + d % 3)   (16/32/48)
+    - height = 16 * (1 + d % 2)   (16/32)
+    - flat planes: y = (3d) % 256, u = 2*((5d) % 128), v = 2*((7d) % 128)
+    - even doc_ids predict Y with DC_PRED, odd with TM_PRED (both
+      keyframe mode-tree paths run through the real bool decoder)
+
+    Flat frames at qindex 0 survive the LOSSY pipeline EXACTLY: the
+    first MB's flat residual r rides the Y2 path as coefficient
+    Qy2 = 8r (iWHT (64r+3)>>3 = 8r, iDCT (8r*8+4)>>3 = r), chroma DCs
+    quantize exactly because the tones are even, and every later MB
+    predicts its own tone edge-aware (DC_PRED averages only REAL
+    edges) and skips. So each decoded plane mean is a pure function
+    of doc_id — :func:`lossy_webp_decode_sql` computes it
+    independently, and a bool-coder, token-tree, context, WHT, iDCT,
+    dequant, or prediction-border bug cannot hash-match."""
+    from ..functions import minivp8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 * (1 + d % 3), 16 * (1 + d % 2)
+                yv = (3 * d) % 256
+                uv_, vv = 2 * ((5 * d) % 128), 2 * ((7 * d) % 128)
+                ids.append(d)
+                payloads.append(
+                    minivp8.webp_encode_lossy(
+                        w, h,
+                        [[yv] * w] * h,
+                        [[uv_] * (w // 2)] * (h // 2),
+                        [[vv] * (w // 2)] * (h // 2),
+                        qindex=0,
+                        y_mode=minivp8.TM_PRED if d % 2 else minivp8.DC_PRED,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def lossy_decode_metadata(images: DataFrame) -> DataFrame:
+    """REAL lossy-WebP decode: (doc_id, width, height, mode, mean_y,
+    mean_u, mean_v) — plane means over the decoded YUV420 pixels (the
+    color-statistics stage, chroma kept at coded resolution so the
+    oracle needs no upsampling convention); undecodable payloads
+    yield a null row."""
+    from ..functions import minivp8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "mode": [],
+                "mean_y": [], "mean_u": [], "mean_v": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    w, h, y, u, v = minivp8.webp_decode_lossy(bytes(payload))
+                except miniimg.ImageFormatError:
+                    for k in ("width", "height", "mode",
+                              "mean_y", "mean_u", "mean_v"):
+                        out[k].append(None)
+                    continue
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append("YUV420")
+                out["mean_y"].append(sum(map(sum, y)) / (w * h))
+                cw, ch = (w + 1) // 2, (h + 1) // 2
+                out["mean_u"].append(sum(map(sum, u)) / (cw * ch))
+                out["mean_v"].append(sum(map(sum, v)) / (cw * ch))
+            yield pd.DataFrame(out)
+
+    return images.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, width long, height long, mode string, "
+            "mean_y double, mean_u double, mean_v double"
+        ),
+    )
+
+
+def lossy_webp_decode_sql(mod: int = 37) -> str:
+    """Closed-form oracle for lossy_decode_metadata(synth_lossy_webps):
+    flat frames at qindex 0 decode exactly (see synth_lossy_webps), so
+    every decoded property is a pure function of doc_id."""
+    return f"""
+    SELECT doc_id,
+           16 * (1 + doc_id % 3) AS width,
+           16 * (1 + doc_id % 2) AS height,
+           'YUV420' AS mode,
+           CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_y,
+           CAST(2 * ((5 * doc_id) % 128) AS DOUBLE) AS mean_u,
+           CAST(2 * ((7 * doc_id) % 128) AS DOUBLE) AS mean_v
+    FROM documents WHERE doc_id % {mod} = 0
+    """
+
+
 def transcode_png_webp_stats(images: DataFrame) -> DataFrame:
     """REAL transcode stage — the 'normalize every image to one
     format' step of a multimodal ingest pipeline: decode the PNG

@@ -152,8 +152,12 @@ def test_roundtrip_property(w, h, seed, cb, sg, lz, palette):
 def test_error_modes():
     with pytest.raises(ImageFormatError, match="RIFF"):
         mw.webp_decode(b"NOTRIFF.....")
-    with pytest.raises(ImageFormatError, match="lossy"):
+    # 'VP8 ' now dispatches to minivp8 (round 4): an empty lossy
+    # chunk is a truncated VP8 frame, not an unsupported format
+    with pytest.raises(ImageFormatError, match="truncated"):
         mw.webp_decode(b"RIFF\x04\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
+    with pytest.raises(ImageFormatError, match="VP8X"):
+        mw.webp_decode(b"RIFF\x04\x00\x00\x00WEBPVP8X\x00\x00\x00\x00")
     good = mw.webp_encode(4, 4, [bytes([1, 2, 3] * 4)] * 4)
     with pytest.raises(ImageFormatError):
         mw.webp_decode(good[:24])  # truncated bitstream
