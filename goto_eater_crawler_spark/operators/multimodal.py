@@ -26,9 +26,15 @@ intervals; PROGRESSIVE (SOF2) streams decode for real as well
 ``multimodal_progressive_decode``). GIF (minigif: LZW, interlace,
 animation — ``multimodal_gif_decode``) and LOSSLESS WebP (miniwebp:
 VP8L prefix codes, LZ77, color cache — ``multimodal_webp_decode``)
-decode for real too. The remaining stub surface is lossy WebP (VP8)
-and H.264 (boolean arithmetic coding, inter-frame prediction), which
-a production cluster hands to native codecs;
+decode for real too. Round-4 session 7 closed both remaining stubs'
+intra surfaces: LOSSY WebP (minivp8: bool-coded VP8 keyframes — Y2
+WHT layer, token trees, iDCT, DC/TM prediction, gated by
+``multimodal_webp_lossy_decode``) and H.264 (minih264: baseline
+Annex-B I_PCM IDR streams — NAL framing, emulation prevention,
+Exp-Golomb SPS/PPS/slice syntax, gated by
+``multimodal_h264_decode``). The remaining documented stub surface
+is entropy-coded H.264 residuals (CAVLC/CABAC) and inter-frame
+prediction, which a production cluster hands to native codecs;
 :func:`binary_metadata` classifies what it can't decode as
 ``'unknown'`` instead of faking dimensions.
 """
@@ -644,6 +650,104 @@ def lossy_webp_decode_sql(mod: int = 37) -> str:
            CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_y,
            CAST(2 * ((5 * doc_id) % 128) AS DOUBLE) AS mean_u,
            CAST(2 * ((7 * doc_id) % 128) AS DOUBLE) AS mean_v
+    FROM documents WHERE doc_id % {mod} = 0
+    """
+
+
+def synth_h264s(docs: DataFrame, mod: int = 41) -> DataFrame:
+    """(doc_id, payload) — one REAL H.264 Annex-B elementary stream
+    (minih264: SPS + PPS + one IDR slice of I_PCM macroblocks) per
+    selected doc, deterministically derived from doc_id:
+
+    - width  = 16 * (1 + d % 3), height = 16 * (1 + d % 2)
+    - Y: vertical two-tone split, left ya = d % 256,
+      right yb = (7d + 13) % 256 (halves are w/2 px each)
+    - flat chroma u = (5d) % 256, v = (11d) % 256
+
+    I_PCM is LOSSLESS (raw byte-aligned samples by construction of
+    the standard), so the decoded plane means are exact closed forms
+    in doc_id with no quantization algebra — but a NAL-framing,
+    emulation-prevention, Exp-Golomb, SPS/PPS, slice-header, or
+    PCM-sample-order bug cannot hash-match
+    (:func:`h264_decode_sql`)."""
+    from ..functions import minih264
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 * (1 + d % 3), 16 * (1 + d % 2)
+                ya, yb = d % 256, (7 * d + 13) % 256
+                uv_, vv = (5 * d) % 256, (11 * d) % 256
+                yrow = [ya] * (w // 2) + [yb] * (w // 2)
+                ids.append(d)
+                payloads.append(
+                    minih264.h264_encode_ipcm(
+                        w, h, [yrow] * h,
+                        [[uv_] * (w // 2)] * (h // 2),
+                        [[vv] * (w // 2)] * (h // 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def h264_decode_metadata(images: DataFrame) -> DataFrame:
+    """REAL H.264 decode: (doc_id, width, height, mode, mean_y,
+    mean_u, mean_v) over the decoded YUV420 planes; undecodable
+    payloads yield a null row."""
+    from ..functions import minih264
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "mode": [],
+                "mean_y": [], "mean_u": [], "mean_v": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    w, h, y, u, v = minih264.h264_decode(bytes(payload))
+                except miniimg.ImageFormatError:
+                    for k in ("width", "height", "mode",
+                              "mean_y", "mean_u", "mean_v"):
+                        out[k].append(None)
+                    continue
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append("YUV420")
+                out["mean_y"].append(sum(map(sum, y)) / (w * h))
+                out["mean_u"].append(sum(map(sum, u)) / (w * h / 4))
+                out["mean_v"].append(sum(map(sum, v)) / (w * h / 4))
+            yield pd.DataFrame(out)
+
+    return images.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, width long, height long, mode string, "
+            "mean_y double, mean_u double, mean_v double"
+        ),
+    )
+
+
+def h264_decode_sql(mod: int = 41) -> str:
+    """Closed-form oracle for h264_decode_metadata(synth_h264s):
+    I_PCM is lossless, so the two-tone Y mean and flat chroma means
+    are pure functions of doc_id."""
+    return f"""
+    SELECT doc_id,
+           16 * (1 + doc_id % 3) AS width,
+           16 * (1 + doc_id % 2) AS height,
+           'YUV420' AS mode,
+           ((doc_id % 256) + ((7 * doc_id + 13) % 256)) / 2.0 AS mean_y,
+           CAST((5 * doc_id) % 256 AS DOUBLE) AS mean_u,
+           CAST((11 * doc_id) % 256 AS DOUBLE) AS mean_v
     FROM documents WHERE doc_id % {mod} = 0
     """
 

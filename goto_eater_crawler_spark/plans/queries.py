@@ -123,6 +123,7 @@ _GATE_ORDER: list[str] = [
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
     "multimodal_webp_lossy_decode",
+    "multimodal_h264_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -2103,6 +2104,22 @@ def q_multimodal_webp_lossy_decode(spark, sf_dir):
     return _mm.lossy_decode_metadata(_mm.synth_lossy_webps(d, 37)).orderBy(
         "doc_id"
     )
+
+
+@_register(
+    "multimodal_h264_decode",
+    # REAL H.264 decode gate (round 4): synth_h264s writes conforming
+    # baseline Annex-B streams — SPS/PPS Exp-Golomb syntax, NAL
+    # framing with emulation-prevention bytes, IDR slice headers,
+    # I_PCM macroblocks (the standard's entropy-coding bypass) — and
+    # the engine decodes them via minih264. I_PCM is lossless, so the
+    # plane means are closed-form in doc_id; remaining documented
+    # stub surface is entropy-coded H.264 residuals (CAVLC/CABAC).
+    _mm.h264_decode_sql(41) + " ORDER BY doc_id",
+)
+def q_multimodal_h264_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.h264_decode_metadata(_mm.synth_h264s(d, 41)).orderBy("doc_id")
 
 
 @_register(
