@@ -3282,12 +3282,17 @@ def q_index_bm25_topk(spark, sf_dir):
             F.count("*").alias("n_terms"),
         )
     )
-    w = Window.orderBy(F.round("score", 6).desc(), F.col("doc_id"))
+    # global top-20 via orderBy+limit, NOT a partition-less window:
+    # Catalyst compiles this to TakeOrderedAndProject (per-partition
+    # top-k + driver merge of 20-row heads) — the scored relation is
+    # one row per DOCUMENT, so a single-partition row_number funnel
+    # here would serialize the whole corpus at production scale
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 20)
-        .select("doc_id", "n_terms", F.round("score", 6).alias("score"))
-        .orderBy(F.round("score", 6).desc(), "doc_id")
+        scored.select(
+            "doc_id", "n_terms", F.round("score", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
     )
 
 
