@@ -51,12 +51,17 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    import time
+
     failures = []
     attempted = 0
+    gate_secs: dict[str, float] = {}
+    t_all = time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
             continue
         attempted += 1
+        t_gate = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -66,7 +71,11 @@ def main():
             print(f"FAIL {name}: spark error {str(e)[:200]}")
             continue
         if name not in oracles:
-            print(f"OK?  {name}: rows={len(srows)} (no oracle — rows-only)")
+            gate_secs[name] = time.perf_counter() - t_gate
+            print(
+                f"OK?  {name}: rows={len(srows)} (no oracle — rows-only)"
+                f" [{gate_secs[name]:.1f}s]"
+            )
             continue
         try:
             res = con.execute(oracles[name])
@@ -97,9 +106,17 @@ def main():
             failures.append((name, f"values differ, e.g. {diff}"))
             print(f"FAIL {name}: values differ e.g. {diff}")
             continue
-        print(f"OK   {name}: rows={len(srows)}")
+        gate_secs[name] = time.perf_counter() - t_gate
+        print(f"OK   {name}: rows={len(srows)} [{gate_secs[name]:.1f}s]")
 
     print(f"\n{attempted - len(failures)}/{attempted} matched ({len(qs)} registered)")
+    if len(gate_secs) > 5:
+        # where a time-budgeted driver gate would spend its window:
+        # spark query + duckdb oracle wall per gate, slowest first
+        slow = sorted(gate_secs.items(), key=lambda kv: -kv[1])[:12]
+        total = time.perf_counter() - t_all
+        print(f"total {total:.0f}s; slowest gates: "
+              + ", ".join(f"{n}={s:.1f}s" for n, s in slow))
     spark.stop()
     sys.exit(1 if failures else 0)
 
