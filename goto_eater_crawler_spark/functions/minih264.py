@@ -453,3 +453,361 @@ def h264_decode(data: bytes) -> tuple[int, int, list, list, list]:
              for row in up[y0 // 2:y0 // 2 + height // 2]],
             [row[x0 // 2:x0 // 2 + width // 2]
              for row in vp[y0 // 2:y0 // 2 + height // 2]])
+
+
+# ===========================================================================
+# CAVLC entropy-coded residuals (Rec. H.264 §9.2) + transforms (§8.5) +
+# intra prediction (§8.3) + P-slice full-pel inter prediction (§8.4).
+#
+# Honesty note (same contract as minivp8/miniwebp, accepted in r3/r4):
+# everything STRUCTURAL here is spec-faithful — the CAVLC symbol order
+# (coeff_token, trailing-one signs, adaptive-suffix levels, total_zeros,
+# run_before), the nC neighbour-context derivation, the zig-zag scan, the
+# exact integer transforms, the quant/dequant ladders, and the Exp-Golomb
+# slice syntax. The VLC TABLE VALUES split into two confidence classes,
+# marked per table below:
+#   [spec]  — reconstructed from Rec. H.264 with high confidence
+#             (run_before Table 9-10, the nC>=8 6-bit FLC, the level
+#             machinery which is table-free, Exp-Golomb everywhere);
+#   [self]  — self-consistent reconstructions where the published bit
+#             patterns could not be verified in this sandbox (no spec
+#             text, no third-party codec): coeff_token columns, the
+#             total_zeros families, Table 9-4 CBP me(v).  Encoder and
+#             decoder share one table object, every table is validated
+#             prefix-free at import, and tests/test_minih264.py fuzz-pins
+#             decode == encoder-simulated reconstruction — so the codec
+#             is exact and deterministic end-to-end; byte-level interop
+#             with third-party decoders is claimed only for the [spec]
+#             subset.
+# ===========================================================================
+
+
+def _validate_prefix_free(table: dict) -> dict:
+    codes = list(table.values())
+    seen = set()
+    for c in codes:
+        if c in seen:
+            raise AssertionError(f"duplicate code {c}")
+        seen.add(c)
+    for a in codes:
+        for b in codes:
+            if a is not b and b.startswith(a):
+                raise AssertionError(f"code {a} prefixes {b}")
+    return table
+
+
+def _canonical_codes(lengths: dict) -> dict:
+    """Deterministic canonical prefix code from a {symbol: bit-length}
+    map (symbols sorted by (length, symbol); standard canonical
+    assignment). Used for the [self] tables — prefix-free by
+    construction whenever the Kraft sum is <= 1 (asserted)."""
+    assert sum(2.0 ** -l for l in lengths.values()) <= 1.0 + 1e-12
+    code = 0
+    prev_len = 0
+    out = {}
+    for sym, ln in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0])):
+        code <<= (ln - prev_len)
+        out[sym] = format(code, f"0{ln}b")
+        code += 1
+        prev_len = ln
+    return _validate_prefix_free(out)
+
+
+# --- coeff_token (Table 9-5) ------------------------------------------------
+# Keys are (trailing_ones, total_coeff).  Column nC<2 is a best-memory
+# [self] reconstruction validated prefix-free; columns 2<=nC<4 and
+# 4<=nC<8 are canonical [self] codes built from a monotone length
+# matrix (shorter codes for fewer coefficients, flatter than the nC<2
+# column, as in the spec's design).
+
+_CT_NC0 = _validate_prefix_free({
+    (0, 0): "1",
+    (0, 1): "000101", (1, 1): "01",
+    (0, 2): "00000111", (1, 2): "000100", (2, 2): "001",
+    (0, 3): "000000111", (1, 3): "00000110", (2, 3): "0000101",
+    (3, 3): "00011",
+    (0, 4): "0000000111", (1, 4): "000000110", (2, 4): "00000101",
+    (3, 4): "000011",
+    (0, 5): "00000000111", (1, 5): "0000000110", (2, 5): "000000101",
+    (3, 5): "0000100",
+    (0, 6): "0000000001111", (1, 6): "00000000110", (2, 6): "0000000101",
+    (3, 6): "00000100",
+    (0, 7): "0000000001011", (1, 7): "0000000001110", (2, 7): "00000000101",
+    (3, 7): "000000100",
+    (0, 8): "0000000001000", (1, 8): "0000000001010",
+    (2, 8): "0000000001101", (3, 8): "0000000100",
+    (0, 9): "00000000001111", (1, 9): "00000000001110",
+    (2, 9): "0000000001001", (3, 9): "00000000100",
+    (0, 10): "00000000001011", (1, 10): "00000000001010",
+    (2, 10): "00000000001101", (3, 10): "0000000001100",
+    (0, 11): "000000000001111", (1, 11): "000000000001110",
+    (2, 11): "00000000001001", (3, 11): "00000000001100",
+    (0, 12): "000000000001011", (1, 12): "000000000001010",
+    (2, 12): "000000000001101", (3, 12): "00000000001000",
+    (0, 13): "0000000000001111", (1, 13): "000000000000001",
+    (2, 13): "000000000001001", (3, 13): "000000000001100",
+    (0, 14): "0000000000001011", (1, 14): "0000000000001110",
+    (2, 14): "0000000000001101", (3, 14): "000000000001000",
+    (0, 15): "0000000000000111", (1, 15): "0000000000001010",
+    (2, 15): "0000000000001001", (3, 15): "0000000000001100",
+    (0, 16): "0000000000000100", (1, 16): "0000000000000110",
+    (2, 16): "0000000000000101", (3, 16): "0000000000001000",
+})
+
+
+def _ct_lengths(step: int) -> dict:
+    """Monotone length matrix for the middle coeff_token contexts,
+    Kraft-valid BY CONSTRUCTION (no repair pass).  Organize symbols by
+    the diagonal d = total_coeff - trailing_ones: the d = 0 head gets
+    the short codes, and each d >= 1 diagonal (at most 4 symbols) gets
+    length base + ceil(d / step).  step = 1 is the steep column,
+    step = 2 the flatter one (the spec's columns flatten as nC grows
+    because large neighbourhoods make large TotalCoeff likelier).
+
+    Kraft proof: head <= 0.47; each length class base+m holds at most
+    4*step symbols, so the tail sums to <= 4*step*2^-base; with
+    (base=4, step=1) -> ~0.72 total, (base=4, step=2, head {3,3,4,4})
+    -> ~0.87 total.  Both < 1, asserted again in _canonical_codes."""
+    if step == 1:
+        head = {(0, 0): 2, (1, 1): 3, (2, 2): 4, (3, 3): 5}
+    else:
+        head = {(0, 0): 3, (1, 1): 3, (2, 2): 4, (3, 3): 4}
+    lengths = dict(head)
+    for tc in range(1, 17):
+        for t1 in range(0, min(tc, 3) + 1):
+            d = tc - t1
+            if d == 0:
+                continue
+            lengths[(t1, tc)] = 4 + (d + step - 1) // step
+    return lengths
+
+
+_CT_NC2 = _canonical_codes(_ct_lengths(1))
+_CT_NC4 = _canonical_codes(_ct_lengths(2))
+
+# chroma DC (nC == -1, 4:2:0 -> max 4 coefficients): canonical [self]
+# code over a monotone length map (one trailing one on a lone coeff is
+# overwhelmingly likely for chroma DC, hence the 1-bit code).
+_CT_CHROMA_DC = _canonical_codes({
+    (1, 1): 1, (0, 0): 2, (2, 2): 3, (3, 3): 5,
+    (0, 1): 6, (1, 2): 6,
+    (0, 2): 7, (1, 3): 7, (2, 3): 7, (3, 4): 7,
+    (0, 3): 8, (2, 4): 8, (0, 4): 8, (1, 4): 8,
+})
+
+
+def _ct_table(nc: int) -> dict | None:
+    if nc == -1:
+        return _CT_CHROMA_DC
+    if nc < 2:
+        return _CT_NC0
+    if nc < 4:
+        return _CT_NC2
+    if nc < 8:
+        return _CT_NC4
+    return None  # >= 8: 6-bit FLC
+
+
+# --- total_zeros (Tables 9-7/9-8/9-9) ---------------------------------------
+# tz_4x4[tc][total_zeros]; tc=1 column is best-memory [self]; the rest
+# canonical [self] with spec-like monotone lengths.
+
+_TZ_TC1 = _validate_prefix_free({
+    0: "1", 1: "011", 2: "010", 3: "0011", 4: "0010", 5: "00011",
+    6: "00010", 7: "000011", 8: "000010", 9: "0000011", 10: "0000010",
+    11: "00000011", 12: "00000010", 13: "000000011", 14: "000000010",
+    15: "000000001",
+})
+
+
+def _tz_lengths(tc: int, max_coeff: int) -> dict:
+    """Lengths for total_zeros given total_coeff = tc, Kraft-valid BY
+    CONSTRUCTION.  Small tc (few coefficients, zeros can be many and
+    spread): paired scheme ln(z) = 2 + z//2, Kraft = 2*(2^-2+2^-3+...)
+    < 1.  Large tc (zeros few, 0 likeliest): complete unary code
+    ln(z) = z+1 with the last symbol sharing the longest length,
+    Kraft = 1 exactly."""
+    nmax = max_coeff - tc
+    if nmax == 0:
+        return {0: 1}
+    if tc <= max_coeff // 2 and nmax >= 4:
+        return {z: 2 + z // 2 for z in range(nmax + 1)}
+    return {z: min(z + 1, nmax) for z in range(nmax + 1)}
+
+
+_TZ_4X4 = {1: _TZ_TC1}
+for _tc in range(2, 16):
+    _TZ_4X4[_tc] = _canonical_codes(_tz_lengths(_tc, 16))
+_TZ_CHROMA_DC = {
+    1: _validate_prefix_free({0: "1", 1: "01", 2: "001", 3: "000"}),
+    2: _validate_prefix_free({0: "1", 1: "01", 2: "00"}),
+    3: _validate_prefix_free({0: "1", 1: "0"}),
+}
+
+# --- run_before (Table 9-10) [spec] -----------------------------------------
+# column = min(zeros_left, 7); runs above 6 in the >6 column extend
+# with one extra zero per step.
+
+_RUN_BEFORE = {
+    1: {0: "1", 1: "0"},
+    2: {0: "1", 1: "01", 2: "00"},
+    3: {0: "11", 1: "10", 2: "01", 3: "00"},
+    4: {0: "11", 1: "10", 2: "01", 3: "001", 4: "000"},
+    5: {0: "11", 1: "10", 2: "011", 3: "010", 4: "001", 5: "000"},
+    6: {0: "11", 1: "000", 2: "001", 3: "011", 4: "010", 5: "101",
+        6: "100"},
+    7: {0: "111", 1: "110", 2: "101", 3: "100", 4: "011", 5: "010",
+        6: "001"},
+}
+for _r in range(7, 15):
+    _RUN_BEFORE[7][_r] = "0" * (_r - 3) + "1"
+for _t in _RUN_BEFORE.values():
+    _validate_prefix_free(_t)
+
+# --- cbp me(v) mapping (Table 9-4, inter column) [self] ---------------------
+# Only the INTER column is reachable in this subset (Intra_16x16 carries
+# its CBP inside mb_type; Intra_4x4 is not implemented).  Deterministic
+# sparse-first bijection: codeNum orders the 48 legal CBPs (luma 0..15 |
+# chroma 0..2 << 4) by (popcount, value) — the spec's design intent
+# (cheap codes for mostly-empty MBs) with self-consistent values.
+
+_CBP_INTER = sorted(range(48), key=lambda c: (bin(c).count("1"), c))
+_CBP_INTER_INV = {c: i for i, c in enumerate(_CBP_INTER)}
+
+# --- scans ------------------------------------------------------------------
+
+# 4x4 zig-zag (Table 8-13) [spec]
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3),
+]
+# luma4x4BlkIdx Z-scan -> (blk_x, blk_y) in 4x4-block units (§6.4.3)
+_BLK_XY = [
+    (2 * ((i >> 2) & 1) + (i & 1), 2 * (i >> 3) + ((i >> 1) & 1))
+    for i in range(16)
+]
+
+# --- quant / dequant ladders (§8.5.9-8.5.12) [spec] -------------------------
+# position classes: (0,0),(0,2),(2,0),(2,2) -> 0; (1,1),(1,3),(3,1),(3,3)
+# -> 1; the rest -> 2.
+
+_POS_CLASS = [[0, 2, 0, 2], [2, 1, 2, 1], [0, 2, 0, 2], [2, 1, 2, 1]]
+_MF = [  # forward multipliers per qp%6, by class
+    (13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+    (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559),
+]
+_V = [  # dequant scales per qp%6, by class
+    (10, 16, 13), (11, 18, 14), (13, 20, 16),
+    (14, 23, 18), (16, 25, 20), (18, 29, 23),
+]
+# chroma QP mapping for qPi in [30, 51] (Table 8-15) [spec]
+_CHROMA_QP = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+              36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39]
+
+
+def _chroma_qp(qp: int) -> int:
+    return qp if qp < 30 else _CHROMA_QP[qp - 30]
+
+
+def _fwd4x4(x: list) -> list:
+    """Forward core transform W = Cf X CfT (§8.5 encoder mirror)."""
+    t = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        a, b, c, d = x[i]
+        s0, s1 = a + d, b + c
+        d0, d1 = a - d, b - c
+        t[i] = [s0 + s1, 2 * d0 + d1, s0 - s1, d0 - 2 * d1]
+    w = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        a, b, c, d = t[0][j], t[1][j], t[2][j], t[3][j]
+        s0, s1 = a + d, b + c
+        d0, d1 = a - d, b - c
+        w[0][j] = s0 + s1
+        w[1][j] = 2 * d0 + d1
+        w[2][j] = s0 - s1
+        w[3][j] = d0 - 2 * d1
+    return w
+
+
+def _inv4x4(d: list) -> list:
+    """Inverse core transform with final (x+32)>>6 (§8.5.12.2)."""
+    t = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        d0, d1, d2, d3 = d[i]
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        t[i] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    out = [[0] * 4 for _ in range(4)]
+    for j in range(4):
+        d0, d1, d2, d3 = t[0][j], t[1][j], t[2][j], t[3][j]
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        out[0][j] = (e0 + e3 + 32) >> 6
+        out[1][j] = (e1 + e2 + 32) >> 6
+        out[2][j] = (e1 - e2 + 32) >> 6
+        out[3][j] = (e0 - e3 + 32) >> 6
+    return out
+
+
+_H4 = [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]]
+
+
+def _hadamard4(x: list, fwd: bool) -> list:
+    t = [[sum(_H4[i][k] * x[k][j] for k in range(4)) for j in range(4)]
+         for i in range(4)]
+    out = [[sum(t[i][k] * _H4[j][k] for k in range(4)) for j in range(4)]
+           for i in range(4)]
+    if fwd:  # encoder halves (§8.5 mirror); inverse scales in dequant
+        out = [[v >> 1 for v in row] for row in out]
+    return out
+
+
+def _hadamard2(x: list) -> list:
+    a, b, c, d = x[0][0], x[0][1], x[1][0], x[1][1]
+    return [[a + b + c + d, a - b + c - d], [a + b - c - d, a - b - c + d]]
+
+
+def _quant_coeff(w: int, qp: int, cls: int, f: int, qbits: int) -> int:
+    level = (abs(w) * _MF[qp % 6][cls] + f) >> qbits
+    return -level if w < 0 else level
+
+
+def _quant4x4(w: list, qp: int, intra: bool, skip_dc: bool) -> list:
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // (3 if intra else 6)
+    out = [[0] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(4):
+            if skip_dc and i == 0 and j == 0:
+                continue
+            out[i][j] = _quant_coeff(
+                w[i][j], qp, _POS_CLASS[i][j], f, qbits)
+    return out
+
+
+def _dequant4x4(lv: list, qp: int, dc_override: int | None) -> list:
+    """Dequantized coefficients; dc_override (already-scaled DC from
+    the Hadamard path) replaces position (0,0) when given."""
+    shift = qp // 6
+    out = [[(lv[i][j] * _V[qp % 6][_POS_CLASS[i][j]]) << shift
+            for j in range(4)] for i in range(4)]
+    if dc_override is not None:
+        out[0][0] = dc_override
+    return out
+
+
+def _dequant_luma_dc(f: list, qp: int) -> list:
+    """Scale an inverse-Hadamard'd 4x4 luma DC matrix (§8.5.10)."""
+    v = _V[qp % 6][0]
+    if qp >= 12:
+        return [[(e * v) << (qp // 6 - 2) for e in row] for row in f]
+    add = 1 << (1 - qp // 6)
+    sh = 2 - qp // 6
+    return [[(e * v + add) >> sh for e in row] for row in f]
+
+
+def _dequant_chroma_dc(f: list, qp: int) -> list:
+    v = _V[qp % 6][0]
+    if qp >= 6:
+        return [[(e * v) << (qp // 6 - 1) for e in row] for row in f]
+    return [[(e * v) >> 1 for e in row] for row in f]
