@@ -32,9 +32,14 @@ WHT layer, token trees, iDCT, DC/TM prediction, gated by
 ``multimodal_webp_lossy_decode``) and H.264 (minih264: baseline
 Annex-B I_PCM IDR streams — NAL framing, emulation prevention,
 Exp-Golomb SPS/PPS/slice syntax, gated by
-``multimodal_h264_decode``). The remaining documented stub surface
-is entropy-coded H.264 residuals (CAVLC/CABAC) and inter-frame
-prediction, which a production cluster hands to native codecs;
+``multimodal_h264_decode``). Session 9 closed the CAVLC +
+inter-prediction stub: minih264 now carries entropy-coded residuals
+(§9.2 coeff_token/levels/total_zeros/run_before with nC contexts),
+I_16x16 intra, and P slices with P_Skip + full-pel P_L0_16x16
+motion, gated end-to-end by ``multimodal_h264_cavlc_decode`` (2-frame
+I+P streams with a closed-form QP-0 oracle). The remaining documented
+stub surface is CABAC entropy coding and sub-pel/B-frame motion,
+which a production cluster hands to native codecs;
 :func:`binary_metadata` classifies what it can't decode as
 ``'unknown'`` instead of faking dimensions.
 """
@@ -1242,4 +1247,135 @@ def video_frames_sql(mod: int = 13) -> str:
            CAST((doc_id * 7 + f * 31) % 256 AS DOUBLE) AS mean_px
     FROM documents, range(4) t(f)
     WHERE doc_id % {mod} = 0 AND f < 2 + doc_id % 3
+    """
+
+
+def synth_h264_videos(docs: DataFrame, mod: int = 43) -> DataFrame:
+    """(doc_id, payload) — one REAL 2-frame CAVLC H.264 Annex-B
+    stream (minih264: IDR I_16x16 slice + P slice) per selected doc,
+    deterministically derived from doc_id:
+
+    - width = 16 * (1 + d % 3), height = 16 * (1 + d % 2)
+    - frame 1: per-macroblock-COLUMN flat values (column i):
+      y = 98 + (7d + 13i) % 61, u = 98 + (5d + 11i) % 61,
+      v = 98 + (3d + 17i) % 61 — inside the QP-0 exact
+      reconstruction band (|luma residual| <= 81, minih264 module
+      doc), with MB-to-MB spread that drives the DC-prediction and
+      CAVLC nC context chains
+    - frame 2: luma shifted per column by delta_i = 3*((d+i) % 3)
+      (chroma unchanged), so some MBs P_Skip (delta 0) and the rest
+      take the P_L0 residual path; delta <= 6 < half the minimum
+      inter-column luma step (13) keeps the deterministic SAD search
+      at MV (0,0), so every residual stays flat and the whole stream
+      reconstructs EXACTLY (closed form, :func:`h264_video_decode_sql`).
+
+    A defect anywhere in the CAVLC chain — coeff_token context,
+    level suffix adaptation, total_zeros/run_before placement, the
+    Hadamard DC paths, median MV prediction, skip inference — breaks
+    the hash match."""
+    from ..functions import minih264
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mb_w, mb_h = 1 + d % 3, 1 + d % 2
+                w, h = 16 * mb_w, 16 * mb_h
+                vy = [98 + (7 * d + 13 * i) % 61 for i in range(mb_w)]
+                vu = [98 + (5 * d + 11 * i) % 61 for i in range(mb_w)]
+                vv = [98 + (3 * d + 17 * i) % 61 for i in range(mb_w)]
+                dl = [3 * ((d + i) % 3) for i in range(mb_w)]
+                f1 = ([[vy[x // 16] for x in range(w)] for _ in range(h)],
+                      [[vu[x // 8] for x in range(w // 2)]
+                       for _ in range(h // 2)],
+                      [[vv[x // 8] for x in range(w // 2)]
+                       for _ in range(h // 2)])
+                f2 = ([[vy[x // 16] + dl[x // 16] for x in range(w)]
+                       for _ in range(h)], f1[1], f1[2])
+                ids.append(d)
+                payloads.append(minih264.h264_encode(w, h, [f1, f2], qp=0))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def h264_video_decode_metadata(videos: DataFrame) -> DataFrame:
+    """REAL CAVLC H.264 decode: (doc_id, width, height, n_frames,
+    mean_y1, mean_y2, mean_u, mean_v) over the decoded frame
+    sequence (luma means per frame; chroma means of frame 1);
+    undecodable payloads yield a null row."""
+    from ..functions import minih264
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_frames": [],
+                "mean_y1": [], "mean_y2": [], "mean_u": [], "mean_v": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    w, h, frames = minih264.h264_decode_frames(
+                        bytes(payload))
+                except miniimg.ImageFormatError:
+                    for k in ("width", "height", "n_frames",
+                              "mean_y1", "mean_y2", "mean_u", "mean_v"):
+                        out[k].append(None)
+                    continue
+                y1, u1, v1 = frames[0]
+                y2 = frames[-1][0]
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["mean_y1"].append(sum(map(sum, y1)) / (w * h))
+                out["mean_y2"].append(sum(map(sum, y2)) / (w * h))
+                out["mean_u"].append(sum(map(sum, u1)) / (w * h / 4))
+                out["mean_v"].append(sum(map(sum, v1)) / (w * h / 4))
+            yield pd.DataFrame(out)
+
+    return videos.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, width long, height long, n_frames long, "
+            "mean_y1 double, mean_y2 double, mean_u double, mean_v double"
+        ),
+    )
+
+
+def h264_video_decode_sql(mod: int = 43) -> str:
+    """Closed-form oracle for
+    h264_video_decode_metadata(synth_h264_videos): the flat-per-MB
+    frames reconstruct exactly at QP 0, so each plane mean is the
+    average of its 1..3 macroblock-column values — a pure function
+    of doc_id (correctly-rounded IEEE division matches the engine's
+    sum/count to the last bit)."""
+
+    def colavg(term) -> str:
+        ts = [term(k) for k in range(3)]
+        return (
+            f"CASE doc_id % 3 WHEN 0 THEN CAST({ts[0]} AS DOUBLE) "
+            f"WHEN 1 THEN ({ts[0]} + {ts[1]}) / 2.0 "
+            f"ELSE ({ts[0]} + {ts[1]} + {ts[2]}) / 3.0 END"
+        )
+
+    y1 = colavg(lambda k: f"(98 + (7 * doc_id + {13 * k}) % 61)")
+    y2 = colavg(lambda k: f"(98 + (7 * doc_id + {13 * k}) % 61"
+                          f" + 3 * ((doc_id + {k}) % 3))")
+    mu = colavg(lambda k: f"(98 + (5 * doc_id + {11 * k}) % 61)")
+    mv = colavg(lambda k: f"(98 + (3 * doc_id + {17 * k}) % 61)")
+    return f"""
+    SELECT doc_id,
+           16 * (1 + doc_id % 3) AS width,
+           16 * (1 + doc_id % 2) AS height,
+           CAST(2 AS BIGINT) AS n_frames,
+           {y1} AS mean_y1,
+           {y2} AS mean_y2,
+           {mu} AS mean_u,
+           {mv} AS mean_v
+    FROM documents WHERE doc_id % {mod} = 0
     """

@@ -124,6 +124,7 @@ _GATE_ORDER: list[str] = [
     # for the judge's check_oracle tail pass (the r3 procedure) ----
     "multimodal_webp_lossy_decode",
     "multimodal_h264_decode",
+    "multimodal_h264_cavlc_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -2120,6 +2121,27 @@ def q_multimodal_webp_lossy_decode(spark, sf_dir):
 def q_multimodal_h264_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.h264_decode_metadata(_mm.synth_h264s(d, 41)).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_h264_cavlc_decode",
+    # REAL entropy-coded H.264 gate (round 4, closing the
+    # CAVLC/inter stub documented since round 3): synth_h264_videos
+    # writes 2-frame CAVLC streams — IDR I_16x16 slice (DC intra
+    # prediction, luma-DC Hadamard path, coeff_token nC context
+    # chains) plus a P slice mixing P_Skip and P_L0_16x16 residual
+    # macroblocks (median MV prediction, full-pel MC) — and the
+    # engine decodes them via minih264.h264_decode_frames. The
+    # per-MB-flat QP-0 input class reconstructs exactly (band proof
+    # in functions/minih264.py), so every frame/plane mean is
+    # closed-form in doc_id.
+    _mm.h264_video_decode_sql(43) + " ORDER BY doc_id",
+)
+def q_multimodal_h264_cavlc_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.h264_video_decode_metadata(
+        _mm.synth_h264_videos(d, 43)
+    ).orderBy("doc_id")
 
 
 @_register(

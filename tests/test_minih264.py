@@ -136,3 +136,155 @@ def test_error_modes():
     # truncated PCM samples
     with pytest.raises(ImageFormatError):
         h264.h264_decode(good[:len(good) // 2])
+
+
+# ---------------------------------------------------------------------------
+# CAVLC family: block codec, flat-class exactness, encoder-recon parity
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=60, deadline=None)
+def test_cavlc_block_roundtrip(seed):
+    rnd = random.Random(seed)
+    max_coeff = rnd.choice([16, 15, 4])
+    nc = rnd.choice([-1] if max_coeff == 4 else [0, 1, 2, 3, 5, 7, 8, 20])
+    coeffs = [0] * max_coeff
+    for pos in rnd.sample(range(max_coeff), rnd.randint(0, max_coeff)):
+        mag = rnd.choice([1, 1, 2, 3, rnd.randrange(1, 2064)])
+        coeffs[pos] = mag * rnd.choice([1, -1])
+    w = h264.BitWriter()
+    h264._cavlc_write_block(w, coeffs, nc, max_coeff)
+    # back-to-back second block exercises bit-exact continuation
+    h264._cavlc_write_block(w, coeffs, nc, max_coeff)
+    w.rbsp_trailing()
+    r = h264.BitReader(w.to_bytes())
+    assert h264._cavlc_read_block(r, nc, max_coeff) == coeffs
+    assert h264._cavlc_read_block(r, nc, max_coeff) == coeffs
+
+
+def test_vlc_tables_prefix_free_and_kraft():
+    tables = [h264._CT_NC0, h264._CT_NC2, h264._CT_NC4,
+              h264._CT_CHROMA_DC, *h264._TZ_4X4.values(),
+              *h264._TZ_CHROMA_DC.values(), *h264._RUN_BEFORE.values()]
+    for t in tables:
+        h264._validate_prefix_free(t)
+        assert sum(2.0 ** -len(c) for c in t.values()) <= 1.0 + 1e-12
+
+
+def test_flat_residual_exact_bands():
+    # QP-0 quant rounding lands inside the inverse transform's
+    # +32>>6 window: documented exactness bands
+    for r in range(-81, 82):
+        res = [[r] * 16 for _ in range(16)]
+        assert h264._enc_i16_luma(res, 0)[2] == res
+    for r in range(-161, 162):
+        res = [[r] * 8 for _ in range(8)]
+        assert h264._enc_chroma(res, 0, True)[2] == res
+        assert h264._enc_chroma(res, 0, False)[2] == res
+    for r in (-255, -128, 127, 255):
+        res = [[r] * 16 for _ in range(16)]
+        assert h264._enc_inter_luma(res, 0)[1] == res
+
+
+def _flat_frame(w, h, mbw, vals_y, vals_u, vals_v):
+    y = [[vals_y[(x // 16) + (yy // 16) * mbw] for x in range(w)]
+         for yy in range(h)]
+    u = [[vals_u[(x // 8) + (yy // 8) * mbw] for x in range(w // 2)]
+         for yy in range(h // 2)]
+    v = [[vals_v[(x // 8) + (yy // 8) * mbw] for x in range(w // 2)]
+         for yy in range(h // 2)]
+    return (y, u, v)
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=15, deadline=None)
+def test_cavlc_flat_class_lossless(seed):
+    # per-MB flat values within the exact band -> decode == source
+    rnd = random.Random(seed)
+    mbw, mbh = rnd.randint(1, 3), rnd.randint(1, 2)
+    W, H = mbw * 16, mbh * 16
+    n = mbw * mbh
+    f1 = _flat_frame(W, H, mbw,
+                     [rnd.randint(98, 158) for _ in range(n)],
+                     [rnd.randint(98, 158) for _ in range(n)],
+                     [rnd.randint(98, 158) for _ in range(n)])
+    f2 = _flat_frame(W, H, mbw,
+                     [rnd.randint(98, 158) for _ in range(n)],
+                     [rnd.randint(98, 158) for _ in range(n)],
+                     [rnd.randint(98, 158) for _ in range(n)])
+    data = h264.h264_encode(W, H, [f1, f2], qp=0)
+    w, h, frames = h264.h264_decode_frames(data)
+    assert (w, h) == (W, H)
+    assert frames == [f1, f2]
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=15, deadline=None)
+def test_cavlc_decode_matches_encoder_recon(seed):
+    # arbitrary content, mixed QP: the decoder must reproduce the
+    # encoder's own reconstruction bit-exactly (lossy but determinate)
+    rnd = random.Random(seed)
+    W = 2 * rnd.randrange(8, 25)
+    H = 2 * rnd.randrange(8, 17)
+    qp = rnd.choice([0, 4, 12, 23, 34, 45])
+    frames_in = []
+    for _ in range(rnd.randint(1, 3)):
+        y = [[rnd.randrange(256) for _ in range(W)] for _ in range(H)]
+        u = [[rnd.randrange(256) for _ in range(W // 2)]
+             for _ in range(H // 2)]
+        v = [[rnd.randrange(256) for _ in range(W // 2)]
+             for _ in range(H // 2)]
+        frames_in.append((y, u, v))
+    data, recons = h264.h264_encode_with_recon(W, H, frames_in, qp=qp)
+    w, h, frames = h264.h264_decode_frames(data)
+    assert (w, h) == (W, H)
+    assert frames == recons
+
+
+def test_cavlc_p_skip_and_motion():
+    rnd = random.Random(5)
+    W, H = 48, 32
+    y1 = [[(x * 7 + yy * 13) % 200 + 20 for x in range(W)]
+          for yy in range(H)]
+    u1 = [[(x * 3 + yy * 5) % 200 + 20 for x in range(W // 2)]
+          for yy in range(H // 2)]
+    v1 = [[(x * 11 + yy * 2) % 200 + 20 for x in range(W // 2)]
+          for yy in range(H // 2)]
+    fA = (y1, u1, v1)
+    # identical second frame -> every MB skips, tiny slice, exact copy
+    data = h264.h264_encode(W, H, [fA, fA], qp=0)
+    _, _, frames = h264.h264_decode_frames(data)
+    assert frames[1] == frames[0]
+    p_slice = h264.split_annexb(data)[-1]
+    assert len(p_slice) < 12, "all-skip P slice should be a few bytes"
+    # shifted second frame -> motion search recovers it losslessly
+    y2 = [[y1[yy][max(0, x - 8)] for x in range(W)] for yy in range(H)]
+    u2 = [[u1[yy][max(0, x - 4)] for x in range(W // 2)]
+          for yy in range(H // 2)]
+    v2 = [[v1[yy][max(0, x - 4)] for x in range(W // 2)]
+          for yy in range(H // 2)]
+    fB = (y2, u2, v2)
+    data, recons = h264.h264_encode_with_recon(W, H, [fA, fB], qp=0)
+    _, _, frames = h264.h264_decode_frames(data)
+    assert frames == recons
+    # interior MBs (away from the left clamp edge) must be exact
+    assert [row[16:] for row in frames[1][0]] == \
+        [row[16:] for row in y2]
+
+
+def test_cavlc_rejection_surface():
+    f = _flat_frame(16, 16, 1, [120], [120], [120])
+    good = h264.h264_encode(16, 16, [f, f], qp=0)
+    with pytest.raises(ImageFormatError, match="CABAC"):
+        h264.h264_decode_frames(_flip_pps_cabac(good))
+    # P slice without its reference (drop the IDR slice NAL)
+    units = h264.split_annexb(good)
+    no_ref = b"".join(b"\x00\x00\x00\x01" + u
+                      for u in units if (h264.ebsp_to_rbsp(u)[0] & 0x1F)
+                      not in (5,))
+    with pytest.raises(ImageFormatError, match="reference"):
+        h264.h264_decode_frames(no_ref)
+    # the old I_PCM-only decoder must still reject CAVLC macroblocks
+    with pytest.raises(ImageFormatError, match="I_PCM"):
+        h264.h264_decode(good)
