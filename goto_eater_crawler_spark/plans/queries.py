@@ -125,6 +125,8 @@ _GATE_ORDER: list[str] = [
     "multimodal_webp_lossy_decode",
     "multimodal_h264_decode",
     "multimodal_h264_cavlc_decode",
+    "text_charset_transcode",
+    "warc_wat_extract",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4057,3 +4059,84 @@ def q_similarity_ann_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+from ..operators import charset as _cset  # noqa: E402
+
+
+@_register(
+    "text_charset_transcode",
+    # Charset detection + transcode gate (round 4): the reference's
+    # scrapy stack resolves each response's encoding before any
+    # spider code runs (TextResponse.encoding); re-ingesting raw
+    # fetched bytes at 100 TB needs that stage as an operator. The
+    # engine synthesizes deterministic Japanese text encoded in the
+    # four wild-web encodings (utf-8 / shift_jis / euc_jp /
+    # iso-2022-jp by doc_id % 4), detects each with the
+    # deterministic mini-chardet cascade (ISO-2022 escape scan,
+    # strict trial decodes scored with halfwidth-katakana /
+    # C1-control penalties — the EUC-read-as-SJIS artifact class),
+    # transcodes to UTF-8, and reports stats the oracle states
+    # closed-form in doc_id. One Arrow-batched Python stage, no
+    # shuffle (operators/charset.py).
+    _cset.charset_transcode_sql(5) + " ORDER BY doc_id",
+)
+def q_text_charset_transcode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _cset.charset_transcode_stats(
+        _cset.synth_encoded_docs(d, 5)
+    ).orderBy("doc_id")
+
+
+@_register(
+    "warc_wat_extract",
+    # WARC -> WAT conversion (the Common Crawl wat-file derivation,
+    # completing the WARC/WAT/WET triple): response records reduced
+    # to per-page METADATA envelopes — title, outlink list, HTTP
+    # status/MIME, payload length. One Python codec stage
+    # (the WARC reader); title and links come from native
+    # regexp_extract/regexp_extract_all exprs (WholeStageCodegen),
+    # no shuffle before the presentation sort. Oracle reconstructs
+    # the identical HTML construction closed-form.
+    f"""
+    SELECT 'https://w' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST('2021-06-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS TIMESTAMP) AS warc_ts,
+           'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(2 AS BIGINT) AS n_links,
+           '/doc/' || CAST(doc_id + 1 AS VARCHAR) || ' https://w'
+             || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.test/'
+             AS outlinks,
+           200 AS http_status,
+           'text/html; charset=utf-8' AS mime,
+           CAST(length('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+             || '</title></head><body><nav>home | about</nav><p>' || text
+             || '</p><a href="/doc/' || CAST(doc_id + 1 AS VARCHAR)
+             || '">next</a><a href="https://w'
+             || CAST((doc_id + 1) % 7 AS VARCHAR)
+             || '.example.test/">hub</a></body></html>') AS BIGINT)
+             AS payload_len
+    FROM documents ORDER BY url
+    """,
+)
+def q_warc_wat_extract(spark, sf_dir):
+    from ..sources import warc as _warc
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = _warc.synth_warc_from_docs(
+        d, docs_per_file=50, gzipped=True, html_wrap=True, links=True
+    )
+    pages = _warc.warc_pages(blobs)
+    html = F.decode(F.col("html"), "UTF-8")
+    links = F.regexp_extract_all(html, F.lit(r'<a href="([^"]*)"'), 1)
+    return pages.select(
+        "url",
+        "warc_ts",
+        F.regexp_extract(html, r"<title>([^<]*)</title>", 1).alias("title"),
+        F.size(links).cast("bigint").alias("n_links"),
+        F.array_join(links, " ").alias("outlinks"),
+        "http_status",
+        "mime",
+        F.length(html).cast("bigint").alias("payload_len"),
+    ).orderBy("url")

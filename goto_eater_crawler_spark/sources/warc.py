@@ -61,15 +61,22 @@ def warc_pages(warc_blobs: DataFrame, blob_col: str = "data") -> DataFrame:
     return warc_blobs.mapInPandas(parse, schema=WARC_PAGE_SCHEMA)
 
 
-def html_wrap_body(doc_id: int, text: str) -> str:
+def html_wrap_body(doc_id: int, text: str, links: bool = False) -> str:
     """The deterministic HTML page layout ``synth_warc_from_docs``
     wraps doc text in when ``html_wrap=True`` — single-line markup
-    (title + nav boilerplate + one paragraph) that a WET conversion
-    strips back to plain text. Exposed so the oracle SQL can state
-    the same construction."""
+    (title + nav boilerplate + one paragraph, plus two outlinks when
+    ``links=True`` for the WAT gate) that a WET conversion strips
+    back to plain text. Exposed so the oracle SQL can state the same
+    construction."""
+    tail = (
+        f'<a href="/doc/{doc_id + 1}">next</a>'
+        f'<a href="https://w{(doc_id + 1) % 7}.example.test/">hub</a>'
+        if links
+        else ""
+    )
     return (
         f"<html><head><title>doc {doc_id}</title></head>"
-        f"<body><nav>home | about</nav><p>{text}</p></body></html>"
+        f"<body><nav>home | about</nav><p>{text}</p>{tail}</body></html>"
     )
 
 
@@ -78,6 +85,7 @@ def synth_warc_from_docs(
     docs_per_file: int = 50,
     gzipped: bool = False,
     html_wrap: bool = False,
+    links: bool = False,
 ) -> DataFrame:
     """Deterministic WARC blobs from the documents table: doc_id ->
     url https://w{doc_id % 7}.example.test/doc/{doc_id}, fixed date
@@ -92,9 +100,9 @@ def synth_warc_from_docs(
             (
                 f"https://w{int(d) % 7}.example.test/doc/{int(d)}",
                 f"2021-06-{int(d) % 28 + 1:02d}T12:00:00Z",
-                (html_wrap_body(int(d), t) if html_wrap else t).encode(
-                    "utf-8"
-                ),
+                (
+                    html_wrap_body(int(d), t, links) if html_wrap else t
+                ).encode("utf-8"),
             )
             for d, t in zip(pdf["doc_id"], pdf["text"])
         ]

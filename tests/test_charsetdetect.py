@@ -1,0 +1,88 @@
+"""Mini-chardet contract: deterministic detection of the four
+wild-Japanese-web encodings, the EUC-read-as-SJIS artifact class
+(halfwidth-katakana penalty), ASCII/ISO-2022 escape handling, and
+strict transcode-to-UTF-8 round trips.
+
+Reference analogue: scrapy TextResponse.encoding resolves every
+response's charset before the reference's parse_* callbacks run;
+this operator is that stage made explicit for raw-bytes re-ingest.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from goto_eater_crawler_spark.functions import charsetdetect as cd
+
+_JP = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x3041, max_codepoint=0x3093),
+        st.characters(min_codepoint=0x30A1, max_codepoint=0x30F3),
+        st.sampled_from("、。日本語東京大阪店営業時間 0123abc"),
+    ),
+    min_size=8,
+    max_size=120,
+)
+
+
+@given(_JP, st.sampled_from(cd.TRIAL_CODECS + ("iso-2022-jp",)))
+@settings(max_examples=120, deadline=None)
+def test_detect_japanese_roundtrip(text, enc):
+    try:
+        data = text.encode(enc)
+    except UnicodeEncodeError:
+        return  # char outside JIS X 0208 for the legacy codec
+    got = cd.detect_charset(data)
+    if all(b < 0x80 for b in data) and enc != "iso-2022-jp":
+        assert got == "ascii"
+        return
+    assert got == enc
+    cs, out = cd.transcode_utf8(data)
+    assert cs == got and out == text
+
+
+def test_euc_vs_sjis_disambiguation():
+    # the classic artifact: EUC-JP bytes whose trail bytes land in
+    # 0xA1-0xDF decode strictly under Shift_JIS as halfwidth
+    # katakana — scoring must reject that reading. Hiragana
+    # U+3041..U+307E map to EUC 0xA4 0xA1..0xDE: every byte is a
+    # valid SJIS single-byte char, so the stream is truly ambiguous.
+    text = "".join(chr(0x3041 + k) for k in range(0x3E))
+    euc = text.encode("euc_jp")
+    misread = euc.decode("shift_jis")  # strictly decodable
+    assert all(0xFF61 <= ord(c) <= 0xFF9F for c in misread)
+    assert cd.detect_charset(euc) == "euc_jp"
+    sjis = text.encode("shift_jis")
+    assert cd.detect_charset(sjis) == "shift_jis"
+
+
+def test_ascii_and_escape_paths():
+    assert cd.detect_charset(b"") == "ascii"
+    assert cd.detect_charset(b"hello, world\n") == "ascii"
+    assert cd.detect_charset("漢字".encode("iso-2022-jp")) == "iso-2022-jp"
+
+
+def test_binary_raises_on_transcode():
+    blob = bytes([0x82, 0x00, 0xFE, 0xFF, 0x80, 0x81]) * 3
+    assert cd.detect_charset(blob) == "binary"
+    with pytest.raises(UnicodeDecodeError):
+        cd.transcode_utf8(blob)
+
+
+def test_synth_class_deterministic():
+    # the oracle-gated synth class end to end (operators/charset.py)
+    rnd = random.Random(1)
+    for _ in range(50):
+        d = rnd.randrange(0, 10_000)
+        n = 20 + d % 31
+        text = "".join(
+            chr(0x3042 + (7 * d + 13 * k) % 81) for k in range(n)
+        )
+        enc = ("utf-8", "shift_jis", "euc_jp", "iso-2022-jp")[d % 4]
+        cs, out = cd.transcode_utf8(text.encode(enc))
+        assert cs == enc and out == text
+        assert len(out.encode("utf-8")) == 3 * n
