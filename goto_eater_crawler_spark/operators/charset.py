@@ -112,3 +112,106 @@ def charset_transcode_sql(mod: int = 5) -> str:
            CAST(3 * (20 + doc_id % 31) AS BIGINT) AS utf8_len
     FROM documents WHERE doc_id % {mod} = 0
     """
+
+
+def synth_mixed_width_docs(docs: DataFrame, mod: int = 6) -> DataFrame:
+    """(doc_id, raw) — deterministic Japanese-web text with the
+    classic width/compatibility mess NFKC exists for: a fullwidth
+    ASCII run (chars 0xFF01 + (3d + 5j) % 94, m = 5 + d % 7 of
+    them), then ideographic space + halfwidth katakana with dakuten
+    (``ｶﾞ``) + circled digit ``①`` + square ligature ``㍿``, then an
+    unchanged hiragana run (chr(0x3042 + (d + k) % 81),
+    n = 3 + d % 5).  The NFKC image of every segment is closed-form
+    in doc_id (fullwidth -> cp - 0xFEE0; the fixed middle becomes
+    ``' ガ1株式会社'``; hiragana is NFKC-invariant)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, raws = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                a = "".join(
+                    chr(0xFF01 + (3 * d + 5 * j) % 94)
+                    for j in range(5 + d % 7)
+                )
+                c = "".join(
+                    chr(0x3042 + (d + k) % 81) for k in range(3 + d % 5)
+                )
+                ids.append(d)
+                raws.append(a + "　ｶﾞ①㍿" + c)
+            yield pd.DataFrame({"doc_id": ids, "raw": raws})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, raw string")
+    )
+
+
+def nfkc_normalize_stats(df: DataFrame, col: str = "raw") -> DataFrame:
+    """NFKC-normalize a text column (the standard Japanese-webtext
+    width/compatibility fold: fullwidth ASCII -> ASCII, halfwidth
+    katakana + dakuten -> composed katakana, compatibility
+    ligatures expanded) and report per-row stats: (doc_id,
+    normalized, n_in, n_out, n_ascii, cp_sum).  Row-local Python
+    stage (unicodedata is genuinely Python); no shuffle."""
+    import unicodedata
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "normalized": [], "n_in": [], "n_out": [],
+                "n_ascii": [], "cp_sum": [],
+            }
+            for doc_id, raw in zip(pdf["doc_id"], pdf[col]):
+                norm = unicodedata.normalize("NFKC", str(raw))
+                out["doc_id"].append(int(doc_id))
+                out["normalized"].append(norm)
+                out["n_in"].append(len(str(raw)))
+                out["n_out"].append(len(norm))
+                out["n_ascii"].append(
+                    sum(1 for ch in norm if ord(ch) < 0x80))
+                out["cp_sum"].append(sum(map(ord, norm)))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", col).mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, normalized string, n_in long, n_out long, "
+            "n_ascii long, cp_sum long"
+        ),
+    )
+
+
+# NFKC image of the fixed middle segment '　ｶﾞ①㍿' -> ' ガ1株式会社'
+_NFKC_MID_CPSUM = 0x20 + 0x30AC + 0x31 + 0x682A + 0x5F0F + 0x4F1A + 0x793E
+_NFKC_MID_STR = " ガ1株式会社"
+
+
+def nfkc_normalize_sql(mod: int = 6) -> str:
+    """Closed-form oracle for
+    nfkc_normalize_stats(synth_mixed_width_docs): the normalized
+    string and every stat are pure functions of doc_id, including
+    the normalized text itself (DuckDB chr()/string_agg over a
+    range rebuilds both variable runs)."""
+    return f"""
+    SELECT doc_id,
+           (SELECT string_agg(chr(CAST(33 + (3 * doc_id + 5 * u.j) % 94 AS INTEGER)), ''
+                              ORDER BY u.j)
+            FROM (SELECT unnest(range(5 + doc_id % 7)) AS j) u)
+           || '{_NFKC_MID_STR}' ||
+           (SELECT string_agg(chr(CAST(12354 + (doc_id + u.k) % 81 AS INTEGER)), ''
+                              ORDER BY u.k)
+            FROM (SELECT unnest(range(3 + doc_id % 5)) AS k) u)
+             AS normalized,
+           CAST((5 + doc_id % 7) + 5 + (3 + doc_id % 5) AS BIGINT) AS n_in,
+           CAST((5 + doc_id % 7) + 7 + (3 + doc_id % 5) AS BIGINT) AS n_out,
+           CAST((5 + doc_id % 7) + 2 AS BIGINT) AS n_ascii,
+           (SELECT CAST(SUM(33 + (3 * doc_id + 5 * u.j) % 94) AS BIGINT)
+            FROM (SELECT unnest(range(5 + doc_id % 7)) AS j) u)
+           + {_NFKC_MID_CPSUM} +
+           (SELECT CAST(SUM(12354 + (doc_id + u.k) % 81) AS BIGINT)
+            FROM (SELECT unnest(range(3 + doc_id % 5)) AS k) u)
+             AS cp_sum
+    FROM documents WHERE doc_id % {mod} = 0
+    """

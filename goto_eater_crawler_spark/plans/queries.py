@@ -127,6 +127,7 @@ _GATE_ORDER: list[str] = [
     "multimodal_h264_cavlc_decode",
     "text_charset_transcode",
     "warc_wat_extract",
+    "text_nfkc_normalize",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4140,3 +4141,23 @@ def q_warc_wat_extract(spark, sf_dir):
         "mime",
         F.length(html).cast("bigint").alias("payload_len"),
     ).orderBy("url")
+
+
+@_register(
+    "text_nfkc_normalize",
+    # NFKC normalization gate (round 4): the standard Japanese-webtext
+    # width/compatibility fold every JP corpus pipeline applies before
+    # tokenization — fullwidth ASCII to ASCII, halfwidth katakana +
+    # dakuten composed, compatibility ligatures (①, ㍿) expanded,
+    # ideographic space folded. The synth column mixes all four
+    # classes; the oracle rebuilds the NORMALIZED STRING ITSELF
+    # closed-form in doc_id (DuckDB chr()/string_agg over ranges)
+    # plus length/ascii/code-point-sum stats. Row-local Python stage
+    # (unicodedata), no shuffle (operators/charset.py).
+    _cset.nfkc_normalize_sql(6) + " ORDER BY doc_id",
+)
+def q_text_nfkc_normalize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _cset.nfkc_normalize_stats(
+        _cset.synth_mixed_width_docs(d, 6)
+    ).orderBy("doc_id")

@@ -86,3 +86,23 @@ def test_synth_class_deterministic():
         cs, out = cd.transcode_utf8(text.encode(enc))
         assert cs == enc and out == text
         assert len(out.encode("utf-8")) == 3 * n
+
+
+def test_nfkc_synth_closed_form():
+    # mirrors operators/charset.synth_mixed_width_docs +
+    # nfkc_normalize_sql: the oracle's reconstruction must equal
+    # Python's NFKC for the synth class
+    import unicodedata
+
+    for d in (0, 1, 6, 41, 997, 12345):
+        m, n = 5 + d % 7, 3 + d % 5
+        a = "".join(chr(0xFF01 + (3 * d + 5 * j) % 94) for j in range(m))
+        c = "".join(chr(0x3042 + (d + k) % 81) for k in range(n))
+        raw = a + "　ｶﾞ①㍿" + c
+        norm = unicodedata.normalize("NFKC", raw)
+        exp = "".join(
+            chr(0x21 + (3 * d + 5 * j) % 94) for j in range(m)
+        ) + " ガ1株式会社" + c
+        assert norm == exp
+        assert len(raw) == m + 5 + n and len(norm) == m + 7 + n
+        assert sum(1 for ch in norm if ord(ch) < 0x80) == m + 2
