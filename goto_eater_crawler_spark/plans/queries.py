@@ -128,6 +128,7 @@ _GATE_ORDER: list[str] = [
     "text_charset_transcode",
     "warc_wat_extract",
     "text_nfkc_normalize",
+    "html_main_content",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4160,4 +4161,75 @@ def q_text_nfkc_normalize(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _cset.nfkc_normalize_stats(
         _cset.synth_mixed_width_docs(d, 6)
+    ).orderBy("doc_id")
+
+
+# the main-content synthesizer's fixed page furniture (nav /
+# sidebar / footer) — short or link-heavy so the density argmax must
+# reject them; the main block gets a fixed suffix so its score
+# strictly dominates at every text length (no tie ambiguity)
+_MAIN_SUFFIX = " 営業時間と定休日は店舗ページをご確認ください。"
+
+
+@_register(
+    "html_main_content",
+    # Main-content extraction (the boilerpipe/trafilatura stage of a
+    # webtext pipeline, complementing per-host boilerplate_lines):
+    # segment the page into blocks, score each by text density minus
+    # a link penalty (stripped length - 20 * links), keep the argmax.
+    # ENTIRELY Catalyst-native — page construction, block split
+    # (regexp_extract_all), per-block strip + scoring and the argmax
+    # inside array HOFs (transform + array_max over (score, text)
+    # structs): one JVM-side project over the scan (the HOF exprs are
+    # codegen-fallback but never leave the JVM), no Python stage, no
+    # shuffle beyond the presentation sort. Oracle applies the same scoring
+    # closed-form (the main block's fixed suffix makes its score
+    # strictly dominant, so argmax = text || suffix at every length).
+    f"""
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_blocks,
+           text || '{_MAIN_SUFFIX}' AS main_text,
+           CAST(length(text || '{_MAIN_SUFFIX}') AS BIGINT) AS main_len,
+           CAST(3 AS BIGINT) AS n_links_dropped
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_html_main_content(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><body><div><a href="/">ホーム</a> '
+            '<a href="/list">店舗一覧</a></div><div>'
+        ),
+        F.col("text"),
+        F.lit(_MAIN_SUFFIX),
+        F.lit(
+            '</div><div>関連: <a href="/a">近隣の店</a>からのおすすめ'
+            "</div><div>(c) 2021</div></body></html>"
+        ),
+    )
+    blocks = F.regexp_extract_all(html, F.lit("<div>(.*?)</div>"), 1)
+
+    def strip(b):
+        return F.regexp_replace(b, "<[^>]*>", "")
+
+    def score(b):
+        return F.length(strip(b)) - 20 * F.regexp_count(b, F.lit("<a "))
+
+    best = F.array_max(
+        F.transform(
+            blocks, lambda b: F.struct(score(b).alias("s"), strip(b).alias("t"))
+        )
+    )
+    total_links = F.aggregate(
+        blocks,
+        F.lit(0),
+        lambda acc, b: acc + F.regexp_count(b, F.lit("<a ")),
+    )
+    return d.select(
+        "doc_id",
+        F.size(blocks).cast("bigint").alias("n_blocks"),
+        best["t"].alias("main_text"),
+        F.length(best["t"]).cast("bigint").alias("main_len"),
+        total_links.cast("bigint").alias("n_links_dropped"),
     ).orderBy("doc_id")

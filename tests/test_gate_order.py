@@ -64,7 +64,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
     # r3 procedure for 18 such gates) covers them either way
     new_past_cap = {"multimodal_webp_lossy_decode", "multimodal_h264_decode",
                     "multimodal_h264_cavlc_decode", "text_charset_transcode",
-                    "warc_wat_extract", "text_nfkc_normalize"}
+                    "warc_wat_extract", "text_nfkc_normalize",
+                    "html_main_content"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
