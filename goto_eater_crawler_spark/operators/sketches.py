@@ -192,3 +192,106 @@ def hll_sql(table: str, key_expr: str, log2m: int = 6) -> str:
                  FROM {table}))
          GROUP BY reg)))
     """
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005, public paper) ---------
+# Fixed pairwise-independent hash family over a Mersenne prime so the
+# DuckDB oracle can restate every bucket assignment arithmetically.
+
+_CM_P = 2147483647  # 2^31 - 1
+_CM_A = (3, 5, 7, 11)
+_CM_B = (17, 29, 41, 53)
+
+
+def cm_sketch(df: DataFrame, key_col: str, width: int = 64,
+              depth: int = 4) -> DataFrame:
+    """Count-Min sketch of a NUMERIC key column -> (r, bucket, cnt).
+
+    Scale shape (contrast mg_summaries' Python fold): fully native —
+    explode each row into its ``depth`` (row, bucket) cells, then ONE
+    groupBy count. Partial aggregation collapses every partition to
+    at most depth*width cells before the shuffle, so the exchanged
+    volume is O(partitions * depth * width) regardless of row count,
+    and the whole job stays JVM-side."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (
+                    (F.lit(_CM_A[i]) * F.col(key_col) + F.lit(_CM_B[i]))
+                    % _CM_P
+                    % width
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("h"))
+        .groupBy(
+            F.col("h.r").alias("r"), F.col("h.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
+                width: int = 64, depth: int = 4) -> DataFrame:
+    """Point-query the sketch for each probe key: est = min over hash
+    rows of the addressed cell (missing cell -> 0). The probe
+    relation is tiny, so its exploded cells broadcast into the join
+    against the (already small) sketch; one groupBy min finishes."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (
+                    (F.lit(_CM_A[i]) * F.col(key_col) + F.lit(_CM_B[i]))
+                    % _CM_P
+                    % width
+                ).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    addressed = probes.select(
+        F.col(key_col), F.explode(cells).alias("h")
+    ).select(key_col, F.col("h.r").alias("r"), F.col("h.bucket").alias("bucket"))
+    return (
+        F.broadcast(addressed)
+        .join(sketch, ["r", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def cm_sql(table: str, key_expr: str, probe_n: int, width: int = 64,
+           depth: int = 4) -> str:
+    """The identical sketch + point queries restated in SQL: same
+    hash family, same cells, same min — plus the exact counts the
+    estimates must dominate."""
+    hashes = ", ".join(
+        f"({i}, {_CM_A[i]}, {_CM_B[i]})" for i in range(depth)
+    )
+    return f"""
+    WITH hashes(r, a, b) AS (VALUES {hashes}),
+    sketch AS (
+      SELECT h.r,
+             ((h.a * {key_expr} + h.b) % {_CM_P}) % {width} AS bucket,
+             count(*) AS cnt
+      FROM {table} t CROSS JOIN hashes h GROUP BY 1, 2),
+    probes AS (SELECT unnest(range({probe_n})) AS key),
+    est AS (
+      SELECT p.key, min(coalesce(s.cnt, 0)) AS est
+      FROM probes p CROSS JOIN hashes h
+      LEFT JOIN sketch s
+        ON s.r = h.r
+       AND s.bucket = ((h.a * p.key + h.b) % {_CM_P}) % {width}
+      GROUP BY 1),
+    exact AS (
+      SELECT {key_expr} AS key, count(*) AS exact
+      FROM {table} t WHERE {key_expr} < {probe_n} GROUP BY 1)
+    SELECT e.key, CAST(e.est AS BIGINT) AS est,
+           CAST(coalesce(x.exact, 0) AS BIGINT) AS exact
+    FROM est e LEFT JOIN exact x USING (key)
+    """

@@ -129,6 +129,7 @@ _GATE_ORDER: list[str] = [
     "warc_wat_extract",
     "text_nfkc_normalize",
     "html_main_content",
+    "events_countmin_freq",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4233,3 +4234,37 @@ def q_html_main_content(spark, sf_dir):
         F.length(best["t"]).cast("bigint").alias("main_len"),
         total_links.cast("bigint").alias("n_links_dropped"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "events_countmin_freq",
+    # Count-Min point queries (Cormode & Muthukrishnan 2005) over the
+    # event stream's user ids — the bounded-memory frequency sketch
+    # complementing Misra-Gries (hosts_heavy_hitters) and HLL
+    # (frontier_hll_distinct). Fully native: rows explode into their
+    # depth (row, bucket) cells and partial aggregation collapses
+    # each partition to <= depth*width cells before the single tiny
+    # shuffle; probes broadcast. The oracle restates the identical
+    # hash family (Mersenne-prime pairwise) and min over cells, plus
+    # the exact counts every estimate must dominate.
+    _sk.cm_sql("events", "t.user_id", 12) + " ORDER BY key",
+)
+def q_events_countmin_freq(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sketch = _sk.cm_sketch(e, "user_id", 64, 4)
+    probes = spark.range(12).select(F.col("id").alias("user_id"))
+    est = _sk.cm_estimate(sketch, probes, "user_id", 64, 4)
+    exact = (
+        e.filter(F.col("user_id") < 12)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "user_id", "left")
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("est").cast("bigint"),
+            F.coalesce("exact", F.lit(0)).cast("bigint").alias("exact"),
+        )
+        .orderBy("key")
+    )

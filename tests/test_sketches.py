@@ -101,3 +101,39 @@ def test_hll_registers_merge_associative(spark):
     # m=64 -> standard error ~1.04/8 = 13%; allow 3 sigma
     est = hll_estimate(hll_registers(df, "k")).collect()[0]["est"]
     assert abs(est - 50000) / 50000 < 0.4, est
+
+
+def test_countmin_dominance_and_exact_regime(spark):
+    from goto_eater_crawler_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    df = _skewed(spark, n_rows=5000, n_keys=300).withColumnRenamed("host", "u")
+    probes = spark.range(30).select(F.col("id").alias("u"))
+    exact = {
+        r["u"]: r["c"]
+        for r in df.filter(F.col("u") < 30)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # lossy regime (width 64 << 300 keys): estimates DOMINATE truth
+    est = {
+        r["u"]: r["est"]
+        for r in cm_estimate(
+            cm_sketch(df, "u", 64, 4), probes, "u", 64, 4
+        ).collect()
+    }
+    assert set(est) == set(range(30))
+    for k in range(30):
+        assert est[k] >= exact.get(k, 0), k
+    # exact regime: width > keys and a prime stride so no collisions
+    est2 = {
+        r["u"]: r["est"]
+        for r in cm_estimate(
+            cm_sketch(df, "u", 1024, 4), probes, "u", 1024, 4
+        ).collect()
+    }
+    for k in range(30):
+        assert est2[k] == exact.get(k, 0), k
