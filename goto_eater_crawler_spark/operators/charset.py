@@ -215,3 +215,107 @@ def nfkc_normalize_sql(mod: int = 6) -> str:
              AS cp_sum
     FROM documents WHERE doc_id % {mod} = 0
     """
+
+
+# --- IDN host canonicalization ---------------------------------------------
+# Japanese-web URLs carry internationalized hostnames; the frontier's
+# canonical URL identity must fold them to punycode (RFC 3490 IDNA,
+# via the stdlib codec) or the same host crawls twice under two
+# spellings.
+
+#: doc_id % 4 -> the hostname the synthesizer writes (3 IDN + 1 pure
+#: ASCII control), with their RFC 3490 ToASCII images for the oracle
+SYNTH_IDN_HOSTS = (
+    ("グルメ.example.jp", "xn--qck4e3a.example.jp"),
+    ("東京.example.jp", "xn--1lqs71d.example.jp"),
+    ("ラーメン屋.test", "xn--4dkp5a8a7137b.test"),
+    ("plain.example.com", "plain.example.com"),
+)
+
+
+def idn_to_ascii(host: str) -> str:
+    """RFC 3490 ToASCII per label (stdlib idna codec). The stdlib
+    fast-path skips nameprep for pure-ASCII labels, so case-fold
+    those explicitly (hostnames compare case-insensitively,
+    RFC 4343)."""
+    return ".".join(
+        (lbl.lower() if lbl.isascii() else
+         lbl.encode("idna").decode("ascii"))
+        for lbl in host.split(".")
+    )
+
+
+def synth_idn_urls(docs: DataFrame, mod: int = 7) -> DataFrame:
+    """(doc_id, url) — https URLs whose hostname cycles through
+    SYNTH_IDN_HOSTS by doc_id % 4, path /doc/{doc_id}."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, urls = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ids.append(d)
+                urls.append(
+                    f"https://{SYNTH_IDN_HOSTS[d % 4][0]}/doc/{d}"
+                )
+            yield pd.DataFrame({"doc_id": ids, "url": urls})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, url string")
+    )
+
+
+def idn_canonicalize(urls: DataFrame, col: str = "url") -> DataFrame:
+    """(doc_id, url) -> (doc_id, url_ascii, host_ascii, changed):
+    fold the hostname to its IDNA ASCII form, leaving scheme and
+    path untouched. Row-local Python stage (the punycode codec is
+    genuinely Python), no shuffle."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "url_ascii": [], "host_ascii": [],
+                   "changed": []}
+            for doc_id, url in zip(pdf["doc_id"], pdf[col]):
+                parts = urlsplit(str(url))
+                host = idn_to_ascii(parts.hostname or "")
+                netloc = host
+                if parts.port is not None:
+                    netloc = f"{host}:{parts.port}"
+                fixed = urlunsplit(
+                    (parts.scheme, netloc, parts.path, parts.query,
+                     parts.fragment)
+                )
+                out["doc_id"].append(int(doc_id))
+                out["url_ascii"].append(fixed)
+                out["host_ascii"].append(host)
+                out["changed"].append(fixed != str(url))
+            yield pd.DataFrame(out)
+
+    return urls.select("doc_id", col).mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, url_ascii string, host_ascii string, "
+            "changed boolean"
+        ),
+    )
+
+
+def idn_canonicalize_sql(mod: int = 7) -> str:
+    """Closed-form oracle for idn_canonicalize(synth_idn_urls): the
+    four hostnames' ToASCII images are fixed public constants of the
+    RFC 3490 algorithm."""
+    case_host = " ".join(
+        f"WHEN {i} THEN '{ascii_h}'"
+        for i, (_, ascii_h) in enumerate(SYNTH_IDN_HOSTS)
+    )
+    return f"""
+    SELECT doc_id,
+           'https://' || CASE doc_id % 4 {case_host} END
+             || '/doc/' || CAST(doc_id AS VARCHAR) AS url_ascii,
+           CASE doc_id % 4 {case_host} END AS host_ascii,
+           doc_id % 4 <> 3 AS changed
+    FROM documents WHERE doc_id % {mod} = 0
+    """

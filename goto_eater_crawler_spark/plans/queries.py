@@ -130,6 +130,7 @@ _GATE_ORDER: list[str] = [
     "text_nfkc_normalize",
     "html_main_content",
     "events_countmin_freq",
+    "url_idn_canonicalize",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4267,4 +4268,22 @@ def q_events_countmin_freq(spark, sf_dir):
             F.coalesce("exact", F.lit(0)).cast("bigint").alias("exact"),
         )
         .orderBy("key")
+    )
+
+
+@_register(
+    "url_idn_canonicalize",
+    # IDN hostname canonicalization (round 4): Japanese-web URLs
+    # carry internationalized hostnames; frontier URL identity must
+    # fold them to RFC 3490 punycode or one host crawls twice under
+    # two spellings. Synth URLs cycle three IDN hosts + one ASCII
+    # control; the oracle states the fixed ToASCII images (public
+    # algorithm constants). Row-local Python stage (stdlib idna
+    # codec), no shuffle (operators/charset.py).
+    _cset.idn_canonicalize_sql(7) + " ORDER BY doc_id",
+)
+def q_url_idn_canonicalize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _cset.idn_canonicalize(_cset.synth_idn_urls(d, 7)).orderBy(
+        "doc_id"
     )

@@ -106,3 +106,16 @@ def test_nfkc_synth_closed_form():
         assert norm == exp
         assert len(raw) == m + 5 + n and len(norm) == m + 7 + n
         assert sum(1 for ch in norm if ord(ch) < 0x80) == m + 2
+
+
+def test_idn_to_ascii():
+    from goto_eater_crawler_spark.operators.charset import (
+        SYNTH_IDN_HOSTS,
+        idn_to_ascii,
+    )
+
+    for raw, expect in SYNTH_IDN_HOSTS:
+        assert idn_to_ascii(raw) == expect
+        # idempotent on the ASCII image
+        assert idn_to_ascii(expect) == expect
+    assert idn_to_ascii("MiXeD.Example.COM") == "mixed.example.com"
