@@ -131,6 +131,7 @@ _GATE_ORDER: list[str] = [
     "html_main_content",
     "events_countmin_freq",
     "url_idn_canonicalize",
+    "sitemap_index_extract",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4286,4 +4287,125 @@ def q_url_idn_canonicalize(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _cset.idn_canonicalize(_cset.synth_idn_urls(d, 7)).orderBy(
         "doc_id"
+    )
+
+
+@_register(
+    "sitemap_index_extract",
+    # Two-level sitemap INDEX walk (sitemaps.org: indexes paginate
+    # child sitemaps at the 50k-URL cap; every large site publishes
+    # this shape): parse the per-host <sitemapindex>, explode its
+    # child locs, JOIN back to the child-sitemap relation on loc,
+    # then explode each child's <urlset> — the real discovery
+    # dataflow (index parse -> fetch join -> child parse), where the
+    # flat sitemap_extract gate covers only the leaf step. Child
+    # blobs build in-plan per (host, page); the loc join is
+    # hash-partitioned on the slim loc key and everything else is
+    # shuffle-free 1->many explode.
+    """
+    WITH pages AS (
+      SELECT source AS host, doc_id % 3 AS page, doc_id,
+             '<url><loc>https://' || source || '.example.org/doc/'
+               || CAST(doc_id AS VARCHAR) || '</loc></url>' AS entry
+      FROM documents),
+    children AS (
+      SELECT host, page,
+             'https://' || host || '.example.org/sitemap-'
+               || CAST(page AS VARCHAR) || '.xml' AS loc,
+             '<urlset>' || string_agg(entry, '' ORDER BY doc_id)
+               || '</urlset>' AS xml
+      FROM pages GROUP BY host, page),
+    idx AS (
+      SELECT host,
+             '<sitemapindex>' || string_agg(
+               '<sitemap><loc>' || loc || '</loc></sitemap>', ''
+               ORDER BY loc) || '</sitemapindex>' AS xml
+      FROM children GROUP BY host),
+    fanout AS (
+      SELECT host,
+             unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1))
+               AS child_loc
+      FROM idx)
+    SELECT f.host, f.child_loc,
+           unnest(regexp_extract_all(c.xml, '<loc>([^<]*)</loc>', 1)) AS url
+    FROM fanout f JOIN children c ON c.loc = f.child_loc
+    ORDER BY url
+    """,
+)
+def q_sitemap_index_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc></url>"),
+    )
+    children = (
+        d.select(
+            F.col("source").alias("host"),
+            (F.col("doc_id") % 3).alias("page"),
+            "doc_id",
+            entry.alias("e"),
+        )
+        .groupBy("host", "page")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                        lambda s: s["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+        .withColumn(
+            "loc",
+            F.concat(
+                F.lit("https://"),
+                F.col("host"),
+                F.lit(".example.org/sitemap-"),
+                F.col("page").cast("string"),
+                F.lit(".xml"),
+            ),
+        )
+    )
+    idx = children.groupBy("host").agg(
+        F.concat(
+            F.lit("<sitemapindex>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("loc"))),
+                    lambda s: F.concat(
+                        F.lit("<sitemap><loc>"),
+                        s["loc"],
+                        F.lit("</loc></sitemap>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</sitemapindex>"),
+        ).alias("xml")
+    )
+    fanout = idx.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all("xml", F.lit("<loc>([^<]*)</loc>"), F.lit(1))
+        ).alias("child_loc"),
+    )
+    return (
+        fanout.join(children, fanout["child_loc"] == children["loc"])
+        .select(
+            fanout["host"],
+            "child_loc",
+            F.explode(
+                F.regexp_extract_all(
+                    "xml", F.lit("<loc>([^<]*)</loc>"), F.lit(1)
+                )
+            ).alias("url"),
+        )
+        .orderBy("url")
     )
