@@ -132,6 +132,7 @@ _GATE_ORDER: list[str] = [
     "events_countmin_freq",
     "url_idn_canonicalize",
     "sitemap_index_extract",
+    "html_template_cluster",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4408,4 +4409,86 @@ def q_sitemap_index_extract(spark, sf_dir):
             ).alias("url"),
         )
         .orderBy("url")
+    )
+
+
+@_register(
+    "html_template_cluster",
+    # Template detection by DOM STRUCTURE (tag-sequence fingerprint):
+    # CMS-generated sites render thousands of pages from one
+    # template, so structure-identical pages cluster under a single
+    # fingerprint even though their text differs — the structural
+    # complement of host_mirror_jaccard (content) and
+    # boilerplate_lines (per-host repeated lines). Pages synthesize
+    # in-plan from one of three templates by doc_id % 3 with varying
+    # text; the operator extracts the opening-tag sequence
+    # (regexp_extract_all — closing tags don't match '<[a-z]'),
+    # fingerprints it with md5 (same primitive both engines), and
+    # aggregates cluster size + distinct hosts. Native end to end;
+    # one map-side-combinable shuffle on the slim fingerprint key.
+    """
+    WITH pages AS (
+      SELECT source AS host, doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN '<html><body><div><p>' || text
+                 || '</p></div></body></html>'
+               WHEN 1 THEN '<html><body><nav><a>x</a></nav><div><p>'
+                 || text || '</p><p>more</p></div></body></html>'
+               ELSE '<html><body><table><tr><td>' || text
+                 || '</td></tr></table></body></html>'
+             END AS html
+      FROM documents),
+    fp AS (
+      SELECT host, doc_id,
+             md5(array_to_string(
+               regexp_extract_all(html, '<([a-z]+)', 1), ',')) AS template_md5
+      FROM pages)
+    SELECT template_md5,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM fp GROUP BY template_md5 ORDER BY template_md5
+    """,
+)
+def q_html_template_cluster(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    html = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<html><body><div><p>"),
+                F.col("text"),
+                F.lit("</p></div></body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("<html><body><nav><a>x</a></nav><div><p>"),
+                F.col("text"),
+                F.lit("</p><p>more</p></div></body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<html><body><table><tr><td>"),
+                F.col("text"),
+                F.lit("</td></tr></table></body></html>"),
+            )
+        )
+    )
+    fp = d.select(
+        F.col("source").alias("host"),
+        F.md5(
+            F.array_join(
+                F.regexp_extract_all(html, F.lit("<([a-z]+)"), F.lit(1)), ","
+            )
+        ).alias("template_md5"),
+    )
+    return (
+        fp.groupBy("template_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        )
+        .orderBy("template_md5")
     )
