@@ -101,8 +101,8 @@ def host_rank_sql(edges_sql: str, iterations: int = 5, damping: float = 0.85) ->
     """The same fixed-iteration recurrence unrolled as chained CTEs."""
     d = damping
     parts = [
-        f"""WITH edges AS ({edges_sql}),
-    nodes AS (SELECT DISTINCT host FROM (
+        f"""WITH edges AS MATERIALIZED ({edges_sql}),
+    nodes AS MATERIALIZED (SELECT DISTINCT host FROM (
         SELECT src AS host FROM edges UNION SELECT dst FROM edges)),
     nn AS (SELECT count(*) AS n FROM nodes),
     out_deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
@@ -212,8 +212,8 @@ def hits_sql(edges_sql: str, iterations: int = 3) -> str:
     """The same fixed-iteration HITS recurrence unrolled as chained
     CTEs (the :func:`host_rank_sql` device)."""
     parts = [
-        f"""WITH edges AS ({edges_sql}),
-    nodes AS (SELECT DISTINCT host FROM (
+        f"""WITH edges AS MATERIALIZED ({edges_sql}),
+    nodes AS MATERIALIZED (SELECT DISTINCT host FROM (
         SELECT src AS host FROM edges UNION SELECT dst FROM edges)),
     h0 AS (SELECT host, 1.0 / (SELECT count(*) FROM nodes) AS hub
            FROM nodes)"""
@@ -361,8 +361,8 @@ def trust_rank_sql(
     as chained CTEs (the :func:`host_rank_sql` device)."""
     d = damping
     parts = [
-        f"""WITH edges AS ({edges_sql}),
-    nodes AS (SELECT DISTINCT host FROM (
+        f"""WITH edges AS MATERIALIZED ({edges_sql}),
+    nodes AS MATERIALIZED (SELECT DISTINCT host FROM (
         SELECT src AS host FROM edges UNION SELECT dst FROM edges)),
     seeds AS (SELECT DISTINCT host FROM ({seeds_sql})
               WHERE host IN (SELECT host FROM nodes)),
