@@ -133,6 +133,7 @@ _GATE_ORDER: list[str] = [
     "url_idn_canonicalize",
     "sitemap_index_extract",
     "html_template_cluster",
+    "bpe_pair_counts",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4491,4 +4492,49 @@ def q_html_template_cluster(spark, sf_dir):
             F.countDistinct("host").cast("bigint").alias("n_hosts"),
         )
         .orderBy("template_md5")
+    )
+
+
+@_register(
+    "bpe_pair_counts",
+    # Tokenizer training's inner loop at corpus scale (Sennrich 2016
+    # BPE): count adjacent symbol pairs over every token, take the
+    # top pairs — iterated, this IS BPE training; one iteration gates
+    # here. Fully native: tokens explode from the text, per-token
+    # character bigrams generate inside array HOFs (transform over
+    # sequence + substring), ONE map-side-combinable groupBy count,
+    # distributed top-k via orderBy+limit (TakeOrderedAndProject, no
+    # global window). Oracle mirrors with unnest + generate_series.
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    pairs AS (
+      SELECT substring(tok, k, 2) AS pair
+      FROM toks, (SELECT unnest(range(1, 256)) AS k) ks
+      WHERE k <= length(tok) - 1),
+    counted AS (
+      SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt
+    FROM counted ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok")
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length("tok") - 1),
+        lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+    )
+    return (
+        toks.filter(F.length("tok") >= 2)
+        .select(F.explode(bigrams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
     )
