@@ -8,8 +8,8 @@ macroblock families:
 2. CAVLC entropy-coded frames (h264_encode / h264_decode_frames):
    IDR I slices of I_16x16 macroblocks (DC/V/H intra prediction,
    §8.3.3) and P slices with P_Skip and P_L0_16x16 (median MV
-   prediction §8.4.1.3, full-pel even-displacement motion
-   compensation), 4x4 integer transforms + luma-DC/chroma-DC
+   prediction §8.4.1.3, full- and half-pel motion compensation —
+   6-tap luma, bilinear chroma, §8.4.2.2), 4x4 integer transforms + luma-DC/chroma-DC
    Hadamard paths (§8.5), and CAVLC residual coding (§9.2:
    coeff_token with nC neighbour context, trailing-one signs,
    adaptive-suffix levels, total_zeros, run_before).
@@ -32,9 +32,9 @@ inverse transform's +32>>6 window, so the multimodal CAVLC gate's
 DuckDB oracle is closed-form in doc_id with no approximation.
 
 NOT implemented, rejected with ImageFormatError: CABAC, I_4x4 and
-plane/non-DC-chroma intra modes, sub-pel motion, multiple reference
-frames, B slices, in-loop deblocking, interlace, slice groups,
-multi-slice pictures, bit depths above 8.
+plane/non-DC-chroma intra modes, quarter-pel motion, multiple
+reference frames, B slices, in-loop deblocking, interlace, slice
+groups, multi-slice pictures, bit depths above 8.
 
 The reference crawler has no video analogue (its binaries are
 PDFs/XLSX, both really decoded); this codec family is build-spec
@@ -1355,23 +1355,28 @@ _MV_CANDIDATES = [(0, 0), (-2, 0), (2, 0), (0, -2), (0, 2),
                   (-16, 0), (16, 0), (0, -16), (0, 16)]
 
 
-def h264_encode(width: int, height: int, frames, qp: int = 0) -> bytes:
+def h264_encode(width: int, height: int, frames, qp: int = 0,
+                subpel: bool = True) -> bytes:
     """Encode a list of planar YUV420 frames [(y, u, v), ...] as a
     baseline Annex-B stream: one IDR I slice (all I_16x16, DC
     prediction, CAVLC residuals), then one P slice per later frame
-    (P_Skip / P_L0_16x16, full-pel even-displacement motion, CAVLC
-    residuals).  Deterministic; in-loop deblocking encoded disabled."""
-    return _encode_cavlc(width, height, frames, qp)[0]
+    (P_Skip / P_L0_16x16, full-/half-pel motion, CAVLC residuals).
+    ``subpel=False`` pins the motion search to the full-pel candidate
+    set (the closed-form oracle class relies on that pin; the decoder
+    supports half-pel either way).  Deterministic; in-loop deblocking
+    encoded disabled."""
+    return _encode_cavlc(width, height, frames, qp, subpel)[0]
 
 
 def h264_encode_with_recon(width: int, height: int, frames,
-                           qp: int = 0) -> tuple:
+                           qp: int = 0, subpel: bool = True) -> tuple:
     """h264_encode, also returning the encoder's own reconstruction
     (cropped) — the exact frames a conforming decoder must produce."""
-    return _encode_cavlc(width, height, frames, qp)
+    return _encode_cavlc(width, height, frames, qp, subpel)
 
 
-def _encode_cavlc(width: int, height: int, frames, qp: int) -> tuple:
+def _encode_cavlc(width: int, height: int, frames, qp: int,
+                  subpel: bool = True) -> tuple:
     if not frames:
         raise ValueError("h264: no frames")
     if width % 2 or height % 2:
@@ -1467,12 +1472,9 @@ def _encode_cavlc(width: int, height: int, frames, qp: int) -> tuple:
             cx, cy = px // 2, py // 2
             if not idr:
                 smv = _skip_mv(minfo, mbx, mby, mb_w)
-                sy = _mc_block(ref[0], px, py, 16, 16,
-                               smv[0] // 4, smv[1] // 4)
-                su = _mc_block(ref[1], cx, cy, 8, 8,
-                               smv[0] // 8, smv[1] // 8)
-                sv = _mc_block(ref[2], cx, cy, 8, 8,
-                               smv[0] // 8, smv[1] // 8)
+                sy = _mc_luma(ref[0], px, py, 16, 16, smv[0], smv[1])
+                su = _mc_chroma(ref[1], cx, cy, 8, 8, smv[0], smv[1])
+                sv = _mc_chroma(ref[2], cx, cy, 8, 8, smv[0], smv[1])
                 if (sy == [row[px:px + 16] for row in src_y[py:py + 16]]
                         and su == [row[cx:cx + 8]
                                    for row in src_u[cy:cy + 8]]
@@ -1484,18 +1486,29 @@ def _encode_cavlc(width: int, height: int, frames, qp: int) -> tuple:
                     minfo[mby][mbx] = ("P", smv[0], smv[1])
                     skip_run += 1
                     continue
-                # motion search over the deterministic candidate set
+                # motion search: deterministic full-pel candidate set,
+                # then one half-pel refinement ring around the winner
+                # (strict improvement keeps the search deterministic)
                 best = None
                 for dx, dy in _MV_CANDIDATES:
-                    py16 = _mc_block(ref[0], px, py, 16, 16, dx, dy)
+                    cand = (dx * 4, dy * 4)
+                    py16 = _mc_luma(ref[0], px, py, 16, 16, *cand)
                     sad = sum(abs(src_y[py + r][px + c] - py16[r][c])
                               for r in range(16) for c in range(16))
                     if best is None or sad < best[0]:
-                        best = (sad, dx, dy, py16)
-                _, dx, dy, pred_y = best
-                mv = (dx * 4, dy * 4)
-                pred_u = _mc_block(ref[1], cx, cy, 8, 8, dx // 2, dy // 2)
-                pred_v = _mc_block(ref[2], cx, cy, 8, 8, dx // 2, dy // 2)
+                        best = (sad, cand, py16)
+                for hdx, hdy in ((-2, 0), (2, 0), (0, -2), (0, 2),
+                                 (-2, -2), (-2, 2), (2, -2), (2, 2)) \
+                        if subpel else ():
+                    cand = (best[1][0] + hdx, best[1][1] + hdy)
+                    py16 = _mc_luma(ref[0], px, py, 16, 16, *cand)
+                    sad = sum(abs(src_y[py + r][px + c] - py16[r][c])
+                              for r in range(16) for c in range(16))
+                    if sad < best[0]:
+                        best = (sad, cand, py16)
+                _, mv, pred_y = best
+                pred_u = _mc_chroma(ref[1], cx, cy, 8, 8, *mv)
+                pred_v = _mc_chroma(ref[2], cx, cy, 8, 8, *mv)
                 scans, rec_res = _enc_inter_luma(
                     _sub(src_y, pred_y, px, py, 16), qp)
                 cdcu, cacu, rec_u = _enc_chroma(
@@ -1575,7 +1588,7 @@ def _encode_cavlc(width: int, height: int, frames, qp: int) -> tuple:
 def h264_decode_frames(data: bytes) -> tuple:
     """Decode an Annex-B stream of single-slice frames (I slices of
     I_16x16/I_PCM macroblocks, P slices adding P_Skip and
-    P_L0_16x16 with full-pel even-displacement motion) ->
+    P_L0_16x16 with full- and half-pel motion) ->
     (width, height, [(y, u, v), ...]) with frame cropping applied.
 
     Unsupported syntax raises ImageFormatError: CABAC, I_4x4/plane
@@ -1662,16 +1675,11 @@ def h264_decode_frames(data: bytes) -> tuple:
 
         def do_skip(mbx: int, mby: int) -> None:
             smv = _skip_mv(minfo, mbx, mby, mb_w)
-            if smv[0] % 8 or smv[1] % 8:
-                raise ImageFormatError("h264: sub-pel motion unsupported")
             px, py = mbx * 16, mby * 16
             cx, cy = px // 2, py // 2
-            _place(cur_y, _mc_block(ref[0], px, py, 16, 16,
-                                    smv[0] // 4, smv[1] // 4), px, py)
-            _place(cur_u, _mc_block(ref[1], cx, cy, 8, 8,
-                                    smv[0] // 8, smv[1] // 8), cx, cy)
-            _place(cur_v, _mc_block(ref[2], cx, cy, 8, 8,
-                                    smv[0] // 8, smv[1] // 8), cx, cy)
+            _place(cur_y, _mc_luma(ref[0], px, py, 16, 16, *smv), px, py)
+            _place(cur_u, _mc_chroma(ref[1], cx, cy, 8, 8, *smv), cx, cy)
+            _place(cur_v, _mc_chroma(ref[2], cx, cy, 8, 8, *smv), cx, cy)
             minfo[mby][mbx] = ("P", smv[0], smv[1])
 
         mb = 0
@@ -1705,9 +1713,6 @@ def h264_decode_frames(data: bytes) -> tuple:
                 mvd = (r.se(), r.se())
                 mvp = _mv_pred(minfo, mbx, mby, mb_w)
                 mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-                if mv[0] % 8 or mv[1] % 8:
-                    raise ImageFormatError(
-                        "h264: sub-pel motion unsupported")
                 code = r.ue()
                 if code >= 48:
                     raise ImageFormatError("h264: bad coded_block_pattern")
@@ -1721,12 +1726,9 @@ def h264_decode_frames(data: bytes) -> tuple:
                     min(51, max(0, qp + pps["chroma_qp_off"])))
                 _, scans, cdc, cac = _read_residual(
                     r, "inter", cbp_l, cbp_c, nz_y, nz_c, mbx, mby)
-                pred_y = _mc_block(ref[0], px, py, 16, 16,
-                                   mv[0] // 4, mv[1] // 4)
-                pred_u = _mc_block(ref[1], cx, cy, 8, 8,
-                                   mv[0] // 8, mv[1] // 8)
-                pred_v = _mc_block(ref[2], cx, cy, 8, 8,
-                                   mv[0] // 8, mv[1] // 8)
+                pred_y = _mc_luma(ref[0], px, py, 16, 16, *mv)
+                pred_u = _mc_chroma(ref[1], cx, cy, 8, 8, *mv)
+                pred_v = _mc_chroma(ref[2], cx, cy, 8, 8, *mv)
                 _place(cur_y, _add_clip(
                     pred_y, _recon_inter_luma(scans, qp)), px, py)
                 _place(cur_u, _add_clip(
@@ -1798,3 +1800,85 @@ def h264_decode_frames(data: bytes) -> tuple:
         raise ImageFormatError("h264: no decodable slices")
     y0f = frames[0]
     return (len(y0f[0][0]), len(y0f[0]), frames)
+
+
+# --- sub-sample interpolation (§8.4.2.2): luma half-pel 6-tap + chroma
+# eighth-pel bilinear. Quarter-pel luma positions (odd qpel components)
+# stay unsupported and raise.
+
+
+def _mc_luma(plane: list, x0: int, y0: int, w: int, h: int,
+             mvx: int, mvy: int) -> list:
+    """Luma MC at quarter-pel mv units, full- and half-pel positions:
+    (1,-5,20,20,-5,1)/32 separable 6-tap with edge clamping; the
+    centre position filters un-normalized horizontal intermediates
+    vertically with +512>>10 (§8.4.2.2.1)."""
+    if mvx % 2 or mvy % 2:
+        raise ImageFormatError("h264: quarter-pel motion unsupported")
+    ix, fx = mvx >> 2, mvx & 3
+    iy, fy = mvy >> 2, mvy & 3
+    if fx == 0 and fy == 0:
+        return _mc_block(plane, x0, y0, w, h, ix, iy)
+    ph, pw = len(plane), len(plane[0])
+
+    def g(yy: int, xx: int) -> int:
+        return plane[min(max(yy, 0), ph - 1)][min(max(xx, 0), pw - 1)]
+
+    def tap6(vals) -> int:
+        a, b, c, d, e, f = vals
+        return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+    out = [[0] * w for _ in range(h)]
+    if fy == 0:      # half-pel horizontal ('b')
+        for r in range(h):
+            sy = y0 + iy + r
+            for c in range(w):
+                sx = x0 + ix + c
+                s = tap6([g(sy, sx + k) for k in range(-2, 4)])
+                out[r][c] = min(255, max(0, (s + 16) >> 5))
+    elif fx == 0:    # half-pel vertical ('h')
+        for r in range(h):
+            sy = y0 + iy + r
+            for c in range(w):
+                sx = x0 + ix + c
+                s = tap6([g(sy + k, sx) for k in range(-2, 4)])
+                out[r][c] = min(255, max(0, (s + 16) >> 5))
+    else:            # centre ('j'): horizontal intermediates, then vertical
+        for r in range(h):
+            sy = y0 + iy + r
+            for c in range(w):
+                sx = x0 + ix + c
+                inter = [
+                    tap6([g(sy + k, sx + m) for m in range(-2, 4)])
+                    for k in range(-2, 4)
+                ]
+                out[r][c] = min(255, max(0, (tap6(inter) + 512) >> 10))
+    return out
+
+
+def _mc_chroma(plane: list, x0: int, y0: int, w: int, h: int,
+               mvx: int, mvy: int) -> list:
+    """Chroma MC: the quarter-pel luma mv addresses eighth-pel chroma
+    positions; bilinear over the 4 neighbours with /64 rounding
+    (§8.4.2.2.2)."""
+    ix, dx = mvx >> 3, mvx & 7
+    iy, dy = mvy >> 3, mvy & 7
+    if dx == 0 and dy == 0:
+        return _mc_block(plane, x0, y0, w, h, ix, iy)
+    ph, pw = len(plane), len(plane[0])
+
+    def g(yy: int, xx: int) -> int:
+        return plane[min(max(yy, 0), ph - 1)][min(max(xx, 0), pw - 1)]
+
+    out = [[0] * w for _ in range(h)]
+    for r in range(h):
+        sy = y0 + iy + r
+        for c in range(w):
+            sx = x0 + ix + c
+            a, b = g(sy, sx), g(sy, sx + 1)
+            cc, d = g(sy + 1, sx), g(sy + 1, sx + 1)
+            out[r][c] = (
+                (8 - dx) * (8 - dy) * a + dx * (8 - dy) * b
+                + (8 - dx) * dy * cc + dx * dy * d + 32
+            ) >> 6
+    return out

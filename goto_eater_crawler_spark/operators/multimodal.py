@@ -1266,8 +1266,10 @@ def synth_h264_videos(docs: DataFrame, mod: int = 43) -> DataFrame:
       (chroma unchanged), so some MBs P_Skip (delta 0) and the rest
       take the P_L0 residual path; delta <= 6 < half the minimum
       inter-column luma step (13) keeps the deterministic SAD search
-      at MV (0,0), so every residual stays flat and the whole stream
-      reconstructs EXACTLY (closed form, :func:`h264_video_decode_sql`).
+      at MV (0,0) (the search runs with subpel=False so the
+      half-pel refinement ring cannot outbid the flat match), so
+      every residual stays flat and the whole stream reconstructs
+      EXACTLY (closed form, :func:`h264_video_decode_sql`).
 
     A defect anywhere in the CAVLC chain — coeff_token context,
     level suffix adaptation, total_zeros/run_before placement, the
@@ -1294,7 +1296,11 @@ def synth_h264_videos(docs: DataFrame, mod: int = 43) -> DataFrame:
                 f2 = ([[vy[x // 16] + dl[x // 16] for x in range(w)]
                        for _ in range(h)], f1[1], f1[2])
                 ids.append(d)
-                payloads.append(minih264.h264_encode(w, h, [f1, f2], qp=0))
+                payloads.append(
+                    minih264.h264_encode(
+                        w, h, [f1, f2], qp=0, subpel=False
+                    )
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return (

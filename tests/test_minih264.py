@@ -213,7 +213,7 @@ def test_cavlc_flat_class_lossless(seed):
                      [rnd.randint(98, 158) for _ in range(n)],
                      [rnd.randint(98, 158) for _ in range(n)],
                      [rnd.randint(98, 158) for _ in range(n)])
-    data = h264.h264_encode(W, H, [f1, f2], qp=0)
+    data = h264.h264_encode(W, H, [f1, f2], qp=0, subpel=False)
     w, h, frames = h264.h264_decode_frames(data)
     assert (w, h) == (W, H)
     assert frames == [f1, f2]
@@ -288,3 +288,33 @@ def test_cavlc_rejection_surface():
     # the old I_PCM-only decoder must still reject CAVLC macroblocks
     with pytest.raises(ImageFormatError, match="I_PCM"):
         h264.h264_decode(good)
+
+
+def test_halfpel_motion():
+    # half-pel interpolation identities on flat fields, then an
+    # end-to-end stream whose best match IS a half-pel shift
+    flat = [[77] * 24 for _ in range(24)]
+    for mv in ((2, 0), (0, 2), (2, 2), (6, 4)):
+        assert h264._mc_luma(flat, 4, 4, 8, 8, *mv) == [[77] * 8] * 8
+        assert h264._mc_chroma(flat, 4, 4, 8, 8, *mv) == [[77] * 8] * 8
+    with pytest.raises(ImageFormatError, match="quarter-pel"):
+        h264._mc_luma(flat, 0, 0, 4, 4, 1, 0)
+    # 6-tap on a step edge matches the spec arithmetic
+    row = [0, 0, 0, 100, 100, 100, 100, 100]
+    plane = [row] * 8
+    got = h264._mc_luma(plane, 2, 0, 2, 1, 2, 0)[0]
+    # at x=2: taps over (0,0,0,100,100,100) -> (20*0+20*100-5*100+100+16)>>5
+    assert got[0] == min(255, max(0, (0 - 0 + 0 + 2000 - 500 + 100 + 16) >> 5))
+    # end-to-end: frame2 = horizontal average of neighbours (a
+    # half-pel-ish signal); decode must equal the encoder recon
+    rnd = random.Random(11)
+    W, H = 32, 16
+    y1 = [[rnd.randrange(256) for _ in range(W)] for _ in range(H)]
+    u1 = [[rnd.randrange(256) for _ in range(W // 2)] for _ in range(H // 2)]
+    v1 = [[rnd.randrange(256) for _ in range(W // 2)] for _ in range(H // 2)]
+    y2 = [[(y1[r][c] + y1[r][min(c + 1, W - 1)]) // 2 for c in range(W)]
+          for r in range(H)]
+    data, recons = h264.h264_encode_with_recon(
+        W, H, [(y1, u1, v1), (y2, u1, v1)], qp=8)
+    w, h, frames = h264.h264_decode_frames(data)
+    assert frames == recons
