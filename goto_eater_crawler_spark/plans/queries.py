@@ -134,6 +134,7 @@ _GATE_ORDER: list[str] = [
     "sitemap_index_extract",
     "html_template_cluster",
     "bpe_pair_counts",
+    "frontier_budget_waterfill",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4537,4 +4538,98 @@ def q_bpe_pair_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), "pair")
         .limit(20)
+    )
+
+
+@_register(
+    "frontier_budget_waterfill",
+    # Per-round fetch-budget allocation across hosts under politeness
+    # caps — the scheduling step between frontier scoring and fetch:
+    # give every host an equal share of the round budget, except no
+    # host above its politeness cap (max-min fairness = the classic
+    # water-filling allocation). O(n log n), one sort: hosts ordered
+    # by cap, integer prefix sums, tentative level_i = (B - prefix of
+    # smaller caps) / hosts remaining, and the water level is the
+    # first tentative level at or under its own cap. All arithmetic
+    # stays integer until the single division, so Spark and DuckDB
+    # produce bit-identical doubles. Window functions over the slim
+    # (host, cap) relation; one range-partition sort.
+    """
+    WITH hosts AS (
+      SELECT 'h' || CAST(c_custkey % 200 AS VARCHAR) AS host,
+             CAST(5 + max(c_custkey) % 91 AS BIGINT) AS cap
+      FROM customer GROUP BY c_custkey % 200),
+    budgeted AS (
+      SELECT host, cap,
+             CAST(2 * (SELECT sum(cap) FROM hosts) / 5 AS BIGINT)
+               AS budget,
+             sum(cap) OVER (ORDER BY cap, host
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prefix,
+             row_number() OVER (ORDER BY cap, host) AS rn,
+             count(*) OVER () AS n
+      FROM hosts),
+    levels AS (
+      SELECT *,
+             CAST(budget - coalesce(prefix, 0) AS DOUBLE)
+               / (n - rn + 1) AS level
+      FROM budgeted),
+    water AS (
+      SELECT max(level) FILTER (WHERE level <= cap) AS lam FROM levels)
+    SELECT host, cap,
+           round(CASE WHEN cap < lam OR lam IS NULL
+                      THEN CAST(cap AS DOUBLE) ELSE lam END, 4) AS alloc
+    FROM levels CROSS JOIN water
+    ORDER BY host
+    """,
+)
+def q_frontier_budget_waterfill(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    hosts = c.groupBy((F.col("c_custkey") % 200).alias("hk")).agg(
+        (F.lit(5) + F.max("c_custkey") % 91).cast("bigint").alias("cap")
+    ).select(
+        F.concat(F.lit("h"), F.col("hk").cast("string")).alias("host"), "cap"
+    )
+    total = hosts.agg((2 * F.sum("cap") / 5).cast("bigint").alias("budget"))
+    w = Window.orderBy("cap", "host")
+    budgeted = (
+        hosts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "prefix",
+            F.sum("cap").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))))
+        .withColumn(
+            "level",
+            (F.col("budget") - F.coalesce("prefix", F.lit(0)))
+            .cast("double")
+            / (F.col("n") - F.col("rn") + 1),
+        )
+    )
+    # levels decrease monotonically once they qualify (each step
+    # subtracts a cap at least as large as the current level), so the
+    # FIRST qualifying level — the true water level — is the max
+    lam = budgeted.agg(
+        F.max(F.when(F.col("level") <= F.col("cap"), F.col("level"))).alias(
+            "lam"
+        )
+    )
+    return (
+        budgeted.crossJoin(F.broadcast(lam))
+        .select(
+            "host",
+            "cap",
+            F.round(
+                F.when(
+                    F.col("lam").isNull() | (F.col("cap") < F.col("lam")),
+                    F.col("cap").cast("double"),
+                ).otherwise(F.col("lam")),
+                4,
+            ).alias("alloc"),
+        )
+        .orderBy("host")
     )
