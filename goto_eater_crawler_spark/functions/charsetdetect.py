@@ -68,7 +68,11 @@ def detect_charset(data: bytes) -> str:
         return "ascii"
     if all(b < 0x80 for b in data):
         if b"\x1b$" in data or b"\x1b(" in data:
-            return "iso-2022-jp"
+            try:
+                data.decode("iso-2022-jp")
+                return "iso-2022-jp"
+            except UnicodeDecodeError:
+                pass  # broken escape: still 7-bit, decode as ascii
         return "ascii"
     best_name, best_score = None, 0.0
     for name in TRIAL_CODECS:

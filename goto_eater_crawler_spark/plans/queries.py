@@ -135,6 +135,7 @@ _GATE_ORDER: list[str] = [
     "html_template_cluster",
     "bpe_pair_counts",
     "frontier_budget_waterfill",
+    "robots_sitemap_discovery",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4632,4 +4633,62 @@ def q_frontier_budget_waterfill(spark, sf_dir):
             ).alias("alloc"),
         )
         .orderBy("host")
+    )
+
+
+@_register(
+    "robots_sitemap_discovery",
+    # The discovery link between the robots stage and the sitemap
+    # walk: robots.txt carries 'Sitemap:' lines (sitemaps.org
+    # cross-submission; field name case-insensitive, value an
+    # absolute URL) which seed the sitemap_index_extract dataflow.
+    # The RFC 9309 group parser deliberately ignores them (they are
+    # not group rules); this operator extracts them natively —
+    # case-insensitive regexp over the body, 1->many explode, no
+    # Python, no shuffle before the presentation sort.
+    """
+    WITH robots AS (
+      SELECT source AS host,
+             'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+               || 'sitemap: https://' || source || '.example.org/sitemap-'
+               || CAST(doc_id % 3 AS VARCHAR) || '.xml' || chr(10)
+               || 'Sitemap: https://' || source
+               || '.example.org/sitemap-index.xml' AS body
+      FROM (SELECT source, min(doc_id) AS doc_id
+            FROM documents GROUP BY source)),
+    found AS (
+      SELECT host,
+             unnest(regexp_extract_all(body, '(?i)sitemap:\\s*(\\S+)', 1))
+               AS sitemap_url
+      FROM robots)
+    SELECT host, sitemap_url FROM found ORDER BY host, sitemap_url
+    """,
+)
+def q_robots_sitemap_discovery(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    robots = d.groupBy(F.col("source").alias("host")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.lit("sitemap: https://"),
+            F.col("host"),
+            F.lit(".example.org/sitemap-"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".xml\nSitemap: https://"),
+            F.col("host"),
+            F.lit(".example.org/sitemap-index.xml"),
+        ).alias("body"),
+    )
+    return (
+        robots.select(
+            "host",
+            F.explode(
+                F.regexp_extract_all(
+                    "body", F.lit(r"(?i)sitemap:\s*(\S+)"), F.lit(1)
+                )
+            ).alias("sitemap_url"),
+        )
+        .orderBy("host", "sitemap_url")
     )

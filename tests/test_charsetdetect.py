@@ -119,3 +119,19 @@ def test_idn_to_ascii():
         # idempotent on the ASCII image
         assert idn_to_ascii(expect) == expect
     assert idn_to_ascii("MiXeD.Example.COM") == "mixed.example.com"
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_detect_total_on_arbitrary_bytes(blob):
+    # the detector is a total function: any byte string classifies
+    # without raising, and non-'binary' verdicts strictly decode
+    cs = cd.detect_charset(blob)
+    assert cs in ("ascii", "binary", "iso-2022-jp", "utf-8", "euc_jp",
+                  "shift_jis")
+    if cs == "binary":
+        with pytest.raises(UnicodeDecodeError):
+            cd.transcode_utf8(blob)
+    else:
+        got, text = cd.transcode_utf8(blob)
+        assert got == cs and isinstance(text, str)
