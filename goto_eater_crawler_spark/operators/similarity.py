@@ -250,44 +250,50 @@ def kmeans_centroids(
     return cents
 
 
-def kmeans_ctes_sql(n_centroids: int, iters: int = 2, dim: int = 64) -> str:
-    """CTE chain (c0, a1, m1, c1, ...) ending in ``cents(centroid_id,
-    cent)`` — the SQL mirror of :func:`kmeans_centroids`, unrolled
-    like host_rank_sql."""
+def kmeans_ctes_sql(n_centroids: int, iters: int = 2, dim: int = 64,
+                    src: str = "embeddings", prefix: str = "") -> str:
+    """CTE chain (c0, a1, m1, c1, ...) ending in ``{prefix}cents
+    (centroid_id, cent)`` — the SQL mirror of
+    :func:`kmeans_centroids`, unrolled like host_rank_sql.  ``src``
+    is the (vec_id, embedding) source relation (a subquery for PQ
+    subspace slices) and ``prefix`` namespaces the CTEs so several
+    chains can share one statement."""
     d2 = (
         "list_sum(list_transform(list_zip(v.embedding, c.cent),"
         " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
         " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
     )
     parts = [
-        f"""c0 AS (
+        f"""{prefix}c0 AS (
       SELECT vec_id AS centroid_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-      FROM embeddings WHERE vec_id < {n_centroids})"""
+      FROM {src} WHERE vec_id < {n_centroids})"""
     ]
-    prev = "c0"
+    prev = f"{prefix}c0"
     for i in range(1, iters + 1):
         comps = ", ".join(
             f"round(avg(CAST(v.embedding[{j + 1}] AS DOUBLE)), {KMEANS_ROUND})"
             for j in range(dim)
         )
         parts.append(
-            f"""a{i} AS (
+            f"""{prefix}a{i} AS (
       SELECT vec_id, centroid_id FROM (
         SELECT v.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {d2}, c.centroid_id) AS rn
-        FROM embeddings v CROSS JOIN {prev} c)
+        FROM {src} v CROSS JOIN {prev} c)
       WHERE rn = 1),
-    m{i} AS (
+    {prefix}m{i} AS (
       SELECT a.centroid_id, list_value({comps}) AS mcent
-      FROM a{i} a JOIN embeddings v USING (vec_id) GROUP BY a.centroid_id),
-    c{i} AS (
+      FROM {prefix}a{i} a JOIN {src} v USING (vec_id)
+      GROUP BY a.centroid_id),
+    {prefix}c{i} AS (
       SELECT c.centroid_id, coalesce(m.mcent, c.cent) AS cent
-      FROM {prev} c LEFT JOIN m{i} m USING (centroid_id))"""
+      FROM {prev} c LEFT JOIN {prefix}m{i} m USING (centroid_id))"""
         )
-        prev = f"c{i}"
-    parts.append(f"cents AS (SELECT centroid_id, cent FROM {prev})")
+        prev = f"{prefix}c{i}"
+    parts.append(
+        f"{prefix}cents AS (SELECT centroid_id, cent FROM {prev})")
     return ",\n    ".join(parts)
 
 
@@ -726,4 +732,203 @@ def ivf_assign_sql(
                                 ORDER BY {d2}, c.centroid_id) AS rn
       FROM embeddings v CROSS JOIN cents c)
     WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id
+    """
+
+
+# --- product quantization (Jegou, Douze, Schmid 2011 — public paper) --------
+# IVF answered "which cells to scan"; PQ answers "how to scan a
+# billion vectors without holding them": each vector compresses to m
+# sub-codebook codes and query distance is a sum of m table lookups
+# (asymmetric distance computation).  Codebooks are per-subspace
+# k-means over the sliced vectors — the same deterministic Lloyd
+# device (and oracle CTE chain) as the IVF family.
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = 4, k: int = 8,
+                 iters: int = 1, dim: int = 64) -> DataFrame:
+    """(subspace, centroid_id, cent) — per-subspace codebooks, each a
+    Lloyd run over that slice of every vector."""
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        sliced = embeddings.select(
+            "vec_id",
+            F.slice("embedding", s * sub + 1, sub).alias("embedding"),
+        )
+        parts.append(
+            kmeans_centroids(sliced, k, iters, dim=sub).select(
+                F.lit(s).alias("subspace"), "centroid_id", "cent"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(embeddings: DataFrame, books: DataFrame, m: int = 4,
+              dim: int = 64) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}): nearest sub-codebook entry per
+    subspace (L2, ties to lowest centroid_id). The corpus never
+    shuffles: each subspace assignment is a broadcast join against
+    its k-row codebook + a min_by argmin, and the wide layout falls
+    out of one groupBy pivot on vec_id (map-side combinable)."""
+    sub = dim // m
+    exploded = embeddings.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice("embedding", s * sub + 1, sub).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.subspace", "e.sv")
+    assigned = (
+        exploded.join(F.broadcast(books), "subspace")
+        .groupBy("vec_id", "subspace")
+        .agg(
+            F.min_by(
+                "centroid_id",
+                F.struct(_d2(F.col("sv"), F.col("cent")), "centroid_id"),
+            ).alias("code")
+        )
+    )
+    return assigned.groupBy("vec_id").agg(
+        *[
+            F.max(
+                F.when(F.col("subspace") == s, F.col("code"))
+            ).alias(f"code_{s}")
+            for s in range(m)
+        ]
+    )
+
+
+def pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+            m: int = 4, kcode: int = 8, iters: int = 1,
+            dim: int = 64, books: DataFrame | None = None) -> DataFrame:
+    """(query_id, neighbor_id, adc_d2, rank): PQ asymmetric-distance
+    top-k — per-query lookup tables (n_queries * m * kcode rows,
+    broadcast) joined against the wide code relation with ONE
+    broadcast hash join per subspace, distance summed in fixed
+    subspace order (bit-identical across engines), per-query top-k.
+    At scale this is the PQ scan: the corpus side never shuffles
+    until the slim (query, neighbor, distance) relation."""
+    sub = dim // m
+    if books is None:
+        books = pq_codebooks(embeddings, m, kcode, iters, dim)
+    books = books.localCheckpoint(eager=True)
+    codes = pq_encode(embeddings, books, m, dim)
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = codes
+    dist_terms = []
+    for s in range(m):
+        lut = (
+            queries.crossJoin(
+                F.broadcast(books.filter(F.col("subspace") == s))
+            )
+            .select(
+                "query_id",
+                F.col("centroid_id").alias(f"code_{s}"),
+                F.round(
+                    _d2(
+                        F.slice("embedding", s * sub + 1, sub),
+                        F.col("cent"),
+                    ),
+                    8,
+                ).alias(f"t{s}"),
+            )
+        )
+        join_keys = [f"code_{s}"] if s == 0 else ["query_id", f"code_{s}"]
+        out = out.join(F.broadcast(lut), join_keys)
+        dist_terms.append(F.col(f"t{s}"))
+    adc = out.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dist_terms[0] + dist_terms[1] + dist_terms[2] + dist_terms[3], 6
+        ).alias("adc_d2"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def pq_topk_sql(n_queries: int = 5, k: int = 10, m: int = 4,
+                kcode: int = 8, iters: int = 1, dim: int = 64) -> str:
+    """The PQ pipeline restated: per-subspace k-means chains (the
+    kmeans_ctes_sql device, one namespaced chain per subspace),
+    encode via the same argmin, LUTs, fixed-order sum, top-k."""
+    sub = dim // m
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    chains, encodes, luts = [], [], []
+    for s in range(m):
+        src = (
+            f"(SELECT vec_id, list_slice(embedding, {s * sub + 1},"
+            f" {s * sub + sub}) AS embedding FROM embeddings)"
+        )
+        chains.append(
+            kmeans_ctes_sql(kcode, iters, sub, src=src, prefix=f"s{s}")
+        )
+        encodes.append(
+            f"""enc{s} AS (
+      SELECT vec_id, centroid_id AS code_{s} FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {d2.format(a='v.embedding', b='c.cent')}, c.centroid_id)
+                 AS rn
+        FROM {src} v CROSS JOIN s{s}cents c) WHERE rn = 1)"""
+        )
+        luts.append(
+            f"""lut{s} AS (
+      SELECT q.vec_id AS query_id, c.centroid_id AS code_{s},
+             round({d2.format(
+                 a=f'list_slice(q.embedding, {s * sub + 1}, {s * sub + sub})',
+                 b='c.cent')}, 8) AS t{s}
+      FROM embeddings q CROSS JOIN s{s}cents c
+      WHERE q.vec_id < {n_queries})"""
+        )
+    enc_join = " JOIN ".join(
+        [f"enc{s} USING (vec_id)" for s in range(1, m)]
+    )
+    lut_join = " ".join(
+        f"JOIN lut{s} ON lut{s}.query_id = lut0.query_id"
+        f" AND lut{s}.code_{s} = codes.code_{s}"
+        for s in range(1, m)
+    )
+    return f"""
+    WITH {', '.join(chains)},
+    {', '.join(encodes)},
+    {', '.join(luts)},
+    codes AS (SELECT * FROM enc0 JOIN {enc_join}),
+    adc AS (
+      SELECT lut0.query_id, codes.vec_id AS neighbor_id,
+             round(lut0.t0 + lut1.t1 + lut2.t2 + lut3.t3, 6) AS adc_d2
+      FROM codes JOIN lut0 ON lut0.code_0 = codes.code_0 {lut_join}
+      WHERE codes.vec_id <> lut0.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, adc_d2, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
     """

@@ -136,6 +136,7 @@ _GATE_ORDER: list[str] = [
     "bpe_pair_counts",
     "frontier_budget_waterfill",
     "robots_sitemap_discovery",
+    "similarity_pq_topk",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4692,3 +4693,21 @@ def q_robots_sitemap_discovery(spark, sf_dir):
         )
         .orderBy("host", "sitemap_url")
     )
+
+
+@_register(
+    "similarity_pq_topk",
+    # Product quantization ADC top-k (Jegou-Douze-Schmid 2011) — the
+    # compression half of billion-scale ANN, completing the IVF
+    # family: per-subspace k-means codebooks (the same Lloyd device
+    # and oracle CTE chains as the IVF gates, one namespaced chain
+    # per subspace), vectors encoded to m=4 codes via broadcast
+    # argmin, per-query distance = a sum of 4 LUT lookups joined as
+    # 4 broadcast hash joins in FIXED subspace order (bit-identical
+    # doubles across engines), per-query top-k. The corpus never
+    # shuffles until the slim (query, neighbor, distance) relation.
+    _sim.pq_topk_sql(5, 10, 4, 8, 1) + " ORDER BY query_id, rank",
+)
+def q_similarity_pq_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _sim.pq_topk(e, 5, 10, 4, 8, 1).orderBy("query_id", "rank")
