@@ -932,3 +932,172 @@ def pq_topk_sql(n_queries: int = 5, k: int = 10, m: int = 4,
     SELECT query_id, neighbor_id, adc_d2, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+def ivfpq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+               n_cells: int = 8, nprobe: int = 3, m: int = 4,
+               kcode: int = 8, iters: int = 1, dim: int = 64,
+               coarse: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ: the composed billion-scale serving path — each query
+    probes its ``nprobe`` nearest coarse cells (IVF) and runs PQ
+    asymmetric distance over ONLY those cells' code rows.  Candidate
+    volume ~nprobe/n_cells of the corpus AND each candidate costs m
+    lookups instead of a dim-wide scan; the corpus-side relations
+    (cell assignment, codes) stay partitioned by vec_id and never
+    reshuffle — probes, codebooks and LUTs all broadcast."""
+    sub = dim // m
+    if coarse is None:
+        coarse = kmeans_centroids(embeddings, n_cells, iters, dim)
+    coarse = coarse.localCheckpoint(eager=True)
+    cells = ivf_cells(embeddings, n_cells, coarse).select(
+        "vec_id", F.col("centroid_id").alias("cell")
+    )
+    books = pq_codebooks(embeddings, m, kcode, iters, dim).localCheckpoint(
+        eager=True
+    )
+    codes = pq_encode(embeddings, books, m, dim)
+    qs = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("centroid_id")
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id",
+            "centroid_id",
+            _d2(F.col("q_emb"), F.col("cent")).alias("d2"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("cell"))
+    )
+    cand = (
+        cells.join(codes, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    out = cand
+    terms = []
+    for s in range(m):
+        lut = (
+            qs.crossJoin(F.broadcast(books.filter(F.col("subspace") == s)))
+            .select(
+                "query_id",
+                F.col("centroid_id").alias(f"code_{s}"),
+                F.round(
+                    _d2(F.slice("q_emb", s * sub + 1, sub), F.col("cent")),
+                    8,
+                ).alias(f"t{s}"),
+            )
+        )
+        out = out.join(F.broadcast(lut), ["query_id", f"code_{s}"])
+        terms.append(F.col(f"t{s}"))
+    adc = out.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(terms[0] + terms[1] + terms[2] + terms[3], 6).alias(
+            "adc_d2"
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def ivfpq_topk_sql(n_queries: int = 5, k: int = 10, n_cells: int = 8,
+                   nprobe: int = 3, m: int = 4, kcode: int = 8,
+                   iters: int = 1, dim: int = 64,
+                   coarse_iters: int | None = None) -> str:
+    """The IVF-PQ pipeline restated: a coarse k-means chain (prefix
+    g) for cells + probes, the per-subspace chains/encodes/LUTs of
+    :func:`pq_topk_sql`, ADC restricted to probed cells."""
+    sub = dim // m
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    chains = [kmeans_ctes_sql(
+        n_cells, coarse_iters if coarse_iters is not None else iters,
+        dim, prefix="g")]
+    encodes, luts = [], []
+    for s in range(m):
+        src = (
+            f"(SELECT vec_id, list_slice(embedding, {s * sub + 1},"
+            f" {s * sub + sub}) AS embedding FROM embeddings)"
+        )
+        chains.append(
+            kmeans_ctes_sql(kcode, iters, sub, src=src, prefix=f"s{s}")
+        )
+        encodes.append(
+            f"""enc{s} AS (
+      SELECT vec_id, centroid_id AS code_{s} FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {d2.format(a='v.embedding', b='c.cent')}, c.centroid_id)
+                 AS rn
+        FROM {src} v CROSS JOIN s{s}cents c) WHERE rn = 1)"""
+        )
+        luts.append(
+            f"""lut{s} AS (
+      SELECT q.vec_id AS query_id, c.centroid_id AS code_{s},
+             round({d2.format(
+                 a=f'list_slice(q.embedding, {s * sub + 1}, {s * sub + sub})',
+                 b='c.cent')}, 8) AS t{s}
+      FROM embeddings q CROSS JOIN s{s}cents c
+      WHERE q.vec_id < {n_queries})"""
+        )
+    enc_join = " JOIN ".join(
+        [f"enc{s} USING (vec_id)" for s in range(1, m)]
+    )
+    lut_join = " ".join(
+        f"JOIN lut{s} ON lut{s}.query_id = probes.query_id"
+        f" AND lut{s}.code_{s} = codes.code_{s}"
+        for s in range(1, m)
+    )
+    return f"""
+    WITH {', '.join(chains)},
+    cells AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {d2.format(a='v.embedding', b='c.cent')}, c.centroid_id)
+                 AS rn
+        FROM embeddings v CROSS JOIN gcents c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {d2.format(a='q.embedding', b='c.cent')}, c.centroid_id)
+                 AS pr
+        FROM embeddings q CROSS JOIN gcents c
+        WHERE q.vec_id < {n_queries}) WHERE pr <= {nprobe}),
+    {', '.join(encodes)},
+    {', '.join(luts)},
+    codes AS (SELECT * FROM enc0 JOIN {enc_join}),
+    adc AS (
+      SELECT probes.query_id, codes.vec_id AS neighbor_id,
+             round(lut0.t0 + lut1.t1 + lut2.t2 + lut3.t3, 6) AS adc_d2
+      FROM cells JOIN probes ON probes.cell = cells.cell
+      JOIN codes ON codes.vec_id = cells.vec_id
+      JOIN lut0 ON lut0.query_id = probes.query_id
+       AND lut0.code_0 = codes.code_0 {lut_join}
+      WHERE cells.vec_id <> probes.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, adc_d2, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """

@@ -137,6 +137,7 @@ _GATE_ORDER: list[str] = [
     "frontier_budget_waterfill",
     "robots_sitemap_discovery",
     "similarity_pq_topk",
+    "similarity_ivfpq_topk",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4711,3 +4712,24 @@ def q_robots_sitemap_discovery(spark, sf_dir):
 def q_similarity_pq_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return _sim.pq_topk(e, 5, 10, 4, 8, 1).orderBy("query_id", "rank")
+
+
+@_register(
+    "similarity_ivfpq_topk",
+    # IVF-PQ — the composed billion-scale ANN serving path (coarse
+    # cells prune WHICH vectors to score, PQ codes prune WHAT each
+    # score costs): queries probe their nprobe nearest coarse cells
+    # and asymmetric distance runs over only those cells' code rows.
+    # Coarse + sub-codebooks reuse the shared Lloyd fixture device;
+    # probes, codebooks and LUTs broadcast; corpus-side relations
+    # never reshuffle. Oracle composes the coarse chain with the PQ
+    # chains in one statement.
+    _sim.ivfpq_topk_sql(5, 10, 8, 3, 4, 8, 1, coarse_iters=_LLOYD_ITERS)
+    + " ORDER BY query_id, rank",
+)
+def q_similarity_ivfpq_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _sim.ivfpq_topk(
+        e, 5, 10, 8, 3, 4, 8, 1,
+        coarse=_kmeans_shared(spark, sf_dir, 8, _LLOYD_ITERS),
+    ).orderBy("query_id", "rank")
