@@ -318,3 +318,17 @@ def test_halfpel_motion():
         W, H, [(y1, u1, v1), (y2, u1, v1)], qp=8)
     w, h, frames = h264.h264_decode_frames(data)
     assert frames == recons
+
+
+def test_ipcm_through_frames_decoder():
+    # the CAVLC decoder handles I_PCM macroblocks too (mb_type 25 in
+    # I slices): an I_PCM-only stream decodes identically through
+    # both entries, and its blocks seed nC context as TotalCoeff 16
+    rnd = random.Random(3)
+    y = [[rnd.randrange(256) for _ in range(16)] for _ in range(16)]
+    u = [[rnd.randrange(256) for _ in range(8)] for _ in range(8)]
+    v = [[rnd.randrange(256) for _ in range(8)] for _ in range(8)]
+    data = h264.h264_encode_ipcm(16, 16, y, u, v)
+    w, h, frames = h264.h264_decode_frames(data)
+    assert (w, h, frames[0]) == (16, 16, (y, u, v))
+    assert h264.h264_decode(data)[2:] == (y, u, v)
