@@ -8,8 +8,9 @@ macroblock families:
 2. CAVLC entropy-coded frames (h264_encode / h264_decode_frames):
    IDR I slices of I_16x16 macroblocks (DC/V/H intra prediction,
    §8.3.3) and P slices with P_Skip and P_L0_16x16 (median MV
-   prediction §8.4.1.3, full- and half-pel motion compensation —
-   6-tap luma, bilinear chroma, §8.4.2.2), 4x4 integer transforms + luma-DC/chroma-DC
+   prediction §8.4.1.3, full/half/quarter-pel motion compensation —
+   6-tap + quarter averaging luma, eighth-pel bilinear chroma,
+   §8.4.2.2), 4x4 integer transforms + luma-DC/chroma-DC
    Hadamard paths (§8.5), and CAVLC residual coding (§9.2:
    coeff_token with nC neighbour context, trailing-one signs,
    adaptive-suffix levels, total_zeros, run_before).
@@ -32,9 +33,10 @@ inverse transform's +32>>6 window, so the multimodal CAVLC gate's
 DuckDB oracle is closed-form in doc_id with no approximation.
 
 NOT implemented, rejected with ImageFormatError: CABAC, I_4x4 and
-plane/non-DC-chroma intra modes, quarter-pel motion, multiple
-reference frames, B slices, in-loop deblocking, interlace, slice
-groups, multi-slice pictures, bit depths above 8.
+plane/non-DC-chroma intra modes, multiple reference frames, B
+slices, in-loop deblocking, interlace, slice groups, multi-slice
+pictures, bit depths above 8.  Motion is full/half/quarter-pel
+complete (§8.4.2.2).
 
 The reference crawler has no video analogue (its binaries are
 PDFs/XLSX, both really decoded); this codec family is build-spec
@@ -1497,9 +1499,10 @@ def _encode_cavlc(width: int, height: int, frames, qp: int,
                               for r in range(16) for c in range(16))
                     if best is None or sad < best[0]:
                         best = (sad, cand, py16)
-                for hdx, hdy in ((-2, 0), (2, 0), (0, -2), (0, 2),
-                                 (-2, -2), (-2, 2), (2, -2), (2, 2)) \
-                        if subpel else ():
+                for hdx, hdy in (((-2, 0), (2, 0), (0, -2), (0, 2),
+                                  (-2, -2), (-2, 2), (2, -2), (2, 2),
+                                  (-1, 0), (1, 0), (0, -1), (0, 1))
+                                 if subpel else ()):
                     cand = (best[1][0] + hdx, best[1][1] + hdy)
                     py16 = _mc_luma(ref[0], px, py, 16, 16, *cand)
                     sad = sum(abs(src_y[py + r][px + c] - py16[r][c])
@@ -1809,12 +1812,12 @@ def h264_decode_frames(data: bytes) -> tuple:
 
 def _mc_luma(plane: list, x0: int, y0: int, w: int, h: int,
              mvx: int, mvy: int) -> list:
-    """Luma MC at quarter-pel mv units, full- and half-pel positions:
-    (1,-5,20,20,-5,1)/32 separable 6-tap with edge clamping; the
-    centre position filters un-normalized horizontal intermediates
-    vertically with +512>>10 (§8.4.2.2.1)."""
-    if mvx % 2 or mvy % 2:
-        raise ImageFormatError("h264: quarter-pel motion unsupported")
+    """Luma MC at quarter-pel mv units, ALL 16 sub-positions
+    (§8.4.2.2.1): half samples via the (1,-5,20,20,-5,1)/32
+    separable 6-tap with edge clamping (the centre position filters
+    un-normalized horizontal intermediates vertically, +512>>10);
+    quarter samples average the two nearest integer/half samples
+    with +1>>1, exactly per the spec's position table."""
     ix, fx = mvx >> 2, mvx & 3
     iy, fy = mvy >> 2, mvy & 3
     if fx == 0 and fy == 0:
@@ -1828,32 +1831,53 @@ def _mc_luma(plane: list, x0: int, y0: int, w: int, h: int,
         a, b, c, d, e, f = vals
         return a - 5 * b + 20 * c + 20 * d - 5 * e + f
 
-    out = [[0] * w for _ in range(h)]
-    if fy == 0:      # half-pel horizontal ('b')
-        for r in range(h):
-            sy = y0 + iy + r
-            for c in range(w):
-                sx = x0 + ix + c
-                s = tap6([g(sy, sx + k) for k in range(-2, 4)])
-                out[r][c] = min(255, max(0, (s + 16) >> 5))
-    elif fx == 0:    # half-pel vertical ('h')
-        for r in range(h):
-            sy = y0 + iy + r
-            for c in range(w):
-                sx = x0 + ix + c
-                s = tap6([g(sy + k, sx) for k in range(-2, 4)])
-                out[r][c] = min(255, max(0, (s + 16) >> 5))
-    else:            # centre ('j'): horizontal intermediates, then vertical
-        for r in range(h):
-            sy = y0 + iy + r
-            for c in range(w):
-                sx = x0 + ix + c
-                inter = [
-                    tap6([g(sy + k, sx + m) for m in range(-2, 4)])
-                    for k in range(-2, 4)
-                ]
-                out[r][c] = min(255, max(0, (tap6(inter) + 512) >> 10))
-    return out
+    def half_b(yy: int, xx: int) -> int:  # half right of (xx, yy)
+        return min(255, max(0, (
+            tap6([g(yy, xx + k) for k in range(-2, 4)]) + 16) >> 5))
+
+    def half_h(yy: int, xx: int) -> int:  # half below (xx, yy)
+        return min(255, max(0, (
+            tap6([g(yy + k, xx) for k in range(-2, 4)]) + 16) >> 5))
+
+    def half_j(yy: int, xx: int) -> int:  # centre
+        inter = [
+            tap6([g(yy + k, xx + m) for m in range(-2, 4)])
+            for k in range(-2, 4)
+        ]
+        return min(255, max(0, (tap6(inter) + 512) >> 10))
+
+    def avg(a: int, b: int) -> int:
+        return (a + b + 1) >> 1
+
+    def sample(yy: int, xx: int) -> int:
+        # spec position lattice around integer sample G = (xx, yy)
+        if fy == 0:
+            if fx == 2:
+                return half_b(yy, xx)
+            bb = half_b(yy, xx)
+            return avg(g(yy, xx), bb) if fx == 1 else avg(bb, g(yy, xx + 1))
+        if fx == 0:
+            if fy == 2:
+                return half_h(yy, xx)
+            hh = half_h(yy, xx)
+            return avg(g(yy, xx), hh) if fy == 1 else avg(hh, g(yy + 1, xx))
+        if fx == 2 and fy == 2:
+            return half_j(yy, xx)
+        if fx == 2:  # (2,1)/(2,3): between b and j
+            jj = half_j(yy, xx)
+            return avg(half_b(yy, xx), jj) if fy == 1 \
+                else avg(jj, half_b(yy + 1, xx))
+        if fy == 2:  # (1,2)/(3,2): between h and j
+            jj = half_j(yy, xx)
+            return avg(half_h(yy, xx), jj) if fx == 1 \
+                else avg(jj, half_h(yy, xx + 1))
+        # diagonal quarters (odd, odd): average the nearest b and h
+        bb = half_b(yy + (1 if fy == 3 else 0), xx)
+        hh = half_h(yy, xx + (1 if fx == 3 else 0))
+        return avg(bb, hh)
+
+    return [[sample(y0 + iy + r, x0 + ix + c) for c in range(w)]
+            for r in range(h)]
 
 
 def _mc_chroma(plane: list, x0: int, y0: int, w: int, h: int,

@@ -294,11 +294,20 @@ def test_halfpel_motion():
     # half-pel interpolation identities on flat fields, then an
     # end-to-end stream whose best match IS a half-pel shift
     flat = [[77] * 24 for _ in range(24)]
-    for mv in ((2, 0), (0, 2), (2, 2), (6, 4)):
+    for mv in ((2, 0), (0, 2), (2, 2), (6, 4),
+               (1, 0), (3, 0), (0, 1), (1, 1), (3, 3), (1, 2), (2, 3)):
         assert h264._mc_luma(flat, 4, 4, 8, 8, *mv) == [[77] * 8] * 8
         assert h264._mc_chroma(flat, 4, 4, 8, 8, *mv) == [[77] * 8] * 8
-    with pytest.raises(ImageFormatError, match="quarter-pel"):
-        h264._mc_luma(flat, 0, 0, 4, 4, 1, 0)
+    # quarter positions average their two nearest samples (+1 >> 1):
+    # on a two-valued column pattern the (1,0) sample must equal
+    # avg(G, b) computed from the same taps
+    two = [[10 if x < 4 else 90 for x in range(12)]] * 8
+    g_val = two[0][3]
+    b_val = min(255, max(0, (
+        two[0][1] - 5 * two[0][2] + 20 * two[0][3] + 20 * two[0][4]
+        - 5 * two[0][5] + two[0][6] + 16) >> 5))
+    got = h264._mc_luma(two, 3, 2, 1, 1, 1, 0)[0][0]
+    assert got == (g_val + b_val + 1) >> 1
     # 6-tap on a step edge matches the spec arithmetic
     row = [0, 0, 0, 100, 100, 100, 100, 100]
     plane = [row] * 8
