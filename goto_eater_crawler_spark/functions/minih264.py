@@ -34,8 +34,10 @@ DuckDB oracle is closed-form in doc_id with no approximation.
 
 NOT implemented, rejected with ImageFormatError: CABAC, I_4x4 and
 plane/non-DC-chroma intra modes, multiple reference frames, B
-slices, in-loop deblocking, interlace, slice groups, multi-slice
-pictures, bit depths above 8.  Motion is full/half/quarter-pel
+slices, interlace, slice groups, multi-slice pictures, bit depths
+above 8.  In-loop deblocking is SUPPORTED (spec-structural kernels
++ [self] threshold tables — see the filter section); the oracle
+synth still encodes it disabled.  Motion is full/half/quarter-pel
 complete (§8.4.2.2).
 
 The reference crawler has no video analogue (its binaries are
@@ -1358,7 +1360,7 @@ _MV_CANDIDATES = [(0, 0), (-2, 0), (2, 0), (0, -2), (0, 2),
 
 
 def h264_encode(width: int, height: int, frames, qp: int = 0,
-                subpel: bool = True) -> bytes:
+                subpel: bool = True, deblock: bool = False) -> bytes:
     """Encode a list of planar YUV420 frames [(y, u, v), ...] as a
     baseline Annex-B stream: one IDR I slice (all I_16x16, DC
     prediction, CAVLC residuals), then one P slice per later frame
@@ -1367,18 +1369,19 @@ def h264_encode(width: int, height: int, frames, qp: int = 0,
     set (the closed-form oracle class relies on that pin; the decoder
     supports half-pel either way).  Deterministic; in-loop deblocking
     encoded disabled."""
-    return _encode_cavlc(width, height, frames, qp, subpel)[0]
+    return _encode_cavlc(width, height, frames, qp, subpel, deblock)[0]
 
 
 def h264_encode_with_recon(width: int, height: int, frames,
-                           qp: int = 0, subpel: bool = True) -> tuple:
+                           qp: int = 0, subpel: bool = True,
+                           deblock: bool = False) -> tuple:
     """h264_encode, also returning the encoder's own reconstruction
     (cropped) — the exact frames a conforming decoder must produce."""
-    return _encode_cavlc(width, height, frames, qp, subpel)
+    return _encode_cavlc(width, height, frames, qp, subpel, deblock)
 
 
 def _encode_cavlc(width: int, height: int, frames, qp: int,
-                  subpel: bool = True) -> tuple:
+                  subpel: bool = True, deblock: bool = False) -> tuple:
     if not frames:
         raise ValueError("h264: no frames")
     if width % 2 or height % 2:
@@ -1465,7 +1468,12 @@ def _encode_cavlc(width: int, height: int, frames, qp: int,
         else:
             w.u(1, 0)           # adaptive_ref_pic_marking_mode_flag
         w.se(qp - 26)           # slice_qp_delta
-        w.ue(1)                 # disable_deblocking_filter_idc
+        if deblock:
+            w.ue(0)             # disable_deblocking_filter_idc: ON
+            w.se(0)             # slice_alpha_c0_offset_div2
+            w.se(0)             # slice_beta_offset_div2
+        else:
+            w.ue(1)             # disable_deblocking_filter_idc: off
 
         skip_run = 0
         for mbi in range(mb_w * mb_h):
@@ -1575,6 +1583,9 @@ def _encode_cavlc(width: int, height: int, frames, qp: int,
             minfo[mby][mbx] = ("I",)
         if skip_run:
             w.ue(skip_run)
+        if deblock:
+            _deblock_frame((cur_y, cur_u, cur_v), mb_w, mb_h, minfo,
+                           nz_y, nz_c, qp, cqp)
         w.rbsp_trailing()
         out += _nal(5 if idr else 1, 3 if idr else 2, w.to_bytes())
         ref = (cur_y, cur_u, cur_v)
@@ -1658,11 +1669,17 @@ def h264_decode_frames(data: bytes) -> tuple:
         qp = pps["init_qp"] + r.se()
         if not 0 <= qp <= 51:
             raise ImageFormatError("h264: slice QP out of range")
+        slice_qp = qp
+        do_deblock = False
+        db_a_off = db_b_off = 0
         if pps["deblock_ctrl"]:
-            if r.ue() != 1:
-                raise ImageFormatError(
-                    "h264: in-loop deblocking unsupported "
-                    "(streams encode it disabled)")
+            idc = r.ue()
+            if idc != 1:
+                # idc 0 filters everywhere; idc 2 skips slice
+                # boundaries — identical for single-slice pictures
+                do_deblock = True
+                db_a_off = r.se()
+                db_b_off = r.se()
         if ptype and ref is None:
             raise ImageFormatError("h264: P slice without a reference frame")
         mb_w, mb_h = sps["mb_w"], sps["mb_h"]
@@ -1785,6 +1802,16 @@ def h264_decode_frames(data: bytes) -> tuple:
                 raise ImageFormatError(
                     "h264: I_4x4 macroblocks unsupported (I_16x16 subset)")
             mb += 1
+        if do_deblock:
+            if qp != slice_qp:
+                raise ImageFormatError(
+                    "h264: per-MB QP changes with deblocking unsupported")
+            _deblock_frame(
+                (cur_y, cur_u, cur_v), mb_w, mb_h, minfo, nz_y, nz_c,
+                slice_qp,
+                _chroma_qp(min(51, max(0, slice_qp
+                                       + pps["chroma_qp_off"]))),
+                db_a_off, db_b_off)
         ref = (cur_y, cur_u, cur_v)
         geom = sps
         cl, crr, ct, cb = geom["crop"]
@@ -1906,3 +1933,203 @@ def _mc_chroma(plane: list, x0: int, y0: int, w: int, h: int,
                 + (8 - dx) * dy * cc + dx * dy * d + 32
             ) >> 6
     return out
+
+
+# --- in-loop deblocking filter (§8.7) ---------------------------------------
+# Structure (edge order, bS derivation, filterSampleFlag, the normal
+# tc-clipped kernel and the strong MB-edge kernel, chroma p0/q0-only
+# rule) is spec-faithful.  The alpha/beta/tc0 THRESHOLD TABLES are
+# [self] formula reconstructions (the published exponential shape,
+# not the published values — same honesty contract as the VLC
+# tables): encoder reconstruction and decoder share them, so decode
+# == recon exactly; byte interop is claimed only for streams that
+# encode the filter disabled.
+
+
+def _db_alpha(idx: int) -> int:
+    return 0 if idx < 16 else min(255, int(0.8 * (2 ** (idx / 6.0) - 1) + 0.5))
+
+
+def _db_beta(idx: int) -> int:
+    return 0 if idx < 16 else min(18, idx // 2 - 6)
+
+
+def _db_tc0(idx: int, bs: int) -> int:
+    if idx < 16:
+        return 0
+    base = int((2 ** (idx / 6.0) - 1) / 10 + 0.5)
+    return max(bs - 1, base + bs - 1)
+
+
+def _clip3(lo: int, hi: int, v: int) -> int:
+    return lo if v < lo else (hi if v > hi else v)
+
+
+def _filter_edge_luma(get, put, bs: int, idx_a: int, idx_b: int) -> None:
+    """Filter one 1-pixel line across an edge: get(k)/put(k, v) address
+    samples at signed offsets ... p1=-2, p0=-1, q0=0, q1=1 ..."""
+    alpha, beta = _db_alpha(idx_a), _db_beta(idx_b)
+    p0, q0 = get(-1), get(0)
+    p1, q1 = get(-2), get(1)
+    if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
+            and abs(q1 - q0) < beta):
+        return
+    p2, q2 = get(-3), get(2)
+    ap, aq = abs(p2 - p0), abs(q2 - q0)
+    if bs < 4:
+        tc0 = _db_tc0(idx_a, bs)
+        tc = tc0 + (1 if ap < beta else 0) + (1 if aq < beta else 0)
+        delta = _clip3(-tc, tc, ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3)
+        put(-1, _clip3(0, 255, p0 + delta))
+        put(0, _clip3(0, 255, q0 - delta))
+        if ap < beta:
+            put(-2, p1 + _clip3(-tc0, tc0,
+                                (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1))
+        if aq < beta:
+            put(1, q1 + _clip3(-tc0, tc0,
+                               (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1))
+        return
+    # bS == 4: strong filter on intra MB edges
+    small_gap = abs(p0 - q0) < ((alpha >> 2) + 2)
+    if ap < beta and small_gap:
+        p3 = get(-4)
+        put(-1, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+        put(-2, (p2 + p1 + p0 + q0 + 2) >> 2)
+        put(-3, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+    else:
+        put(-1, (2 * p1 + p0 + q1 + 2) >> 2)
+    if aq < beta and small_gap:
+        q3 = get(3)
+        put(0, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3)
+        put(1, (q2 + q1 + q0 + p0 + 2) >> 2)
+        put(2, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3)
+    else:
+        put(0, (2 * q1 + q0 + p1 + 2) >> 2)
+
+
+def _filter_edge_chroma(get, put, bs: int, idx_a: int, idx_b: int) -> None:
+    """Chroma edges modify p0/q0 only (§8.7.2.4)."""
+    alpha, beta = _db_alpha(idx_a), _db_beta(idx_b)
+    p0, q0 = get(-1), get(0)
+    p1, q1 = get(-2), get(1)
+    if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
+            and abs(q1 - q0) < beta):
+        return
+    if bs < 4:
+        tc = _db_tc0(idx_a, bs) + 1
+        delta = _clip3(-tc, tc, ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3)
+        put(-1, _clip3(0, 255, p0 + delta))
+        put(0, _clip3(0, 255, q0 - delta))
+    else:
+        put(-1, (2 * p1 + p0 + q1 + 2) >> 2)
+        put(0, (2 * q1 + q0 + p1 + 2) >> 2)
+
+
+def _edge_bs(mb_edge: bool, a_info, b_info, a_nz: int, b_nz: int) -> int:
+    """Boundary strength (§8.7.2.1, 16x16-partition subset): 4/3 for
+    intra, 2 when either side carries coefficients, 1 when vectors
+    diverge by a full sample (one reference frame, so refs always
+    match), else 0."""
+    a_intra = a_info is None or a_info[0] != "P"
+    b_intra = b_info is None or b_info[0] != "P"
+    if a_intra or b_intra:
+        return 4 if mb_edge else 3
+    if a_nz or b_nz:
+        return 2
+    if (abs(a_info[1] - b_info[1]) >= 4
+            or abs(a_info[2] - b_info[2]) >= 4):
+        return 1
+    return 0
+
+
+def _deblock_frame(planes: tuple, mb_w: int, mb_h: int, minfo: list,
+                   nz_y: list, nz_c: tuple, qp: int, cqp: int,
+                   a_off: int = 0, b_off: int = 0) -> None:
+    """Apply the in-loop filter to reconstructed planes IN PLACE: per
+    MB in raster order, vertical luma edges left-to-right then
+    horizontal top-to-bottom (§8.7 edge order); chroma filters the
+    edges aligned with luma edges 0 and 2.  QP is constant per slice
+    here, so the threshold indices are fixed per call."""
+    yp, up, vp = planes
+    idx_a = _clip3(0, 51, qp + 2 * a_off)
+    idx_b = _clip3(0, 51, qp + 2 * b_off)
+    cidx_a = _clip3(0, 51, cqp + 2 * a_off)
+    cidx_b = _clip3(0, 51, cqp + 2 * b_off)
+
+    def luma_v(x: int, y: int, bs: int) -> None:
+        row = yp[y]
+        _filter_edge_luma(lambda k: row[x + k],
+                          lambda k, v: row.__setitem__(x + k, v),
+                          bs, idx_a, idx_b)
+
+    def luma_h(x: int, y: int, bs: int) -> None:
+        _filter_edge_luma(lambda k: yp[y + k][x],
+                          lambda k, v: yp[y + k].__setitem__(x, v),
+                          bs, idx_a, idx_b)
+
+    def chroma_v(p, x: int, y: int, bs: int) -> None:
+        row = p[y]
+        _filter_edge_chroma(lambda k: row[x + k],
+                            lambda k, v: row.__setitem__(x + k, v),
+                            bs, cidx_a, cidx_b)
+
+    def chroma_h(p, x: int, y: int, bs: int) -> None:
+        _filter_edge_chroma(lambda k: p[y + k][x],
+                            lambda k, v: p[y + k].__setitem__(x, v),
+                            bs, cidx_a, cidx_b)
+
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            info = minfo[mby][mbx]
+            # vertical edges (filter columns), e = edge index 0..3
+            for e in range(4):
+                if e == 0 and mbx == 0:
+                    continue
+                x = mbx * 16 + e * 4
+                for r in range(16):
+                    y = mby * 16 + r
+                    by = mby * 4 + r // 4
+                    bx = mbx * 4 + e
+                    a_info = minfo[mby][mbx - 1] if e == 0 else info
+                    bs = _edge_bs(e == 0, a_info, info,
+                                  nz_y[by][bx - 1], nz_y[by][bx])
+                    if bs:
+                        luma_v(x, y, bs)
+                if e in (0, 2):
+                    cx = mbx * 8 + (e // 2) * 4
+                    for r in range(8):
+                        cy = mby * 8 + r
+                        by = mby * 4 + r // 2
+                        bx = mbx * 4 + e
+                        a_info = minfo[mby][mbx - 1] if e == 0 else info
+                        bs = _edge_bs(e == 0, a_info, info,
+                                      nz_y[by][bx - 1], nz_y[by][bx])
+                        if bs:
+                            chroma_v(up, cx, cy, bs)
+                            chroma_v(vp, cx, cy, bs)
+            # horizontal edges (filter rows)
+            for e in range(4):
+                if e == 0 and mby == 0:
+                    continue
+                y = mby * 16 + e * 4
+                for c in range(16):
+                    x = mbx * 16 + c
+                    bx = mbx * 4 + c // 4
+                    by = mby * 4 + e
+                    a_info = minfo[mby - 1][mbx] if e == 0 else info
+                    bs = _edge_bs(e == 0, a_info, info,
+                                  nz_y[by - 1][bx], nz_y[by][bx])
+                    if bs:
+                        luma_h(x, y, bs)
+                if e in (0, 2):
+                    cy = mby * 8 + (e // 2) * 4
+                    for c in range(8):
+                        cx = mbx * 8 + c
+                        bx = mbx * 4 + c // 2
+                        by = mby * 4 + e
+                        a_info = minfo[mby - 1][mbx] if e == 0 else info
+                        bs = _edge_bs(e == 0, a_info, info,
+                                      nz_y[by - 1][bx], nz_y[by][bx])
+                        if bs:
+                            chroma_h(up, cx, cy, bs)
+                            chroma_h(vp, cx, cy, bs)

@@ -341,3 +341,39 @@ def test_ipcm_through_frames_decoder():
     w, h, frames = h264.h264_decode_frames(data)
     assert (w, h, frames[0]) == (16, 16, (y, u, v))
     assert h264.h264_decode(data)[2:] == (y, u, v)
+
+
+def test_deblocking_filter():
+    rnd = random.Random(21)
+    W, H = 48, 32
+    frames = []
+    for _ in range(2):
+        y = [[rnd.randrange(256) for _ in range(W)] for _ in range(H)]
+        u = [[rnd.randrange(256) for _ in range(W // 2)]
+             for _ in range(H // 2)]
+        v = [[rnd.randrange(256) for _ in range(W // 2)]
+             for _ in range(H // 2)]
+        frames.append((y, u, v))
+    # decode == encoder recon with the filter ON, across QPs
+    for qp in (8, 30, 44):
+        data, recons = h264.h264_encode_with_recon(
+            W, H, frames, qp=qp, deblock=True)
+        _, _, got = h264.h264_decode_frames(data)
+        assert got == recons, qp
+    # the filter must actually move pixels where thresholds admit
+    _, filt = h264.h264_encode_with_recon(W, H, frames, qp=44,
+                                          deblock=True)
+    _, unfilt = h264.h264_encode_with_recon(W, H, frames, qp=44,
+                                            deblock=False)
+    assert filt != unfilt
+    # strong-filter smoothing: a quantization step across an intra MB
+    # edge shrinks after filtering
+    base = [[100 if x < 16 else 140 for x in range(32)] for _ in range(16)]
+    fr = (base, [[120] * 16] * 8, [[120] * 16] * 8)
+    _, (sm,) = h264.h264_encode_with_recon(32, 16, [fr], qp=40,
+                                           deblock=True)
+    _, (raw,) = h264.h264_encode_with_recon(32, 16, [fr], qp=40,
+                                            deblock=False)
+    step_raw = abs(raw[0][0][16] - raw[0][0][15])
+    step_sm = abs(sm[0][0][16] - sm[0][0][15])
+    assert step_sm < step_raw
