@@ -4587,42 +4587,66 @@ def q_bpe_pair_counts(spark, sf_dir):
     """,
 )
 def q_frontier_budget_waterfill(spark, sf_dir):
+    # scale plan: the water level only depends on the DISTINCT cap
+    # values and how many hosts sit at each, so the per-host relation
+    # is reduced with ONE map-side-combinable groupBy and the global
+    # prefix-sum window runs over the tiny distinct-cap relation (at
+    # most as many rows as distinct politeness classes), never over
+    # the 10^7-host relation; lambda broadcasts back. The tentative
+    # level at a distinct cap c uses the prefix of hosts with caps
+    # STRICTLY below c — identical to the per-host first-qualifying
+    # level: if a cap group's first tentative level exceeds c, then
+    # level_{i+1} = (n_i*level_i - c)/(n_i - 1) > c by induction, so
+    # no host WITHIN the group can be the first to qualify and the
+    # qualification boundary always falls on a group's first host.
     c = _t(spark, sf_dir, "customer")
     hosts = c.groupBy((F.col("c_custkey") % 200).alias("hk")).agg(
         (F.lit(5) + F.max("c_custkey") % 91).cast("bigint").alias("cap")
     ).select(
         F.concat(F.lit("h"), F.col("hk").cast("string")).alias("host"), "cap"
     )
-    total = hosts.agg((2 * F.sum("cap") / 5).cast("bigint").alias("budget"))
-    w = Window.orderBy("cap", "host")
-    budgeted = (
-        hosts.crossJoin(F.broadcast(total))
+    by_cap = hosts.groupBy("cap").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("cap").alias("sum_at"),
+    )
+    total = by_cap.agg(
+        (2 * F.sum("sum_at") / 5).cast("bigint").alias("budget"),
+        F.sum("n_at").alias("n"),
+    )
+    w = Window.orderBy("cap")
+    levels = (
+        by_cap.crossJoin(F.broadcast(total))
         .withColumn(
             "prefix",
-            F.sum("cap").over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
+            F.coalesce(
+                F.sum("sum_at").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
             ),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(1))))
+        .withColumn(
+            "n_below",
+            F.coalesce(
+                F.sum("n_at").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
         .withColumn(
             "level",
-            (F.col("budget") - F.coalesce("prefix", F.lit(0)))
-            .cast("double")
-            / (F.col("n") - F.col("rn") + 1),
+            (F.col("budget") - F.col("prefix")).cast("double")
+            / (F.col("n") - F.col("n_below")),
         )
     )
-    # levels decrease monotonically once they qualify (each step
-    # subtracts a cap at least as large as the current level), so the
-    # FIRST qualifying level — the true water level — is the max
-    lam = budgeted.agg(
+    lam = levels.agg(
         F.max(F.when(F.col("level") <= F.col("cap"), F.col("level"))).alias(
             "lam"
         )
     )
     return (
-        budgeted.crossJoin(F.broadcast(lam))
+        hosts.crossJoin(F.broadcast(lam))
         .select(
             "host",
             "cap",
