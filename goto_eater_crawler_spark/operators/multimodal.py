@@ -35,11 +35,14 @@ Exp-Golomb SPS/PPS/slice syntax, gated by
 ``multimodal_h264_decode``). Session 9 closed the CAVLC +
 inter-prediction stub: minih264 now carries entropy-coded residuals
 (§9.2 coeff_token/levels/total_zeros/run_before with nC contexts),
-I_16x16 intra, and P slices with P_Skip + full-pel P_L0_16x16
-motion, gated end-to-end by ``multimodal_h264_cavlc_decode`` (2-frame
-I+P streams with a closed-form QP-0 oracle). The remaining documented
-stub surface is CABAC entropy coding and sub-pel/B-frame motion,
-which a production cluster hands to native codecs;
+I_16x16 intra, and P slices with P_Skip + P_L0_16x16 motion at
+full/half/quarter-pel (6-tap + averaging luma, eighth-pel bilinear
+chroma) plus the §8.7 in-loop deblocking filter, gated end-to-end by
+``multimodal_h264_cavlc_decode`` (2-frame I+P streams with a
+closed-form QP-0 oracle; the synth pins the search full-pel and the
+filter off to keep the flat class exact). The remaining documented
+stub surface is CABAC entropy coding and B slices, which a
+production cluster hands to native codecs;
 :func:`binary_metadata` classifies what it can't decode as
 ``'unknown'`` instead of faking dimensions.
 """
