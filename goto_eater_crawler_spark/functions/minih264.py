@@ -33,11 +33,16 @@ inverse transform's +32>>6 window, so the multimodal CAVLC gate's
 DuckDB oracle is closed-form in doc_id with no approximation.
 
 NOT implemented, rejected with ImageFormatError: CABAC, I_4x4 and
-plane/non-DC-chroma intra modes, multiple reference frames, B
-slices, interlace, slice groups, multi-slice pictures, bit depths
-above 8.  In-loop deblocking is SUPPORTED (spec-structural kernels
-+ [self] threshold tables — see the filter section); the oracle
-synth still encodes it disabled.  Motion is full/half/quarter-pel
+plane/non-DC-chroma intra modes, more than one reference per list,
+B_Skip/direct modes, sub-16x16 partitions, interlace, slice groups,
+multi-slice pictures, bit depths above 8.  SUPPORTED beyond the
+original intra subset: P and B slices (B_L0/B_L1/B_Bi 16x16 with
+per-list median MV prediction and default bi-prediction averaging,
+low-delay both-past reference lists so decode order == display
+order), full/half/quarter-pel motion, and the §8.7 in-loop
+deblocking filter (spec-structural kernels + [self] threshold
+tables); the oracle synth still pins the search full-pel and the
+filter off.  Motion is full/half/quarter-pel
 complete (§8.4.2.2).
 
 The reference crawler has no video analogue (its binaries are
@@ -1223,6 +1228,46 @@ def _mv_pred(minfo: list, x: int, y: int, mb_w: int) -> tuple:
             _median3(mvs[0][1], mvs[1][1], mvs[2][1]))
 
 
+def _mv_pred_b(minfo: list, x: int, y: int, mb_w: int,
+               lst: int) -> tuple:
+    """Median MV predictor for one reference list of a B 16x16
+    partition: the §8.4.1.3 rules applied per list — neighbours not
+    using the list count as unavailable-for-refIdx (zero vector in
+    the median), a lone user of the list wins outright, and the
+    lone-A rule applies when B/C are outside the picture."""
+    def get(mx: int, my: int):
+        if mx < 0 or my < 0 or mx >= mb_w:
+            return None
+        return minfo[my][mx]
+
+    def list_mv(n):
+        if n is None or n[0] == "I":
+            return None
+        if n[0] == "P":
+            return (n[1], n[2]) if lst == 0 else None
+        return n[1 + lst]
+
+    a, b = get(x - 1, y), get(x, y - 1)
+    c = get(x + 1, y - 1)
+    if c is None:
+        c = get(x - 1, y - 1)
+    if b is None and c is None and a is not None:
+        mv = list_mv(a)
+        return mv if mv is not None else (0, 0)
+    mvs, users = [], []
+    for n in (a, b, c):
+        mv = list_mv(n)
+        if mv is None:
+            mvs.append((0, 0))
+        else:
+            mvs.append(mv)
+            users.append(mv)
+    if len(users) == 1:
+        return users[0]
+    return (_median3(mvs[0][0], mvs[1][0], mvs[2][0]),
+            _median3(mvs[0][1], mvs[1][1], mvs[2][1]))
+
+
 def _skip_mv(minfo: list, x: int, y: int, mb_w: int) -> tuple:
     """P_Skip motion vector (§8.4.1.1): zero when a left/above MB is
     missing or is an inter MB with a zero vector, else the predictor."""
@@ -1400,7 +1445,7 @@ def _encode_cavlc(width: int, height: int, frames, qp: int,
     w.ue(0)
     w.ue(0)      # log2_max_frame_num_minus4
     w.ue(2)      # pic_order_cnt_type = 2
-    w.ue(1)      # max_num_ref_frames = 1
+    w.ue(2)      # max_num_ref_frames = 2 (P chain + B L1)
     w.u(1, 0)
     w.ue(mb_w - 1)
     w.ue(mb_h - 1)
@@ -1437,7 +1482,8 @@ def _encode_cavlc(width: int, height: int, frames, qp: int,
     w.rbsp_trailing()
     out += _nal(8, 3, w.to_bytes())
 
-    ref = None
+    refs: list = []   # reconstructed reference frames, newest first
+    ref_count = 0
     recons = []
     for fi, (ys, us, vs) in enumerate(frames):
         src_y = _pad_plane(ys, width, height, pw, ph)
@@ -1451,21 +1497,29 @@ def _encode_cavlc(width: int, height: int, frames, qp: int,
                 [[0] * (mb_w * 2) for _ in range(mb_h * 2)])
         minfo = [[None] * mb_w for _ in range(mb_h)]
         idr = fi == 0
+        # low-delay GOP: I, P, then alternate B (non-reference, both
+        # refs in the past -> decode order == display order) and P
+        is_b = (not idr) and fi % 2 == 0 and len(refs) >= 2
+        ref = refs[0] if refs else None
 
         w = BitWriter()
         w.ue(0)                 # first_mb_in_slice
-        w.ue(7 if idr else 5)   # slice_type (I all / P all)
+        w.ue(7 if idr else (6 if is_b else 5))  # slice_type (all-I/B/P)
         w.ue(0)                 # pps_id
-        w.u(4, fi & 15)         # frame_num
+        w.u(4, ref_count & 15)  # frame_num
         if idr:
             w.ue(0)             # idr_pic_id
         else:
+            if is_b:
+                w.u(1, 0)       # direct_spatial_mv_pred_flag
             w.u(1, 0)           # num_ref_idx_active_override_flag
             w.u(1, 0)           # ref_pic_list_modification_flag_l0
+            if is_b:
+                w.u(1, 0)       # ref_pic_list_modification_flag_l1
         if idr:
             w.u(1, 0)
             w.u(1, 0)
-        else:
+        elif not is_b:          # B frames are non-reference here
             w.u(1, 0)           # adaptive_ref_pic_marking_mode_flag
         w.se(qp - 26)           # slice_qp_delta
         if deblock:
@@ -1480,6 +1534,104 @@ def _encode_cavlc(width: int, height: int, frames, qp: int,
             mbx, mby = mbi % mb_w, mbi // mb_w
             px, py = mbx * 16, mby * 16
             cx, cy = px // 2, py // 2
+            if is_b:
+                # RefPicList0[0] = nearest past ref, RefPicList1[0] =
+                # the older one (the spec's equal-lists swap rule when
+                # no future references exist)
+                rl0, rl1 = refs[0], refs[1]
+
+                def search_b(rp):
+                    best = None
+                    for dx, dy in _MV_CANDIDATES:
+                        cand = (dx * 4, dy * 4)
+                        py16 = _mc_luma(rp[0], px, py, 16, 16, *cand)
+                        sad = sum(
+                            abs(src_y[py + r][px + c] - py16[r][c])
+                            for r in range(16) for c in range(16))
+                        if best is None or sad < best[0]:
+                            best = (sad, cand, py16)
+                    rings = (((-2, 0), (2, 0), (0, -2), (0, 2),
+                              (-1, 0), (1, 0), (0, -1), (0, 1))
+                             if subpel else ())
+                    for hdx, hdy in rings:
+                        cand = (best[1][0] + hdx, best[1][1] + hdy)
+                        py16 = _mc_luma(rp[0], px, py, 16, 16, *cand)
+                        sad = sum(
+                            abs(src_y[py + r][px + c] - py16[r][c])
+                            for r in range(16) for c in range(16))
+                        if sad < best[0]:
+                            best = (sad, cand, py16)
+                    return best
+                s0 = search_b(rl0)
+                s1 = search_b(rl1)
+                bi_y = [[(a + b + 1) >> 1 for a, b in zip(ra, rb)]
+                        for ra, rb in zip(s0[2], s1[2])]
+                sad_bi = sum(abs(src_y[py + r][px + c] - bi_y[r][c])
+                             for r in range(16) for c in range(16))
+                mode, sad = 1, s0[0]          # B_L0_16x16
+                if s1[0] < sad:
+                    mode, sad = 2, s1[0]      # B_L1_16x16
+                if sad_bi < sad:
+                    mode = 3                  # B_Bi_16x16
+                mv0 = s0[1] if mode in (1, 3) else None
+                mv1 = s1[1] if mode in (2, 3) else None
+                if mode == 1:
+                    pred_y = s0[2]
+                    pred_u = _mc_chroma(rl0[1], cx, cy, 8, 8, *mv0)
+                    pred_v = _mc_chroma(rl0[2], cx, cy, 8, 8, *mv0)
+                elif mode == 2:
+                    pred_y = s1[2]
+                    pred_u = _mc_chroma(rl1[1], cx, cy, 8, 8, *mv1)
+                    pred_v = _mc_chroma(rl1[2], cx, cy, 8, 8, *mv1)
+                else:
+                    pred_y = bi_y
+                    u0 = _mc_chroma(rl0[1], cx, cy, 8, 8, *mv0)
+                    u1 = _mc_chroma(rl1[1], cx, cy, 8, 8, *mv1)
+                    v0 = _mc_chroma(rl0[2], cx, cy, 8, 8, *mv0)
+                    v1 = _mc_chroma(rl1[2], cx, cy, 8, 8, *mv1)
+                    pred_u = [[(a + b + 1) >> 1 for a, b in zip(ra, rb)]
+                              for ra, rb in zip(u0, u1)]
+                    pred_v = [[(a + b + 1) >> 1 for a, b in zip(ra, rb)]
+                              for ra, rb in zip(v0, v1)]
+                scans, rec_res = _enc_inter_luma(
+                    _sub(src_y, pred_y, px, py, 16), qp)
+                cdcu, cacu, rec_u = _enc_chroma(
+                    _sub(src_u, pred_u, cx, cy, 8), cqp, False)
+                cdcv, cacv, rec_v = _enc_chroma(
+                    _sub(src_v, pred_v, cx, cy, 8), cqp, False)
+                cbp_l = 0
+                for i8 in range(4):
+                    if any(v for j in range(4)
+                           for v in scans[i8 * 4 + j]):
+                        cbp_l |= 1 << i8
+                if any(v for comp in (cacu, cacv) for sc in comp
+                       for v in sc):
+                    cbp_c = 2
+                elif any(cdcu) or any(cdcv):
+                    cbp_c = 1
+                else:
+                    cbp_c = 0
+                w.ue(0)          # mb_skip_run (no B_Skip here)
+                w.ue(mode)       # B_L0/L1/Bi_16x16
+                if mv0 is not None:
+                    mvp0 = _mv_pred_b(minfo, mbx, mby, mb_w, 0)
+                    w.se(mv0[0] - mvp0[0])
+                    w.se(mv0[1] - mvp0[1])
+                if mv1 is not None:
+                    mvp1 = _mv_pred_b(minfo, mbx, mby, mb_w, 1)
+                    w.se(mv1[0] - mvp1[0])
+                    w.se(mv1[1] - mvp1[1])
+                w.ue(_CBP_INTER_INV[cbp_l | (cbp_c << 4)])
+                if cbp_l or cbp_c:
+                    w.se(0)
+                _write_residual(w, "inter", cbp_l, cbp_c, None, scans,
+                                (cdcu, cdcv), (cacu, cacv),
+                                nz_y, nz_c, mbx, mby)
+                _place(cur_y, _add_clip(pred_y, rec_res), px, py)
+                _place(cur_u, _add_clip(pred_u, rec_u), cx, cy)
+                _place(cur_v, _add_clip(pred_v, rec_v), cx, cy)
+                minfo[mby][mbx] = ("B", mv0, mv1)
+                continue
             if not idr:
                 smv = _skip_mv(minfo, mbx, mby, mb_w)
                 sy = _mc_luma(ref[0], px, py, 16, 16, smv[0], smv[1])
@@ -1587,8 +1739,11 @@ def _encode_cavlc(width: int, height: int, frames, qp: int,
             _deblock_frame((cur_y, cur_u, cur_v), mb_w, mb_h, minfo,
                            nz_y, nz_c, qp, cqp)
         w.rbsp_trailing()
-        out += _nal(5 if idr else 1, 3 if idr else 2, w.to_bytes())
-        ref = (cur_y, cur_u, cur_v)
+        out += _nal(5 if idr else 1,
+                    3 if idr else (0 if is_b else 2), w.to_bytes())
+        if not is_b:
+            refs = [(cur_y, cur_u, cur_v)] + refs[:1]
+            ref_count += 1
         recons.append((
             [row[:width] for row in cur_y[:height]],
             [row[:width // 2] for row in cur_u[:height // 2]],
@@ -1602,7 +1757,8 @@ def _encode_cavlc(width: int, height: int, frames, qp: int,
 def h264_decode_frames(data: bytes) -> tuple:
     """Decode an Annex-B stream of single-slice frames (I slices of
     I_16x16/I_PCM macroblocks, P slices adding P_Skip and
-    P_L0_16x16 with full- and half-pel motion) ->
+    P_L0_16x16, B slices adding B_L0/B_L1/B_Bi_16x16 with two
+    past-reference lists, full/half/quarter-pel motion) ->
     (width, height, [(y, u, v), ...]) with frame cropping applied.
 
     Unsupported syntax raises ImageFormatError: CABAC, I_4x4/plane
@@ -1612,7 +1768,7 @@ def h264_decode_frames(data: bytes) -> tuple:
     sps_by_id: dict[int, dict] = {}
     pps_by_id: dict[int, dict] = {}
     frames = []
-    ref = None
+    refs: list = []
     geom = None
     for ebsp in split_annexb(data):
         if not ebsp:
@@ -1635,11 +1791,12 @@ def h264_decode_frames(data: bytes) -> tuple:
         if r.ue() != 0:
             raise ImageFormatError("h264: multi-slice pictures unsupported")
         st = r.ue() % 5
-        if st not in (0, 2):
-            raise ImageFormatError("h264: only I and P slices supported")
+        if st not in (0, 1, 2):
+            raise ImageFormatError("h264: SP/SI slices unsupported")
         ptype = st == 0
-        if ptype and nal_type == 5:
-            raise ImageFormatError("h264: P slice in IDR NAL")
+        btype = st == 1
+        if (ptype or btype) and nal_type == 5:
+            raise ImageFormatError("h264: inter slice in IDR NAL")
         pps = pps_by_id.get(r.ue())
         if pps is None:
             raise ImageFormatError("h264: slice references unknown PPS")
@@ -1651,12 +1808,18 @@ def h264_decode_frames(data: bytes) -> tuple:
             r.ue()  # idr_pic_id
         if sps["poc_type"] == 0:
             raise ImageFormatError("h264: poc_type 0 unsupported")
-        if ptype:
+        if btype:
+            r.u(1)  # direct_spatial_mv_pred_flag (direct mode rejected)
+        if ptype or btype:
             if r.u(1):  # num_ref_idx_active_override_flag
-                if r.ue() != 0:
+                if r.ue() != 0 or (btype and r.ue() != 0):
                     raise ImageFormatError(
-                        "h264: multiple reference frames unsupported")
+                        "h264: multiple reference frames per list "
+                        "unsupported")
             if r.u(1):
+                raise ImageFormatError(
+                    "h264: ref_pic_list_modification unsupported")
+            if btype and r.u(1):
                 raise ImageFormatError(
                     "h264: ref_pic_list_modification unsupported")
         if nal_type == 5:
@@ -1680,8 +1843,12 @@ def h264_decode_frames(data: bytes) -> tuple:
                 do_deblock = True
                 db_a_off = r.se()
                 db_b_off = r.se()
-        if ptype and ref is None:
+        if ptype and not refs:
             raise ImageFormatError("h264: P slice without a reference frame")
+        if btype and len(refs) < 2:
+            raise ImageFormatError(
+                "h264: B slice needs two stored reference frames")
+        ref = refs[0] if refs else None
         mb_w, mb_h = sps["mb_w"], sps["mb_h"]
         pw, ph = mb_w * 16, mb_h * 16
         cur_y = [[0] * pw for _ in range(ph)]
@@ -1714,10 +1881,15 @@ def h264_decode_frames(data: bytes) -> tuple:
                     mb += 1
                 if mb >= nmbs:
                     break
+            elif btype:
+                if r.ue() != 0:
+                    raise ImageFormatError(
+                        "h264: B_Skip/direct macroblocks unsupported")
             mbx, mby = mb % mb_w, mb // mb_w
             px, py = mbx * 16, mby * 16
             cx, cy = px // 2, py // 2
             mb_type = r.ue()
+            bmode = None
             if ptype:
                 if mb_type == 0:
                     it = None  # inter
@@ -1726,13 +1898,36 @@ def h264_decode_frames(data: bytes) -> tuple:
                 else:
                     raise ImageFormatError(
                         "h264: P sub-partitions unsupported (16x16 subset)")
+            elif btype:
+                if mb_type in (1, 2, 3):
+                    it = None
+                    bmode = mb_type
+                elif mb_type >= 23:
+                    it = mb_type - 23
+                elif mb_type == 0:
+                    raise ImageFormatError(
+                        "h264: B_Direct macroblocks unsupported")
+                else:
+                    raise ImageFormatError(
+                        "h264: B sub-partitions unsupported (16x16 subset)")
             else:
                 it = mb_type
             if it is None:
-                # ---- P_L0_16x16 ----
-                mvd = (r.se(), r.se())
-                mvp = _mv_pred(minfo, mbx, mby, mb_w)
-                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                # ---- P_L0_16x16 / B_{L0,L1,Bi}_16x16 ----
+                mv0 = mv1 = None
+                if bmode is None:
+                    mvd = (r.se(), r.se())
+                    mvp = _mv_pred(minfo, mbx, mby, mb_w)
+                    mv0 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                else:
+                    if bmode in (1, 3):
+                        mvd = (r.se(), r.se())
+                        mvp = _mv_pred_b(minfo, mbx, mby, mb_w, 0)
+                        mv0 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                    if bmode in (2, 3):
+                        mvd = (r.se(), r.se())
+                        mvp = _mv_pred_b(minfo, mbx, mby, mb_w, 1)
+                        mv1 = (mvp[0] + mvd[0], mvp[1] + mvd[1])
                 code = r.ue()
                 if code >= 48:
                     raise ImageFormatError("h264: bad coded_block_pattern")
@@ -1746,16 +1941,34 @@ def h264_decode_frames(data: bytes) -> tuple:
                     min(51, max(0, qp + pps["chroma_qp_off"])))
                 _, scans, cdc, cac = _read_residual(
                     r, "inter", cbp_l, cbp_c, nz_y, nz_c, mbx, mby)
-                pred_y = _mc_luma(ref[0], px, py, 16, 16, *mv)
-                pred_u = _mc_chroma(ref[1], cx, cy, 8, 8, *mv)
-                pred_v = _mc_chroma(ref[2], cx, cy, 8, 8, *mv)
+
+                def mc(rp, mv):
+                    return (_mc_luma(rp[0], px, py, 16, 16, *mv),
+                            _mc_chroma(rp[1], cx, cy, 8, 8, *mv),
+                            _mc_chroma(rp[2], cx, cy, 8, 8, *mv))
+
+                if bmode is None or bmode == 1:
+                    rp = ref if bmode is None else refs[0]
+                    pred_y, pred_u, pred_v = mc(rp, mv0)
+                elif bmode == 2:
+                    pred_y, pred_u, pred_v = mc(refs[1], mv1)
+                else:
+                    p0 = mc(refs[0], mv0)
+                    p1 = mc(refs[1], mv1)
+                    pred_y, pred_u, pred_v = (
+                        [[(a + b + 1) >> 1 for a, b in zip(ra, rb)]
+                         for ra, rb in zip(x0, x1)]
+                        for x0, x1 in zip(p0, p1)
+                    )
                 _place(cur_y, _add_clip(
                     pred_y, _recon_inter_luma(scans, qp)), px, py)
                 _place(cur_u, _add_clip(
                     pred_u, _recon_chroma(cdc[0], cac[0], cqp)), cx, cy)
                 _place(cur_v, _add_clip(
                     pred_v, _recon_chroma(cdc[1], cac[1], cqp)), cx, cy)
-                minfo[mby][mbx] = ("P", mv[0], mv[1])
+                minfo[mby][mbx] = (
+                    ("P", mv0[0], mv0[1]) if bmode is None
+                    else ("B", mv0, mv1))
             elif it == 25:
                 # ---- I_PCM ----
                 r.byte_align()
@@ -1812,7 +2025,8 @@ def h264_decode_frames(data: bytes) -> tuple:
                 _chroma_qp(min(51, max(0, slice_qp
                                        + pps["chroma_qp_off"]))),
                 db_a_off, db_b_off)
-        ref = (cur_y, cur_u, cur_v)
+        if nal_ref_idc:
+            refs = [(cur_y, cur_u, cur_v)] + refs[:1]
         geom = sps
         cl, crr, ct, cb = geom["crop"]
         width = pw - 2 * (cl + crr)
@@ -2027,18 +2241,29 @@ def _filter_edge_chroma(get, put, bs: int, idx_a: int, idx_b: int) -> None:
 
 def _edge_bs(mb_edge: bool, a_info, b_info, a_nz: int, b_nz: int) -> int:
     """Boundary strength (§8.7.2.1, 16x16-partition subset): 4/3 for
-    intra, 2 when either side carries coefficients, 1 when vectors
-    diverge by a full sample (one reference frame, so refs always
-    match), else 0."""
-    a_intra = a_info is None or a_info[0] != "P"
-    b_intra = b_info is None or b_info[0] != "P"
+    intra, 2 when either side carries coefficients, 1 when the sides
+    use different prediction structure (lists) or any shared list's
+    vectors diverge by a full sample, else 0."""
+    a_intra = a_info is None or a_info[0] not in ("P", "B")
+    b_intra = b_info is None or b_info[0] not in ("P", "B")
     if a_intra or b_intra:
         return 4 if mb_edge else 3
     if a_nz or b_nz:
         return 2
-    if (abs(a_info[1] - b_info[1]) >= 4
-            or abs(a_info[2] - b_info[2]) >= 4):
+
+    def mv_lists(info):
+        if info[0] == "P":
+            return ((info[1], info[2]), None)
+        return (info[1], info[2])  # ("B", mv0 | None, mv1 | None)
+
+    a0, a1 = mv_lists(a_info)
+    b0, b1 = mv_lists(b_info)
+    if (a0 is None) != (b0 is None) or (a1 is None) != (b1 is None):
         return 1
+    for av, bv in ((a0, b0), (a1, b1)):
+        if av is not None and (abs(av[0] - bv[0]) >= 4
+                               or abs(av[1] - bv[1]) >= 4):
+            return 1
     return 0
 
 

@@ -377,3 +377,43 @@ def test_deblocking_filter():
     step_raw = abs(raw[0][0][16] - raw[0][0][15])
     step_sm = abs(sm[0][0][16] - sm[0][0][15])
     assert step_sm < step_raw
+
+
+def test_b_slices_roundtrip():
+    # low-delay GOP I,P,B,P,B: decode == encoder recon at several
+    # QPs, with and without the in-loop filter; the B frames must be
+    # coded as slice_type 1 and stay out of the reference chain
+    rnd = random.Random(31)
+    W, H = 48, 32
+    base = [[rnd.randrange(256) for _ in range(W)] for _ in range(H)]
+    frames = []
+    for i in range(5):
+        y = [[min(255, v + i) for v in row] for row in base]
+        u = [[rnd.randrange(256) for _ in range(W // 2)]
+             for _ in range(H // 2)]
+        v = [[rnd.randrange(256) for _ in range(W // 2)]
+             for _ in range(H // 2)]
+        frames.append((y, u, v))
+    for qp, db in ((0, False), (24, False), (32, True)):
+        data, recons = h264.h264_encode_with_recon(
+            W, H, frames, qp=qp, deblock=db)
+        _, _, got = h264.h264_decode_frames(data)
+        assert got == recons, (qp, db)
+    types = []
+    for ebsp in h264.split_annexb(data):
+        rbsp = h264.ebsp_to_rbsp(ebsp)
+        if rbsp[0] & 0x1F in (1, 5):
+            r = h264.BitReader(rbsp[1:])
+            r.ue()
+            types.append(r.ue() % 5)
+    assert types == [2, 0, 1, 0, 1]  # I P B P B
+    # a B slice arriving without two stored refs must be rejected
+    units = h264.split_annexb(data)
+    keep = [u for u in units
+            if (h264.ebsp_to_rbsp(u)[0] & 0x1F) in (7, 8)]
+    b_units = [u for u in units
+               if (h264.ebsp_to_rbsp(u)[0] & 0x1F) == 1]
+    broken = b"".join(b"\x00\x00\x00\x01" + u
+                      for u in keep + [b_units[-1]])
+    with pytest.raises(ImageFormatError, match="reference"):
+        h264.h264_decode_frames(broken)
