@@ -138,6 +138,8 @@ _GATE_ORDER: list[str] = [
     "robots_sitemap_discovery",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
+    "html_table_extract",
+    "similarity_matryoshka_recall",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4757,3 +4759,166 @@ def q_similarity_ivfpq_topk(spark, sf_dir):
         e, 5, 10, 8, 3, 4, 8, 1,
         coarse=_kmeans_shared(spark, sf_dir, 8, _LLOYD_ITERS),
     ).orderBy("query_id", "rank")
+
+
+@_register(
+    "html_table_extract",
+    # Structured-table extraction — the reference's core extraction
+    # shape (prefecture pages are mostly shop tables; cf. xlsx_body /
+    # pdf tables) over raw HTML: nested 1->many explode, rows first
+    # (posexplode keeps the ordinal), then cells per row, all native
+    # regexp — no Python, no shuffle before the presentation sort.
+    # Synth tables are closed-form in doc_id (rows = 2 + d%3, cols =
+    # 2 + d%2, cell = (7d + 3r + c) % 100), so the oracle rebuilds
+    # the full (doc, row, col, cell) relation with correlated ranges.
+    """
+    SELECT d.doc_id, u.r AS row_idx, w.c AS col_idx,
+           CAST((7 * d.doc_id + 3 * u.r + w.c) % 100 AS VARCHAR) AS cell
+    FROM documents d,
+         (SELECT unnest(range(2 + d.doc_id % 3)) AS r) u,
+         (SELECT unnest(range(2 + d.doc_id % 2)) AS c) w
+    ORDER BY doc_id, row_idx, col_idx
+    """,
+)
+def q_html_table_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cell = F.concat(
+        F.lit("<td>"),
+        ((7 * F.col("doc_id") + 3 * F.col("r") + F.col("c")) % 100).cast(
+            "string"
+        ),
+        F.lit("</td>"),
+    )
+    rows_built = (
+        d.select("doc_id", F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3 + 1).cast("int"))
+        ).alias("r"))
+        .select(
+            "doc_id",
+            "r",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 2 + 1).cast("int"))
+            ).alias("c"),
+        )
+        .select("doc_id", "r", "c", cell.alias("cell_html"))
+        .groupBy("doc_id", "r")
+        .agg(F.concat(
+            F.lit("<tr>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("c", "cell_html"))),
+                    lambda st: st["cell_html"],
+                ),
+                "",
+            ),
+            F.lit("</tr>")).alias("row_html"))
+        .groupBy("doc_id")
+        .agg(F.concat(
+            F.lit("<table>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("r", "row_html"))),
+                    lambda st: st["row_html"],
+                ),
+                "",
+            ),
+            F.lit("</table>")).alias("html"))
+    )
+    trs = F.regexp_extract_all("html", F.lit("<tr>(.*?)</tr>"), F.lit(1))
+    per_row = rows_built.select(
+        "doc_id", F.posexplode(trs).alias("row_idx", "rhtml")
+    )
+    tds = F.regexp_extract_all("rhtml", F.lit("<td>(.*?)</td>"), F.lit(1))
+    return (
+        per_row.select(
+            "doc_id", "row_idx", F.posexplode(tds).alias("col_idx", "cell")
+        )
+        .select(
+            "doc_id",
+            F.col("row_idx").cast("bigint"),
+            F.col("col_idx").cast("bigint"),
+            "cell",
+        )
+        .orderBy("doc_id", "row_idx", "col_idx")
+    )
+
+
+# truncated-embedding cosine identities for the matryoshka gate
+_MRL_DOT = (
+    "list_sum(list_transform("
+    "list_zip(list_slice(q.embedding, 1, 16), list_slice(c.embedding, 1, 16)),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_MRL_NQ = (
+    "sqrt(list_sum(list_transform(list_slice(q.embedding, 1, 16),"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_MRL_NC = (
+    "sqrt(list_sum(list_transform(list_slice(c.embedding, 1, 16),"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@_register(
+    "similarity_matryoshka_recall",
+    # Matryoshka/truncation evaluation — the question every
+    # MRL-trained embedding deployment asks before serving a cheaper
+    # prefix: recall@k of top-k over the FIRST 16 dimensions against
+    # the full-width exact scan. The truncated side is the same
+    # one-pass broadcast topk over sliced vectors (slicing happens in
+    # the scan projection, so 3/4 of the vector bytes never leave the
+    # column reader at 100 TB); the compare is a semi-join on slim id
+    # pairs, the ann_recall shape.
+    f"""
+    WITH exact AS ({_sim.cosine_topk_sql(5, 10)}),
+    trunc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_MRL_DOT} / ({_MRL_NQ} * {_MRL_NC})
+                                             DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rank <= 10),
+    hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM exact e JOIN trunc t
+               USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(coalesce(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+           round(coalesce(max(h.n_hit), 0) / CAST(count(*) AS DOUBLE), 4)
+             AS recall
+    FROM exact e LEFT JOIN hits h ON e.query_id = h.query_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def q_similarity_matryoshka_recall(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    exact = _sim.cosine_topk(e, 5, 10).persist()
+    truncated = _sim.cosine_topk(
+        e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        5,
+        10,
+    )
+    hits = (
+        exact.join(
+            truncated.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("k").cast("double"), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
