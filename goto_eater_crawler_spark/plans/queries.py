@@ -140,6 +140,8 @@ _GATE_ORDER: list[str] = [
     "similarity_ivfpq_topk",
     "html_table_extract",
     "similarity_matryoshka_recall",
+    "sample_temperature_mix",
+    "text_within_doc_dedup",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4921,4 +4923,134 @@ def q_similarity_matryoshka_recall(spark, sf_dir):
             ).alias("recall"),
         )
         .orderBy("query_id")
+    )
+
+
+@_register(
+    "sample_temperature_mix",
+    # Temperature-based mixture reweighting (the multilingual-corpus
+    # standard: weight_l proportional to n_l^alpha, alpha=0.5, so
+    # low-resource languages upsample toward balance): rate_l =
+    # N * n_l^(alpha-1) / sum_k n_k^alpha. The normalizer is a
+    # DETERMINISTIC ORDERED FOLD over the sorted per-lang relation
+    # (sort_array + aggregate / list_sort + list_sum) because a plain
+    # SUM over doubles carries no order guarantee on either engine
+    # and the rate feeds a floor() boundary. Selection reuses the
+    # engine-agnostic multiplicative-hash selector; everything stays
+    # in-plan (counts and the normalizer broadcast as 1-row dims).
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+    norm AS (
+      SELECT CAST(list_sum(list_transform(
+               list_sort(list(sqrt(CAST(n_lang AS DOUBLE)))),
+               x -> x)) AS DOUBLE) AS z,
+             CAST(sum(n_lang) AS BIGINT) AS n_total
+      FROM counts),
+    rates AS (
+      SELECT lang, n_lang,
+             n_total / sqrt(CAST(n_lang AS DOUBLE)) / z AS rate
+      FROM counts CROSS JOIN norm)
+    SELECT lang, CAST(n_lang AS BIGINT) AS n_lang,
+           round(rate, 6) AS rate,
+           CAST(CAST(floor(rate) AS BIGINT) * n_lang AS BIGINT)
+             + (SELECT count(*) FROM documents d
+                WHERE d.lang = rates.lang
+                  AND (d.doc_id * 2654435761) % {_MIX_MOD}
+                      < floor((rate - floor(rate)) * {_MIX_MOD}))
+             AS n_out
+    FROM rates ORDER BY lang
+    """,
+)
+def q_sample_temperature_mix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    norm = counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.sqrt(F.col("n_lang").cast("double")))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("z"),
+        F.sum("n_lang").cast("bigint").alias("n_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(norm)).withColumn(
+        "rate",
+        F.col("n_total")
+        / F.sqrt(F.col("n_lang").cast("double"))
+        / F.col("z"),
+    )
+    sel = (F.col("doc_id") * F.lit(2654435761)) % _MIX_MOD
+    frac_take = d.join(
+        F.broadcast(rates.select("lang", "rate")), "lang"
+    ).filter(
+        sel < F.floor((F.col("rate") - F.floor("rate")) * _MIX_MOD)
+    ).groupBy("lang").agg(F.count(F.lit(1)).alias("n_frac"))
+    return (
+        rates.join(frac_take, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_lang").cast("bigint"),
+            F.round("rate", 6).alias("rate"),
+            (
+                F.floor("rate").cast("bigint") * F.col("n_lang")
+                + F.coalesce("n_frac", F.lit(0))
+            ).cast("bigint").alias("n_out"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "text_within_doc_dedup",
+    # Within-document repetition removal preserving order (the
+    # intra-doc cousin of corpus line dedup): keep each token's FIRST
+    # occurrence. One posexplode, a (doc, token) min-position
+    # aggregation (map-side combinable, hash-partitioned on the slim
+    # pair key — no skewed window), ordered struct-sort re-assembly.
+    # Oracle mirrors with generate_subscripts + min + string_agg.
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS l
+            FROM documents)),
+    firsts AS (
+      SELECT doc_id, tok, min(pos) AS pos
+      FROM toks GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST((SELECT count(*) FROM toks t
+                 WHERE t.doc_id = firsts.doc_id) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           string_agg(tok, ' ' ORDER BY pos) AS dedup_text
+    FROM firsts GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_text_within_doc_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    firsts = toks.groupBy("doc_id", "tok").agg(F.min("pos").alias("pos"))
+    totals = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .join(totals, "doc_id")
+        .select("doc_id", "n_tokens", "n_unique", "dedup_text")
+        .orderBy("doc_id")
     )
