@@ -142,6 +142,8 @@ _GATE_ORDER: list[str] = [
     "similarity_matryoshka_recall",
     "sample_temperature_mix",
     "text_within_doc_dedup",
+    "robots_longest_match",
+    "url_redirect_resolve",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -5054,3 +5056,141 @@ def q_text_within_doc_dedup(spark, sf_dir):
         .select("doc_id", "n_tokens", "n_unique", "dedup_text")
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "robots_longest_match",
+    # The RFC 9309 rule-precedence subtlety the simple prefix filter
+    # hides: when BOTH an allow and a disallow rule match a URL, the
+    # LONGEST match wins (allow wins length ties — §2.2.2 "most
+    # specific match"). Synth rule sets overlap by construction
+    # (/shop disallowed, /shop/menu allowed, /shop/menu/private
+    # disallowed again), so every decision exercises the precedence
+    # chain. One broadcast join of the slim rules dim against the
+    # URL relation, verdict via max(struct(len, allow)) — map-side
+    # combinable argmax, no window. Oracle states the same longest-
+    # match with a lateral max.
+    """
+    WITH rules(path, allow) AS (VALUES
+      ('/shop', FALSE), ('/shop/menu', TRUE),
+      ('/shop/menu/private', FALSE), ('/static', TRUE)),
+    urls AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN '/shop/item/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/shop/menu/' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/shop/menu/private/' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN '/static/img' || CAST(doc_id AS VARCHAR)
+               ELSE '/about/' || CAST(doc_id AS VARCHAR)
+             END AS path
+      FROM documents),
+    matched AS (
+      SELECT u.doc_id, u.path, r.allow, length(r.path) AS mlen
+      FROM urls u JOIN rules r ON u.path LIKE r.path || '%'),
+    verdicts AS (
+      SELECT doc_id, path,
+             max_by(allow, 2 * mlen + CASE WHEN allow THEN 1 ELSE 0 END)
+               AS allow
+      FROM matched GROUP BY doc_id, path)
+    SELECT u.doc_id, u.path,
+           coalesce(v.allow, TRUE) AS allowed
+    FROM urls u LEFT JOIN verdicts v USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_robots_longest_match(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rules = spark.createDataFrame(
+        [("/shop", False), ("/shop/menu", True),
+         ("/shop/menu/private", False), ("/static", True)],
+        "path string, allow boolean",
+    )
+    path = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("/shop/item/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("/shop/menu/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("/shop/menu/private/"), F.col("doc_id").cast("string")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("/static/img"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("/about/"), F.col("doc_id").cast("string"))
+        )
+    )
+    urls = d.select("doc_id", path.alias("path"))
+    matched = urls.join(
+        F.broadcast(rules.withColumnRenamed("path", "rpath")),
+        F.col("path").startswith(F.col("rpath")),
+    )
+    verdicts = matched.groupBy("doc_id").agg(
+        F.max_by(
+            "allow",
+            2 * F.length("rpath")
+            + F.when(F.col("allow"), 1).otherwise(0),
+        ).alias("allow")
+    )
+    return (
+        urls.join(verdicts, "doc_id", "left")
+        .select(
+            "doc_id", "path",
+            F.coalesce("allow", F.lit(True)).alias("allowed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "url_redirect_resolve",
+    # Redirect-chain canonicalization (301 chains must collapse to
+    # their final target before frontier identity, or every hop
+    # spelling crawls separately): pointer DOUBLING over the redirect
+    # map — 2 fixed join+compose iterations cover chains of length 4,
+    # O(log chain) rounds of one self-equi-join each instead of
+    # O(chain) sequential hops, the dedup_clusters device applied to
+    # the redirect graph. Hop counts ride the same composition
+    # (steps_a + steps_b; a fixpoint contributes 0). Synth chains:
+    # doc d redirects to d-1 unless d % 4 == 0, so the final target
+    # and hop count are closed-form and the oracle states the
+    # invariant directly.
+    """
+    SELECT doc_id,
+           CAST(doc_id - doc_id % 4 AS BIGINT) AS final_id,
+           CAST(doc_id % 4 AS BIGINT) AS n_hops
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_url_redirect_resolve(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        F.col("doc_id").alias("u"),
+        F.when(F.col("doc_id") % 4 != 0, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .alias("v"),
+        F.when(F.col("doc_id") % 4 != 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("steps"),
+    )
+    for _ in range(2):  # doubling: covers chains up to length 4
+        a, b = m.alias("a"), m.alias("b")
+        m = a.join(b, F.col("a.v") == F.col("b.u")).select(
+            F.col("a.u").alias("u"),
+            F.col("b.v").alias("v"),
+            (F.col("a.steps") + F.col("b.steps")).alias("steps"),
+        )
+    return m.select(
+        F.col("u").alias("doc_id"),
+        F.col("v").cast("bigint").alias("final_id"),
+        F.col("steps").alias("n_hops"),
+    ).orderBy("doc_id")
