@@ -144,6 +144,10 @@ _GATE_ORDER: list[str] = [
     "text_within_doc_dedup",
     "robots_longest_match",
     "url_redirect_resolve",
+    "c4_line_filter",
+    "http_revalidate",
+    "shard_rendezvous",
+    "crawl_delay_schedule",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -5193,4 +5197,291 @@ def q_url_redirect_resolve(spark, sf_dir):
         F.col("u").alias("doc_id"),
         F.col("v").cast("bigint").alias("final_id"),
         F.col("steps").alias("n_hops"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "c4_line_filter",
+    # C4-style line cleaning (Raffel et al. 2020 §2.2): a line
+    # survives only if it has >= 3 words, ends in terminal
+    # punctuation, and trips no policy filter (javascript / brace /
+    # policy-page phrases). Gated on docs_with_lines (the dedup_lines
+    # reshape) with a planted-punctuation device — every 3rd line
+    # gains a trailing '.', since the synthetic corpus carries none —
+    # so all three rules fire at every scale. Rule attribution is a
+    # fixed precedence chain (policy > short > no-punct) so each
+    # dropped line is counted exactly once. One explode + one groupBy
+    # doc_id: no join, no window; the per-line predicates are pure
+    # Catalyst expressions that whole-stage-codegen fuses into the
+    # scan.
+    """
+    WITH docs2 AS (SELECT * FROM """
+    + _td.docs_with_lines_sql("documents")
+    + """),
+    lines AS (
+      SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos,
+             unnest(arr) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM docs2)),
+    l2 AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos % 3 = 0 THEN line || '.' ELSE line END AS line
+      FROM lines),
+    flags AS (
+      SELECT doc_id, pos, line,
+             (contains(lower(line), 'javascript')
+              OR contains(lower(line), 'terms-of-service')
+              OR contains(line, chr(123))) AS policy,
+             len(string_split_regex(trim(line), '\\s+')) AS words,
+             regexp_matches(line, '[.!?"]$') AS punct
+      FROM l2)
+    SELECT doc_id,
+           count(*) AS n_lines,
+           count(CASE WHEN policy THEN 1 END) AS n_policy,
+           count(CASE WHEN NOT policy AND words < 3 THEN 1 END) AS n_short,
+           count(CASE WHEN NOT policy AND words >= 3 AND NOT punct THEN 1 END)
+             AS n_nopunct,
+           count(CASE WHEN NOT policy AND words >= 3 AND punct THEN 1 END)
+             AS n_kept,
+           coalesce(string_agg(
+             CASE WHEN NOT policy AND words >= 3 AND punct THEN line END,
+             chr(10) ORDER BY pos), '') AS text_clean
+    FROM flags GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_c4_line_filter(spark, sf_dir):
+    d = _td.docs_with_lines(_t(spark, sf_dir, "documents"))
+    lines = d.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    line2 = (
+        F.when(F.col("pos") % 3 == 0, F.concat(F.col("line"), F.lit(".")))
+        .otherwise(F.col("line"))
+    )
+    low = F.lower(line2)
+    policy = (
+        low.contains("javascript")
+        | low.contains("terms-of-service")
+        | line2.contains("{")
+    )
+    words = F.size(F.split(F.trim(line2), r"\s+"))
+    punct = line2.rlike('[.!?"]$')
+    flagged = lines.select(
+        "doc_id",
+        "pos",
+        line2.alias("line"),
+        policy.alias("policy"),
+        words.alias("words"),
+        punct.alias("punct"),
+        (~policy & (words >= 3) & punct).alias("keep"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(F.when(F.col("policy"), 1)).alias("n_policy"),
+            F.count(
+                F.when(~F.col("policy") & (F.col("words") < 3), 1)
+            ).alias("n_short"),
+            F.count(
+                F.when(
+                    ~F.col("policy")
+                    & (F.col("words") >= 3)
+                    & ~F.col("punct"),
+                    1,
+                )
+            ).alias("n_nopunct"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "http_revalidate",
+    # Conditional-refetch semantics (the reference crawls under
+    # scrapy's FilesystemCacheStorage, settings.py:90-94: every
+    # response revalidates against the local cache before transfer).
+    # Modeled as the ETag protocol over two relations derived from the
+    # same scan: a cache of the previous crawl (even doc_ids only —
+    # odd ids are first-seen MISSes) left-joined to the current fetch
+    # round; etag drift on every 3rd doc forces STALE refetches. The
+    # per-host rollup prices the protocol: bytes_saved counts 304s
+    # (validated, not transferred), bytes_fetched counts real
+    # transfers. Left join on the bigint key + map-side-combinable
+    # conditional sums; at 100 TB the cache side is the smaller
+    # url-digest table and joins bucketed, never broadcast.
+    """
+    WITH fetches AS (
+      SELECT doc_id, doc_id % 11 AS host,
+             doc_id % 97 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+               AS cur_etag,
+             n_chars AS bytes
+      FROM documents),
+    cache AS (
+      SELECT doc_id, doc_id % 97 AS prev_etag
+      FROM documents WHERE doc_id % 2 = 0)
+    SELECT host,
+           count(*) AS n_requests,
+           count(CASE WHEN c.doc_id IS NOT NULL AND prev_etag = cur_etag
+                      THEN 1 END) AS n_304,
+           count(CASE WHEN c.doc_id IS NULL THEN 1 END) AS n_miss,
+           count(CASE WHEN c.doc_id IS NOT NULL AND prev_etag <> cur_etag
+                      THEN 1 END) AS n_stale,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND prev_etag = cur_etag
+                         THEN 0 ELSE bytes END) AS BIGINT) AS bytes_fetched,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND prev_etag = cur_etag
+                         THEN bytes ELSE 0 END) AS BIGINT) AS bytes_saved
+    FROM fetches f LEFT JOIN cache c USING (doc_id)
+    GROUP BY host ORDER BY host
+    """,
+)
+def q_http_revalidate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fetch = d.select(
+        "doc_id",
+        (F.col("doc_id") % 11).alias("host"),
+        (
+            F.col("doc_id") % 97
+            + F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0)
+        ).alias("cur_etag"),
+        F.col("n_chars").alias("bytes"),
+    )
+    cache = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", (F.col("doc_id") % 97).alias("prev_etag"))
+    )
+    j = fetch.join(cache, "doc_id", "left")
+    fresh = F.col("prev_etag").isNotNull() & (
+        F.col("prev_etag") == F.col("cur_etag")
+    )
+    return (
+        j.groupBy("host")
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.count(F.when(fresh, 1)).alias("n_304"),
+            F.count(
+                F.when(F.col("prev_etag").isNull(), 1)
+            ).alias("n_miss"),
+            F.count(
+                F.when(
+                    F.col("prev_etag").isNotNull()
+                    & (F.col("prev_etag") != F.col("cur_etag")),
+                    1,
+                )
+            ).alias("n_stale"),
+            F.sum(F.when(fresh, 0).otherwise(F.col("bytes")))
+            .cast("bigint")
+            .alias("bytes_fetched"),
+            F.sum(F.when(fresh, F.col("bytes")).otherwise(0))
+            .cast("bigint")
+            .alias("bytes_saved"),
+        )
+        .orderBy("host")
+    )
+
+
+@_register(
+    "shard_rendezvous",
+    # Rendezvous (HRW) shard assignment — the consistent-hashing
+    # device a 1000-executor frontier needs so host->worker placement
+    # survives membership change without a global reshuffle. Each doc
+    # scores every shard with a deterministic mixed weight and takes
+    # the argmax; computing the 8-shard and 7-shard verdicts from ONE
+    # exploded relation (conditional agg, not a second pass) lets the
+    # oracle pin the HRW minimal-disruption property: moved is true
+    # iff shard8 = 7, i.e. only keys on the removed shard relocate.
+    # Argmax is max(wt*8+shard) then % 8 — integer max is
+    # deterministic under ties in both engines, unlike max_by. The
+    # shard dim is 8 broadcast rows; the agg partial-combines map-side.
+    """
+    WITH s AS (SELECT unnest(range(8)) AS shard),
+    w AS (
+      SELECT d.doc_id, s.shard,
+             (d.doc_id * 2654435761 + s.shard * 40503997) % 1000003 AS wt
+      FROM documents d CROSS JOIN s)
+    SELECT doc_id,
+           CAST(max(wt * 8 + shard) % 8 AS BIGINT) AS shard8,
+           CAST(max(CASE WHEN shard < 7 THEN wt * 8 + shard END) % 8
+                AS BIGINT) AS shard7,
+           (max(wt * 8 + shard) % 8)
+             <> (max(CASE WHEN shard < 7 THEN wt * 8 + shard END) % 8)
+             AS moved
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_shard_rendezvous(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    shards = spark.range(8).select(F.col("id").alias("shard"))
+    w = d.crossJoin(F.broadcast(shards)).select(
+        "doc_id",
+        "shard",
+        (
+            (
+                F.col("doc_id") * F.lit(2654435761)
+                + F.col("shard") * F.lit(40503997)
+            )
+            % 1000003
+        ).alias("wt"),
+    )
+    key = F.col("wt") * 8 + F.col("shard")
+    agg = w.groupBy("doc_id").agg(
+        (F.max(key) % 8).cast("bigint").alias("shard8"),
+        (F.max(F.when(F.col("shard") < 7, key)) % 8)
+        .cast("bigint")
+        .alias("shard7"),
+    )
+    return agg.select(
+        "doc_id",
+        "shard8",
+        "shard7",
+        (F.col("shard8") != F.col("shard7")).alias("moved"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "crawl_delay_schedule",
+    # Per-host DOWNLOAD_DELAY dispatch (the reference's per-spider
+    # politeness knob, e.g. kanagawa.py:15 DOWNLOAD_DELAY=1.5): given
+    # each host's delay, assign every queued URL its dispatch
+    # timestamp — the (rank-1)*delay prefix schedule scrapy's
+    # per-domain slot enforces serially, computed here as one
+    # partitioned window. Complements politeness_topk_per_host (which
+    # caps the queue): this op timestamps it. Skewed hosts are the
+    # known hazard of rank-per-host windows; the salting remedy is
+    # demonstrated in skewed_agg_salted, kept unsalted here so the
+    # plan stays the canonical single-window shape.
+    """
+    SELECT doc_id, doc_id % 13 AS host,
+           (doc_id % 13 + 1) * 250 AS delay_ms,
+           CAST((row_number() OVER (PARTITION BY doc_id % 13
+                                    ORDER BY doc_id) - 1)
+                * ((doc_id % 13 + 1) * 250) AS BIGINT) AS scheduled_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_crawl_delay_schedule(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 13).alias("host")
+    q = d.select("doc_id", host, ((F.col("doc_id") % 13 + 1) * 250).alias("delay_ms"))
+    win = Window.partitionBy("host").orderBy("doc_id")
+    return q.select(
+        "doc_id",
+        "host",
+        "delay_ms",
+        ((F.row_number().over(win) - 1) * F.col("delay_ms"))
+        .cast("bigint")
+        .alias("scheduled_ms"),
     ).orderBy("doc_id")
