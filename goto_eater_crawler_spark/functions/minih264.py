@@ -32,7 +32,11 @@ inter path for all r): the quant ladder's rounding lands inside the
 inverse transform's +32>>6 window, so the multimodal CAVLC gate's
 DuckDB oracle is closed-form in doc_id with no approximation.
 
-NOT implemented, rejected with ImageFormatError: CABAC, I_4x4 and
+A CABAC arm lives in minih264_cabac.py (IDR I slices of I_16x16,
+spec-structural §9.3 engine with [self]-derived probability tables —
+see that module's honesty note); h264_decode_frames dispatches on the
+PPS entropy_coding_mode_flag.  NOT implemented, rejected with
+ImageFormatError: CABAC inter (P/B) slices, I_4x4 and
 plane/non-DC-chroma intra modes, more than one reference per list,
 B_Skip/direct modes, sub-16x16 partitions, interlace, slice groups,
 multi-slice pictures, bit depths above 8.  SUPPORTED beyond the
@@ -363,8 +367,7 @@ def _parse_sps(r: BitReader) -> dict:
 def _parse_pps(r: BitReader) -> dict:
     pps_id = r.ue()
     sps_id = r.ue()
-    if r.u(1):
-        raise ImageFormatError("h264: CABAC unsupported (CAVLC subset)")
+    cabac = r.u(1)  # entropy_coding_mode_flag (CABAC arm: I slices)
     bottom_field_poc = r.u(1)
     if r.ue() != 0:
         raise ImageFormatError("h264: slice groups unsupported")
@@ -380,7 +383,7 @@ def _parse_pps(r: BitReader) -> dict:
     r.u(1)
     return {"id": pps_id, "sps_id": sps_id, "deblock_ctrl": deblock_ctrl,
             "bottom_field_poc": bottom_field_poc, "init_qp": init_qp,
-            "chroma_qp_off": chroma_qp_off}
+            "chroma_qp_off": chroma_qp_off, "cabac": cabac}
 
 
 def h264_decode(data: bytes) -> tuple[int, int, list, list, list]:
@@ -414,6 +417,9 @@ def h264_decode(data: bytes) -> tuple[int, int, list, list, list]:
             pps = pps_by_id.get(r.ue())
             if pps is None:
                 raise ImageFormatError("h264: slice references unknown PPS")
+            if pps["cabac"]:
+                raise ImageFormatError(
+                    "h264: CABAC stream; use h264_decode_frames")
             sps = sps_by_id.get(pps["sps_id"])
             if sps is None:
                 raise ImageFormatError("h264: PPS references unknown SPS")
@@ -1870,6 +1876,18 @@ def h264_decode_frames(data: bytes) -> tuple:
             minfo[mby][mbx] = ("P", smv[0], smv[1])
 
         mb = 0
+        if pps["cabac"]:
+            if ptype or btype:
+                raise ImageFormatError(
+                    "h264: CABAC inter slices unsupported (I-only "
+                    "CABAC subset)")
+            from .minih264_cabac import decode_i_slice
+
+            decode_i_slice(
+                r, qp,
+                _chroma_qp(min(51, max(0, qp + pps["chroma_qp_off"]))),
+                mb_w, mb_h, cur_y, cur_u, cur_v, nz_y, nz_c, minfo)
+            mb = nmbs  # whole picture parsed by the CABAC slice layer
         while mb < nmbs:
             if ptype:
                 run = r.ue()

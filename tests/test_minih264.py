@@ -276,7 +276,10 @@ def test_cavlc_p_skip_and_motion():
 def test_cavlc_rejection_surface():
     f = _flat_frame(16, 16, 1, [120], [120], [120])
     good = h264.h264_encode(16, 16, [f, f], qp=0)
-    with pytest.raises(ImageFormatError, match="CABAC"):
+    # a CAVLC payload mislabeled as CABAC must fail parsing (the
+    # CABAC arm now accepts real CABAC I slices, so the error is the
+    # alignment check, not a blanket rejection)
+    with pytest.raises(ImageFormatError, match="cabac_alignment"):
         h264.h264_decode_frames(_flip_pps_cabac(good))
     # P slice without its reference (drop the IDR slice NAL)
     units = h264.split_annexb(good)
@@ -417,3 +420,128 @@ def test_b_slices_roundtrip():
                       for u in keep + [b_units[-1]])
     with pytest.raises(ImageFormatError, match="reference"):
         h264.h264_decode_frames(broken)
+
+
+# ---------------------------------------------------------------------------
+# CABAC arm (minih264_cabac)
+# ---------------------------------------------------------------------------
+
+from goto_eater_crawler_spark.functions import minih264_cabac as cb  # noqa: E402
+
+
+def test_cabac_tables_structural():
+    # [self]-derived tables (Marpe et al. 2003 method): LPS share
+    # shrinks monotonically in state and per-state in confidence;
+    # LPS transitions never increase confidence; MPS walk saturates
+    for s in range(63):
+        for q in range(4):
+            assert 2 <= cb.LPS_RANGE[s][q] < 256
+        assert cb.LPS_RANGE[s] == sorted(cb.LPS_RANGE[s])
+        if s:
+            for q in range(4):
+                assert cb.LPS_RANGE[s][q] <= cb.LPS_RANGE[s - 1][q]
+        assert cb.TRANS_LPS[s] <= s
+    assert cb.TRANS_MPS[62] == 62
+    assert cb.TRANS_LPS[0] == 0  # state-0 LPS flips MPS, stays
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=25, deadline=None)
+def test_cabac_engine_roundtrip(seed):
+    # mixed schedule of context-coded, bypass, and mid-stream
+    # terminate(0) bins -> decode reproduces every bit
+    rnd = random.Random(seed)
+    n = rnd.randint(1, 400)
+    schedule = []
+    for _ in range(n):
+        kind = rnd.choice(("ctx", "ctx", "ctx", "byp", "term"))
+        key = rnd.randrange(5)
+        bit = rnd.randrange(2) if kind != "term" else 0
+        schedule.append((kind, key, bit))
+    w = h264.BitWriter()
+    e = cb.CabacEncoder(w)
+    ctx = cb._Ctx()
+    for kind, key, bit in schedule:
+        if kind == "ctx":
+            e.encode(ctx("t", key), bit)
+        elif kind == "byp":
+            e.encode_bypass(bit)
+        else:
+            e.encode_terminate(0)
+    e.encode_terminate(1)
+    w.byte_align_zero()
+    d = cb.CabacDecoder(w.to_bytes())
+    ctx2 = cb._Ctx()
+    for kind, key, bit in schedule:
+        if kind == "ctx":
+            assert d.decode(ctx2("t", key)) == bit
+        elif kind == "byp":
+            assert d.decode_bypass() == bit
+        else:
+            assert d.decode_terminate() == 0
+    assert d.decode_terminate() == 1
+
+
+def test_cabac_engine_adapts():
+    # a heavily biased source must code well below 1 bit/bin once the
+    # context has adapted (the whole point of the state machine)
+    w = h264.BitWriter()
+    e = cb.CabacEncoder(w)
+    ctx = cb._Ctx()
+    n = 4000
+    for _ in range(n):
+        e.encode(ctx("b"), 0)
+    e.encode_terminate(1)
+    w.byte_align_zero()
+    assert len(w.to_bytes()) * 8 < n / 4
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=10, deadline=None)
+def test_cabac_flat_class_lossless(seed):
+    rnd = random.Random(seed)
+    mbw, mbh = rnd.randint(1, 3), rnd.randint(1, 2)
+    W, H = mbw * 16, mbh * 16
+    n = mbw * mbh
+    f1 = _flat_frame(W, H, mbw,
+                     [rnd.randint(98, 158) for _ in range(n)],
+                     [rnd.randint(98, 158) for _ in range(n)],
+                     [rnd.randint(98, 158) for _ in range(n)])
+    data = cb.h264_encode_cabac(W, H, [f1], qp=0)
+    w, h, frames = h264.h264_decode_frames(data)
+    assert (w, h) == (W, H)
+    assert frames == [f1]
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=10, deadline=None)
+def test_cabac_decode_matches_encoder_recon(seed):
+    # arbitrary content, mixed QP: the CABAC decode must equal the
+    # intra encoder's own reconstruction (shared with the CAVLC arm
+    # up to the entropy layer), frame by frame
+    rnd = random.Random(seed)
+    W = 2 * rnd.randrange(8, 25)
+    H = 2 * rnd.randrange(8, 17)
+    qp = rnd.choice([0, 4, 12, 23, 34, 45])
+    frames_in = []
+    for _ in range(rnd.randint(1, 2)):
+        y = [[rnd.randrange(256) for _ in range(W)] for _ in range(H)]
+        u = [[rnd.randrange(256) for _ in range(W // 2)]
+             for _ in range(H // 2)]
+        v = [[rnd.randrange(256) for _ in range(W // 2)]
+             for _ in range(H // 2)]
+        frames_in.append((y, u, v))
+    data = cb.h264_encode_cabac(W, H, frames_in, qp=qp)
+    w, h, frames = h264.h264_decode_frames(data)
+    assert (w, h) == (W, H)
+    for fi, fr in enumerate(frames_in):
+        _, recons = h264.h264_encode_with_recon(W, H, [fr], qp=qp)
+        assert frames[fi] == recons[0]
+
+
+def test_cabac_rejection_surface():
+    f = _flat_frame(16, 16, 1, [128], [128], [128])
+    data = cb.h264_encode_cabac(16, 16, [f], qp=0)
+    # the I_PCM-only decoder refuses CABAC streams with a clear error
+    with pytest.raises(ImageFormatError, match="CABAC"):
+        h264.h264_decode(data)
