@@ -1388,3 +1388,90 @@ def h264_video_decode_sql(mod: int = 43) -> str:
            {mv} AS mean_v
     FROM documents WHERE doc_id % {mod} = 0
     """
+
+
+def synth_h264_cabacs(docs: DataFrame, mod: int = 47) -> DataFrame:
+    """(doc_id, payload) — one REAL 2-frame CABAC H.264 Annex-B
+    stream (minih264_cabac: PPS entropy_coding_mode_flag=1, two IDR
+    I_16x16 slices) per selected doc, deterministically derived from
+    doc_id:
+
+    - width = 16 * (1 + d % 3), height = 16 * (1 + d % 2)
+    - frame 1: per-macroblock-COLUMN flat values (column i):
+      y = 97 + (9d + 13i) % 61, u = 97 + (7d + 11i) % 61,
+      v = 97 + (5d + 17i) % 61 — inside the QP-0 exact
+      reconstruction band, with MB-to-MB spread that drives the
+      significance-map / last-flag contexts and the Gt1/Eq1 level
+      schedule through distinct coefficient patterns per MB
+    - frame 2: luma shifted per column by 2*((d+i) % 4), chroma
+      unchanged — a second IDR slice whose CABAC engine and context
+      pool restart from scratch, pinning the per-slice init contract.
+
+    CABAC is lossless entropy coding over the same QP-0 transform
+    path as the CAVLC arm, so the whole stream reconstructs EXACTLY
+    (closed form, :func:`h264_cabac_decode_sql`). A defect anywhere
+    in the arithmetic engine — range subdivision, renormalization,
+    bypass, terminate, context adaptation, binarization — breaks the
+    hash match."""
+    from ..functions.minih264_cabac import h264_encode_cabac
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mb_w, mb_h = 1 + d % 3, 1 + d % 2
+                w, h = 16 * mb_w, 16 * mb_h
+                vy = [97 + (9 * d + 13 * i) % 61 for i in range(mb_w)]
+                vu = [97 + (7 * d + 11 * i) % 61 for i in range(mb_w)]
+                vv = [97 + (5 * d + 17 * i) % 61 for i in range(mb_w)]
+                dl = [2 * ((d + i) % 4) for i in range(mb_w)]
+                f1 = ([[vy[x // 16] for x in range(w)] for _ in range(h)],
+                      [[vu[x // 8] for x in range(w // 2)]
+                       for _ in range(h // 2)],
+                      [[vv[x // 8] for x in range(w // 2)]
+                       for _ in range(h // 2)])
+                f2 = ([[vy[x // 16] + dl[x // 16] for x in range(w)]
+                       for _ in range(h)], f1[1], f1[2])
+                ids.append(d)
+                payloads.append(h264_encode_cabac(w, h, [f1, f2], qp=0))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def h264_cabac_decode_sql(mod: int = 47) -> str:
+    """Closed-form oracle for
+    h264_video_decode_metadata(synth_h264_cabacs): CABAC entropy
+    coding is lossless and the flat-per-MB QP-0 frames reconstruct
+    exactly, so each plane mean is the average of its 1..3
+    macroblock-column values — a pure function of doc_id."""
+
+    def colavg(term) -> str:
+        ts = [term(k) for k in range(3)]
+        return (
+            f"CASE doc_id % 3 WHEN 0 THEN CAST({ts[0]} AS DOUBLE) "
+            f"WHEN 1 THEN ({ts[0]} + {ts[1]}) / 2.0 "
+            f"ELSE ({ts[0]} + {ts[1]} + {ts[2]}) / 3.0 END"
+        )
+
+    y1 = colavg(lambda k: f"(97 + (9 * doc_id + {13 * k}) % 61)")
+    y2 = colavg(lambda k: f"(97 + (9 * doc_id + {13 * k}) % 61"
+                          f" + 2 * ((doc_id + {k}) % 4))")
+    mu = colavg(lambda k: f"(97 + (7 * doc_id + {11 * k}) % 61)")
+    mv = colavg(lambda k: f"(97 + (5 * doc_id + {17 * k}) % 61)")
+    return f"""
+    SELECT doc_id,
+           16 * (1 + doc_id % 3) AS width,
+           16 * (1 + doc_id % 2) AS height,
+           CAST(2 AS BIGINT) AS n_frames,
+           {y1} AS mean_y1,
+           {y2} AS mean_y2,
+           {mu} AS mean_u,
+           {mv} AS mean_v
+    FROM documents WHERE doc_id % {mod} = 0
+    """
