@@ -1475,3 +1475,131 @@ def h264_cabac_decode_sql(mod: int = 47) -> str:
            {mv} AS mean_v
     FROM documents WHERE doc_id % {mod} = 0
     """
+
+
+def synth_flacs(docs: DataFrame, mod: int = 53) -> DataFrame:
+    """(doc_id, payload) — one REAL FLAC stream (miniflac: fLaC magic,
+    STREAMINFO with MD5, fixed-blocksize frames, Rice-coded fixed
+    predictors, stereo decorrelation) per selected doc,
+    deterministically derived from doc_id:
+
+    - sample_rate = 8000 + 4000*(d % 3) (12000 exercises the
+      rate-from-STREAMINFO frame-header path, 8000/16000 the coded one)
+    - channels = 1 + (d % 2); n = 512 + 128*(d % 5) per channel
+      (multiple 256-sample frames incl. a partial 128 tail)
+    - ch0(i) = B + S*i + (+C if i even else -C) with B = 100 + d%50,
+      S = 1 + d%3, C = 1 + d%5 — a ramp (zero order-2 residual) plus
+      an alternation (order-2 residual ±4C) driving real Rice coding
+    - stereo: ch1 = ch0 + O, O = 10 + d%7 — constant side channel, so
+      the exact-cost chooser takes a side assignment with a CONSTANT
+      side subframe.
+
+    FLAC is lossless (MD5-verified), so peak/min/sum/sum-of-squares
+    are integer closed forms in doc_id (:func:`flac_decode_sql`)."""
+    from ..functions import miniflac
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sr = 8000 + 4000 * (d % 3)
+                nch = 1 + (d % 2)
+                n = 512 + 128 * (d % 5)
+                B, S, C = 100 + d % 50, 1 + d % 3, 1 + d % 5
+                O = 10 + d % 7
+                ch0 = [B + S * i + (C if i % 2 == 0 else -C)
+                       for i in range(n)]
+                chans = [ch0] if nch == 1 else [ch0,
+                                                [x + O for x in ch0]]
+                ids.append(d)
+                payloads.append(miniflac.flac_encode(sr, chans))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def flac_decode_metadata(audio: DataFrame) -> DataFrame:
+    """REAL FLAC decode of a binary column: (doc_id, sample_rate,
+    channels, bits, n_samples, peak, min_sample, sum_samples,
+    sum_squares) over the fully decoded (CRC- and MD5-verified)
+    sample stream; undecodable payloads yield a null row."""
+    from ..functions import miniflac, miniwav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "sample_rate": [], "channels": [],
+                "bits": [], "n_samples": [], "peak": [],
+                "min_sample": [], "sum_samples": [], "sum_squares": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    sr, nch, bits, chans = miniflac.flac_decode(
+                        bytes(payload))
+                except miniwav.AudioFormatError:
+                    for k in ("sample_rate", "channels", "bits",
+                              "n_samples", "peak", "min_sample",
+                              "sum_samples", "sum_squares"):
+                        out[k].append(None)
+                    continue
+                flat = [s for c in chans for s in c]
+                out["sample_rate"].append(sr)
+                out["channels"].append(nch)
+                out["bits"].append(bits)
+                out["n_samples"].append(len(chans[0]))
+                out["peak"].append(max(flat))
+                out["min_sample"].append(min(flat))
+                out["sum_samples"].append(sum(flat))
+                out["sum_squares"].append(sum(s * s for s in flat))
+            yield pd.DataFrame(out)
+
+    return audio.select("doc_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, sample_rate long, channels long, bits long, "
+            "n_samples long, peak long, min_sample long, "
+            "sum_samples long, sum_squares long"
+        ),
+    )
+
+
+def flac_decode_sql(mod: int = 53) -> str:
+    """Closed-form oracle for flac_decode_metadata(synth_flacs):
+    losslessness makes every output an exact integer function of
+    doc_id — ramp+alternation sums via Gauss / square-pyramidal
+    formulas, the alternation's even-n cancellation, and the
+    cross-term -C*S*n from the parity-weighted ramp sum."""
+    n = "(512 + 128 * (doc_id % 5))"
+    b = "(100 + doc_id % 50)"
+    s = "(1 + doc_id % 3)"
+    c = "(1 + doc_id % 5)"
+    o = "(10 + doc_id % 7)"
+    st = "(doc_id % 2)"  # 1 when stereo
+    # per-channel-0 sums (n even: alternation cancels in the plain sum)
+    sum0 = f"({n}*{b} + {s}*{n}*({n}-1)/2)"
+    sumsq0 = (f"({n}*{b}*{b} + {b}*{s}*{n}*({n}-1)"
+              f" + {s}*{s}*({n}-1)*{n}*(2*{n}-1)/6"
+              f" - {c}*{s}*{n} + {n}*{c}*{c})")
+    peak0 = (f"GREATEST({b} + {s}*({n}-1) - {c},"
+             f" {b} + {s}*({n}-2) + {c})")
+    min0 = f"LEAST({b} + {c}, {b} + {s} - {c})"
+    return f"""
+    SELECT doc_id,
+           CAST(8000 + 4000 * (doc_id % 3) AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST({n} AS BIGINT) AS n_samples,
+           CAST({peak0} + {st} * {o} AS BIGINT) AS peak,
+           CAST({min0} AS BIGINT) AS min_sample,
+           CAST((1 + {st}) * {sum0} + {st} * {n} * {o} AS BIGINT)
+               AS sum_samples,
+           CAST((1 + {st}) * {sumsq0} + {st} * (2 * {o} * {sum0}
+               + {n} * {o} * {o}) AS BIGINT) AS sum_squares
+    FROM documents WHERE doc_id % {mod} = 0
+    """

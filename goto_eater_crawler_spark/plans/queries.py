@@ -122,6 +122,7 @@ _GATE_ORDER: list[str] = [
     # placed first in the demoted section so a time-budgeted driver
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
+    "multimodal_flac_decode",
     "multimodal_h264_cabac_decode",
     "multimodal_webp_lossy_decode",
     "multimodal_h264_decode",
@@ -2187,6 +2188,23 @@ def q_multimodal_h264_cabac_decode(spark, sf_dir):
     return _mm.h264_video_decode_metadata(
         _mm.synth_h264_cabacs(d, 47)
     ).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_flac_decode",
+    # REAL FLAC gate (round 4): synth_flacs writes conforming RFC
+    # 9639 streams — STREAMINFO with stream MD5, frame sync + CRC-8
+    # headers, Rice-coded fixed-predictor subframes, CONSTANT side
+    # channels under exact-cost stereo decorrelation, frame CRC-16 —
+    # and the engine decodes them via miniflac (which also carries
+    # decode-only LPC / multi-partition / wasted-bits surface,
+    # pytest-pinned). Losslessness makes peak/min/sum/sum-of-squares
+    # INTEGER closed forms in doc_id — no float tolerance anywhere.
+    _mm.flac_decode_sql(53) + " ORDER BY doc_id",
+)
+def q_multimodal_flac_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.flac_decode_metadata(_mm.synth_flacs(d, 53)).orderBy("doc_id")
 
 
 @_register(
