@@ -274,3 +274,70 @@ def bpe_token_count_col(text: Column) -> Column:
 
 def bpe_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all({expr}, '{BPE_PATTERN}', 1))"
+
+
+# ---------------------------------------------------------------------------
+# BPE merge APPLICATION (the encode step; bpe_pair_counts gates the
+# train step's pair statistics). A fixed learned-merge table applied
+# in priority order over sentinel-delimited char-spaced words —
+# Sennrich 2016's apply loop re-expressed as a chain of literal
+# string replaces so the WHOLE pipeline stays inside WholeStageCodegen
+# (no UDF, no explode): lower -> word split -> per-word char spacing
+# -> 12 sequential ' a b '->' ab ' replaces -> token count, all in
+# array HOFs. Documented variant semantics: each merge is ONE
+# left-to-right non-overlapping replace pass (an immediately adjacent
+# re-occurrence whose leading space was consumed by the previous
+# match is skipped, unlike Sennrich's lookaround regex — RE2 has no
+# lookarounds, so the oracle could not express that form); Java
+# (Spark) and DuckDB replace() share these semantics exactly, so the
+# two engines agree by construction.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("e", "s"),
+]
+
+
+def _bpe_word_tokens(word: Column) -> Column:
+    # "hello" -> " h e l l o " -> merges -> token count
+    spaced = F.concat(F.lit(" "), F.regexp_replace(word, "(.)", "$1 "))
+    for a, b in BPE_MERGES:
+        spaced = F.replace(spaced, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    t = F.trim(spaced)
+    return F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+
+
+def bpe_apply_cols(text: Column) -> tuple:
+    """(n_words, n_bpe_tokens) after applying BPE_MERGES to every
+    ASCII-letter word of ``text``."""
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(text), "[^a-z]+", " "), " "),
+        lambda w: F.length(w) > 0,
+    )
+    n_words = F.size(words)
+    n_tokens = F.aggregate(
+        F.transform(words, _bpe_word_tokens),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return n_words.cast("bigint"), n_tokens
+
+
+def bpe_apply_sql(expr: str) -> tuple:
+    """DuckDB mirror of :func:`bpe_apply_cols` -> (n_words_sql,
+    n_bpe_tokens_sql)."""
+    spaced = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    merged = spaced
+    for a, b in BPE_MERGES:
+        merged = f"replace({merged}, ' {a} {b} ', ' {a}{b} ')"
+    tok = (f"length(trim({merged}))"
+           f" - length(replace(trim({merged}), ' ', '')) + 1")
+    words = (f"list_filter(string_split(regexp_replace(lower({expr}),"
+             f" '[^a-z]+', ' ', 'g'), ' '), w -> length(w) > 0)")
+    n_words = f"CAST(len({words}) AS BIGINT)"
+    # list_sum(NULL/[]) is NULL in DuckDB; Spark's aggregate zero is 0
+    n_tokens = (f"CAST(coalesce(list_sum(list_transform({words},"
+                f" w -> {tok})), 0) AS BIGINT)")
+    return n_words, n_tokens

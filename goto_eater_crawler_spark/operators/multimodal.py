@@ -1603,3 +1603,29 @@ def flac_decode_sql(mod: int = 53) -> str:
                + {n} * {o} * {o}) AS BIGINT) AS sum_squares
     FROM documents WHERE doc_id % {mod} = 0
     """
+
+
+def mime_sniff_col(payload) -> "F.Column":
+    """Magic-byte content-type detection over a binary column — the
+    ingest ROUTER a mixed-media crawl runs on every fetched body
+    before dispatching to a decoder. Pure JVM expressions (substring
+    on binary + literal compares inside one CASE chain, WholeStage-
+    Codegen): no Python touches the payload, so at 100 TB the sniff
+    pipelines with the scan and the router's exchange is a cheap
+    hash-partition on the tiny mime key. RIFF containers are resolved
+    by form type (bytes 9-12: WEBP vs WAVE), per the WHATWG MIME
+    sniffing algorithm's pattern table."""
+    def eq(off, hexs):
+        b = bytes.fromhex(hexs)
+        return F.substring(payload, off, len(b)) == F.lit(b)
+
+    return (
+        F.when(eq(1, "89504E470D0A1A0A"), "image/png")
+        .when(eq(1, "FFD8FF"), "image/jpeg")
+        .when(eq(1, "474946383761") | eq(1, "474946383961"), "image/gif")
+        .when(eq(1, "52494646") & eq(9, "57454250"), "image/webp")
+        .when(eq(1, "52494646") & eq(9, "57415645"), "audio/wav")
+        .when(eq(1, "664C6143"), "audio/flac")
+        .when(eq(1, "00000001"), "video/h264-annexb")
+        .otherwise("application/octet-stream")
+    )

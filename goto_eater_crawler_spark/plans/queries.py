@@ -122,6 +122,8 @@ _GATE_ORDER: list[str] = [
     # placed first in the demoted section so a time-budgeted driver
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
+    "multimodal_mime_sniff",
+    "text_bpe_encode",
     "multimodal_flac_decode",
     "multimodal_h264_cabac_decode",
     "multimodal_webp_lossy_decode",
@@ -2205,6 +2207,63 @@ def q_multimodal_h264_cabac_decode(spark, sf_dir):
 def q_multimodal_flac_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.flac_decode_metadata(_mm.synth_flacs(d, 53)).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_mime_sniff",
+    # The ingest ROUTER for a mixed-media crawl: union REAL payloads
+    # from seven codec synth families plus a no-magic arm, sniff the
+    # content type from magic bytes (WHATWG pattern table; RIFF
+    # resolved by form type at offset 9), count per detected mime.
+    # The sniff is pure JVM CASE-on-binary-substring (WholeStage-
+    # Codegen, zero UDF); the only exchange is the partial-aggregated
+    # count on a 8-value key — at 100 TB the router costs one scan.
+    # Every count is closed-form set arithmetic in the synth mod
+    # classes; a one-byte magic mismatch in any ENCODER (or a sniffer
+    # defect) moves a whole family to octet-stream and breaks the
+    # hash. doc_id%3 pre-filter keeps the re-encode cost bounded.
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    SELECT mime, CAST(n AS BIGINT) AS n FROM (
+      SELECT 'image/png' AS mime, count(*) AS n FROM d
+        WHERE doc_id % 7 = 0
+      UNION ALL SELECT 'image/jpeg', count(*) FROM d WHERE doc_id % 13 = 0
+      UNION ALL SELECT 'image/gif', count(*) FROM d WHERE doc_id % 29 = 0
+      UNION ALL SELECT 'image/webp', count(*) FROM d WHERE doc_id % 31 = 0
+      UNION ALL SELECT 'audio/wav', count(*) FROM d WHERE doc_id % 5 = 0
+      UNION ALL SELECT 'audio/flac', count(*) FROM d WHERE doc_id % 53 = 0
+      UNION ALL SELECT 'video/h264-annexb', count(*) FROM d
+        WHERE doc_id % 41 = 0
+      UNION ALL SELECT 'application/octet-stream', count(*) FROM d
+        WHERE doc_id % 11 = 0
+    ) WHERE n > 0 ORDER BY mime
+    """,
+)
+def q_multimodal_mime_sniff(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter("doc_id % 3 = 0")
+    unknown = (
+        d.filter("doc_id % 11 = 0")
+        .select(
+            "doc_id",
+            F.encode(F.concat(F.lit("~"), F.col("text")), "utf-8")
+            .alias("payload"),
+        )
+    )
+    parts = [
+        _mm.synth_images(d, 7), _mm.synth_jpegs(d, 13),
+        _mm.synth_gifs(d, 29), _mm.synth_webps(d, 31),
+        _mm.synth_audio(d, 5), _mm.synth_flacs(d, 53),
+        _mm.synth_h264s(d, 41), unknown,
+    ]
+    payloads = parts[0]
+    for p in parts[1:]:
+        payloads = payloads.unionByName(p)
+    return (
+        payloads.select(_mm.mime_sniff_col(F.col("payload")).alias("mime"))
+        .groupBy("mime")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("mime")
+    )
 
 
 @_register(
@@ -4573,6 +4632,37 @@ def q_html_template_cluster(spark, sf_dir):
     FROM counted ORDER BY cnt DESC, pair LIMIT 20
     """,
 )
+def _bpe_encode_oracle() -> str:
+    nw, nt = _ts.bpe_apply_sql("text")
+    return f"""
+    SELECT doc_id, {nw} AS n_words, {nt} AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """
+
+
+@_register(
+    "text_bpe_encode",
+    # The tokenizer APPLY step (bpe_pair_counts gates the train
+    # statistics): a fixed 12-entry learned-merge table applied in
+    # priority order to every word — Sennrich 2016's encode loop as a
+    # chain of literal sentinel-delimited replaces inside array HOFs,
+    # WholeStageCodegen end to end (no UDF, no explode, no shuffle:
+    # pipelines with the parquet scan at 100 TB). Hierarchical merges
+    # (th+e, an+d) only fire if their prerequisite merge produced the
+    # left symbol, so a defect in merge ORDER breaks the hash, not
+    # just a defect in the replace itself. One-pass-per-merge variant
+    # semantics documented at textstats.BPE_MERGES (RE2 has no
+    # lookarounds; Java and DuckDB replace() agree by construction).
+    _bpe_encode_oracle(),
+)
+def q_text_bpe_encode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nw, nt = _ts.bpe_apply_cols(F.col("text"))
+    return d.select(
+        "doc_id", nw.alias("n_words"), nt.alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
