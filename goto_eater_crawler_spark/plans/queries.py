@@ -122,6 +122,7 @@ _GATE_ORDER: list[str] = [
     # placed first in the demoted section so a time-budgeted driver
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
+    "quality_hashed_linear",
     "multimodal_mime_sniff",
     "text_bpe_encode",
     "multimodal_flac_decode",
@@ -693,6 +694,8 @@ def q_windowed_event_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from ..functions import textstats as _ts  # noqa: E402
+from ..functions.hashing import h60_col as _h60_col  # noqa: E402
+from ..functions.hashing import h60_sql as _h60_sql  # noqa: E402
 from ..operators import multimodal as _mm  # noqa: E402
 from ..operators import rhplsh as _rhp  # noqa: E402
 from ..operators import similarity as _sim  # noqa: E402
@@ -944,6 +947,81 @@ def q_quality_unigram_logprob(spark, sf_dir):
                 / F.sum("tf"),
                 4,
             ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "quality_hashed_linear",
+    # Model-based quality filtering (the fastText-classifier stage in
+    # CCNet/RedPajama-class pipelines) with the REAL serving shape:
+    # unigram + adjacent-bigram features -> hashing trick (h60 mod
+    # 1024 buckets) -> broadcast join against the weight table ->
+    # per-doc integer weight sum -> one final division. The weight
+    # table is a deterministic stand-in ((g*40503+17) % 2001 - 1000
+    # milli-units) — swapping in trained weights changes ONE tiny
+    # relation, not the plan. Scale shape: features explode map-side,
+    # the 1024-row model broadcasts (zero shuffle for scoring), the
+    # only exchange is the partial-aggregated per-doc sum; integer
+    # accumulation makes the score order-independent so Spark and
+    # DuckDB agree to the bit.
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents),
+    feats AS (
+      SELECT doc_id, unnest(ts) AS feat FROM toks
+      UNION ALL
+      SELECT doc_id, ts[g] || '_' || ts[g + 1] AS feat
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(g)),
+    w AS (
+      SELECT g AS bucket, (g * 40503 + 17) % 2001 - 1000 AS w_milli
+      FROM unnest(generate_series(0, 1023)) AS t(g)),
+    b AS (
+      SELECT doc_id, {_h60_sql('feat')} % 1024 AS bucket FROM feats)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(w_milli) AS BIGINT) AS score_milli,
+           CAST(sum(w_milli) AS DOUBLE) / (1000 * count(*)) AS score,
+           CAST(CASE WHEN sum(w_milli) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM b JOIN w USING (bucket)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_quality_hashed_linear(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = _td.tokens_col(F.col("text"))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit("_"), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = d.select(
+        "doc_id", F.explode(F.concat(words, bigrams)).alias("feat")
+    )
+    weights = spark.range(1024).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 40503 + 17) % 2001 - 1000).alias("w_milli"),
+    )
+    return (
+        feats.select("doc_id", (_h60_col(F.col("feat")) % 1024).alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.sum("w_milli").cast("bigint").alias("score_milli"),
+            (
+                F.sum("w_milli").cast("double")
+                / (F.lit(1000) * F.count(F.lit(1)))
+            ).alias("score"),
+            F.when(F.sum("w_milli") > 0, 1).otherwise(0).cast("bigint")
+            .alias("keep"),
         )
         .orderBy("doc_id")
     )
