@@ -4686,30 +4686,6 @@ def q_html_template_cluster(spark, sf_dir):
     )
 
 
-@_register(
-    "bpe_pair_counts",
-    # Tokenizer training's inner loop at corpus scale (Sennrich 2016
-    # BPE): count adjacent symbol pairs over every token, take the
-    # top pairs — iterated, this IS BPE training; one iteration gates
-    # here. Fully native: tokens explode from the text, per-token
-    # character bigrams generate inside array HOFs (transform over
-    # sequence + substring), ONE map-side-combinable groupBy count,
-    # distributed top-k via orderBy+limit (TakeOrderedAndProject, no
-    # global window). Oracle mirrors with unnest + generate_series.
-    """
-    WITH toks AS (
-      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-      FROM documents),
-    pairs AS (
-      SELECT substring(tok, k, 2) AS pair
-      FROM toks, (SELECT unnest(range(1, 256)) AS k) ks
-      WHERE k <= length(tok) - 1),
-    counted AS (
-      SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair)
-    SELECT pair, CAST(cnt AS BIGINT) AS cnt
-    FROM counted ORDER BY cnt DESC, pair LIMIT 20
-    """,
-)
 def _bpe_encode_oracle() -> str:
     nw, nt = _ts.bpe_apply_sql("text")
     return f"""
@@ -4741,6 +4717,30 @@ def q_text_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_register(
+    "bpe_pair_counts",
+    # Tokenizer training's inner loop at corpus scale (Sennrich 2016
+    # BPE): count adjacent symbol pairs over every token, take the
+    # top pairs — iterated, this IS BPE training; one iteration gates
+    # here. Fully native: tokens explode from the text, per-token
+    # character bigrams generate inside array HOFs (transform over
+    # sequence + substring), ONE map-side-combinable groupBy count,
+    # distributed top-k via orderBy+limit (TakeOrderedAndProject, no
+    # global window). Oracle mirrors with unnest + generate_series.
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    pairs AS (
+      SELECT substring(tok, k, 2) AS pair
+      FROM toks, (SELECT unnest(range(1, 256)) AS k) ks
+      WHERE k <= length(tok) - 1),
+    counted AS (
+      SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt
+    FROM counted ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
 def q_bpe_pair_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
