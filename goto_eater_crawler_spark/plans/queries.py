@@ -122,6 +122,7 @@ _GATE_ORDER: list[str] = [
     # placed first in the demoted section so a time-budgeted driver
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
+    "html_rel_canonical",
     "quality_hashed_linear",
     "multimodal_mime_sniff",
     "text_bpe_encode",
@@ -949,6 +950,89 @@ def q_quality_unigram_logprob(spark, sf_dir):
             ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
+    )
+
+
+@_register(
+    "html_rel_canonical",
+    # rel=canonical consolidation — the crawl-side dedup signal that
+    # collapses URL variants (tracking params, www/m./amp mirrors)
+    # onto one indexable representative BEFORE content dedup ever
+    # runs. Page synthesis plants the <link rel="canonical"> with
+    # ALTERNATING attribute order plus a stylesheet-link distractor,
+    # so a naive first-link or fixed-order regex fails: the operator
+    # first isolates the canonical link TAG (attribute-order
+    # agnostic), then extracts its href, then resolves it (absolute
+    # pass-through / protocol-relative '//' scheme completion /
+    # host-relative join — odd docs emit the '//' form). Entirely
+    # Catalyst-native (regexp_extract x2 + CASE in one projection);
+    # the only exchange is the partial-aggregated variant count per
+    # canonical target. Oracle: the planted cross-host cluster
+    # structure is closed-form (doc_id - doc_id%3 groups of ~3), so
+    # any parse/resolve defect moves a page to the wrong cluster and
+    # breaks the hash; non-vacuous by construction.
+    """
+    WITH pages AS (
+      SELECT 'https://' || source || '.example.org/p/'
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 1 THEN '?utm=feed' ELSE '' END
+               AS page_url,
+             'https://canonical.example.org/p/'
+               || CAST(doc_id - doc_id % 3 AS VARCHAR) AS canonical_url
+      FROM documents)
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           min(page_url) AS first_variant
+    FROM pages GROUP BY canonical_url ORDER BY canonical_url
+    """,
+)
+def q_html_rel_canonical(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    base = (F.col("doc_id") - F.col("doc_id") % 3).cast("string")
+    page_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("?utm=feed"))
+        .otherwise(F.lit("")),
+    )
+    canon_tag = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" '
+                  'href="https://canonical.example.org/p/'),
+            base, F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(F.lit('<link href="//canonical.example.org/p/'), base,
+                 F.lit('" rel="canonical">')),
+    )
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/site.css">'),
+        canon_tag,
+        F.lit('<meta charset="utf-8"></head><body>ok</body></html>'),
+    )
+    # the operator: attribute-order-agnostic tag isolation, href
+    # extraction, then RFC 3986 reference resolution (three arms)
+    tag = F.regexp_extract(html, '<link[^>]*rel="canonical"[^>]*>', 0)
+    href = F.regexp_extract(tag, 'href="([^"]*)"', 1)
+    resolved = (
+        F.when(href.startswith("https://"), href)
+        .when(href.startswith("//"), F.concat(F.lit("https:"), href))
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.org"), href)
+        )
+    )
+    pages = d.select(
+        page_url.alias("page_url"), resolved.alias("canonical_url")
+    )
+    return (
+        pages.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("page_url").alias("first_variant"),
+        )
+        .orderBy("canonical_url")
     )
 
 
