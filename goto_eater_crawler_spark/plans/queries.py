@@ -122,6 +122,8 @@ _GATE_ORDER: list[str] = [
     # placed first in the demoted section so a time-budgeted driver
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
+    "data_shuffle_epoch",
+    "data_length_batches",
     "html_rel_canonical",
     "quality_hashed_linear",
     "multimodal_mime_sniff",
@@ -950,6 +952,143 @@ def q_quality_unigram_logprob(spark, sf_dir):
             ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
+    )
+
+
+@_register(
+    "data_shuffle_epoch",
+    # The epoch shuffle a training run performs over the packed
+    # corpus: a SEEDED, deterministic global permutation (h60 of
+    # doc_id + seed), then round-robin assignment to 8 shards with an
+    # in-shard position. The scale story is the enumeration: NO
+    # single global window — repartitionByRange on the sort key gives
+    # ordered partitions, ranks compute per partition, and partition
+    # offsets come from a tiny (n_partitions)-row cumulative sum
+    # broadcast back (the crawl engine's fetch_seq device). Global
+    # rank is boundary-independent, so the plan scales to 10^10 docs
+    # where a one-partition row_number() would serialize. Oracle
+    # states the same permutation with a plain row_number (fine at
+    # oracle scale).
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_h60_sql("CAST(doc_id AS VARCHAR) || ':42'")} AS k
+      FROM documents),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY k, doc_id) - 1 AS rn
+      FROM keyed)
+    SELECT doc_id,
+           CAST(rn % 8 AS BIGINT) AS shard,
+           CAST(rn // 8 AS BIGINT) AS pos
+    FROM ranked ORDER BY shard, pos
+    """,
+)
+def q_data_shuffle_epoch(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        _h60_col(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+        .alias("k"),
+    )
+    # two-phase global enumeration: range-partition by the sort key,
+    # rank locally, add per-partition offsets (tiny cumsum, broadcast)
+    parts = keyed.repartitionByRange(16, "k", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("k", "doc_id")
+    local = parts.withColumn("lrn", F.row_number().over(w_local))
+    sizes = local.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("k").alias("mk")
+    )
+    w_off = (
+        Window.orderBy("mk", "pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    rn = F.col("off") + F.col("lrn") - 1
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            (rn % 8).cast("bigint").alias("shard"),
+            F.floor(rn / 8).cast("bigint").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+@_register(
+    "data_length_batches",
+    # Length-bucketed batching (the padding-minimizing batcher in
+    # front of any fixed-shape trainer): docs bucket by token-length
+    # band, batch in groups of 16 WITHIN (bucket, shard) — shard =
+    # doc_id % 32 mirrors how each worker batches its local slice, so
+    # every window partition is bounded and the plan has no giant
+    # skewed window. Emits per-batch padding waste (n*max - sum), the
+    # metric the bucketing exists to minimize. Token counts ride the
+    # scan projection (native split), one exchange on the composite
+    # window key, batch stats are plain aggregates.
+    """
+    WITH toks AS (
+      SELECT doc_id, doc_id % 32 AS shard,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents),
+    bucketed AS (
+      SELECT *, CASE WHEN n_tokens < 50 THEN 0 WHEN n_tokens < 100 THEN 1
+                     WHEN n_tokens < 200 THEN 2 ELSE 3 END AS bucket
+      FROM toks),
+    ranked AS (
+      SELECT *, (row_number() OVER (PARTITION BY bucket, shard
+                                    ORDER BY n_tokens, doc_id) - 1) // 16
+                  AS batch_id
+      FROM bucketed)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+             AS padding_waste
+    FROM ranked GROUP BY bucket, shard, batch_id
+    ORDER BY bucket, shard, batch_id
+    """,
+)
+def q_data_length_batches(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    bucketed = d.select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("n_tokens") < 50, 0)
+        .when(F.col("n_tokens") < 100, 1)
+        .when(F.col("n_tokens") < 200, 2)
+        .otherwise(3),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("n_tokens", "doc_id")
+    ranked = bucketed.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / 16)
+    )
+    return (
+        ranked.groupBy("bucket", "shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+            .cast("bigint").alias("padding_waste"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("shard").cast("bigint").alias("shard"),
+            F.col("batch_id").cast("bigint").alias("batch_id"),
+            "n_docs", "max_tokens", "padding_waste",
+        )
+        .orderBy("bucket", "shard", "batch_id")
     )
 
 
