@@ -32,11 +32,11 @@ inter path for all r): the quant ladder's rounding lands inside the
 inverse transform's +32>>6 window, so the multimodal CAVLC gate's
 DuckDB oracle is closed-form in doc_id with no approximation.
 
-A CABAC arm lives in minih264_cabac.py (IDR I slices of I_16x16,
-spec-structural §9.3 engine with [self]-derived probability tables —
-see that module's honesty note); h264_decode_frames dispatches on the
-PPS entropy_coding_mode_flag.  NOT implemented, rejected with
-ImageFormatError: CABAC inter (P/B) slices, I_4x4 and
+A CABAC arm lives in minih264_cabac.py (the same I/P/B 16x16 subset
+as this CAVLC arm, re-entropy-coded: spec-structural §9.3 engine with
+[self]-derived probability tables — see that module's honesty note);
+h264_decode_frames dispatches on the PPS entropy_coding_mode_flag.
+NOT implemented, rejected with ImageFormatError: I_4x4 and
 plane/non-DC-chroma intra modes, more than one reference per list,
 B_Skip/direct modes, sub-16x16 partitions, interlace, slice groups,
 multi-slice pictures, bit depths above 8.  SUPPORTED beyond the
@@ -1877,16 +1877,13 @@ def h264_decode_frames(data: bytes) -> tuple:
 
         mb = 0
         if pps["cabac"]:
-            if ptype or btype:
-                raise ImageFormatError(
-                    "h264: CABAC inter slices unsupported (I-only "
-                    "CABAC subset)")
-            from .minih264_cabac import decode_i_slice
+            from .minih264_cabac import decode_slice
 
-            decode_i_slice(
-                r, qp,
+            decode_slice(
+                r, "B" if btype else ("P" if ptype else "I"), qp,
                 _chroma_qp(min(51, max(0, qp + pps["chroma_qp_off"]))),
-                mb_w, mb_h, cur_y, cur_u, cur_v, nz_y, nz_c, minfo)
+                mb_w, mb_h, cur_y, cur_u, cur_v, nz_y, nz_c, minfo,
+                refs)
             mb = nmbs  # whole picture parsed by the CABAC slice layer
         while mb < nmbs:
             if ptype:

@@ -1629,3 +1629,97 @@ def mime_sniff_col(payload) -> "F.Column":
         .when(eq(1, "00000001"), "video/h264-annexb")
         .otherwise("application/octet-stream")
     )
+
+
+def synth_h264_cabac_videos(docs: DataFrame, mod: int = 59) -> DataFrame:
+    """(doc_id, payload) — one REAL 3-frame CABAC H.264 Annex-B
+    stream (minih264_cabac: IDR I_16x16 slice, P slice with
+    P_Skip/P_L0 candidates, non-reference B slice over both-past
+    reference lists) per selected doc, deterministically derived from
+    doc_id:
+
+    - width = 16 * (1 + d % 3), height = 16 * (1 + d % 2)
+    - frame 1 (I): per-macroblock-COLUMN flat values (column i):
+      y = 96 + (11d + 13i) % 61, u = 96 + (7d + 11i) % 61,
+      v = 96 + (5d + 17i) % 61
+    - frame 2 (P): luma shifted per column by 3*((d+i) % 3) (chroma
+      unchanged) — some MBs P_Skip, the rest P_L0 residual with real
+      mb_skip_flag / mvd / coded_block_pattern CABAC coding
+    - frame 3 (B): luma shifted per column by 2*((d+2i) % 4) — the
+      B mb_type tree, per-list mvd contexts, and bi-prediction
+      averaging all under the arithmetic coder.
+
+    Deltas <= 6 < half the minimum inter-column luma step (13) pin
+    the full-pel SAD search at MV (0,0) (subpel=False), so every
+    residual stays flat and the whole stream reconstructs EXACTLY at
+    QP 0 (closed form, :func:`h264_cabac_video_decode_sql`)."""
+    from ..functions.minih264_cabac import h264_encode_cabac_video
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mb_w, mb_h = 1 + d % 3, 1 + d % 2
+                w, h = 16 * mb_w, 16 * mb_h
+                vy = [96 + (11 * d + 13 * i) % 61 for i in range(mb_w)]
+                vu = [96 + (7 * d + 11 * i) % 61 for i in range(mb_w)]
+                vv = [96 + (5 * d + 17 * i) % 61 for i in range(mb_w)]
+                d1 = [3 * ((d + i) % 3) for i in range(mb_w)]
+                d2 = [2 * ((d + 2 * i) % 4) for i in range(mb_w)]
+                f1 = ([[vy[x // 16] for x in range(w)] for _ in range(h)],
+                      [[vu[x // 8] for x in range(w // 2)]
+                       for _ in range(h // 2)],
+                      [[vv[x // 8] for x in range(w // 2)]
+                       for _ in range(h // 2)])
+                f2 = ([[vy[x // 16] + d1[x // 16] for x in range(w)]
+                       for _ in range(h)], f1[1], f1[2])
+                f3 = ([[vy[x // 16] + d2[x // 16] for x in range(w)]
+                       for _ in range(h)], f1[1], f1[2])
+                ids.append(d)
+                payloads.append(
+                    h264_encode_cabac_video(
+                        w, h, [f1, f2, f3], qp=0, subpel=False
+                    )[0]
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def h264_cabac_video_decode_sql(mod: int = 59) -> str:
+    """Closed-form oracle for
+    h264_video_decode_metadata(synth_h264_cabac_videos): CABAC is
+    lossless entropy coding and the flat-per-MB QP-0 frames
+    reconstruct exactly through the I, P, AND B paths, so each plane
+    mean is the average of its 1..3 macroblock-column values — a pure
+    function of doc_id."""
+
+    def colavg(term) -> str:
+        ts = [term(k) for k in range(3)]
+        return (
+            f"CASE doc_id % 3 WHEN 0 THEN CAST({ts[0]} AS DOUBLE) "
+            f"WHEN 1 THEN ({ts[0]} + {ts[1]}) / 2.0 "
+            f"ELSE ({ts[0]} + {ts[1]} + {ts[2]}) / 3.0 END"
+        )
+
+    y1 = colavg(lambda k: f"(96 + (11 * doc_id + {13 * k}) % 61)")
+    y3 = colavg(lambda k: f"(96 + (11 * doc_id + {13 * k}) % 61"
+                          f" + 2 * ((doc_id + {2 * k}) % 4))")
+    mu = colavg(lambda k: f"(96 + (7 * doc_id + {11 * k}) % 61)")
+    mv = colavg(lambda k: f"(96 + (5 * doc_id + {17 * k}) % 61)")
+    return f"""
+    SELECT doc_id,
+           16 * (1 + doc_id % 3) AS width,
+           16 * (1 + doc_id % 2) AS height,
+           CAST(3 AS BIGINT) AS n_frames,
+           {y1} AS mean_y1,
+           {y3} AS mean_y2,
+           {mu} AS mean_u,
+           {mv} AS mean_v
+    FROM documents WHERE doc_id % {mod} = 0
+    """

@@ -122,6 +122,7 @@ _GATE_ORDER: list[str] = [
     # placed first in the demoted section so a time-budgeted driver
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
+    "multimodal_h264_cabac_inter_decode",
     "data_shuffle_epoch",
     "data_length_batches",
     "html_rel_canonical",
@@ -2490,6 +2491,28 @@ def q_multimodal_h264_cabac_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.h264_video_decode_metadata(
         _mm.synth_h264_cabacs(d, 47)
+    ).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_h264_cabac_inter_decode",
+    # CABAC INTER gate (round 4, closing the codec family's final
+    # stub): synth_h264_cabac_videos writes 3-frame CABAC streams —
+    # IDR I_16x16 slice, P slice (mb_skip_flag contexts, P mb_type
+    # tree, UEG3 mvd with neighbour-threshold contexts, inter
+    # coded_block_pattern bins, LumaLevel4x4 residual category), and
+    # a non-reference B slice (B mb_type tree, per-list mvd contexts,
+    # bi-prediction) — all under the §9.3 arithmetic engine, decoded
+    # via minih264.h264_decode_frames. The flat-per-MB QP-0 class
+    # reconstructs exactly through every path, so each frame/plane
+    # mean is closed-form in doc_id. minih264 is now a full
+    # baseline-class codec in BOTH entropy modes, intra and inter.
+    _mm.h264_cabac_video_decode_sql(59) + " ORDER BY doc_id",
+)
+def q_multimodal_h264_cabac_inter_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.h264_video_decode_metadata(
+        _mm.synth_h264_cabac_videos(d, 59)
     ).orderBy("doc_id")
 
 

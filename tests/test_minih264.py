@@ -545,3 +545,65 @@ def test_cabac_rejection_surface():
     # the I_PCM-only decoder refuses CABAC streams with a clear error
     with pytest.raises(ImageFormatError, match="CABAC"):
         h264.h264_decode(data)
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=8, deadline=None)
+def test_cabac_inter_roundtrip(seed):
+    # CABAC I/P/B streams decode to the encoder's own reconstruction
+    # across QPs, sizes, skip-inducing identical frames, and subpel
+    rnd = random.Random(seed)
+    mbw, mbh = rnd.randint(1, 3), rnd.randint(1, 2)
+    w, hh = mbw * 16, mbh * 16
+    qp = rnd.choice([0, 8, 20, 30, 40])
+    frames = []
+    base = [[rnd.randrange(40, 216) for _ in range(w)] for _ in range(hh)]
+    for fi in range(rnd.randint(2, 5)):
+        if fi and rnd.random() < 0.3:
+            frames.append(frames[-1])  # P_Skip coverage
+            continue
+        dy = rnd.randrange(-4, 5)
+        y = [[min(255, max(0, base[r][c] + dy + rnd.randrange(-2, 3)))
+              for c in range(w)] for r in range(hh)]
+        u = [[rnd.randrange(90, 170) for _ in range(w // 2)]
+             for _ in range(hh // 2)]
+        v = [[rnd.randrange(90, 170) for _ in range(w // 2)]
+             for _ in range(hh // 2)]
+        frames.append((y, u, v))
+    data, recons = cb.h264_encode_cabac_video(
+        w, hh, frames, qp=qp, subpel=bool(seed % 2))
+    dw, dh, dec = h264.h264_decode_frames(data)
+    assert (dw, dh) == (w, hh) and len(dec) == len(frames)
+    for df, rf in zip(dec, recons):
+        assert list(df) == list(rf)
+
+
+def test_cabac_cavlc_recon_parity():
+    # the two entropy arms share every transform/prediction helper, so
+    # identical input must give IDENTICAL reconstructions — a defect
+    # in either arm's entropy layer shows as a decode mismatch instead
+    rnd = random.Random(7)
+    w, hh = 48, 32
+    frames = []
+    for fi in range(4):
+        y = [[rnd.randrange(60, 200) for _ in range(w)] for _ in range(hh)]
+        u = [[rnd.randrange(90, 170) for _ in range(w // 2)]
+             for _ in range(hh // 2)]
+        v = [[rnd.randrange(90, 170) for _ in range(w // 2)]
+             for _ in range(hh // 2)]
+        frames.append((y, u, v))
+    _, rec_cavlc = h264.h264_encode_with_recon(
+        w, hh, frames, qp=12, subpel=True)
+    data, rec_cabac = cb.h264_encode_cabac_video(
+        w, hh, frames, qp=12, subpel=True)
+    assert rec_cavlc == rec_cabac
+    _, _, dec = h264.h264_decode_frames(data)
+    assert [list(f) for f in dec] == [list(f) for f in rec_cabac]
+
+
+def test_cabac_inter_compression_and_skip():
+    # identical frames after the IDR must P_Skip into a few bytes/frame
+    f = _flat_frame(48, 32, 3, [120] * 6, [110] * 6, [130] * 6)
+    data, _ = cb.h264_encode_cabac_video(48, 32, [f] * 6, qp=0)
+    one, _ = cb.h264_encode_cabac_video(48, 32, [f], qp=0)
+    assert len(data) - len(one) < 5 * 20  # ~<20 bytes per skipped frame
