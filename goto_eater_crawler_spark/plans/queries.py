@@ -122,6 +122,7 @@ _GATE_ORDER: list[str] = [
     # placed first in the demoted section so a time-budgeted driver
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
+    "bpe_train_merges",
     "multimodal_h264_cabac_inter_decode",
     "data_shuffle_epoch",
     "data_length_batches",
@@ -5006,6 +5007,113 @@ def q_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("cnt"), "pair")
         .limit(20)
     )
+
+
+def _bpe_train_oracle(n_merges: int = 3) -> str:
+    """Unrolled n-iteration BPE train: each stage counts adjacent
+    symbol pairs over the sentinel-delimited char-spaced words, picks
+    the argmax (cnt desc, pair asc), and applies it as a one-pass
+    replace parameterized by a scalar subquery — the SQL mirror of
+    the engine's driver loop."""
+    stages = ["w0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', "
+              "'\\1 ', 'g')) || ' ' AS s FROM (SELECT unnest("
+              "list_filter(string_split(regexp_replace(lower(text), "
+              "'[^a-z]+', ' ', 'g'), ' '), x -> length(x) > 0)) AS w "
+              "FROM documents))"]
+    picks = []
+    for i in range(n_merges):
+        stages.append(
+            f"p{i} AS (SELECT sym[g] || ' ' || sym[g + 1] AS pair, "
+            f"count(*) AS cnt FROM (SELECT string_split(trim(s), ' ') "
+            f"AS sym FROM w{i}), "
+            f"unnest(generate_series(1, 400)) AS u(g) "
+            f"WHERE g <= len(sym) - 1 GROUP BY pair)"
+        )
+        stages.append(
+            f"m{i} AS (SELECT pair, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        stages.append(
+            f"w{i + 1} AS (SELECT replace(s, ' ' || (SELECT pair FROM "
+            f"m{i}) || ' ', ' ' || replace((SELECT pair FROM m{i}), "
+            f"' ', '') || ' ') AS s FROM w{i})"
+        )
+        picks.append(
+            f"SELECT CAST({i} AS BIGINT) AS rank, pair, "
+            f"CAST(cnt AS BIGINT) AS cnt FROM m{i}"
+        )
+    return ("WITH " + ", ".join(stages) + " "
+            + " UNION ALL ".join(picks) + " ORDER BY rank")
+
+
+@_register(
+    "bpe_train_merges",
+    # FULL BPE training loop (Sennrich 2016), not just one
+    # iteration's statistics: 3 merge rounds, each = count adjacent
+    # symbol pairs over the whole corpus -> argmax -> apply the
+    # learned merge -> recount. The iterative-algorithm pattern the
+    # engine uses for PageRank/Lloyd applied to tokenizer training:
+    # each round is ONE map-side-combinable groupBy count plus a
+    # 1-row argmax collect that parameterizes the NEXT round's plan
+    # (the same 1-row-collect class the k-means centroid chain uses —
+    # never a data-sized driver pull). Later merges build on earlier
+    # ones (round 2 counts pairs containing round 1's merged symbol),
+    # so a defect in the apply step or the tie order (cnt desc, pair
+    # asc) changes every following pick. Oracle: the same 3 rounds
+    # unrolled as CTE stages with scalar-subquery-parameterized
+    # replaces. One-pass-per-merge apply variant as documented at
+    # textstats.BPE_MERGES.
+    _bpe_train_oracle(3),
+)
+def q_bpe_train_merges(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "),
+                " "),
+        lambda x: F.length(x) > 0,
+    )
+    spaced = d.select(F.explode(words).alias("w")).select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("s")
+    ).persist()
+    out = []
+    cur = spaced
+    for rank in range(3):
+        sym = F.split(F.trim(F.col("s")), " ")
+        pairs = cur.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(
+                        F.size(sym) - 1, F.lit(1))),
+                    lambda g: F.concat(
+                        F.try_element_at(sym, g), F.lit(" "),
+                        F.try_element_at(sym, g + 1)),
+                )
+            ).alias("pair")
+        ).filter(F.col("pair").isNotNull())
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()[0]  # 1-row argmax steering the next plan
+        )
+        out.append((rank, top["pair"], int(top["cnt"])))
+        merged = top["pair"].replace(" ", "")
+        nxt = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top['pair']} "),
+                F.lit(f" {merged} "),
+            ).alias("s")
+        ).persist()
+        cur = nxt
+    return spark.createDataFrame(
+        out, "rank bigint, pair string, cnt bigint"
+    ).orderBy("rank")
 
 
 @_register(
