@@ -221,7 +221,10 @@ def _best_rice(resid: list) -> tuple:
         need = r.bit_length() + 1 if r >= 0 else (-r - 1).bit_length() + 1
         swidth = max(swidth, need)
     esc_c = 5 + swidth * len(resid)
-    if esc_c < best_c:
+    # the escape's bit-width field is 5 bits (<= 31); wider residuals
+    # (possible at 24/32-bit input with high fixed orders) must stay
+    # on the Rice path, whose quotient has no width limit
+    if esc_c < best_c and swidth <= 31:
         return (-swidth, esc_c)  # negative marks escape, |v| = bit width
     return (best_k, best_c)
 

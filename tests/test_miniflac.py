@@ -230,3 +230,14 @@ def test_compression_is_real():
     assert len(fl.flac_encode(44100, [saw])) < 4096 * 2 / 3
     ramp = [-3000 + 2 * i for i in range(4096)]  # zero order-2 residual
     assert len(fl.flac_encode(44100, [ramp])) < 4096 * 2 / 10
+
+
+def test_wide_residual_32bit_noise():
+    # 32-bit noise forces zigzag widths past the 5-bit escape field's
+    # 31-bit cap; the encoder must stay on the Rice path there
+    rnd = random.Random(3)
+    lim = 1 << 31
+    ch = [rnd.randrange(-lim, lim) for _ in range(200)]
+    data = fl.flac_encode(44100, [ch], bits=32)
+    _, _, dbits, dchans = fl.flac_decode(data)
+    assert dbits == 32 and dchans == [ch]
