@@ -122,6 +122,8 @@ _GATE_ORDER: list[str] = [
     # placed first in the demoted section so a time-budgeted driver
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
+    "quality_kn_bigram",
+    "index_postings_varint",
     "bpe_train_merges",
     "multimodal_h264_cabac_inter_decode",
     "data_shuffle_epoch",
@@ -6047,3 +6049,145 @@ def q_crawl_delay_schedule(spark, sf_dir):
         .cast("bigint")
         .alias("scheduled_ms"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "quality_kn_bigram",
+    # Interpolated Kneser-Ney bigram LM TRAINING (the KenLM `lmplz`
+    # step CCNet-class pipelines run before perplexity filtering —
+    # quality_bigram_logprob scores with raw MLE; this gate produces
+    # the smoothed model itself): fixed absolute discount D=0.75,
+    # P_KN(w2|w1) = (c - D)/c(w1) + D*N1+(w1,*)/c(w1) * N1+(*,w2)/B.
+    # Every term is an integer count, so the per-row probability is
+    # ONE fixed-shape scalar expression over ints — identical IEEE
+    # arithmetic order in both engines (the cross-engine float rule).
+    # Scale shape: bigrams form inside the token array (zero shuffle
+    # before the explode), all four count relations are map-side-
+    # combinable groupBys of the SAME bigram-count relation (computed
+    # once), B broadcasts as one row; the w1-keyed context join is
+    # the stopword skew point at 100 TB — AQE skew-join here, salting
+    # (operators/politeness.py pattern) is the production arm.
+    """
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents),
+    bg AS (
+      SELECT ts[g] AS w1, ts[g + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(g)),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctot,
+                   CAST(count(*) AS BIGINT) AS nfwd
+            FROM bc GROUP BY 1),
+    back AS (SELECT w2, CAST(count(*) AS BIGINT) AS nback
+             FROM bc GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc)
+    SELECT bc.w1, bc.w2, bc.c,
+           round((bc.c - 0.75) / ctx.ctot
+                 + 0.75 * ctx.nfwd / ctx.ctot * (back.nback / tot.b), 6)
+             AS p_kn
+    FROM bc JOIN ctx USING (w1) JOIN back USING (w2) CROSS JOIN tot
+    WHERE bc.c >= 4
+    ORDER BY w1, w2
+    """,
+)
+def q_quality_kn_bigram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower("text")), r"\s+")
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").alias("ctot"), F.count(F.lit(1)).alias("nfwd")
+    )
+    back = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("nback"))
+    tot = bc.agg(F.count(F.lit(1)).alias("b"))
+    p_kn = (F.col("c") - F.lit(0.75)) / F.col("ctot") + (
+        F.lit(0.75) * F.col("nfwd") / F.col("ctot")
+    ) * (F.col("nback") / F.col("b"))
+    return (
+        bc.join(ctx, "w1")
+        .join(back, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c") >= 4)
+        .select("w1", "w2", "c", F.round(p_kn, 6).alias("p_kn"))
+        .orderBy("w1", "w2")
+    )
+
+
+@_register(
+    "index_postings_varint",
+    # Postings-list compression (the index_postings sibling that
+    # makes a web-scale inverted index FIT): per-term doc-id gap
+    # encoding + LEB128 varint byte cost, the Lucene/CC-index layout.
+    # The byte width comes from pure integer range CASEs (no log2 —
+    # doubles never touch the sizing), so both engines agree to the
+    # bit. Scale shape: one exchange on tok for the lag window (each
+    # partition bounded by df), map-side-combinable final agg; the
+    # gap window replaces a collect_list so no per-term array ever
+    # materializes on one executor.
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    toks AS (SELECT DISTINCT doc_id, tok FROM tk),
+    g AS (
+      SELECT tok,
+             coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tok
+                                                 ORDER BY doc_id),
+                      doc_id + 1) AS gap
+      FROM toks),
+    v AS (
+      SELECT tok,
+             CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+                  WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+                  ELSE 5 END AS vb
+      FROM g)
+    SELECT tok, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(vb) AS BIGINT) AS varint_bytes,
+           CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+           round(sum(vb) / (8.0 * count(*)), 4) AS ratio
+    FROM v GROUP BY tok HAVING count(*) >= 10 ORDER BY tok
+    """,
+)
+def q_index_postings_varint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).distinct()
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    gap = F.coalesce(
+        F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id") + 1
+    )
+    vb = (
+        F.when(gap < 128, 1)
+        .when(gap < 16384, 2)
+        .when(gap < 2097152, 3)
+        .when(gap < 268435456, 4)
+        .otherwise(5)
+    )
+    return (
+        toks.select("tok", vb.alias("vb"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("vb").cast("bigint").alias("varint_bytes"),
+            (F.count(F.lit(1)) * 8).cast("bigint").alias("raw_bytes"),
+            F.round(
+                F.sum("vb") / (F.lit(8.0) * F.count(F.lit(1))), 4
+            ).alias("ratio"),
+        )
+        .filter(F.col("df") >= 10)
+        .orderBy("tok")
+    )
