@@ -1,0 +1,244 @@
+"""HTTP transfer-codec operators: Content-Encoding gzip decode and
+chunked transfer-encoding decode over binary body columns.
+
+The reference crawler receives most live bodies gzip-compressed and
+lets scrapy's HttpCompressionMiddleware decompress them
+(scrapy downloadermiddlewares/httpcompression.py — enabled by the
+project's default settings); chunked framing is handled by twisted
+below it. In a 100 TB WARC-replay pipeline both codecs move into the
+engine: raw fetched bytes land in the corpus store and the *reader*
+decodes. Both ops follow the multimodal codec pattern — a synth that
+builds REAL encoded payloads deterministically from doc_id with the
+stdlib encoder (so the decoder is tested against a real producer, not
+itself), a mapInPandas decode, and a closed-form DuckDB oracle over
+``documents``.
+
+Scale note: decode is the one Python stage (Arrow-batched); everything
+before (scan, filter — pushed to parquet) and after (md5, aggregation)
+is WholeStageCodegen. Payloads never shuffle: the decode is a narrow
+map over the scan partitioning.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GZ_SCHEMA = (
+    "doc_id long, n_members long, n_bytes long, crc_ok boolean, "
+    "isize_ok boolean, fname string, text string"
+)
+
+
+def synth_gzip_bodies(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — each selected doc's text utf-8 bytes as a
+    REAL gzip body written by the stdlib encoder (zlib deflate):
+
+    - compression level [0, 1, 6, 9][doc_id % 4] — level 0 emits
+      STORED blocks, 1 favors fixed-Huffman, 6/9 dynamic tables, so
+      the decoder's three block types all appear in-corpus;
+    - doc_id % 2 == 1 → the bytes are split at the midpoint into TWO
+      concatenated members (the Common Crawl per-record layout);
+    - doc_id % 2 == 0 → single member carrying an FNAME header
+      ``doc<id>.html`` (exercises the RFC 1952 optional-field walk).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = str(text).encode("utf-8")
+                lvl = (0, 1, 6, 9)[d % 4]
+                if d % 2:
+                    mid = len(raw) // 2
+                    body = _gzip.compress(
+                        raw[:mid], compresslevel=lvl, mtime=0
+                    ) + _gzip.compress(raw[mid:], compresslevel=lvl, mtime=0)
+                else:
+                    buf = io.BytesIO()
+                    with _gzip.GzipFile(
+                        filename=f"doc{d}.html", mode="wb", fileobj=buf,
+                        compresslevel=lvl, mtime=0,
+                    ) as f:
+                        f.write(raw)
+                    body = buf.getvalue()
+                ids.append(d)
+                payloads.append(body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def gzip_decode_metadata(bodies: DataFrame) -> DataFrame:
+    """REAL RFC 1952 decode of a binary column via minideflate (own
+    Huffman walk + own CRC32): (doc_id, n_members, n_bytes, crc_ok,
+    isize_ok, fname, text). Undecodable payloads yield a null row —
+    at 10^10 bodies a torn member must not kill the task."""
+    from ..functions import minideflate
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_members", "n_bytes", "crc_ok", "isize_ok",
+                "fname", "text")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    members = minideflate.gunzip_members(bytes(payload))
+                except (minideflate.DeflateError, IndexError, ValueError):
+                    for k in ("n_members", "n_bytes", "crc_ok",
+                              "isize_ok", "fname", "text"):
+                        out[k].append(None)
+                    continue
+                plain = b"".join(p for p, _ in members)
+                out["n_members"].append(len(members))
+                out["n_bytes"].append(len(plain))
+                out["crc_ok"].append(all(m["crc_ok"] for _, m in members))
+                out["isize_ok"].append(
+                    all(m["isize_ok"] for _, m in members))
+                out["fname"].append(members[0][1]["fname"]
+                                    if members else None)
+                out["text"].append(plain.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return bodies.select("doc_id", "payload").mapInPandas(
+        batches, schema=_GZ_SCHEMA)
+
+
+def gzip_decode_sql(mod: int = 3) -> str:
+    """Closed-form oracle for gzip_decode_metadata(synth_gzip_bodies):
+    gzip is lossless and the member layout is a function of doc_id, so
+    every output column is computable straight off ``documents``."""
+    return f"""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_members,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           TRUE AS crc_ok,
+           TRUE AS isize_ok,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'doc' || CAST(doc_id AS VARCHAR) || '.html' END
+             AS fname,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id % {mod} = 0
+    ORDER BY doc_id
+    """
+
+
+_CHUNK_SCHEMA = (
+    "doc_id long, n_chunks long, n_bytes long, has_trailer boolean, "
+    "text string"
+)
+
+
+def synth_chunked_bodies(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — each selected doc's text framed with HTTP/1.1
+    chunked transfer-encoding (RFC 9112 §7.1): hex size line + CRLF +
+    chunk + CRLF per chunk, ``0`` last-chunk, optional trailer field.
+
+    - chunk size = 256 + 64 * (doc_id % 5) bytes (final chunk short);
+    - doc_id % 4 == 0 → a chunk extension ``;ext=v`` on every size
+      line (must be ignored per spec);
+    - doc_id % 2 == 1 → a trailer field ``X-Doc-Id: <id>`` between the
+      last-chunk and the final CRLF.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = str(text).encode("utf-8")
+                size = 256 + 64 * (d % 5)
+                ext = b";ext=v" if d % 4 == 0 else b""
+                parts = []
+                for off in range(0, len(raw), size):
+                    chunk = raw[off : off + size]
+                    parts.append(b"%x" % len(chunk) + ext + b"\r\n"
+                                 + chunk + b"\r\n")
+                parts.append(b"0" + ext + b"\r\n")
+                if d % 2:
+                    parts.append(b"X-Doc-Id: %d\r\n" % d)
+                parts.append(b"\r\n")
+                ids.append(d)
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def chunked_decode_metadata(bodies: DataFrame) -> DataFrame:
+    """Chunked-framing decode: walks size lines (hex, extensions
+    stripped), concatenates chunk payloads, parses trailer fields.
+    Malformed framing yields a null row."""
+
+    def _decode(payload: bytes):
+        pos = 0
+        n_chunks = 0
+        body = bytearray()
+        while True:
+            eol = payload.index(b"\r\n", pos)
+            size_tok = payload[pos:eol].split(b";", 1)[0].strip()
+            size = int(size_tok, 16)
+            pos = eol + 2
+            if size == 0:
+                break
+            body += payload[pos : pos + size]
+            if payload[pos + size : pos + size + 2] != b"\r\n":
+                raise ValueError("missing chunk-data CRLF")
+            pos += size + 2
+            n_chunks += 1
+        # trailer section: zero or more field lines, then CRLF
+        has_trailer = payload[pos : pos + 2] != b"\r\n"
+        return n_chunks, bytes(body), has_trailer
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_chunks", "n_bytes", "has_trailer", "text")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    n_chunks, body, has_trailer = _decode(bytes(payload))
+                except (ValueError, IndexError):
+                    for k in ("n_chunks", "n_bytes", "has_trailer",
+                              "text"):
+                        out[k].append(None)
+                    continue
+                out["n_chunks"].append(n_chunks)
+                out["n_bytes"].append(len(body))
+                out["has_trailer"].append(has_trailer)
+                out["text"].append(body.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return bodies.select("doc_id", "payload").mapInPandas(
+        batches, schema=_CHUNK_SCHEMA)
+
+
+def chunked_decode_sql(mod: int = 3) -> str:
+    """Closed-form oracle: chunk count is ceil(n_bytes / chunk_size)
+    in doc_id, framing is lossless."""
+    nb = "octet_length(encode(text))"
+    cs = "(256 + 64 * (doc_id % 5))"
+    return f"""
+    SELECT doc_id,
+           CAST(({nb} + {cs} - 1) // {cs} AS BIGINT) AS n_chunks,
+           CAST({nb} AS BIGINT) AS n_bytes,
+           doc_id % 2 = 1 AS has_trailer,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id % {mod} = 0
+    ORDER BY doc_id
+    """

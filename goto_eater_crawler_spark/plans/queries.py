@@ -122,6 +122,8 @@ _GATE_ORDER: list[str] = [
     # placed first in the demoted section so a time-budgeted driver
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
+    "transfer_gzip_decode",
+    "transfer_chunked_decode",
     "quality_kn_bigram",
     "index_postings_varint",
     "bpe_train_merges",
@@ -6191,3 +6193,62 @@ def q_index_postings_varint(spark, sf_dir):
         .filter(F.col("df") >= 10)
         .orderBy("tok")
     )
+
+
+from ..operators import transfer as _tx  # noqa: E402
+
+
+@_register(
+    "transfer_gzip_decode",
+    # Content-Encoding: gzip decode — the engine's OWN RFC 1951/1952
+    # inflater (functions/minideflate.py: canonical-Huffman walk,
+    # LZ77 window, table-driven CRC32), not zlib. The reference gets
+    # this transparently from scrapy's HttpCompressionMiddleware
+    # (scrapy downloadermiddlewares/httpcompression.py); in a 100 TB
+    # WARC-replay pipeline the *reader* decodes, so it is an engine
+    # operator here. The synth writes REAL gzip with the stdlib
+    # encoder (levels 0/1/6/9 → stored/fixed/dynamic blocks,
+    # concatenated members, FNAME headers), so the decoder is gated
+    # against a real producer; gzip is lossless and the member layout
+    # is a pure function of doc_id, so every output column (member
+    # count, byte count, CRC/ISIZE verdicts, fname, payload md5) is
+    # closed-form over `documents`. Scale shape: one Arrow-batched
+    # Python stage, narrow over the scan partitioning — payloads
+    # never shuffle; only the slim metadata row leaves the stage.
+    _tx.gzip_decode_sql(),
+)
+def q_transfer_gzip_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = _tx.gzip_decode_metadata(_tx.synth_gzip_bodies(d))
+    return out.select(
+        "doc_id",
+        "n_members",
+        "n_bytes",
+        "crc_ok",
+        "isize_ok",
+        "fname",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "transfer_chunked_decode",
+    # HTTP/1.1 chunked transfer-encoding decode (RFC 9112 §7.1): hex
+    # size lines with optional extensions, chunk payload reassembly,
+    # trailer-section detection. The reference's twisted transport
+    # unchunks below scrapy; a WARC-replay engine sees raw framing.
+    # Chunk count is ceil(n_bytes / chunk_size) with both terms
+    # functions of doc_id — fully closed-form oracle. Same scale
+    # shape as the gzip gate: narrow Arrow-batched map, no shuffle.
+    _tx.chunked_decode_sql(),
+)
+def q_transfer_chunked_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = _tx.chunked_decode_metadata(_tx.synth_chunked_bodies(d))
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_bytes",
+        "has_trailer",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")
