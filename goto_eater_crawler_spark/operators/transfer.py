@@ -134,6 +134,140 @@ def gzip_decode_sql(mod: int = 3) -> str:
     """
 
 
+_ZSTD_SCHEMA = (
+    "doc_id long, n_frames long, n_skippable long, n_bytes long, "
+    "checksum_ok boolean, text string"
+)
+
+
+def _libzstd():
+    """ctypes binding to the system libzstd (test-synth producer only
+    — the DECODE path is functions/minizstd.py, never this)."""
+    import ctypes
+
+    lib = ctypes.CDLL("libzstd.so.1")
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_CCtx_setParameter.restype = ctypes.c_size_t
+    lib.ZSTD_CCtx_setParameter.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ZSTD_compress2.restype = ctypes.c_size_t
+    lib.ZSTD_compress2.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    return lib, ctypes
+
+
+def synth_zstd_bodies(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — each selected doc's text as REAL zstd
+    frames written by libzstd (the reference producer):
+
+    - compression level [1, 3, 9, 19][doc_id % 4] (fast → max paths
+      pick different block/table shapes);
+    - doc_id % 2 == 1 → TWO concatenated frames split at the text
+      midpoint (the .warc.zst per-record layout);
+    - doc_id % 4 == 0 → a skippable frame (0x184D2A50-family) is
+      prepended, which the decoder must walk over;
+    - content checksum always on, so every decode verifies the
+      engine's own XXH64 against libzstd's.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lib, ctypes_mod = _libzstd()
+        cctx = lib.ZSTD_createCCtx()
+
+        def compress(raw: bytes, level: int) -> bytes:
+            lib.ZSTD_CCtx_setParameter(cctx, 100, level)  # level
+            lib.ZSTD_CCtx_setParameter(cctx, 201, 1)  # checksum
+            bound = lib.ZSTD_compressBound(len(raw))
+            dst = ctypes_mod.create_string_buffer(bound)
+            n = lib.ZSTD_compress2(cctx, dst, bound, raw, len(raw))
+            return dst.raw[:n]
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = str(text).encode("utf-8")
+                lvl = (1, 3, 9, 19)[d % 4]
+                if d % 2:
+                    mid = len(raw) // 2
+                    body = compress(raw[:mid], lvl) + compress(
+                        raw[mid:], lvl
+                    )
+                else:
+                    body = compress(raw, lvl)
+                if d % 4 == 0:
+                    body = (
+                        (0x184D2A50).to_bytes(4, "little")
+                        + (4).to_bytes(4, "little")
+                        + b"meta"
+                        + body
+                    )
+                ids.append(d)
+                payloads.append(body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def zstd_decode_metadata(bodies: DataFrame) -> DataFrame:
+    """REAL RFC 8878 decode via minizstd (own FSE/huffman/sequence
+    walk + own XXH64): (doc_id, n_frames, n_skippable, n_bytes,
+    checksum_ok, text). Undecodable payloads yield a null row."""
+    from ..functions import minizstd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "n_skippable", "n_bytes",
+                "checksum_ok", "text")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    frames = minizstd.zstd_frames(bytes(payload))
+                except (minizstd.ZstdError, IndexError, ValueError):
+                    for k in ("n_frames", "n_skippable", "n_bytes",
+                              "checksum_ok", "text"):
+                        out[k].append(None)
+                    continue
+                data = [(c, m) for c, m in frames if not m["skippable"]]
+                plain = b"".join(c for c, _ in data)
+                out["n_frames"].append(len(data))
+                out["n_skippable"].append(len(frames) - len(data))
+                out["n_bytes"].append(len(plain))
+                out["checksum_ok"].append(
+                    all(m["checksum_ok"] for _, m in data))
+                out["text"].append(plain.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return bodies.select("doc_id", "payload").mapInPandas(
+        batches, schema=_ZSTD_SCHEMA)
+
+
+def zstd_decode_sql(mod: int = 3) -> str:
+    """Closed-form oracle: zstd is lossless and the frame layout is a
+    pure function of doc_id."""
+    return f"""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_skippable,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           TRUE AS checksum_ok,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id % {mod} = 0
+    ORDER BY doc_id
+    """
+
+
 _CHUNK_SCHEMA = (
     "doc_id long, n_chunks long, n_bytes long, has_trailer boolean, "
     "text string"

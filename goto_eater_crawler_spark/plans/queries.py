@@ -124,6 +124,7 @@ _GATE_ORDER: list[str] = [
     # for the judge's check_oracle tail pass (the r3 procedure) ----
     "transfer_gzip_decode",
     "transfer_chunked_decode",
+    "transfer_zstd_decode",
     "quality_kn_bigram",
     "index_postings_varint",
     "bpe_train_merges",
@@ -6250,5 +6251,37 @@ def q_transfer_chunked_decode(spark, sf_dir):
         "n_chunks",
         "n_bytes",
         "has_trailer",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "transfer_zstd_decode",
+    # Content-Encoding: zstd / .warc.zst decode — the engine's OWN
+    # RFC 8878 decoder (functions/minizstd.py: FSE normalized-count
+    # bitstream + table spread, huff0 with FSE-compressed weights,
+    # 4-stream literals, three interleaved sequence states over a
+    # backward bitstream, repeat-offset history, own XXH64 for the
+    # content checksum). Common Crawl ships its index and the
+    # .warc.zst profile zstd-compressed and RFC 9659 puts zstd in
+    # Content-Encoding; the reference's scrapy stack has no zstd arm,
+    # so this is a build-spec frontier op like the multimodal codecs.
+    # The synth writes REAL frames with libzstd (levels 1/3/9/19,
+    # concatenated frames, skippable frames, checksums on), so the
+    # decoder is gated against the reference producer; frame layout
+    # is a pure function of doc_id → fully closed-form oracle. Scale
+    # shape: one Arrow-batched Python stage, narrow over the scan
+    # partitioning — payloads never shuffle.
+    _tx.zstd_decode_sql(),
+)
+def q_transfer_zstd_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = _tx.zstd_decode_metadata(_tx.synth_zstd_bodies(d))
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "n_skippable",
+        "n_bytes",
+        "checksum_ok",
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
     ).orderBy("doc_id")

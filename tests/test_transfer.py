@@ -189,6 +189,33 @@ def test_gzip_decode_torn_payload_yields_null_row(spark):
     assert row["doc_id"] == 1 and row["n_members"] is None
 
 
+def test_zstd_decode_gate(spark):
+    from goto_eater_crawler_spark.operators import transfer as tx
+
+    docs = _docs(spark)
+    out = tx.zstd_decode_metadata(tx.synth_zstd_bodies(docs))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(rows) == {0, 3, 6, 9}
+    for d, r in rows.items():
+        assert r["n_frames"] == 1 + d % 2
+        assert r["n_skippable"] == (1 if d % 4 == 0 else 0)
+        assert r["checksum_ok"] is True
+        assert r["text"] == texts[d]
+        assert r["n_bytes"] == len(texts[d].encode("utf-8"))
+
+
+def test_zstd_decode_torn_payload_yields_null_row(spark):
+    from goto_eater_crawler_spark.operators import transfer as tx
+
+    bodies = spark.createDataFrame(
+        [(1, bytearray(b"\x28\xb5\x2f\xfdtorn"))],
+        "doc_id long, payload binary",
+    )
+    row = tx.zstd_decode_metadata(bodies).collect()[0]
+    assert row["doc_id"] == 1 and row["n_frames"] is None
+
+
 def test_chunked_decode_gate(spark):
     from goto_eater_crawler_spark.operators import transfer as tx
 
