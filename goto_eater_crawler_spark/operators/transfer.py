@@ -268,6 +268,105 @@ def zstd_decode_sql(mod: int = 3) -> str:
     """
 
 
+_BZ2_SCHEMA = (
+    "doc_id long, n_streams long, n_blocks long, n_bytes long, "
+    "crc_ok boolean, text string"
+)
+
+
+def synth_bz2_bodies(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — each selected doc's text as REAL bzip2
+    streams written by the stdlib encoder (the reference producer):
+
+    - compression level [1, 5, 9][doc_id % 3 within selection]
+      (level 1 = 100 KB blocks, so long docs split into multiple
+      BWT blocks);
+    - doc_id % 2 == 1 → TWO concatenated streams split at the text
+      midpoint (the multistream dump layout, e.g. Wikipedia's
+      pages-articles-multistream).
+    """
+    import bz2 as _bz2
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = str(text).encode("utf-8")
+                lvl = (1, 5, 9)[(d // mod) % 3]
+                if d % 2:
+                    mid = len(raw) // 2
+                    body = _bz2.compress(raw[:mid], lvl) + _bz2.compress(
+                        raw[mid:], lvl
+                    )
+                else:
+                    body = _bz2.compress(raw, lvl)
+                ids.append(d)
+                payloads.append(body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def bz2_decode_metadata(bodies: DataFrame) -> DataFrame:
+    """REAL bzip2 decode via minibz2 (own Huffman/MTF/BWT walk + own
+    bzip2-variant CRC32): (doc_id, n_streams, n_blocks, n_bytes,
+    crc_ok, text). Undecodable payloads yield a null row."""
+    from ..functions import minibz2
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_streams", "n_blocks", "n_bytes", "crc_ok",
+                "text")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    streams = minibz2.bz2_streams(bytes(payload))
+                except (minibz2.Bz2Error, IndexError, ValueError):
+                    for k in ("n_streams", "n_blocks", "n_bytes",
+                              "crc_ok", "text"):
+                        out[k].append(None)
+                    continue
+                plain = b"".join(p for p, _ in streams)
+                out["n_streams"].append(len(streams))
+                out["n_blocks"].append(
+                    sum(m["n_blocks"] for _, m in streams))
+                out["n_bytes"].append(len(plain))
+                out["crc_ok"].append(all(m["crc_ok"] for _, m in streams))
+                out["text"].append(plain.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return bodies.select("doc_id", "payload").mapInPandas(
+        batches, schema=_BZ2_SCHEMA)
+
+
+def bz2_decode_sql(mod: int = 3) -> str:
+    """Closed-form oracle: bzip2 is lossless, stream count is a pure
+    function of doc_id, and at gate scale every non-empty stream is
+    exactly one BWT block (docs ≪ 100 KB), so n_blocks is the number
+    of non-empty stream halves."""
+    nb = "octet_length(encode(text))"
+    return f"""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_streams,
+           CAST(CASE
+                  WHEN doc_id % 2 = 0 THEN CASE WHEN {nb} > 0 THEN 1 ELSE 0 END
+                  ELSE (CASE WHEN {nb} // 2 > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN {nb} - {nb} // 2 > 0 THEN 1 ELSE 0 END)
+                END AS BIGINT) AS n_blocks,
+           CAST({nb} AS BIGINT) AS n_bytes,
+           TRUE AS crc_ok,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id % {mod} = 0
+    ORDER BY doc_id
+    """
+
+
 _CHUNK_SCHEMA = (
     "doc_id long, n_chunks long, n_bytes long, has_trailer boolean, "
     "text string"

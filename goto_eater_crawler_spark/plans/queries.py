@@ -125,6 +125,7 @@ _GATE_ORDER: list[str] = [
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
+    "transfer_bz2_decode",
     "quality_kn_bigram",
     "index_postings_varint",
     "bpe_train_merges",
@@ -6283,5 +6284,32 @@ def q_transfer_zstd_decode(spark, sf_dir):
         "n_skippable",
         "n_bytes",
         "checksum_ok",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "transfer_bz2_decode",
+    # bzip2 decode — the engine's OWN BWT/MTF/RLE/Huffman walk
+    # (functions/minibz2.py) with bzip2's MSB-first CRC32 variant
+    # verified per block and per stream. Long-lived web corpora ship
+    # bzip2-compressed (Wikipedia multistream dumps, older crawl
+    # segments); the synth mirrors that layout with stdlib bz2 as the
+    # real producer (levels 1/5/9, concatenated streams). Stream and
+    # block counts are pure functions of doc_id at gate scale (docs
+    # are far below the 100 KB block size), so the oracle is fully
+    # closed-form. Scale shape: one Arrow-batched Python stage,
+    # narrow over the scan partitioning — payloads never shuffle.
+    _tx.bz2_decode_sql(),
+)
+def q_transfer_bz2_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = _tx.bz2_decode_metadata(_tx.synth_bz2_bodies(d))
+    return out.select(
+        "doc_id",
+        "n_streams",
+        "n_blocks",
+        "n_bytes",
+        "crc_ok",
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
     ).orderBy("doc_id")

@@ -216,6 +216,28 @@ def test_zstd_decode_torn_payload_yields_null_row(spark):
     assert row["doc_id"] == 1 and row["n_frames"] is None
 
 
+def test_bz2_decode_gate(spark):
+    from goto_eater_crawler_spark.operators import transfer as tx
+
+    docs = _docs(spark)
+    out = tx.bz2_decode_metadata(tx.synth_bz2_bodies(docs))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(rows) == {0, 3, 6, 9}
+    for d, r in rows.items():
+        raw = texts[d].encode("utf-8")
+        assert r["n_streams"] == 1 + d % 2
+        exp_blocks = (
+            (1 if raw else 0)
+            if d % 2 == 0
+            else (1 if len(raw) // 2 else 0) + (1 if raw[len(raw) // 2:] else 0)
+        )
+        assert r["n_blocks"] == exp_blocks
+        assert r["crc_ok"] is True
+        assert r["text"] == texts[d]
+        assert r["n_bytes"] == len(raw)
+
+
 def test_chunked_decode_gate(spark):
     from goto_eater_crawler_spark.operators import transfer as tx
 
