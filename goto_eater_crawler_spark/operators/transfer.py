@@ -367,6 +367,119 @@ def bz2_decode_sql(mod: int = 3) -> str:
     """
 
 
+_XZ_SCHEMA = (
+    "doc_id long, n_streams long, n_blocks long, check_type string, "
+    "n_bytes long, checks_ok boolean, text string"
+)
+
+
+def synth_xz_bodies(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — each selected doc's text as REAL .xz
+    streams written by stdlib lzma (liblzma, the reference producer):
+
+    - integrity check cycles [CRC64, CRC32, SHA-256, none] by
+      doc_id % 4, so all four verification arms run in-corpus;
+    - preset 0 (fast) for even doc_id, 6 for odd;
+    - doc_id % 2 == 1 → TWO concatenated streams split at the text
+      midpoint, with 4 bytes of stream padding between them.
+    """
+    import lzma as _lzma
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        checks = (
+            _lzma.CHECK_CRC64, _lzma.CHECK_CRC32,
+            _lzma.CHECK_SHA256, _lzma.CHECK_NONE,
+        )
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = str(text).encode("utf-8")
+                check = checks[d % 4]
+                preset = 0 if d % 2 == 0 else 6
+                if d % 2:
+                    mid = len(raw) // 2
+                    body = (
+                        _lzma.compress(raw[:mid], preset=preset,
+                                       check=check)
+                        + b"\x00" * 4
+                        + _lzma.compress(raw[mid:], preset=preset,
+                                         check=check)
+                    )
+                else:
+                    body = _lzma.compress(raw, preset=preset, check=check)
+                ids.append(d)
+                payloads.append(body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def xz_decode_metadata(bodies: DataFrame) -> DataFrame:
+    """REAL xz decode via minilzma (own range coder / LZMA2 walk /
+    CRC32 / CRC64): (doc_id, n_streams, n_blocks, check_type,
+    n_bytes, checks_ok, text). Undecodable payloads yield a null
+    row."""
+    from ..functions import minilzma
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_streams", "n_blocks", "check_type",
+                "n_bytes", "checks_ok", "text")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    streams = minilzma.xz_streams(bytes(payload))
+                except (minilzma.LzmaError, IndexError, ValueError):
+                    for k in ("n_streams", "n_blocks", "check_type",
+                              "n_bytes", "checks_ok", "text"):
+                        out[k].append(None)
+                    continue
+                plain = b"".join(p for p, _ in streams)
+                out["n_streams"].append(len(streams))
+                out["n_blocks"].append(
+                    sum(m["n_blocks"] for _, m in streams))
+                out["check_type"].append(
+                    streams[0][1]["check"] if streams else None)
+                out["n_bytes"].append(len(plain))
+                out["checks_ok"].append(
+                    all(m["checks_ok"] for _, m in streams))
+                out["text"].append(plain.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return bodies.select("doc_id", "payload").mapInPandas(
+        batches, schema=_XZ_SCHEMA)
+
+
+def xz_decode_sql(mod: int = 3) -> str:
+    """Closed-form oracle: xz is lossless; stream/block layout and
+    check type are pure functions of doc_id (stdlib one-shot writes
+    one block per non-empty stream, zero for empty)."""
+    nb = "octet_length(encode(text))"
+    return f"""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_streams,
+           CAST(CASE
+                  WHEN doc_id % 2 = 0 THEN CASE WHEN {nb} > 0 THEN 1 ELSE 0 END
+                  ELSE (CASE WHEN {nb} // 2 > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN {nb} - {nb} // 2 > 0 THEN 1 ELSE 0 END)
+                END AS BIGINT) AS n_blocks,
+           CASE doc_id % 4 WHEN 0 THEN 'crc64' WHEN 1 THEN 'crc32'
+                           WHEN 2 THEN 'sha256' ELSE 'none' END
+             AS check_type,
+           CAST({nb} AS BIGINT) AS n_bytes,
+           TRUE AS checks_ok,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id % {mod} = 0
+    ORDER BY doc_id
+    """
+
+
 _CHUNK_SCHEMA = (
     "doc_id long, n_chunks long, n_bytes long, has_trailer boolean, "
     "text string"

@@ -126,6 +126,7 @@ _GATE_ORDER: list[str] = [
     "transfer_chunked_decode",
     "transfer_zstd_decode",
     "transfer_bz2_decode",
+    "transfer_xz_decode",
     "quality_kn_bigram",
     "index_postings_varint",
     "bpe_train_merges",
@@ -6311,5 +6312,35 @@ def q_transfer_bz2_decode(spark, sf_dir):
         "n_blocks",
         "n_bytes",
         "crc_ok",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "transfer_xz_decode",
+    # xz / LZMA decode — the engine's OWN range coder + LZMA2 chunk
+    # walk + .xz container (functions/minilzma.py): bit trees,
+    # matched literals, rep-offset lattice, position-slot distance
+    # model, plus container integrity (header/block/index/footer
+    # CRC32s, per-block CRC32/CRC64/SHA-256 — the CRCs computed here,
+    # not delegated). Academic corpus mirrors and dump archives ship
+    # xz; the reference's scrapy stack has no xz arm, so this is a
+    # build-spec frontier op completing the archive family (gzip,
+    # zstd, bzip2, xz). The synth writes REAL streams with stdlib
+    # liblzma cycling all four check types; layout is a pure function
+    # of doc_id → fully closed-form oracle. Scale shape: one
+    # Arrow-batched Python stage, narrow over the scan partitioning.
+    _tx.xz_decode_sql(),
+)
+def q_transfer_xz_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = _tx.xz_decode_metadata(_tx.synth_xz_bodies(d))
+    return out.select(
+        "doc_id",
+        "n_streams",
+        "n_blocks",
+        "check_type",
+        "n_bytes",
+        "checks_ok",
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
     ).orderBy("doc_id")

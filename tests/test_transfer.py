@@ -238,6 +238,23 @@ def test_bz2_decode_gate(spark):
         assert r["n_bytes"] == len(raw)
 
 
+def test_xz_decode_gate(spark):
+    from goto_eater_crawler_spark.operators import transfer as tx
+
+    docs = _docs(spark)
+    out = tx.xz_decode_metadata(tx.synth_xz_bodies(docs))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(rows) == {0, 3, 6, 9}
+    checks = {0: "crc64", 1: "crc32", 2: "sha256", 3: "none"}
+    for d, r in rows.items():
+        assert r["n_streams"] == 1 + d % 2
+        assert r["check_type"] == checks[d % 4]
+        assert r["checks_ok"] is True
+        assert r["text"] == texts[d]
+        assert r["n_bytes"] == len(texts[d].encode("utf-8"))
+
+
 def test_chunked_decode_gate(spark):
     from goto_eater_crawler_spark.operators import transfer as tx
 
