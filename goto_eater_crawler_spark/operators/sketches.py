@@ -295,3 +295,131 @@ def cm_sql(table: str, key_expr: str, probe_n: int, width: int = 64,
            CAST(coalesce(x.exact, 0) AS BIGINT) AS exact
     FROM est e LEFT JOIN exact x USING (key)
     """
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch (Karnin, Lang, Liberty, FOCS
+# 2016 — public paper), completing the sketch family (MG heavy
+# hitters, HLL distinct, Count-Min point queries, KLL quantiles: the
+# four summaries a 10^10-row profiling pass actually needs).
+#
+# Variant notes (honesty contract, the MG/CMS pattern): uniform
+# per-level compactor capacity (the MRL-style simplification of
+# KLL's geometrically-shrinking capacities) and a DETERMINISTIC
+# alternating compaction offset per level instead of a random coin —
+# sweep-compactor style — so task retries and the DuckDB-side oracle
+# reproduce the sketch bit-for-bit. In the ≤capacity regime no
+# compaction fires, every item survives at weight 1, and the rank
+# rule below is EXACT — that is the oracle-gated regime; the
+# approximate regime is pytest-gated against true ranks.
+#
+# Scale shape: one mapInPandas pass builds per-partition compactor
+# summaries — only O(cap · log(n/cap)) (level, value) rows per
+# partition reach the shuffle; the final combine is a single tiny
+# reduce (the standard sketch-aggregation shape, same as MG's merge),
+# and quantile extraction is one cumsum window over the merged
+# summary rows, never over the data.
+# ---------------------------------------------------------------------------
+
+
+def _kll_compact(levels: dict, cap: int, coins: dict) -> None:
+    """Compact any over-full level: sort, promote alternating items
+    at doubled weight (weight mass is conserved exactly — an odd
+    leftover stays at its level)."""
+    while True:
+        for lvl in sorted(levels):
+            buf = levels[lvl]
+            if len(buf) < cap:
+                continue
+            buf.sort()
+            leftover = None
+            if len(buf) % 2:
+                leftover = buf.pop()  # deterministic hold-back
+            off = coins.get(lvl, 0)
+            coins[lvl] = off ^ 1
+            promoted = buf[off::2]
+            levels[lvl] = [leftover] if leftover is not None else []
+            levels.setdefault(lvl + 1, []).extend(promoted)
+            break
+        else:
+            return
+
+
+def kll_summaries(df: DataFrame, value_col: str, cap: int = 256) -> DataFrame:
+    """Per-partition KLL compactor summaries: (level, value) rows;
+    weight of a row is 2^level implicitly."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        levels: dict = {0: []}
+        coins: dict = {}
+        for pdf in batches:
+            for v in pdf[value_col]:
+                levels[0].append(int(v))
+                if len(levels[0]) >= cap:
+                    _kll_compact(levels, cap, coins)
+        out_lvl, out_val = [], []
+        for lvl, buf in levels.items():
+            out_lvl.extend([lvl] * len(buf))
+            out_val.extend(buf)
+        yield pd.DataFrame({"level": out_lvl, "value": out_val})
+
+    return df.select(F.col(value_col).cast("long").alias(value_col)).mapInPandas(
+        summarize, schema="level int, value long"
+    )
+
+
+def kll_merge(summaries: DataFrame, cap: int = 256) -> DataFrame:
+    """Merge per-partition summaries into one sketch: concatenate
+    level buffers, re-compact. The input is already sketch-sized, so
+    the single final task is the standard sketch reduce."""
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        levels: dict = {}
+        coins: dict = {}
+        for pdf in batches:
+            for lvl, v in zip(pdf["level"], pdf["value"]):
+                levels.setdefault(int(lvl), []).append(int(v))
+        _kll_compact(levels, cap, coins)
+        out_lvl, out_val = [], []
+        for lvl, buf in levels.items():
+            out_lvl.extend([lvl] * len(buf))
+            out_val.extend(buf)
+        yield pd.DataFrame({"level": out_lvl, "value": out_val})
+
+    return summaries.coalesce(1).mapInPandas(
+        combine, schema="level int, value long"
+    )
+
+
+def kll_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile extraction by the explicit rank rule: value(q) = the
+    smallest sketch value whose cumulative weight >= ceil(q * W).
+    The only float op is the single q*W multiply inside ceil — the
+    oracle restates the identical expression, so both engines compute
+    the same IEEE double and the same integer rank boundary."""
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    weighted = sketch.select(
+        "value", F.expr("shiftleft(1L, level)").alias("wt")
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = weighted.select(
+        "value", F.sum("wt").over(w).alias("cw")
+    ).crossJoin(F.broadcast(weighted.agg(F.sum("wt").alias("w_total"))))
+    probes = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        F.broadcast(probes)
+        .crossJoin(cum)  # |qs| x sketch-size rows, both tiny
+        .filter(
+            F.col("cw") >= F.ceil(F.col("q") * F.col("w_total")).cast("long")
+        )
+        .groupBy("q")
+        .agg(
+            F.min("value").alias("value"),
+            F.max("w_total").alias("total_weight"),
+        )
+        .orderBy("q")
+    )

@@ -127,6 +127,7 @@ _GATE_ORDER: list[str] = [
     "transfer_zstd_decode",
     "transfer_bz2_decode",
     "transfer_xz_decode",
+    "quantiles_kll_sketch",
     "quality_kn_bigram",
     "index_postings_varint",
     "bpe_train_merges",
@@ -6344,3 +6345,36 @@ def q_transfer_xz_decode(spark, sf_dir):
         "checks_ok",
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "quantiles_kll_sketch",
+    # KLL-style mergeable quantile sketch (Karnin-Lang-Liberty 2016)
+    # completing the sketch family: MG heavy hitters + HLL distinct +
+    # Count-Min point queries + KLL quantiles. Per-partition
+    # compactor summaries (only O(cap*log(n/cap)) rows shuffle), one
+    # tiny final combine, quantile extraction by the explicit integer
+    # rank rule value(q) = min value with cumweight >= ceil(q*W). In
+    # the <=cap regime no compaction fires and the rule is EXACT, so
+    # the oracle restates the identical rank rule over the raw values
+    # (the MG/CMS exact-regime honesty pattern); the compaction path
+    # is pytest-gated against true ranks (tests/test_sketches.py).
+    """
+    WITH v AS (SELECT n_chars AS value FROM documents),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS w_total FROM v),
+    c AS (SELECT value,
+                 CAST(row_number() OVER (ORDER BY value) AS BIGINT) AS cw
+          FROM v),
+    q(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))
+    SELECT CAST(q.q AS DOUBLE) AS q, min(c.value) AS value,
+           max(t.w_total) AS total_weight
+    FROM q, c, t
+    WHERE c.cw >= CAST(ceil(CAST(q.q AS DOUBLE) * t.w_total) AS BIGINT)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_quantiles_kll_sketch(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    summ = _sk.kll_summaries(d.select("n_chars"), "n_chars", cap=4096)
+    sk = _sk.kll_merge(summ, cap=4096)
+    return _sk.kll_quantiles(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])

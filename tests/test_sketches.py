@@ -137,3 +137,75 @@ def test_countmin_dominance_and_exact_regime(spark):
     }
     for k in range(30):
         assert est2[k] == exact.get(k, 0), k
+
+
+# ------------------------------------------------------------- KLL
+def _kll_estimates(spark, values, cap, qs, n_parts=4):
+    from goto_eater_crawler_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(int(v),) for v in values], "n long"
+    ).repartition(n_parts)
+    sketch = sk.kll_merge(sk.kll_summaries(df, "n", cap=cap), cap=cap)
+    rows = sk.kll_quantiles(sketch, qs).collect()
+    return {r["q"]: (r["value"], r["total_weight"]) for r in rows}
+
+
+def test_kll_exact_regime_matches_true_quantiles(spark):
+    import math
+    import random
+
+    rnd = random.Random(4)
+    values = [rnd.randrange(10**6) for _ in range(2000)]
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = _kll_estimates(spark, values, cap=4096, qs=qs)
+    s = sorted(values)
+    for q in qs:
+        want = s[math.ceil(q * len(values)) - 1]
+        assert est[q] == (want, len(values)), q
+
+
+def test_kll_weight_mass_conserved_under_compaction(spark):
+    from pyspark.sql import functions as F
+
+    from goto_eater_crawler_spark.operators import sketches as sk
+
+    n = 30000
+    df = spark.range(n).selectExpr("CAST(id * 2654435761 % 99991 AS long) AS n")
+    sketch = sk.kll_merge(sk.kll_summaries(df, "n", cap=128), cap=128)
+    rows = sketch.select(
+        F.sum(F.expr("shiftleft(1L, level)")).alias("w"),
+        F.count(F.lit(1)).alias("rows"),
+    ).collect()[0]
+    assert rows["w"] == n
+    assert rows["rows"] < 128 * 12  # sketch-sized, not data-sized
+
+
+def test_kll_compacted_rank_error_bounded(spark):
+    import random
+
+    rnd = random.Random(8)
+    n = 40000
+    values = [rnd.randrange(10**9) for _ in range(n)]
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    est = _kll_estimates(spark, values, cap=256, qs=qs, n_parts=8)
+    s = sorted(values)
+    rank_of = {v: i for i, v in reversed(list(enumerate(s, 1)))}
+    for q in qs:
+        v, w = est[q]
+        assert w == n
+        # the estimate is a real data value whose true rank is within
+        # eps*n of the target (eps generous vs the O(1/cap) theory)
+        true_rank = rank_of[v]
+        assert abs(true_rank - q * n) <= 0.05 * n, (q, true_rank)
+
+
+def test_kll_merge_equals_single_partition_estimates(spark):
+    import random
+
+    rnd = random.Random(15)
+    values = [rnd.randrange(10**6) for _ in range(5000)]
+    one = _kll_estimates(spark, values, cap=8192, qs=[0.5], n_parts=1)
+    many = _kll_estimates(spark, values, cap=8192, qs=[0.5], n_parts=16)
+    # exact regime: partitioning must not change the answer at all
+    assert one == many
