@@ -128,6 +128,8 @@ _GATE_ORDER: list[str] = [
     "transfer_bz2_decode",
     "transfer_xz_decode",
     "quantiles_kll_sketch",
+    "crawl_aimd_rate",
+    "http_cache_ttl",
     "quality_kn_bigram",
     "index_postings_varint",
     "bpe_train_merges",
@@ -6378,3 +6380,184 @@ def q_quantiles_kll_sketch(spark, sf_dir):
     summ = _sk.kll_summaries(d.select("n_chars"), "n_chars", cap=4096)
     sk = _sk.kll_merge(summ, cap=4096)
     return _sk.kll_quantiles(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+@_register(
+    "crawl_aimd_rate",
+    # AIMD per-host rate controller (the TCP-style congestion arm a
+    # polite crawler runs per host: additive +1 on success up to a
+    # cap, multiplicative halving on an error, floor 1 — Heritrix's
+    # adaptive politeness class). The rate trajectory is an ORDERED
+    # fold over each host's outcome sequence; both engines run the
+    # IDENTICAL integer fold (Spark F.aggregate / DuckDB list_reduce
+    # with the initial accumulator prepended since 1.0's two-arg
+    # form) with (rate, running max) bit-packed into one BIGINT — no
+    # doubles anywhere (the cross-engine float rule). Scale shape:
+    # one map-side-combinable groupBy on host; each host's events
+    # collapse to one array inside its partition — the fold runs
+    # where the data is, nothing iterates on the driver.
+    """
+    WITH e AS (
+      SELECT user_id,
+             list(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                  ORDER BY ts, event_id) AS steps,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1),
+    f AS (
+      SELECT user_id, n_events, n_errors,
+             list_reduce(list_prepend(1028, steps),
+               (acc, x) ->
+                 (CASE WHEN x = 1
+                       THEN greatest((acc & 255) >> 1, 1)
+                       ELSE least((acc & 255) + 1, 64) END)
+                 | (greatest(acc >> 8,
+                     CASE WHEN x = 1
+                          THEN greatest((acc & 255) >> 1, 1)
+                          ELSE least((acc & 255) + 1, 64) END) << 8)
+             ) AS acc
+      FROM e)
+    SELECT user_id AS host, n_events, n_errors,
+           CAST(acc & 255 AS BIGINT) AS final_rate,
+           CAST(acc >> 8 AS BIGINT) AS max_rate
+    FROM f ORDER BY host
+    """,
+)
+def q_crawl_aimd_rate(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    per = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", is_err.alias("x")))
+        ).alias("evs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(is_err).cast("bigint").alias("n_errors"),
+    )
+    steps = F.transform(F.col("evs"), lambda s: s["x"].cast("long"))
+
+    def fold(acc, x):
+        rate = acc.bitwiseAND(F.lit(255))
+        new_rate = F.when(
+            x == 1, F.greatest(F.shiftright(rate, 1), F.lit(1).cast("long"))
+        ).otherwise(F.least(rate + 1, F.lit(64).cast("long")))
+        new_max = F.greatest(F.shiftright(acc, 8), new_rate)
+        return new_rate.bitwiseOR(F.shiftleft(new_max, 8))
+
+    acc = F.aggregate(steps, F.lit(1028).cast("long"), fold)
+    return per.select(
+        F.col("user_id").alias("host"),
+        "n_events",
+        "n_errors",
+        acc.bitwiseAND(F.lit(255)).cast("bigint").alias("final_rate"),
+        F.shiftright(acc, 8).cast("bigint").alias("max_rate"),
+    ).orderBy("host")
+
+
+@_register(
+    "http_cache_ttl",
+    # Cache-Control → recrawl-TTL assignment (RFC 9111 precedence:
+    # no-store beats everything, then no-cache forces revalidation,
+    # s-maxage beats max-age for a shared cache, absent headers fall
+    # to a heuristic default — the policy a recrawl scheduler derives
+    # next_fetch from; pairs with http_revalidate which prices the
+    # revalidation itself). Headers are synthesized from doc_id with
+    # identical concat exprs on both sides, so the gate pins the
+    # PARSE (native regexp_extract + boolean directive tests — zero
+    # UDF, WholeStageCodegen) and the precedence CASE. Scale shape:
+    # pure narrow projection over the scan.
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'public, max-age=' || CAST(60 * (doc_id % 100) AS VARCHAR)
+               WHEN 1 THEN 'no-cache, max-age=600'
+               WHEN 2 THEN 's-maxage=' || CAST(120 * (doc_id % 50) AS VARCHAR) || ', max-age=300'
+               WHEN 3 THEN 'private, max-age=' || CAST(30 * (doc_id % 40) AS VARCHAR)
+               WHEN 4 THEN 'no-store'
+               ELSE ''
+             END AS cache_control
+      FROM documents),
+    p AS (
+      SELECT doc_id, cache_control,
+             CASE WHEN regexp_extract(cache_control,
+                    '(^|[, ])max-age=([0-9]+)', 2) = '' THEN NULL
+                  ELSE CAST(regexp_extract(cache_control,
+                    '(^|[, ])max-age=([0-9]+)', 2) AS BIGINT) END AS max_age,
+             CASE WHEN regexp_extract(cache_control,
+                    's-maxage=([0-9]+)', 1) = '' THEN NULL
+                  ELSE CAST(regexp_extract(cache_control,
+                    's-maxage=([0-9]+)', 1) AS BIGINT) END AS s_maxage,
+             contains(cache_control, 'no-cache') AS no_cache,
+             contains(cache_control, 'no-store') AS no_store
+      FROM h)
+    SELECT doc_id, cache_control, max_age, s_maxage, no_cache, no_store,
+           CAST(CASE WHEN no_store THEN 0
+                     WHEN no_cache THEN 0
+                     WHEN s_maxage IS NOT NULL THEN s_maxage
+                     WHEN max_age IS NOT NULL THEN max_age
+                     ELSE 3600 END AS BIGINT) AS effective_ttl,
+           (no_store OR no_cache) AS must_revalidate
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_http_cache_ttl(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cc = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("public, max-age="),
+                (60 * (F.col("doc_id") % 100)).cast("string"),
+            ),
+        )
+        .when(F.col("doc_id") % 6 == 1, F.lit("no-cache, max-age=600"))
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(
+                F.lit("s-maxage="),
+                (120 * (F.col("doc_id") % 50)).cast("string"),
+                F.lit(", max-age=300"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.lit("private, max-age="),
+                (30 * (F.col("doc_id") % 40)).cast("string"),
+            ),
+        )
+        .when(F.col("doc_id") % 6 == 4, F.lit("no-store"))
+        .otherwise(F.lit(""))
+    )
+    h = d.select("doc_id", cc.alias("cache_control"))
+    ma_s = F.regexp_extract("cache_control", r"(^|[, ])max-age=([0-9]+)", 2)
+    sm_s = F.regexp_extract("cache_control", r"s-maxage=([0-9]+)", 1)
+    p = h.select(
+        "doc_id",
+        "cache_control",
+        F.when(ma_s == "", None).otherwise(ma_s.cast("bigint")).alias(
+            "max_age"
+        ),
+        F.when(sm_s == "", None).otherwise(sm_s.cast("bigint")).alias(
+            "s_maxage"
+        ),
+        F.col("cache_control").contains("no-cache").alias("no_cache"),
+        F.col("cache_control").contains("no-store").alias("no_store"),
+    )
+    ttl = (
+        F.when(F.col("no_store") | F.col("no_cache"), 0)
+        .when(F.col("s_maxage").isNotNull(), F.col("s_maxage"))
+        .when(F.col("max_age").isNotNull(), F.col("max_age"))
+        .otherwise(3600)
+    )
+    return p.select(
+        "doc_id",
+        "cache_control",
+        "max_age",
+        "s_maxage",
+        "no_cache",
+        "no_store",
+        ttl.cast("bigint").alias("effective_ttl"),
+        (F.col("no_store") | F.col("no_cache")).alias("must_revalidate"),
+    ).orderBy("doc_id")
