@@ -130,6 +130,7 @@ _GATE_ORDER: list[str] = [
     "quantiles_kll_sketch",
     "crawl_aimd_rate",
     "http_cache_ttl",
+    "similarity_hard_negatives",
     "quality_kn_bigram",
     "index_postings_varint",
     "bpe_train_merges",
@@ -6561,3 +6562,22 @@ def q_http_cache_ttl(spark, sf_dir):
         ttl.cast("bigint").alias("effective_ttl"),
         (F.col("no_store") | F.col("no_cache")).alias("must_revalidate"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "similarity_hard_negatives",
+    # Hard-negative mining for contrastive embedding training (the
+    # DPR/SimCSE data-prep step): pairs that SHARE an LSH bucket
+    # (i.e. look similar to the ANN structure) but whose exact cosine
+    # falls in the similar-not-duplicate band [0.5, 0.95) — exactly
+    # the negatives a contrastive loss learns most from. Reuses the
+    # rhplsh machinery end-to-end (same deterministic hyperplanes,
+    # banding, hot-bucket cap, exact verify), so engine and oracle
+    # see the identical recall-lossy candidate set; only the cosine
+    # band differs from dedup_embedding_lsh, which keeps the >= 0.95
+    # arm. Scale shape unchanged: bucketed, never all-pairs.
+    _rhp.rhp_dup_pairs_sql(0.5, 200, 40, upper=0.95, hard_negatives=40),
+)
+def q_similarity_hard_negatives(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _rhp.rhp_dup_pairs(e, 0.5, 200, 40, upper=0.95, hard_negatives=40)
