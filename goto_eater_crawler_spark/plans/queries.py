@@ -131,6 +131,8 @@ _GATE_ORDER: list[str] = [
     "crawl_aimd_rate",
     "http_cache_ttl",
     "similarity_hard_negatives",
+    "events_json_extract",
+    "index_delta_merge",
     "quality_kn_bigram",
     "index_postings_varint",
     "bpe_train_merges",
@@ -6581,3 +6583,97 @@ def q_http_cache_ttl(spark, sf_dir):
 def q_similarity_hard_negatives(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return _rhp.rhp_dup_pairs(e, 0.5, 200, 40, upper=0.95, hard_negatives=40)
+
+
+@_register(
+    "events_json_extract",
+    # Schema-on-read JSON sidecar extraction (every crawler stores
+    # per-record JSON metadata next to the payload — WARC headers,
+    # fetch diagnostics; the events.props column is the testdata's
+    # analogue). JSON-path extraction stays JVM-side
+    # (get_json_object, no UDF) and the projected value immediately
+    # participates in a map-side-combinable aggregate — the
+    # recommended shape at 100 TB: never materialize parsed structs
+    # wider than the paths actually read (column pruning still
+    # applies to the un-parsed string column).
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT) % 7 = 0
+                           THEN 1 END) AS BIGINT) AS k_mod7
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_events_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(k).cast("bigint").alias("k_sum"),
+            F.max(k).cast("bigint").alias("k_max"),
+            F.count(F.when(k % 7 == 0, 1)).cast("bigint").alias("k_mod7"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "index_delta_merge",
+    # Incremental index maintenance (the Lucene segment-merge
+    # algebra; the postings sibling of the store's seen-delta
+    # compaction): the engine builds an OLD segment (even doc_ids)
+    # and a NEW delta segment (odd doc_ids) independently, then
+    # merges them purely on the pre-aggregated per-term statistics —
+    # sum of disjoint-segment dfs, min/max of doc ranges — without
+    # ever re-touching the old segment's raw text. The oracle states
+    # the FULL REBUILD over all docs: the gate passes only if
+    # merge(segments) == rebuild(corpus), i.e. the merge algebra is
+    # exactly right. Scale shape: segment builds are the standard
+    # one-exchange postings aggs; the merge itself is a
+    # map-side-combinable groupBy over two already-slim relations.
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    toks AS (SELECT DISTINCT doc_id, tok FROM tk)
+    SELECT tok, CAST(count(*) AS BIGINT) AS df,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM toks GROUP BY tok HAVING count(*) >= 10 ORDER BY tok
+    """,
+)
+def q_index_delta_merge(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+
+    def segment(docs):
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+        ).distinct()
+        return toks.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+
+    base = segment(d.filter(F.col("doc_id") % 2 == 0))
+    delta = segment(d.filter(F.col("doc_id") % 2 == 1))
+    return (
+        base.unionByName(delta)
+        .groupBy("tok")
+        .agg(
+            F.sum("df").cast("bigint").alias("df"),
+            F.min("min_doc").cast("bigint").alias("min_doc"),
+            F.max("max_doc").cast("bigint").alias("max_doc"),
+        )
+        .filter(F.col("df") >= 10)
+        .orderBy("tok")
+    )
