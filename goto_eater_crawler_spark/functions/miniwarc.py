@@ -72,11 +72,21 @@ def http_response_payload(
 
 
 def write_warc(
-    pages: list[tuple[str, str, bytes]], gzipped: bool = False
+    pages: list[tuple[str, str, bytes]],
+    gzipped: bool = False,
+    compression: str | None = None,
 ) -> bytes:
     """(url, iso_date, html_body) pages -> a WARC file with one
-    ``response`` record per page (optionally one gzip member per
-    record, the Common Crawl layout)."""
+    ``response`` record per page. ``gzipped=True`` (or
+    ``compression='gzip'``) emits one gzip member per record — the
+    classic Common Crawl layout; ``compression='zstd'`` emits one
+    zstd frame per record — the ``.warc.zst`` profile (real libzstd
+    frames via minizstd.libzstd_compress, decoded back by the
+    engine's OWN RFC 8878 decoder)."""
+    if gzipped and compression is None:
+        compression = "gzip"
+    if compression not in (None, "gzip", "zstd"):
+        raise ValueError(f"unknown compression {compression!r}")
     out = []
     for url, date, body in pages:
         rec = write_record(
@@ -85,7 +95,13 @@ def write_warc(
             target_uri=url,
             date=date,
         )
-        out.append(gzip.compress(rec, mtime=0) if gzipped else rec)
+        if compression == "gzip":
+            rec = gzip.compress(rec, mtime=0)
+        elif compression == "zstd":
+            from .minizstd import libzstd_compress
+
+            rec = libzstd_compress(rec, level=3, checksum=True)
+        out.append(rec)
     return b"".join(out)
 
 
@@ -115,6 +131,13 @@ def parse_warc(blob: bytes) -> list[WarcRecord]:
     — at 10^10 records a torn record must not kill the task)."""
     if blob[:2] == _GZIP_MAGIC:
         blob = gzip.decompress(blob)  # handles concatenated members
+    elif blob[:4] == b"\x28\xb5\x2f\xfd":
+        # .warc.zst profile: concatenated per-record zstd frames,
+        # decoded by the engine's own RFC 8878 walk (checksums
+        # verified inside)
+        from .minizstd import zstd_decompress
+
+        blob = zstd_decompress(blob)
     out: list[WarcRecord] = []
     pos = 0
     n = len(blob)

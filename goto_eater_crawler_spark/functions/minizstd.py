@@ -724,3 +724,43 @@ def zstd_decompress(data: bytes) -> bytes:
             raise ZstdError("content checksum mismatch")
         parts.append(content)
     return b"".join(parts)
+
+
+# ---------------------------------------------------- producer (synth)
+def libzstd_compress(
+    data: bytes, level: int = 3, checksum: bool = True
+) -> bytes:
+    """REAL-producer helper for test/synth paths only (the decode
+    direction above never touches it): one zstd frame via the system
+    libzstd through ctypes. Keeping the producer real is what makes
+    the decoder's gates meaningful — the engine is never tested
+    against its own encoder."""
+    import ctypes
+
+    lib = ctypes.CDLL("libzstd.so.1")
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_CCtx_setParameter.restype = ctypes.c_size_t
+    lib.ZSTD_CCtx_setParameter.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ZSTD_compress2.restype = ctypes.c_size_t
+    lib.ZSTD_compress2.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    lib.ZSTD_freeCCtx.restype = ctypes.c_size_t
+    lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+    cctx = lib.ZSTD_createCCtx()
+    try:
+        lib.ZSTD_CCtx_setParameter(cctx, 100, level)
+        lib.ZSTD_CCtx_setParameter(cctx, 201, int(checksum))
+        bound = lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress2(cctx, dst, bound, data, len(data))
+        if n > bound:  # ZSTD error codes are huge size_t values
+            raise ZstdError("libzstd compression failed")
+        return dst.raw[:n]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)

@@ -133,6 +133,7 @@ _GATE_ORDER: list[str] = [
     "similarity_hard_negatives",
     "events_json_extract",
     "index_delta_merge",
+    "warc_zst_ingest",
     "quality_kn_bigram",
     "index_postings_varint",
     "bpe_train_merges",
@@ -6676,4 +6677,47 @@ def q_index_delta_merge(spark, sf_dir):
         )
         .filter(F.col("df") >= 10)
         .orderBy("tok")
+    )
+
+
+@_register(
+    "warc_zst_ingest",
+    # The .warc.zst profile (Common Crawl's zstd WARC layout: one
+    # zstd frame per record, concatenated): the synth writes REAL
+    # libzstd frames with checksums on, and the reader walk is the
+    # engine's OWN stack end-to-end — minizstd (RFC 8878, XXH64
+    # verified) under miniwarc (ISO 28500). Same round-trip oracle as
+    # warc_ingest: any drift in either codec direction breaks the
+    # hash. Scale shape identical to warc_ingest: blobs decode in a
+    # shuffle-free 1->many mapInPandas.
+    """
+    SELECT 'https://w' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST('2021-06-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS TIMESTAMP) AS warc_ts,
+           200 AS http_status,
+           'text/html; charset=utf-8' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           text
+    FROM documents ORDER BY url
+    """,
+)
+def q_warc_zst_ingest(spark, sf_dir):
+    from ..sources import warc as _warc
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = _warc.synth_warc_from_docs(
+        d, docs_per_file=50, compression="zstd"
+    )
+    return (
+        _warc.warc_pages(blobs)
+        .select(
+            "url",
+            "warc_ts",
+            "http_status",
+            "mime",
+            F.length("html").cast("bigint").alias("n_bytes"),
+            F.decode(F.col("html"), "UTF-8").alias("text"),
+        )
+        .orderBy("url")
     )

@@ -86,6 +86,7 @@ def synth_warc_from_docs(
     gzipped: bool = False,
     html_wrap: bool = False,
     links: bool = False,
+    compression: str | None = None,
 ) -> DataFrame:
     """Deterministic WARC blobs from the documents table: doc_id ->
     url https://w{doc_id % 7}.example.test/doc/{doc_id}, fixed date
@@ -109,7 +110,11 @@ def synth_warc_from_docs(
         return pd.DataFrame(
             {
                 "file_id": [int(pdf["file_id"].iloc[0])],
-                "data": [miniwarc.write_warc(pages, gzipped=gzipped)],
+                "data": [
+                    miniwarc.write_warc(
+                        pages, gzipped=gzipped, compression=compression
+                    )
+                ],
             }
         )
 

@@ -67,7 +67,7 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "transfer_xz_decode", "quantiles_kll_sketch",
                     "crawl_aimd_rate", "http_cache_ttl",
                     "similarity_hard_negatives", "events_json_extract",
-                    "index_delta_merge",
+                    "index_delta_merge", "warc_zst_ingest",
                     "quality_kn_bigram", "index_postings_varint",
                     "bpe_train_merges",
                     "multimodal_h264_cabac_inter_decode",

@@ -146,3 +146,31 @@ def test_roundtrip_property_fuzz():
         assert [(r.target_uri, r.date, r.http_body) for r in recs] == pages
 
     prop()
+
+
+def test_warc_zst_roundtrip():
+    """.warc.zst profile: per-record REAL libzstd frames, decoded by
+    the engine's own RFC 8878 walk under the WARC parser."""
+    from goto_eater_crawler_spark.functions import miniwarc
+
+    pages = [
+        (f"https://h{i}.test/p/{i}", f"2021-06-{i + 1:02d}T12:00:00Z",
+         (f"body {i} " * 50).encode())
+        for i in range(5)
+    ]
+    blob = miniwarc.write_warc(pages, compression="zstd")
+    assert blob[:4] == b"\x28\xb5\x2f\xfd"
+    recs = miniwarc.parse_warc(blob)
+    assert [r.target_uri for r in recs] == [p[0] for p in pages]
+    assert [r.http_body for r in recs] == [p[2] for p in pages]
+    assert all(r.http_status == 200 for r in recs)
+
+
+def test_warc_unknown_compression_rejected():
+    from goto_eater_crawler_spark.functions import miniwarc
+
+    try:
+        miniwarc.write_warc([], compression="brotli")
+        assert False, "should raise"
+    except ValueError:
+        pass
