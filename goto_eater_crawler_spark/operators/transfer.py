@@ -588,3 +588,227 @@ def chunked_decode_sql(mod: int = 3) -> str:
     FROM documents WHERE doc_id % {mod} = 0
     ORDER BY doc_id
     """
+
+
+_SNAPPY_SCHEMA = (
+    "doc_id long, framed boolean, n_chunks long, n_bytes long, "
+    "crc_ok boolean, text string"
+)
+
+
+def synth_snappy_bodies(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — each selected doc's text as REAL snappy
+    written by libsnappy via pyarrow (the reference producer for the
+    compressed blocks):
+
+    - doc_id % 2 == 0 → one bare raw-format block (the parquet/ORC
+      page payload shape);
+    - doc_id % 2 == 1 → a framing-format stream (Kafka /
+      ``x-snappy-framed`` shape) with the text split into TWO data
+      chunks at the midpoint (one when the text is shorter than 2
+      bytes), each carrying a masked CRC-32C, with a padding chunk
+      prepended when doc_id % 4 == 1 (the decoder must skip it).
+    """
+    from ..functions import minisnappy
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = str(text).encode("utf-8")
+                if d % 2 == 0:
+                    body = pa.compress(raw, codec="snappy", asbytes=True)
+                else:
+                    mid = len(raw) // 2
+                    chunks = [raw[:mid], raw[mid:]] if len(raw) >= 2 else [raw]
+                    body = minisnappy.frame(
+                        chunks, pad=5 if d % 4 == 1 else 0
+                    )
+                ids.append(d)
+                payloads.append(body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def snappy_decode_metadata(bodies: DataFrame) -> DataFrame:
+    """REAL snappy decode via minisnappy (own tag walk + own CRC-32C):
+    (doc_id, framed, n_chunks, n_bytes, crc_ok, text). Bare raw
+    blocks carry no checksum, so crc_ok is vacuously true there (the
+    length preamble is still verified). Undecodable payloads yield a
+    null row."""
+    from ..functions import minisnappy
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "framed", "n_chunks", "n_bytes", "crc_ok",
+                "text")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                body = bytes(payload)
+                try:
+                    if body[:1] == b"\xff":
+                        chunks = minisnappy.framed_chunks(body)
+                        plain = b"".join(c for c, _ in chunks)
+                        out["framed"].append(True)
+                        out["n_chunks"].append(len(chunks))
+                        out["crc_ok"].append(
+                            all(m["crc_ok"] for _, m in chunks))
+                    else:
+                        plain = minisnappy.uncompress(body)
+                        out["framed"].append(False)
+                        out["n_chunks"].append(1)
+                        out["crc_ok"].append(True)
+                except (minisnappy.SnappyError, IndexError, ValueError):
+                    for k in ("framed", "n_chunks", "n_bytes", "crc_ok",
+                              "text"):
+                        out[k].append(None)
+                    continue
+                out["n_bytes"].append(len(plain))
+                out["text"].append(plain.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return bodies.select("doc_id", "payload").mapInPandas(
+        batches, schema=_SNAPPY_SCHEMA)
+
+
+def snappy_decode_sql(mod: int = 3) -> str:
+    """Closed-form oracle: snappy is lossless and the framing layout
+    is a pure function of doc_id."""
+    nb = "octet_length(encode(text))"
+    return f"""
+    SELECT doc_id,
+           doc_id % 2 = 1 AS framed,
+           CAST(CASE WHEN doc_id % 2 = 1 AND {nb} >= 2 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_chunks,
+           CAST({nb} AS BIGINT) AS n_bytes,
+           TRUE AS crc_ok,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id % {mod} = 0
+    ORDER BY doc_id
+    """
+
+
+_LZ4_SCHEMA = (
+    "doc_id long, n_frames long, n_skippable long, n_blocks long, "
+    "header_ok boolean, checksum_ok boolean, text string"
+)
+
+
+def synth_lz4_bodies(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — each selected doc's text as REAL LZ4
+    frames written by liblz4 via pyarrow (the reference producer):
+
+    - compression level [1, 4, 9, 12][doc_id % 4] (fast → HC paths
+      pick different match-search strategies over the same format);
+    - doc_id % 2 == 1 → TWO concatenated frames split at the text
+      midpoint (one when shorter than 2 bytes);
+    - doc_id % 4 == 3 → a skippable frame (0x184D2A50-family) is
+      prepended, which the decoder must walk over;
+    - every frame descriptor carries liblz4's real XXH32 header
+      checksum byte, which the decoder re-derives with its OWN XXH32.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        codecs = {lvl: pa.Codec("lz4", compression_level=lvl)
+                  for lvl in (1, 4, 9, 12)}
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = str(text).encode("utf-8")
+                codec = codecs[(1, 4, 9, 12)[d % 4]]
+                if d % 2 and len(raw) >= 2:
+                    mid = len(raw) // 2
+                    body = codec.compress(
+                        raw[:mid], asbytes=True
+                    ) + codec.compress(raw[mid:], asbytes=True)
+                else:
+                    body = codec.compress(raw, asbytes=True)
+                if d % 4 == 3:
+                    body = (
+                        (0x184D2A50).to_bytes(4, "little")
+                        + (4).to_bytes(4, "little")
+                        + b"meta"
+                        + body
+                    )
+                ids.append(d)
+                payloads.append(body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def lz4_decode_metadata(bodies: DataFrame) -> DataFrame:
+    """REAL LZ4-frame decode via minilz4 (own token walk + own
+    XXH32): (doc_id, n_frames, n_skippable, n_blocks, header_ok,
+    checksum_ok, text). Undecodable payloads yield a null row."""
+    from ..functions import minilz4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "n_skippable", "n_blocks",
+                "header_ok", "checksum_ok", "text")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    frames = minilz4.lz4_frames(bytes(payload))
+                except (minilz4.Lz4Error, IndexError, ValueError):
+                    for k in ("n_frames", "n_skippable", "n_blocks",
+                              "header_ok", "checksum_ok", "text"):
+                        out[k].append(None)
+                    continue
+                data = [(c, m) for c, m in frames if not m["skippable"]]
+                plain = b"".join(c for c, _ in data)
+                out["n_frames"].append(len(data))
+                out["n_skippable"].append(len(frames) - len(data))
+                out["n_blocks"].append(
+                    sum(m["n_blocks"] for _, m in data))
+                out["header_ok"].append(
+                    all(m["header_ok"] for _, m in data))
+                out["checksum_ok"].append(
+                    all(m["checksum_ok"] for _, m in data))
+                out["text"].append(plain.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return bodies.select("doc_id", "payload").mapInPandas(
+        batches, schema=_LZ4_SCHEMA)
+
+
+def lz4_decode_sql(mod: int = 3) -> str:
+    """Closed-form oracle: LZ4 is lossless; the frame layout is a
+    pure function of doc_id, and block count is ceil(bytes / 64 KiB)
+    per frame (liblz4's default block max size, BD code 4)."""
+    nb = "octet_length(encode(text))"
+    return f"""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 1 AND {nb} >= 2 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_skippable,
+           CAST(CASE WHEN doc_id % 2 = 1 AND {nb} >= 2
+                     THEN ({nb} // 2 + 65535) // 65536
+                          + ({nb} - {nb} // 2 + 65535) // 65536
+                     ELSE ({nb} + 65535) // 65536
+                END AS BIGINT) AS n_blocks,
+           TRUE AS header_ok,
+           TRUE AS checksum_ok,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id % {mod} = 0
+    ORDER BY doc_id
+    """

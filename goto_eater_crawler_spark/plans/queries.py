@@ -127,6 +127,8 @@ _GATE_ORDER: list[str] = [
     "transfer_zstd_decode",
     "transfer_bz2_decode",
     "transfer_xz_decode",
+    "transfer_snappy_decode",
+    "transfer_lz4_decode",
     "quantiles_kll_sketch",
     "crawl_aimd_rate",
     "http_cache_ttl",
@@ -6721,3 +6723,64 @@ def q_warc_zst_ingest(spark, sf_dir):
         )
         .orderBy("url")
     )
+
+
+@_register(
+    "transfer_snappy_decode",
+    # snappy decode — the engine's OWN tag walk + CRC-32C
+    # (functions/minisnappy.py), covering BOTH public layouts: the
+    # bare raw block (parquet/ORC page payloads — what a 100 TB
+    # re-compression pipeline reads) and the framing format
+    # (x-snappy-framed / Kafka message sets) with masked CRC-32C per
+    # data chunk and padding chunks the walk must skip. The
+    # reference's scrapy stack has no snappy arm, so this is a
+    # build-spec frontier op like its gzip/zstd/bz2/xz/lz4 siblings.
+    # The compressed blocks are written by REAL libsnappy (pyarrow),
+    # so the tag walk is gated against the reference producer; the
+    # framing layout is a pure function of doc_id → fully closed-form
+    # oracle. Scale shape: one Arrow-batched Python stage, narrow
+    # over the scan partitioning — payloads never shuffle.
+    _tx.snappy_decode_sql(),
+)
+def q_transfer_snappy_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = _tx.snappy_decode_metadata(_tx.synth_snappy_bodies(d))
+    return out.select(
+        "doc_id",
+        "framed",
+        "n_chunks",
+        "n_bytes",
+        "crc_ok",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "transfer_lz4_decode",
+    # LZ4 frame decode — the engine's OWN token walk + XXH32
+    # (functions/minilz4.py; the XXH64 sibling lives in minizstd.py).
+    # LZ4 is the other default storage codec of the Spark/Hadoop
+    # world (parquet LZ4_RAW pages, Kafka batches); the synth writes
+    # REAL frames with liblz4 via pyarrow (levels 1/4/9/12 across the
+    # fast and HC match searchers, concatenated frames, skippable
+    # frames), and every frame descriptor's XXH32 header-checksum
+    # byte — computed by liblz4 — is re-derived by the engine's own
+    # XXH32, a real-producer integrity cross-check. Frame/block
+    # layout is a pure function of doc_id (64 KiB default block max)
+    # → fully closed-form oracle. Scale shape: one Arrow-batched
+    # Python stage, narrow over the scan partitioning — payloads
+    # never shuffle.
+    _tx.lz4_decode_sql(),
+)
+def q_transfer_lz4_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = _tx.lz4_decode_metadata(_tx.synth_lz4_bodies(d))
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "n_skippable",
+        "n_blocks",
+        "header_ok",
+        "checksum_ok",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")
