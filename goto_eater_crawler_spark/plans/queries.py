@@ -129,6 +129,7 @@ _GATE_ORDER: list[str] = [
     "transfer_xz_decode",
     "transfer_snappy_decode",
     "transfer_lz4_decode",
+    "storage_parquet_footer",
     "quantiles_kll_sketch",
     "crawl_aimd_rate",
     "http_cache_ttl",
@@ -6784,3 +6785,30 @@ def q_transfer_lz4_decode(spark, sf_dir):
         "checksum_ok",
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+from ..operators import storage as _st  # noqa: E402
+
+
+@_register(
+    "storage_parquet_footer",
+    # Parquet footer/manifest sweep — the engine's OWN Apache Thrift
+    # compact-protocol walk (functions/miniparquet.py: ULEB128 +
+    # zigzag varints, delta field ids, typed lists, nested structs;
+    # parquet.thrift FileMetaData/RowGroup/ColumnMetaData/Statistics
+    # with PLAIN-decoded min/max per physical type). At 100 TB the
+    # planning layer runs on exactly these facts — row counts,
+    # row-group splits, column min/max for pruning — via one ranged
+    # tail-GET per file, never row data; this gate reads ONLY each
+    # file's footer executor-side and the oracle re-derives every
+    # emitted fact from the data (COUNT/MIN/MAX), so a wrong varint
+    # or field-delta fails the hash. The reference plans over no
+    # files (scrapy streams responses); build-spec frontier op.
+    # Scale shape: one narrow Arrow-batched map over a file-list DF —
+    # a million-file manifest sweep with no shuffle and no data IO.
+    _st.parquet_footer_sql(),
+)
+def q_storage_parquet_footer(spark, sf_dir):
+    return _st.parquet_footer_stats(spark, sf_dir).orderBy(
+        "table_name", "col_name"
+    )

@@ -65,7 +65,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
     new_past_cap = {"transfer_gzip_decode", "transfer_chunked_decode",
                     "transfer_zstd_decode", "transfer_bz2_decode",
                     "transfer_xz_decode", "transfer_snappy_decode",
-                    "transfer_lz4_decode", "quantiles_kll_sketch",
+                    "transfer_lz4_decode", "storage_parquet_footer",
+                    "quantiles_kll_sketch",
                     "crawl_aimd_rate", "http_cache_ttl",
                     "similarity_hard_negatives", "events_json_extract",
                     "index_delta_merge", "warc_zst_ingest",
