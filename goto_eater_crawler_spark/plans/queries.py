@@ -130,6 +130,8 @@ _GATE_ORDER: list[str] = [
     "transfer_snappy_decode",
     "transfer_lz4_decode",
     "storage_parquet_footer",
+    "url_dust_rules",
+    "sample_ccnet_buckets",
     "quantiles_kll_sketch",
     "crawl_aimd_rate",
     "http_cache_ttl",
@@ -6812,3 +6814,108 @@ def q_storage_parquet_footer(spark, sf_dir):
     return _st.parquet_footer_stats(spark, sf_dir).orderBy(
         "table_name", "col_name"
     )
+
+
+from ..operators import dust as _dust  # noqa: E402
+
+
+@_register(
+    "url_dust_rules",
+    # DUST rule mining (Bar-Yossef et al., WWW 2007): learn URL
+    # rewrite rules from duplicate-content URL pairs so the frontier
+    # never fetches the alias spelling at all — the corpus-scale
+    # generalization of the reference's hand-pinned per-source URL
+    # quirk tables (sources/registry.py replace rules). Plan: content
+    # equi-join pairs → Arrow-batched LCP/LCS middle extraction over
+    # slim pair rows → one combinable groupBy(alpha,beta) support
+    # count; the support>=2 threshold is load-bearing (the planted
+    # per-doc session-id class mines unique rules and must vanish).
+    # Oracle: planted-transform closed form (operators/dust.py
+    # docstring derives each rule; hostile-pair unit tests pin the
+    # extraction itself).
+    _dust.dust_rules_sql(),
+)
+def q_url_dust_rules(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _dust.dust_rules(_dust.synth_alias_pairs(d)).orderBy(
+        "alpha", "beta"
+    )
+
+
+@_register(
+    "sample_ccnet_buckets",
+    # CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    # score every document under a PER-LANGUAGE corpus LM and split
+    # each language into head/middle/tail quality buckets — the
+    # selection step CCNet runs before keeping head+middle for LLM
+    # training. Per the cross-engine float rule the per-doc score is
+    # the 4dp-rounded length-normalized unigram logprob (the
+    # quality_unigram_logprob arithmetic, here per-language), and the
+    # bucket cutoffs are FIXED constants off the 4dp grid (CCNet's
+    # sampled percentile cutoffs are a training-time artifact; at
+    # gate scale the constants stand in deterministically, chosen so
+    # all three buckets are non-empty at sf0.001/0.01/0.1). Scale
+    # shape: per-language LM is one combinable groupBy of the tf
+    # relation; language totals broadcast (rows = |langs|); the
+    # (lang, token) score join is the stopword-skew point at 100 TB —
+    # AQE skew-join / salting (operators/politeness.py pattern) is
+    # the production arm. All-native exprs, WholeStageCodegen.
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE token <> '' GROUP BY 1, 2, 3),
+    lm AS (SELECT lang, token, CAST(sum(tf) AS BIGINT) AS cnt
+           FROM tf GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total
+            FROM lm GROUP BY 1),
+    sc AS (SELECT tf.doc_id, tf.lang,
+                  round(sum(tf.tf * ln(CAST(lm.cnt AS DOUBLE) / t.total))
+                        / sum(tf.tf), 4) AS score
+           FROM tf JOIN lm ON tf.lang = lm.lang AND tf.token = lm.token
+                   JOIN tot t ON tf.lang = t.lang
+           GROUP BY 1, 2)
+    SELECT doc_id, lang, score,
+           CASE WHEN score > -3.39855 THEN 'head'
+                WHEN score < -3.40255 THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM sc ORDER BY doc_id
+    """,
+)
+def q_sample_ccnet_buckets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    lm = tf.groupBy("lang", "token").agg(F.sum("tf").alias("cnt"))
+    tot = lm.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    sc = (
+        tf.join(lm, ["lang", "token"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("cnt").cast("double") / F.col("total"))
+                )
+                / F.sum("tf"),
+                4,
+            ).alias("score")
+        )
+    )
+    return sc.select(
+        "doc_id", "lang", "score",
+        F.when(F.col("score") > -3.39855, "head")
+        .when(F.col("score") < -3.40255, "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+    ).orderBy("doc_id")

@@ -66,6 +66,7 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "transfer_zstd_decode", "transfer_bz2_decode",
                     "transfer_xz_decode", "transfer_snappy_decode",
                     "transfer_lz4_decode", "storage_parquet_footer",
+                    "url_dust_rules", "sample_ccnet_buckets",
                     "quantiles_kll_sketch",
                     "crawl_aimd_rate", "http_cache_ttl",
                     "similarity_hard_negatives", "events_json_extract",
