@@ -180,9 +180,17 @@ def _parse_attrs(s: str) -> dict:
     return out
 
 
-def parse(html: str) -> Node:
+def parse(html: str, xml: bool = False) -> Node:
     """Parse to a span DOM; returns the synthetic root (tag ``''``)
-    whose inner span is the whole document."""
+    whose inner span is the whole document.
+
+    ``xml=True`` switches to XML-ish rules for feed/sitemap payloads
+    (RSS/Atom, where ``<link>`` is a CONTAINER, not the HTML void
+    element): no void list, no implied end tags, and the XML
+    self-close syntax (``<link .../>``) is honored — the opposite of
+    the documented HTML5 behavior above, which stays the default."""
+    voids = frozenset() if xml else VOID
+    implied = {} if xml else _IMPLIED_CLOSE
     root = Node("", {}, html, 0, 0)
     root.inner_end = len(html)
     stack: list[Node] = [root]
@@ -205,7 +213,7 @@ def parse(html: str) -> Node:
             # sibling-starting tag)
             while (
                 len(stack) > 1
-                and tag in _IMPLIED_CLOSE.get(stack[-1].tag, ())
+                and tag in implied.get(stack[-1].tag, ())
             ):
                 stack[-1].inner_end = m.start()
                 stack.pop()
@@ -219,7 +227,9 @@ def parse(html: str) -> Node:
             # check was dead code because the attrs group consumes the
             # trailing '/'; deleted rather than "fixed" since honoring
             # it would DIVERGE from the reference parser).
-            if tag not in VOID:
+            if tag not in voids and not (
+                xml and m.group(3).rstrip().endswith("/")
+            ):
                 stack.append(node)
         # else: comment/doctype/CDATA — skipped
     for n in stack[1:]:  # anything unclosed at EOF

@@ -132,6 +132,8 @@ _GATE_ORDER: list[str] = [
     "storage_parquet_footer",
     "url_dust_rules",
     "sample_ccnet_buckets",
+    "text_pmi_collocations",
+    "feed_extract",
     "quantiles_kll_sketch",
     "crawl_aimd_rate",
     "http_cache_ttl",
@@ -6919,3 +6921,105 @@ def q_sample_ccnet_buckets(spark, sf_dir):
         .otherwise("middle")
         .alias("bucket"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "text_pmi_collocations",
+    # PMI collocation mining (Church & Hanks 1990) — the classic
+    # corpus-analytics pass a webtext pipeline runs to find
+    # multi-word expressions worth protecting from tokenization
+    # splits: pmi(w1,w2) = ln(c12 * N / (c1 * c2)) over adjacent
+    # bigram slots, marginals c1/c2 taken over the SAME slot relation
+    # so the estimator is self-consistent. Every input is an integer
+    # count and the score is ONE fixed-shape scalar expression, so
+    # both engines compute bit-identical doubles (cross-engine float
+    # rule); the top-k ordering uses the ROUNDED score plus (w1, w2)
+    # as a total tie-break, so rank is deterministic. Support filter
+    # c12 >= 5 kills the long noise tail (hapax pairs have inflated
+    # PMI — the known estimator pathology). Scale shape: bigrams form
+    # inside the token array (zero pre-explode shuffle), three
+    # combinable groupBys of one bigram-count relation, N broadcasts
+    # as one row, top-k compiles to TakeOrderedAndProject (no global
+    # sort at 100 TB).
+    """
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents),
+    bg AS (
+      SELECT ts[g] AS w1, ts[g + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(g)),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM bg GROUP BY 1, 2),
+    l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+    r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bc GROUP BY 1),
+    n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bc)
+    SELECT bc.w1, bc.w2, bc.c12,
+           round(ln(CAST(bc.c12 * n.n AS DOUBLE) / (l.c1 * r.c2)), 4)
+             AS pmi
+    FROM bc JOIN l ON bc.w1 = l.w1 JOIN r ON bc.w2 = r.w2, n
+    WHERE bc.c12 >= 5
+    ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50
+    """,
+)
+def q_text_pmi_collocations(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower("text")), r"\s+")
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = bc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = bc.agg(F.sum("c12").alias("n"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") * F.col("n")).cast("double")
+            / (F.col("c1") * F.col("c2"))
+        ),
+        4,
+    )
+    return (
+        bc.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c12") >= 5)
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
+
+
+from ..sources import feeds as _feeds  # noqa: E402
+
+
+@_register(
+    "feed_extract",
+    # RSS 2.0 + Atom feed ingestion (sources/feeds.py) — the
+    # push-side of recrawl scheduling: feeds list a site's fresh URLs
+    # with publish timestamps, so the scheduler reads one feed
+    # instead of re-fetching every page (sitemap gates cover the pull
+    # side; the reference has no feed arm in any of its 49 sources —
+    # build-spec frontier op). Both formats decode off ONE tolerant
+    # XML walk (minihtml xml=True: RSS <link> is a container, Atom's
+    # self-closed <link href=…/> carries the URL as an attribute),
+    # RFC 822 and ISO-8601 timestamps parse with explicit month maps
+    # (no locale), entities unescape in the reader. Scale shape: one
+    # Arrow-batched 1→many stage, narrow over the scan partitioning —
+    # slim item rows out, payloads never shuffle. The synth derives
+    # every field closed-form from doc_id (the warc gates' URL/date
+    # conventions), so the oracle re-states the full decode in SQL.
+    _feeds.feed_extract_sql(),
+)
+def q_feed_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _feeds.feed_items(_feeds.synth_feed_bodies(d)).orderBy(
+        "feed_id", "item_url"
+    )

@@ -161,3 +161,37 @@ def test_engine_extracts_same_items_from_hostile_markup(name):
         assert [l["url"] for l in h_links] == [l["url"] for l in base_links]
         n_items += len(base_items)
     assert n_items > 0  # non-vacuous
+
+
+def test_xml_mode_link_is_container():
+    # RSS: <link> is a container in XML mode (HTML void by default)
+    r = mh.parse(
+        "<rss><channel><item><link>https://x/5</link></item>"
+        "<item><link>https://x/6</link></item></channel></rss>",
+        xml=True,
+    )
+    assert [i.find("link").text() for i in r.find_all("item")] == [
+        "https://x/5", "https://x/6",
+    ]
+
+
+def test_xml_mode_self_close_honored():
+    # Atom: self-closed <link .../> must NOT swallow following
+    # siblings in XML mode (in HTML mode it would stay open)
+    r = mh.parse(
+        '<feed><entry><link href="https://x/7"/>'
+        "<updated>U</updated></entry></feed>",
+        xml=True,
+    )
+    e = r.find("entry")
+    assert e.find("link").get("href") == "https://x/7"
+    assert not e.find("link").children
+    assert e.find("updated").text() == "U"
+
+
+def test_xml_mode_default_unchanged():
+    # the HTML5 behavior stays the default (regression for the
+    # documented ADVICE r3 #2 decision)
+    h = mh.parse("<div/><p>x</p>")
+    div = h.find("div")
+    assert div.find("p") is not None
