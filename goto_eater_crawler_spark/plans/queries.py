@@ -134,6 +134,8 @@ _GATE_ORDER: list[str] = [
     "sample_ccnet_buckets",
     "text_pmi_collocations",
     "feed_extract",
+    "text_winnowing_fingerprints",
+    "text_lang_segments",
     "quantiles_kll_sketch",
     "crawl_aimd_rate",
     "http_cache_ttl",
@@ -7022,4 +7024,151 @@ def q_feed_extract(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _feeds.feed_items(_feeds.synth_feed_bodies(d)).orderBy(
         "feed_id", "item_url"
+    )
+
+
+@_register(
+    "text_winnowing_fingerprints",
+    # Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    # SIGMOD 2003 — the MOSS algorithm): hash every k-gram (k=4
+    # tokens), slide a w=5 window over the hash sequence and keep
+    # each window's MINIMUM — the selected fingerprints are the
+    # guaranteed-coverage sketch (any shared substring of length
+    # >= w+k-1 shares a fingerprint) that plagiarism/overlap
+    # detection indexes instead of full shingle sets. Hashes are h60
+    # (functions/hashing.py), byte-identical in both engines, so
+    # selection is deterministic. Scale shape: k-grams form inside
+    # the token array (zero pre-explode shuffle); the sliding min is
+    # a bounded-frame window partitioned by doc_id (ONE shuffle,
+    # reused by the per-doc aggregate that follows on the same key);
+    # only complete windows select (the paper's definition), so docs
+    # shorter than w+k-1 tokens drop on both sides identically.
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      FROM documents),
+    g AS (
+      SELECT doc_id, g AS pos,
+             {_h60_sql("ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] || ' ' || ts[g+3]")} AS h
+      FROM toks, unnest(generate_series(1, len(ts) - 3)) AS u(g)),
+    w AS (
+      SELECT doc_id, pos, h,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM g)
+    SELECT doc_id, CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps,
+           MIN(fp) AS fp_min, MAX(fp) AS fp_max
+    FROM w WHERE pos <= n_grams - 4
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_text_winnowing_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower("text")), r"\s+")
+    grams = F.when(
+        F.size(ts) >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ts, i), F.element_at(ts, i + 1),
+                F.element_at(ts, i + 2), F.element_at(ts, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "gram")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"),
+        _h60_col(F.col("gram")).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    w = g.select(
+        "doc_id", "pos",
+        F.min("h").over(win.rowsBetween(0, 4)).alias("fp"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("doc_id")
+        ).alias("n_grams"),
+    )
+    return (
+        w.filter(F.col("pos") <= F.col("n_grams") - 4)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.countDistinct("fp").cast("long").alias("n_fps"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "text_lang_segments",
+    # Language segmentation (the CCNet/mC4 per-PARAGRAPH langid pass:
+    # multilingual pages must split into monolingual segments before
+    # per-language LM scoring, or the minority language is lost):
+    # lines carry the existing dual Spark/SQL n-gram-marker langid
+    # (functions/textstats.py lang_pred_*), and maximal runs of
+    # equal predicted language collapse into segments via the
+    # classic gaps-and-islands plan — lag() change flags, running
+    # integer cumsum for segment ids, then one grouped aggregate.
+    # Pages are synthesized as 3 consecutive documents joined as
+    # lines (the corpus has single-line docs; the page grouping makes
+    # language ALTERNATION real, not planted: predictions come from
+    # the real heuristic over real text). Scale shape: the window and
+    # the aggregate share ONE shuffle key (page_id) so the exchange
+    # is reused; integer cumsum only — no float rank hazard.
+    f"""
+    WITH lines AS (
+      SELECT doc_id // 3 AS page_id, doc_id,
+             {_ts.lang_pred_sql('text')} AS lang
+      FROM documents),
+    flags AS (
+      SELECT page_id, doc_id, lang,
+             CASE WHEN lang = lag(lang) OVER
+                    (PARTITION BY page_id ORDER BY doc_id)
+                  THEN 0 ELSE 1 END AS new_seg
+      FROM lines),
+    segs AS (
+      SELECT page_id, doc_id, lang,
+             sum(new_seg) OVER (PARTITION BY page_id ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS seg_idx
+      FROM flags)
+    SELECT page_id, CAST(seg_idx AS BIGINT) AS seg_idx, lang,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           MIN(doc_id) AS first_doc_id
+    FROM segs GROUP BY page_id, seg_idx, lang
+    ORDER BY page_id, seg_idx
+    """,
+)
+def q_text_lang_segments(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    lines = d.select(
+        F.expr("doc_id DIV 3").alias("page_id"),
+        "doc_id",
+        _ts.lang_pred_col(F.col("text")).alias("lang"),
+    )
+    win = Window.partitionBy("page_id").orderBy("doc_id")
+    flags = lines.select(
+        "page_id", "doc_id", "lang",
+        F.when(
+            F.col("lang") == F.lag("lang").over(win), 0
+        ).otherwise(1).alias("new_seg"),
+    )
+    segs = flags.select(
+        "page_id", "doc_id", "lang",
+        F.sum("new_seg").over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("seg_idx"),
+    )
+    return (
+        segs.groupBy("page_id", "seg_idx", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("page_id", "seg_idx")
     )
