@@ -655,7 +655,11 @@ def snappy_decode_metadata(bodies: DataFrame) -> DataFrame:
                 out["doc_id"].append(int(doc_id))
                 body = bytes(payload)
                 try:
-                    if body[:1] == b"\xff":
+                    # dispatch on the FULL 10-byte stream-identifier
+                    # chunk — a raw block legitimately starts with
+                    # 0xff whenever the uncompressed length is
+                    # 127 mod 128 (varint continuation byte)
+                    if body[:10] == b"\xff\x06\x00\x00sNaPpY":
                         chunks = minisnappy.framed_chunks(body)
                         plain = b"".join(c for c, _ in chunks)
                         out["framed"].append(True)

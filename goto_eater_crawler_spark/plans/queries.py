@@ -136,6 +136,7 @@ _GATE_ORDER: list[str] = [
     "feed_extract",
     "text_winnowing_fingerprints",
     "text_lang_segments",
+    "sketch_theta_setops",
     "quantiles_kll_sketch",
     "crawl_aimd_rate",
     "http_cache_ttl",
@@ -7171,4 +7172,109 @@ def q_text_lang_segments(spark, sf_dir):
             F.min("doc_id").alias("first_doc_id"),
         )
         .orderBy("page_id", "seg_idx")
+    )
+
+
+@_register(
+    "sketch_theta_setops",
+    # KMV / Theta sketch SET ALGEBRA (Beyer et al. SIGMOD 2007; the
+    # DataSketches theta union/intersection): two crawls' URL sets
+    # (hosts 0-3 vs hosts 2-6 — overlap by construction) are each
+    # sketched as their k=64 smallest DISTINCT h60 hash values; the
+    # union sketch is the k smallest of the two sketches' union (the
+    # KMV closure property — no corpus re-scan), and the intersection
+    # estimate counts sketch-sample agreement below theta =
+    # min(theta_A, theta_B). Estimators are the textbook
+    # D = (k-1)*2^60/v_k and D = rho*2^60/theta — ONE fixed-shape
+    # double expression over integers each (cross-engine float rule;
+    # 2^60 is a power of two, exact in double). This is the sketch
+    # the HLL family can't replace: HLL unions but never intersects
+    # with bounded error. Scale shape: each sketch is a map-side
+    # partial top-k (TakeOrderedAndProject) over the scan — k rows
+    # leave each side; union/intersection run on 64-row relations.
+    f"""
+    WITH urls AS (
+      SELECT doc_id % 7 AS host,
+             {_h60_sql("'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example.test/doc/' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    ska AS (SELECT DISTINCT h FROM urls WHERE host <= 3 ORDER BY h LIMIT 64),
+    skb AS (SELECT DISTINCT h FROM urls WHERE host >= 2 ORDER BY h LIMIT 64),
+    sku AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+            ORDER BY h LIMIT 64),
+    va AS (SELECT MAX(h) AS v, COUNT(*) AS k FROM ska),
+    vb AS (SELECT MAX(h) AS v, COUNT(*) AS k FROM skb),
+    vu AS (SELECT MAX(h) AS v, COUNT(*) AS k FROM sku),
+    th AS (SELECT least(va.v, vb.v) AS theta FROM va, vb),
+    rho AS (SELECT COUNT(*) AS r FROM ska JOIN skb USING (h), th
+            WHERE ska.h < th.theta)
+    SELECT 'A' AS set_op, va.k AS k_used, va.v AS kth_value,
+           round((va.k - 1) * pow(2, 60) / va.v, 4) AS est_distinct
+    FROM va
+    UNION ALL
+    SELECT 'B', vb.k, vb.v, round((vb.k - 1) * pow(2, 60) / vb.v, 4)
+    FROM vb
+    UNION ALL
+    SELECT 'intersection', rho.r, th.theta,
+           round(rho.r * pow(2, 60) / th.theta, 4)
+    FROM rho, th
+    UNION ALL
+    SELECT 'union', vu.k, vu.v, round((vu.k - 1) * pow(2, 60) / vu.v, 4)
+    FROM vu
+    ORDER BY set_op
+    """,
+)
+def q_sketch_theta_setops(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://w"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.test/doc/"), F.col("doc_id").cast("string"),
+    )
+    urls = d.select(
+        (F.col("doc_id") % 7).alias("host"), _h60_col(url).alias("h")
+    )
+    k = 64
+
+    def sketch(df):
+        return df.select("h").distinct().orderBy("h").limit(k)
+
+    ska = sketch(urls.filter("host <= 3"))
+    skb = sketch(urls.filter("host >= 2"))
+    sku = ska.union(skb).distinct().orderBy("h").limit(k)
+
+    def stats(sk, name):
+        return sk.agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("h").alias("kth_value"),
+        ).select(F.lit(name).alias("set_op"), "k_used", "kth_value")
+
+    va, vb, vu = stats(ska, "A"), stats(skb, "B"), stats(sku, "union")
+    theta = va.crossJoin(
+        vb.select(F.col("kth_value").alias("vb"))
+    ).select(F.least("kth_value", "vb").alias("theta"))
+    rho = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("k_used"))
+        .crossJoin(theta)
+        .select(
+            F.lit("intersection").alias("set_op"),
+            "k_used",
+            F.col("theta").alias("kth_value"),
+        )
+    )
+    est = F.round(
+        F.when(
+            F.col("set_op") == "intersection",
+            F.col("k_used") * F.pow(F.lit(2), 60) / F.col("kth_value"),
+        ).otherwise(
+            (F.col("k_used") - 1)
+            * F.pow(F.lit(2), 60) / F.col("kth_value")
+        ),
+        4,
+    )
+    return (
+        va.union(vb).union(rho).union(vu)
+        .select("set_op", "k_used", "kth_value", est.alias("est_distinct"))
+        .orderBy("set_op")
     )

@@ -69,7 +69,7 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "url_dust_rules", "sample_ccnet_buckets",
                     "text_pmi_collocations", "feed_extract",
                     "text_winnowing_fingerprints", "text_lang_segments",
-                    "quantiles_kll_sketch",
+                    "sketch_theta_setops", "quantiles_kll_sketch",
                     "crawl_aimd_rate", "http_cache_ttl",
                     "similarity_hard_negatives", "events_json_extract",
                     "index_delta_merge", "warc_zst_ingest",

@@ -119,3 +119,16 @@ def test_overlapping_copy_rle():
     raw = b"A" * 10_000
     comp = pa.compress(raw, codec="snappy", asbytes=True)
     assert ms.uncompress(comp) == raw
+
+
+def test_raw_block_starting_with_ff_not_misrouted(spark):
+    # a raw block whose uncompressed length is 127 mod 128 has 0xff
+    # as its first varint byte — the gate dispatch must NOT route it
+    # to the framing parser (regression: sf0.001 doc lengths hit this)
+    from goto_eater_crawler_spark.operators import transfer as tx
+
+    text = "x" * 255  # 255 % 128 == 127
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = tx.snappy_decode_metadata(tx.synth_snappy_bodies(docs)).collect()[0]
+    assert row["framed"] is False and row["n_bytes"] == 255
+    assert row["text"] == text
