@@ -1723,3 +1723,129 @@ def h264_cabac_video_decode_sql(mod: int = 59) -> str:
            {mv} AS mean_v
     FROM documents WHERE doc_id % {mod} = 0
     """
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup (the LAION-style image dedup pass)
+# ---------------------------------------------------------------------------
+
+
+def synth_neardup_images(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — one REAL 8x8 greyscale PNG per selected doc
+    (doc_id % mod == 0) with a PLANTED near-duplicate structure:
+
+    - v    = (doc_id // mod) % 2          (0 = base image, 1 = variant)
+    - base = doc_id - mod*v, dl = base & 0xFFFFF  (20-bit id window)
+    - H    = ((1<<62) | (dl<<40) | (dl<<20) | dl) ^ v
+
+    Pixel i (row-major) is 200 where bit (63-i) of H is set, else 40,
+    so :func:`miniimg.ahash` of the decoded image reconstructs H
+    EXACTLY: popcount(H) is in [1, 61] (bit 62 is always set, at most
+    3*20+1 bits ever set), hence mean lies strictly between the two
+    tones and the ``>= mean`` threshold maps 200->1 / 40->0 bit for
+    bit.  Hamming structure (the three dl copies occupy disjoint bit
+    ranges 0-19 / 20-39 / 40-59): base-vs-base = 3*popcount(dl^dl'),
+    variant-vs-foreign-base = 3*popcount + 1 >= 4, variant-vs-variant
+    = 3*popcount >= 3 — so at hamming <= 2 the ONLY surviving pairs
+    are the planted (base, base+mod) pairs at hamming exactly 1.  The
+    variant's flipped low bit is a genuinely different pixel, so the
+    pair survives a REAL encode->decode->fingerprint round trip, not
+    an arithmetic shortcut."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = (d // mod) % 2
+                dl = (d - mod * v) & 0xFFFFF
+                h = ((1 << 62) | (dl << 40) | (dl << 20) | dl) ^ v
+                rows = []
+                for y in range(8):
+                    rows.append(bytes(
+                        200 if (h >> (63 - (8 * y + x))) & 1 else 40
+                        for x in range(8)
+                    ))
+                ids.append(d)
+                payloads.append(miniimg.png_encode(8, 8, "L", rows))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def image_neardup_pairs(
+    fingerprints: DataFrame, max_hamming: int = 2, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate image pairs from 64-bit perceptual hashes
+    (doc_id, ahash) via pigeonhole banding — the image sibling of
+    simhash_dup_pairs (textdedup.py): split the hash into ``bands``
+    16-bit chunks; any pair within hamming <= bands-1 shares at least
+    one identical chunk, so the banded equi-join has EXACT recall for
+    ``max_hamming <= bands - 1`` while never going all-pairs.  The
+    slim (doc_id, ahash) relation is persisted so the self-join does
+    not re-run the image decode; exact hamming verification touches
+    candidates only.  At 100 TB this is the LAION-scale image dedup
+    shape: decode+fingerprint is one shuffle-free Arrow pass, the
+    join keys are 16-bit buckets."""
+    if max_hamming > bands - 1:
+        raise ValueError("pigeonhole recall needs max_hamming <= bands-1")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fps = fingerprints.select("doc_id", "ahash").persist()
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("ahash"), width * k).bitwiseAND(
+            F.lit(mask)
+        )
+        for k in range(bands)
+    ])
+    sig = fps.select(
+        "doc_id", "ahash", F.posexplode(chunks).alias("band", "chunk")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def image_neardup_sql(mod: int = 3, max_hamming: int = 2) -> str:
+    """Closed-form oracle for image_neardup_pairs over
+    synth_neardup_images: reconstructs each selected doc's aHash H
+    from doc_id (see synth_neardup_images — the decode is exact by
+    construction) and brute-forces all pairs with
+    bit_count(xor) <= max_hamming; at gate scale the O(n^2) oracle is
+    cheap, while the engine side must go through the REAL
+    encode -> PNG decode -> fingerprint -> banded join path."""
+    dl = f"((doc_id - {mod} * ((doc_id // {mod}) % 2)) & 1048575)"
+    return f"""
+    WITH imgs AS (
+      SELECT doc_id,
+             xor(((CAST(1 AS BIGINT) << 62)
+                  | ({dl} << 40) | ({dl} << 20) | {dl}),
+                 (doc_id // {mod}) % 2) AS h
+      FROM documents WHERE doc_id % {mod} = 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM imgs a JOIN imgs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """

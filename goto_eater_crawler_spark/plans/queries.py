@@ -122,6 +122,7 @@ _GATE_ORDER: list[str] = [
     # placed first in the demoted section so a time-budgeted driver
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
+    "multimodal_image_neardup",
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
@@ -2353,6 +2354,30 @@ def q_multimodal_binary_meta(spark, sf_dir):
 def q_multimodal_image_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.image_decode_metadata(_mm.synth_images(d, 7)).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_image_neardup",
+    # Perceptual-hash image NEAR-DUP (the LAION-style image dedup
+    # pass): synth_neardup_images plants base/variant PNG pairs one
+    # pixel apart, the engine runs the REAL pipeline — PNG decode ->
+    # 8x8 aHash fingerprint -> 16-bit pigeonhole banding (exact
+    # recall for hamming <= bands-1, never all-pairs) -> exact
+    # hamming verify on candidates only. The oracle reconstructs each
+    # aHash closed-form from doc_id (the synth makes decode exact by
+    # construction) and brute-forces pairs, so a defect anywhere in
+    # decode, fingerprint threshold, bit order, banding recall, or
+    # the xor/bit_count verify breaks the hash. Non-vacuous: every
+    # (base, base+3) pair survives at hamming exactly 1 and nothing
+    # else is within 2 (proved in synth_neardup_images's docstring).
+    _mm.image_neardup_sql(3, 2),
+)
+def q_multimodal_image_neardup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fps = _mm.image_decode_metadata(_mm.synth_neardup_images(d, 3))
+    return _mm.image_neardup_pairs(fps, max_hamming=2).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @_register(

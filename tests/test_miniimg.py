@@ -133,3 +133,37 @@ def test_apng_rejects_offset_frames():
     # CRC now wrong too, but the offset check fires first
     with _pytest.raises(miniimg.ImageFormatError):
         miniimg.apng_decode(bytes(blob))
+
+
+def test_image_neardup_pairs_planted_structure(spark):
+    """synth_neardup_images plants (base, base+3) pairs one aHash bit
+    apart; the banded join must find EXACTLY those pairs at
+    hamming <= 2 (pigeonhole recall is exact for <= bands-1), each at
+    hamming 1, through the REAL PNG encode->decode->ahash path."""
+    from goto_eater_crawler_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(30)], ["doc_id", "text"]
+    )
+    fps = mm.image_decode_metadata(mm.synth_neardup_images(docs, 3))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm.image_neardup_pairs(fps, max_hamming=2).collect()
+    }
+    # selected docs 0,3,6,...,27; planted pairs (6k, 6k+3)
+    expected = {(6 * k, 6 * k + 3): 1 for k in range(5)}
+    assert got == expected
+    # the decoded hash really is the closed-form H (threshold + bit
+    # order + PNG round trip all exact)
+    meta = {r["doc_id"]: r["ahash"] for r in fps.collect()}
+    for d in range(0, 30, 3):
+        v = (d // 3) % 2
+        dl = (d - 3 * v) & 0xFFFFF
+        assert meta[d] == ((1 << 62) | (dl << 40) | (dl << 20) | dl) ^ v
+
+
+def test_image_neardup_pigeonhole_guard():
+    from goto_eater_crawler_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError):
+        mm.image_neardup_pairs(None, max_hamming=4, bands=4)
