@@ -341,3 +341,174 @@ def bpe_apply_sql(expr: str) -> tuple:
     n_tokens = (f"CAST(coalesce(list_sum(list_transform({words},"
                 f" w -> {tok})), 0) AS BIGINT)")
     return n_words, n_tokens
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy longest-match encode (Wu et al. 2016; the BERT
+# tokenizer's apply step — max-munch over a fixed vocab with distinct
+# word-start and continuation ("##x") piece classes, whole-word [UNK]
+# on any unmatched position). The BPE gates cover merge-table apply /
+# training; WordPiece pins the OTHER production tokenizer family,
+# whose defect mode is picking a shorter match when a longer piece
+# exists. Both engines run the IDENTICAL integer fold over character
+# positions (Spark F.aggregate / DuckDB list_reduce) with the state
+# (failed, next_pos, n_tokens) bit-packed into one BIGINT — the
+# cross-engine float rule trivially holds (no doubles anywhere).
+# ---------------------------------------------------------------------------
+
+# start pieces include prefix chains (win < wind < window, st < so <
+# sort < stream ...) so a wrong greedy order CHANGES token counts;
+# 'q' is absent from both classes, so corpus words containing q
+# ("query") hit the whole-word [UNK] path non-vacuously.
+WP_START: tuple[str, ...] = (
+    "stream", "window", "table", "value", "batch", "scan", "sort",
+    "wind", "win", "the", "tab", "val", "bat", "st", "so",
+) + tuple(c for c in "abcdefghijklmnoprstuvwxyz")
+WP_CONT: tuple[str, ...] = (
+    "ream", "art", "ow", "ue", "le", "ch", "er",
+) + tuple(c for c in "abcdefghijklmnoprstuvwxyz")
+
+_WP_POS_BITS = 20
+_WP_POS_MASK = (1 << _WP_POS_BITS) - 1
+_WP_INIT = 1 << _WP_POS_BITS  # failed=0, next_pos=1, n_tokens=0
+
+
+def _wp_by_len(pieces: tuple[str, ...]) -> list[tuple[int, list[str]]]:
+    out: dict[int, list[str]] = {}
+    for p in pieces:
+        out.setdefault(len(p), []).append(p)
+    return sorted(out.items(), reverse=True)
+
+
+def wordpiece_cols(text: Column) -> tuple[Column, Column, Column]:
+    """(n_words, n_tokens, n_unk_words) for WordPiece greedy
+    longest-match over the fixed WP_START/WP_CONT vocab. Fully
+    JVM-side: words split natively, the per-word max-munch fold is an
+    F.aggregate over character positions whose match test is a
+    literal isin() when-chain (Catalyst In over a codegen'd
+    substring) — no UDF, no explode, no shuffle; at 100 TB this
+    pipelines with the parquet scan like the BPE apply gate."""
+    words = F.filter(
+        F.split(F.lower(text), "[^a-z]+"), lambda x: F.length(x) > 0
+    )
+
+    def longest(w: Column, g: Column) -> Column:
+        def chain(pieces: tuple[str, ...]) -> Column:
+            c = None
+            for length, ps in _wp_by_len(pieces):
+                cond = w.substr(g, F.lit(length)).isin(*ps)
+                c = F.when(cond, length) if c is None else c.when(
+                    cond, length
+                )
+            return c.otherwise(F.lit(0))
+
+        return F.when(g == 1, chain(WP_START)).otherwise(chain(WP_CONT))
+
+    def word_state(w: Column) -> Column:
+        def step(s: Column, g: Column) -> Column:
+            failed = F.shiftright(s, 2 * _WP_POS_BITS)
+            pos = F.shiftright(s, _WP_POS_BITS).bitwiseAND(
+                F.lit(_WP_POS_MASK)
+            )
+            n = s.bitwiseAND(F.lit(_WP_POS_MASK))
+            glong = g.cast("long")
+            length = longest(w, glong).cast("long")
+            matched = F.shiftleft(pos + length, _WP_POS_BITS).bitwiseOR(
+                n + 1
+            )
+            fail = F.lit(1 << (2 * _WP_POS_BITS)).cast("long").bitwiseOR(
+                s.bitwiseAND(F.lit((1 << (2 * _WP_POS_BITS)) - 1))
+            )
+            return (
+                F.when((failed == 1) | (glong != pos), s)
+                .when(length > 0, matched)
+                .otherwise(fail)
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(w)),
+            F.lit(_WP_INIT).cast("long"),
+            step,
+        )
+
+    def word_tokens(w: Column) -> Column:
+        s = word_state(w)
+        failed = F.shiftright(s, 2 * _WP_POS_BITS)
+        n = s.bitwiseAND(F.lit(_WP_POS_MASK))
+        return F.when(failed == 1, F.lit(1).cast("long")).otherwise(n)
+
+    def word_unk(w: Column) -> Column:
+        return F.shiftright(word_state(w), 2 * _WP_POS_BITS)
+
+    n_words = F.size(words).cast("long")
+    n_tokens = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + word_tokens(w)
+    )
+    n_unk = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + word_unk(w)
+    )
+    return n_words, n_tokens, n_unk
+
+
+def wordpiece_sql(expr: str) -> tuple[str, str, str]:
+    """DuckDB mirror of :func:`wordpiece_cols`: the identical packed
+    integer fold as a list_reduce over generate_series (initial
+    accumulator prepended, DuckDB 1.0 two-arg form)."""
+    words = (f"list_filter(string_split_regex(lower({expr}), "
+             f"'[^a-z]+'), x -> length(x) > 0)")
+
+    def sql_chain(pieces: tuple[str, ...]) -> str:
+        whens = []
+        for length, ps in _wp_by_len(pieces):
+            lits = ", ".join(f"'{p}'" for p in ps)
+            st = (f"((((s >> {_WP_POS_BITS}) & {_WP_POS_MASK}) "
+                  f"+ {length}) << {_WP_POS_BITS}) "
+                  f"| ((s & {_WP_POS_MASK}) + 1)")
+            whens.append(
+                f"WHEN substr(w, CAST(g AS INTEGER), {length}) "
+                f"IN ({lits}) THEN {st}"
+            )
+        return " ".join(whens)
+
+    fail = (f"(CAST(1 AS BIGINT) << {2 * _WP_POS_BITS}) "
+            f"| (s & {(1 << (2 * _WP_POS_BITS)) - 1})")
+    fold = (
+        f"list_reduce(list_prepend(CAST({_WP_INIT} AS BIGINT), "
+        f"generate_series(CAST(1 AS BIGINT), CAST(length(w) AS BIGINT))), "
+        f"(s, g) -> CASE "
+        f"WHEN (s >> {2 * _WP_POS_BITS}) = 1 "
+        f"OR g <> ((s >> {_WP_POS_BITS}) & {_WP_POS_MASK}) THEN s "
+        f"WHEN g = 1 THEN (CASE {sql_chain(WP_START)} "
+        f"ELSE {fail} END) "
+        f"ELSE (CASE {sql_chain(WP_CONT)} "
+        f"ELSE {fail} END) END)"
+    )
+    tok = (f"(CASE WHEN (({fold}) >> {2 * _WP_POS_BITS}) = 1 THEN 1 "
+           f"ELSE (({fold}) & {_WP_POS_MASK}) END)")
+    unk = f"(({fold}) >> {2 * _WP_POS_BITS})"
+    n_words = f"CAST(len({words}) AS BIGINT)"
+    n_tokens = (f"CAST(coalesce(list_sum(list_transform({words}, "
+                f"w -> {tok})), 0) AS BIGINT)")
+    n_unk = (f"CAST(coalesce(list_sum(list_transform({words}, "
+             f"w -> {unk})), 0) AS BIGINT)")
+    return n_words, n_tokens, n_unk
+
+
+def wordpiece_word_tokens(word: str) -> list[str]:
+    """Pure-python reference tokenizer (test oracle for unit tests —
+    NOT used by either engine): greedy longest match, '##'-prefixed
+    continuations, whole-word [UNK]."""
+    toks, pos, n = [], 0, len(word)
+    while pos < n:
+        pieces = WP_START if pos == 0 else WP_CONT
+        best = None
+        for cand in pieces:
+            if word.startswith(cand, pos) and (
+                best is None or len(cand) > len(best)
+            ):
+                best = cand
+        if best is None:
+            return ["[UNK]"]
+        toks.append(best if pos == 0 else "##" + best)
+        pos += len(best)
+    return toks

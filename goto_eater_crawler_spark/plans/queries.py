@@ -123,6 +123,7 @@ _GATE_ORDER: list[str] = [
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
     "multimodal_image_neardup",
+    "text_wordpiece_encode",
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
@@ -5010,6 +5011,41 @@ def q_text_bpe_encode(spark, sf_dir):
     nw, nt = _ts.bpe_apply_cols(F.col("text"))
     return d.select(
         "doc_id", nw.alias("n_words"), nt.alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
+def _wordpiece_oracle() -> str:
+    nw, nt, nu = _ts.wordpiece_sql("text")
+    return (f"SELECT doc_id, {nw} AS n_words, {nt} AS n_wp_tokens, "
+            f"{nu} AS n_unk_words FROM documents ORDER BY doc_id")
+
+
+@_register(
+    "text_wordpiece_encode",
+    # WordPiece greedy longest-match encode (Wu et al. 2016 — the
+    # BERT tokenizer family; BPE gates cover the merge-table family).
+    # Max-munch over a fixed vocab with separate word-start and
+    # continuation classes and whole-word [UNK] on a dead end. The
+    # vocab plants prefix chains (win < wind < window, st < sort <
+    # stream) so taking a SHORTER match than the longest changes the
+    # token count, and omits 'q' so corpus "query" words exercise the
+    # [UNK] path non-vacuously at every scale. Both engines run the
+    # IDENTICAL packed-integer fold over character positions (Spark
+    # F.aggregate with a literal isin() when-chain — Catalyst In over
+    # codegen'd substrings, no UDF/explode/shuffle, pipelines with
+    # the scan at 100 TB; DuckDB list_reduce, initial accumulator
+    # prepended). State = (failed, next_pos, n_tokens) in one BIGINT:
+    # the cross-engine float rule holds trivially.
+    _wordpiece_oracle(),
+)
+def q_text_wordpiece_encode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nw, nt, nu = _ts.wordpiece_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        nt.alias("n_wp_tokens"),
+        nu.alias("n_unk_words"),
     ).orderBy("doc_id")
 
 

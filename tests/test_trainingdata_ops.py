@@ -720,3 +720,74 @@ def test_text_repetition_flags_repetitive_doc(spark):
     # -32: top 2-gram ('alpha beta' or 'beta alpha') dominates -> drop
     assert -32 in out and not out[-32]["keep"]
     assert out[-32]["top2_frac"] > 0.4 and out[-32]["top3_frac"] > 0.3
+
+
+# -- WordPiece greedy longest-match (text_wordpiece_encode gate) --
+
+
+def _wp_ref_counts(text: str) -> tuple[int, int, int]:
+    import re
+
+    words = [w for w in re.split("[^a-z]+", text.lower()) if w]
+    toks = [ts.wordpiece_word_tokens(w) for w in words]
+    return (
+        len(words),
+        sum(len(t) for t in toks),
+        sum(1 for t in toks if t == ["[UNK]"]),
+    )
+
+
+def test_wordpiece_reference_max_munch_and_unk():
+    # longest match wins over prefix pieces
+    assert ts.wordpiece_word_tokens("window") == ["window"]
+    assert ts.wordpiece_word_tokens("windows") == ["window", "##s"]
+    assert ts.wordpiece_word_tokens("wind") == ["wind"]
+    assert ts.wordpiece_word_tokens("stream") == ["stream"]
+    # continuation pieces only match past the word start
+    assert ts.wordpiece_word_tokens("sorter") == ["sort", "##er"]
+    # 'q' is out-of-vocab anywhere in the word -> whole-word [UNK]
+    assert ts.wordpiece_word_tokens("query") == ["[UNK]"]
+    assert ts.wordpiece_word_tokens("aqua") == ["[UNK]"]
+
+
+def test_wordpiece_spark_fold_matches_reference(spark):
+    texts = [
+        (0, "the fast sort sorting sorts table tables windows"),
+        (1, "query quack aqua stream streams streaming batch"),
+        (2, "so sort stream st s windup wind w"),
+        (3, ""),
+        (4, "Value-VALUE value; batch, BATCHES"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    nw, nt, nu = ts.wordpiece_cols(F.col("text"))
+    got = {
+        r["doc_id"]: (r["w"], r["t"], r["u"])
+        for r in df.select(
+            "doc_id", nw.alias("w"), nt.alias("t"), nu.alias("u")
+        ).collect()
+    }
+    assert got == {i: _wp_ref_counts(x) for i, x in texts}
+
+
+def test_wordpiece_duckdb_fold_matches_reference():
+    import duckdb
+
+    texts = [
+        "the fast sort sorting sorts table tables windows",
+        "query quack aqua stream streams streaming batch",
+        "so sort stream st s windup wind w",
+        "Value-VALUE value; batch, BATCHES",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{x}')" for i, x in enumerate(texts))
+        + ") v(doc_id, text)"
+    )
+    nw, nt, nu = ts.wordpiece_sql("text")
+    rows = con.execute(
+        f"SELECT doc_id, {nw}, {nt}, {nu} FROM t ORDER BY doc_id"
+    ).fetchall()
+    assert [(r[1], r[2], r[3]) for r in rows] == [
+        _wp_ref_counts(x) for x in texts
+    ]
