@@ -124,6 +124,7 @@ _GATE_ORDER: list[str] = [
     # for the judge's check_oracle tail pass (the r3 procedure) ----
     "multimodal_image_neardup",
     "text_wordpiece_encode",
+    "text_blocklist_match",
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
@@ -727,6 +728,7 @@ def q_windowed_event_counts(spark, sf_dir):
 from ..functions import textstats as _ts  # noqa: E402
 from ..functions.hashing import h60_col as _h60_col  # noqa: E402
 from ..functions.hashing import h60_sql as _h60_sql  # noqa: E402
+from ..operators import acmatch as _ac  # noqa: E402
 from ..operators import multimodal as _mm  # noqa: E402
 from ..operators import rhplsh as _rhp  # noqa: E402
 from ..operators import similarity as _sim  # noqa: E402
@@ -5012,6 +5014,34 @@ def q_text_bpe_encode(spark, sf_dir):
     return d.select(
         "doc_id", nw.alias("n_words"), nt.alias("n_bpe_tokens")
     ).orderBy("doc_id")
+
+
+_BLOCKLIST_PATTERNS = [
+    "agg", "fast key", "filter", "join", "merge", "scan merge",
+    "slow", "spark", "zzznever",
+]
+
+
+@_register(
+    "text_blocklist_match",
+    # Multi-pattern blocklist matching (the C4/RefinedWeb badword /
+    # URL-blocklist filter; Aho & Corasick 1975): the engine scans
+    # each document ONCE through an AC automaton for ALL patterns —
+    # at 100 TB with a production-sized list this is O(N + matches)
+    # vs O(N*P) for per-pattern contains() scans — with one partial
+    # count row per (partition, pattern), so the shuffle is
+    # O(parts x P), never O(docs). The oracle recounts every pattern
+    # independently via replace()-arithmetic (exact because the gate
+    # list is all-borderless, asserted in match_counts_sql; the unit
+    # tests pin the bordered-pattern divergence). Non-vacuous:
+    # corpus-present words AND multi-word phrases match at every
+    # scale, and 'zzznever' pins the zero-hit row (an engine that
+    # drops unmatched patterns from the output breaks the row count).
+    _ac.match_counts_sql(_BLOCKLIST_PATTERNS),
+)
+def q_text_blocklist_match(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _ac.match_counts(d, _BLOCKLIST_PATTERNS).orderBy("pattern")
 
 
 def _wordpiece_oracle() -> str:
