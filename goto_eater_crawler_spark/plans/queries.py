@@ -125,6 +125,7 @@ _GATE_ORDER: list[str] = [
     "multimodal_image_neardup",
     "text_wordpiece_encode",
     "text_blocklist_match",
+    "storage_cdc_chunks",
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
@@ -729,6 +730,7 @@ from ..functions import textstats as _ts  # noqa: E402
 from ..functions.hashing import h60_col as _h60_col  # noqa: E402
 from ..functions.hashing import h60_sql as _h60_sql  # noqa: E402
 from ..operators import acmatch as _ac  # noqa: E402
+from ..operators import cdchunk as _cdc  # noqa: E402
 from ..operators import multimodal as _mm  # noqa: E402
 from ..operators import rhplsh as _rhp  # noqa: E402
 from ..operators import similarity as _sim  # noqa: E402
@@ -5014,6 +5016,28 @@ def q_text_bpe_encode(spark, sf_dir):
     return d.select(
         "doc_id", nw.alias("n_words"), nt.alias("n_bpe_tokens")
     ).orderBy("doc_id")
+
+
+@_register(
+    "storage_cdc_chunks",
+    # Content-defined chunking (Muthitacharoen et al. SOSP 2001 — the
+    # rsync/LBFS boundary rule behind blob-level dedup in data lakes
+    # and incremental corpus snapshots): split where a rolling
+    # window fingerprint hits 0 mod D, so boundaries survive edits.
+    # Engine: 100% Catalyst HOFs — an O(len) Rabin-Karp rolling fold
+    # (provably equal to the direct per-position window hash for
+    # every position past the window fill, see cdchunk.py), lambda-
+    # bound sub-expressions so the fold runs once per row, explode
+    # then per-chunk fingerprints over scalar ranges. No UDF, no
+    # shuffle: one narrow map stage at 100 TB. Oracle: the DIRECT
+    # O(len*W) window-hash definition in DuckDB — the gate passes
+    # only if the rolling optimization is algebraically faithful.
+    # All-integer folds on both sides (cross-engine float rule).
+    _cdc.chunk_rows_sql(),
+)
+def q_storage_cdc_chunks(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _cdc.chunk_rows(d).orderBy("doc_id", "chunk_idx")
 
 
 _BLOCKLIST_PATTERNS = [
