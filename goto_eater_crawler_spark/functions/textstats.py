@@ -512,3 +512,187 @@ def wordpiece_word_tokens(word: str) -> list[str]:
         toks.append(best if pos == 0 else "##" + best)
         pos += len(best)
     return toks
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenization (Kudo 2018 — the SentencePiece family):
+# Viterbi MINIMUM-COST segmentation over a weighted vocab, the third
+# production tokenizer family next to BPE (merge tables) and
+# WordPiece (greedy max-munch). The defect max-munch cannot exhibit:
+# the optimal path may SPLIT where a longer piece exists (tab+le = 7
+# beats table = 8 below), so a greedy implementation fails this gate
+# while passing text_wordpiece_encode. DP state is the last-L dp
+# values as a plain integer array; both engines run the IDENTICAL
+# fold (Spark F.aggregate over positions / DuckDB list_reduce over
+# [i] singleton lists with a list accumulator — 1.0's two-arg form
+# needs matching element/accumulator types). dp values encode
+# (cost, n_tokens) as cost*1024 + n so the lexicographic tie-break
+# (cheapest, then fewest tokens) is a single integer min; INF is a
+# saturating sentinel. All integers — the cross-engine float rule.
+# ---------------------------------------------------------------------------
+
+UNI_PIECES: dict[str, int] = {
+    # multi-char pieces engineered so Viterbi and greedy DIVERGE:
+    # sort -> so+rt (6 < 7), table -> tab+le (7 < 8), value -> val+ue,
+    # batch -> bat+ch, scan -> sc+an; but window/stream/the stay whole
+    "window": 8, "stream": 8, "table": 8, "value": 8, "batch": 8,
+    "merge": 8, "sort": 7, "scan": 7,
+    "wind": 8, "tab": 4, "val": 4, "bat": 4, "win": 4,
+    "the": 5, "so": 3, "rt": 3, "st": 3, "sc": 3, "an": 3,
+    "le": 3, "ue": 3, "ch": 3, "me": 4, "ow": 4, "ream": 6,
+}
+for _c in "abcdefghijklmnoprstuvwxyz":  # no 'q': [UNK] path
+    UNI_PIECES[_c] = 6
+
+_UNI_MAXLEN = max(len(p) for p in UNI_PIECES)
+_UNI_INF = 1_000_000_000
+_UNI_NTOK_BITS = 10  # dp value = cost*1024 + n_tokens
+UNK_COST = 64
+
+
+def _uni_by_len() -> list[tuple[int, list[tuple[str, int]]]]:
+    out: dict[int, list[tuple[str, int]]] = {}
+    for p, c in sorted(UNI_PIECES.items()):
+        out.setdefault(len(p), []).append((p, c))
+    return sorted(out.items())
+
+
+def unigram_cols(text: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_words, viterbi_cost, n_tokens, n_unk_words) for minimum-
+    cost Unigram-LM segmentation. Fully JVM-side: per-word Viterbi as
+    an F.aggregate whose accumulator is the last-L dp window (array
+    shift via concat+slice, the cdchunk.py state pattern); piece
+    lookup is a literal when-chain. No UDF, no shuffle."""
+    words = F.filter(
+        F.split(F.lower(text), "[^a-z]+"), lambda x: F.length(x) > 0
+    )
+    inf = F.lit(_UNI_INF).cast("long")
+
+    def word_dp(w: Column) -> Column:
+        def step(s: Column, i: Column) -> Column:
+            cands = [inf]
+            for length, pieces in _uni_by_len():
+                piece_v = None
+                for p, c in pieces:
+                    cond = w.substr(i - (length - 1), F.lit(length)) == p
+                    add = F.lit((c << _UNI_NTOK_BITS) + 1).cast("long")
+                    piece_v = (
+                        F.when(cond, add)
+                        if piece_v is None
+                        else piece_v.when(cond, add)
+                    )
+                piece_v = piece_v.otherwise(inf)
+                cands.append(
+                    F.when(
+                        i >= length,
+                        F.element_at(s, length) + piece_v,
+                    ).otherwise(inf)
+                )
+            dp = F.least(*cands)
+            return F.concat(
+                F.array(dp), F.slice(s, 1, _UNI_MAXLEN - 1)
+            )
+
+        init = F.array(
+            F.lit(0).cast("long"),
+            *[inf for _ in range(_UNI_MAXLEN - 1)],
+        )
+        return F.element_at(
+            F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step), 1
+        )
+
+    def word_stats(w: Column) -> Column:
+        v = word_dp(w)
+        unk = (v >= inf).cast("long")
+        cost = F.when(
+            unk == 1, F.lit(UNK_COST).cast("long")
+        ).otherwise(F.shiftright(v, _UNI_NTOK_BITS))
+        ntok = F.when(unk == 1, F.lit(1).cast("long")).otherwise(
+            v.bitwiseAND(F.lit((1 << _UNI_NTOK_BITS) - 1))
+        )
+        return F.struct(
+            cost.alias("c"), ntok.alias("t"), unk.alias("u")
+        )
+
+    zero = F.lit(0).cast("long")
+    acc = F.aggregate(
+        words,
+        F.struct(zero.alias("c"), zero.alias("t"), zero.alias("u")),
+        lambda a, w: F.transform(F.array(word_stats(w)), lambda ws: F.struct(
+            (a["c"] + ws["c"]).alias("c"),
+            (a["t"] + ws["t"]).alias("t"),
+            (a["u"] + ws["u"]).alias("u"),
+        ))[0],
+    )
+    return (
+        F.size(words).cast("long"),
+        acc["c"],
+        acc["t"],
+        acc["u"],
+    )
+
+
+def unigram_sql(expr: str) -> tuple[str, str, str, str]:
+    """DuckDB mirror of :func:`unigram_cols` — the identical dp fold;
+    positions ride as [i] singleton lists so the list accumulator
+    type-checks under 1.0's two-arg list_reduce."""
+    words = (f"list_filter(string_split_regex(lower({expr}), "
+             f"'[^a-z]+'), x -> length(x) > 0)")
+    cands = [str(_UNI_INF)]
+    for length, pieces in _uni_by_len():
+        whens = " ".join(
+            f"WHEN substr(w, CAST(x[1] AS INTEGER) - {length - 1}, "
+            f"{length}) = '{p}' THEN {(c << _UNI_NTOK_BITS) + 1}"
+            for p, c in pieces
+        )
+        cands.append(
+            f"CASE WHEN x[1] >= {length} THEN s[{length}] + "
+            f"(CASE {whens} ELSE {_UNI_INF} END) ELSE {_UNI_INF} END"
+        )
+    init = "[" + ", ".join(
+        ["CAST(0 AS BIGINT)"] + [str(_UNI_INF)] * (_UNI_MAXLEN - 1)
+    ) + "]"
+    fold = (
+        f"list_reduce(list_prepend({init}, "
+        f"list_transform(generate_series(CAST(1 AS BIGINT), "
+        f"CAST(length(w) AS BIGINT)), i -> [i])), "
+        f"(s, x) -> list_prepend(least({', '.join(cands)}), "
+        f"s[1:{_UNI_MAXLEN - 1}]))[1]"
+    )
+    unk = f"(CASE WHEN ({fold}) >= {_UNI_INF} THEN 1 ELSE 0 END)"
+    cost = (f"(CASE WHEN ({fold}) >= {_UNI_INF} THEN {UNK_COST} "
+            f"ELSE ({fold}) >> {_UNI_NTOK_BITS} END)")
+    ntok = (f"(CASE WHEN ({fold}) >= {_UNI_INF} THEN 1 "
+            f"ELSE ({fold}) & {(1 << _UNI_NTOK_BITS) - 1} END)")
+
+    def summed(e: str) -> str:
+        return (f"CAST(coalesce(list_sum(list_transform({words}, "
+                f"w -> {e})), 0) AS BIGINT)")
+
+    return (
+        f"CAST(len({words}) AS BIGINT)",
+        summed(cost),
+        summed(ntok),
+        summed(unk),
+    )
+
+
+def unigram_word_segment(word: str) -> tuple[int, int, int]:
+    """Pure-python reference (unit-test oracle): (cost, n_tokens,
+    unk) of the minimum-cost segmentation, ties broken by fewer
+    tokens — the same lexicographic rule the packed dp encodes."""
+    n = len(word)
+    inf = (10**9, 10**9)
+    dp: list[tuple[int, int]] = [(0, 0)] + [inf] * n
+    for i in range(1, n + 1):
+        best = inf
+        for p, c in UNI_PIECES.items():
+            ln = len(p)
+            if ln <= i and word[i - ln : i] == p and dp[i - ln] != inf:
+                cand = (dp[i - ln][0] + c, dp[i - ln][1] + 1)
+                if cand < best:
+                    best = cand
+        dp[i] = best
+    if dp[n] == inf:
+        return UNK_COST, 1, 1
+    return dp[n][0], dp[n][1], 0

@@ -126,6 +126,7 @@ _GATE_ORDER: list[str] = [
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
+    "text_unigram_lm_encode",
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
@@ -5099,6 +5100,42 @@ def q_text_wordpiece_encode(spark, sf_dir):
         "doc_id",
         nw.alias("n_words"),
         nt.alias("n_wp_tokens"),
+        nu.alias("n_unk_words"),
+    ).orderBy("doc_id")
+
+
+def _unigram_oracle() -> str:
+    nw, c, nt, nu = _ts.unigram_sql("text")
+    return (f"SELECT doc_id, {nw} AS n_words, {c} AS viterbi_cost, "
+            f"{nt} AS n_tokens, {nu} AS n_unk_words "
+            f"FROM documents ORDER BY doc_id")
+
+
+@_register(
+    "text_unigram_lm_encode",
+    # Unigram-LM tokenization (Kudo 2018 — the SentencePiece family):
+    # Viterbi MINIMUM-COST segmentation, completing the production
+    # tokenizer triple next to BPE (merge tables) and WordPiece
+    # (greedy max-munch). The vocab costs are engineered so the
+    # optimal path SPLITS where a longer piece exists (sort -> so+rt,
+    # table -> tab+le, scan -> sc+an) — a greedy longest-match
+    # implementation passes text_wordpiece_encode but FAILS this
+    # hash; ties break to fewer tokens via the packed (cost, n)
+    # integer; 'q' words pin the unreachable->[UNK] path. Both
+    # engines run the IDENTICAL last-L-window dp fold (Spark
+    # F.aggregate with an array accumulator / DuckDB list_reduce over
+    # [i] singleton lists), all integers — no UDF, no shuffle,
+    # pipelines with the scan at 100 TB.
+    _unigram_oracle(),
+)
+def q_text_unigram_lm_encode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nw, c, nt, nu = _ts.unigram_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        c.alias("viterbi_cost"),
+        nt.alias("n_tokens"),
         nu.alias("n_unk_words"),
     ).orderBy("doc_id")
 

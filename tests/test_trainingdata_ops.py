@@ -791,3 +791,84 @@ def test_wordpiece_duckdb_fold_matches_reference():
     assert [(r[1], r[2], r[3]) for r in rows] == [
         _wp_ref_counts(x) for x in texts
     ]
+
+
+# -- Unigram-LM Viterbi segmentation (text_unigram_lm_encode gate) --
+
+
+def test_unigram_viterbi_diverges_from_greedy():
+    # minimum-cost path splits where greedy max-munch would not
+    assert ts.unigram_word_segment("sort") == (6, 2, 0)  # so+rt < sort
+    assert ts.unigram_word_segment("table") == (7, 2, 0)  # tab+le
+    assert ts.unigram_word_segment("scan") == (6, 2, 0)  # sc+an
+    # ...but keeps long pieces when they genuinely win
+    assert ts.unigram_word_segment("window") == (8, 1, 0)
+    assert ts.unigram_word_segment("stream") == (8, 1, 0)
+    # unreachable -> whole-word [UNK]
+    assert ts.unigram_word_segment("query") == (ts.UNK_COST, 1, 1)
+
+
+def test_unigram_spark_fold_matches_reference(spark):
+    import re
+
+    texts = [
+        (0, "the fast sort table window stream query scan batch value"),
+        (1, "sorting tables windows streams quack sorts"),
+        (2, ""),
+        (3, "a so rt sort sortsort tablele streamstream"),
+    ]
+
+    def ref(text):
+        words = [w for w in re.split("[^a-z]+", text.lower()) if w]
+        segs = [ts.unigram_word_segment(w) for w in words]
+        return (
+            len(words),
+            sum(s[0] for s in segs),
+            sum(s[1] for s in segs),
+            sum(s[2] for s in segs),
+        )
+
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    nw, c, nt, nu = ts.unigram_cols(F.col("text"))
+    got = {
+        r["doc_id"]: (r["w"], r["c"], r["t"], r["u"])
+        for r in df.select(
+            "doc_id", nw.alias("w"), c.alias("c"),
+            nt.alias("t"), nu.alias("u"),
+        ).collect()
+    }
+    assert got == {i: ref(t) for i, t in texts}
+
+
+def test_unigram_duckdb_fold_matches_reference():
+    import re
+
+    import duckdb
+
+    texts = [
+        "the fast sort table window stream query scan batch value",
+        "sorting tables windows streams quack sorts",
+        "a so rt sort sortsort tablele streamstream",
+    ]
+
+    def ref(text):
+        words = [w for w in re.split("[^a-z]+", text.lower()) if w]
+        segs = [ts.unigram_word_segment(w) for w in words]
+        return (
+            len(words),
+            sum(s[0] for s in segs),
+            sum(s[1] for s in segs),
+            sum(s[2] for s in segs),
+        )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{x}')" for i, x in enumerate(texts))
+        + ") v(doc_id, text)"
+    )
+    nw, c, nt, nu = ts.unigram_sql("text")
+    rows = con.execute(
+        f"SELECT doc_id, {nw}, {c}, {nt}, {nu} FROM t ORDER BY doc_id"
+    ).fetchall()
+    assert [r[1:] for r in rows] == [ref(x) for x in texts]
