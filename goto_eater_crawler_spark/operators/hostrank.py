@@ -476,3 +476,91 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return nodes.join(per_host, "host", "left").select(
         "host", F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# synchronous label propagation (Raghavan, Albert & Kumara 2007) —
+# community detection over the host graph: mirror farms, template
+# networks and link rings surface as label communities. Each
+# SYNCHRONOUS iteration relabels every node with its neighbors'
+# majority label; ties break to the SMALLEST label so the result is
+# deterministic (plain LPA tie-breaks randomly — useless against a
+# value-hash oracle). The (count, label) argmax is packed into one
+# BIGINT score = cnt * 2^20 + (2^20-1 - label), so both engines take
+# a plain integer max — no max_by tie ambiguity, no doubles.
+# Iteration count FIXED, oracle = the recurrence unrolled as CTEs.
+# Scale shape per iteration: ONE join of the slim (node, label)
+# relation against the undirected edge list + ONE map-side-
+# combinable groupBy — the host_rank shuffle budget exactly.
+# ---------------------------------------------------------------------------
+
+_LPA_LBL_BITS = 20
+_LPA_LBL_MASK = (1 << _LPA_LBL_BITS) - 1
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """(host, label) after ``iterations`` synchronous majority-label
+    steps over the UNDIRECTED closure of (src, dst); labels start as
+    the node ids (must fit 20 bits)."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(iterations):
+        score = (
+            F.col("cnt") * (1 << _LPA_LBL_BITS)
+            + (F.lit(_LPA_LBL_MASK) - F.col("lbl"))
+        )
+        labels = (
+            und.join(labels, und["dst"] == labels["node"], "inner")
+            .groupBy(und["src"].alias("node2"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy(F.col("node2").alias("node"))
+            .agg(F.max(score).alias("s"))
+            .select(
+                "node",
+                (F.lit(_LPA_LBL_MASK) - F.col("s") % (1 << _LPA_LBL_BITS))
+                .cast("long")
+                .alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("node").alias("host"), F.col("lbl").alias("label"))
+
+
+def label_propagation_sql(edges_sql: str, iterations: int = 3) -> str:
+    """DuckDB mirror — the identical packed-integer argmax per
+    unrolled iteration."""
+    stages = [
+        f"e AS ({edges_sql})",
+        "und AS (SELECT src, dst FROM e UNION "
+        "SELECT dst, src FROM e)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und)",
+    ]
+    for i in range(iterations):
+        score = (
+            f"cnt * {1 << _LPA_LBL_BITS} + ({_LPA_LBL_MASK} - lbl)"
+        )
+        stages.append(
+            f"c{i} AS (SELECT u.src AS node, l.lbl AS lbl, "
+            f"CAST(count(*) AS BIGINT) AS cnt "
+            f"FROM und u JOIN l{i} l ON u.dst = l.node GROUP BY 1, 2)"
+        )
+        stages.append(
+            f"l{i + 1} AS (SELECT node, CAST({_LPA_LBL_MASK} - "
+            f"(max({score}) % {1 << _LPA_LBL_BITS}) AS BIGINT) AS lbl "
+            f"FROM c{i} GROUP BY node)"
+        )
+    return (
+        "WITH " + ", ".join(stages)
+        + f" SELECT node AS host, lbl AS label FROM l{iterations}"
+    )

@@ -127,6 +127,7 @@ _GATE_ORDER: list[str] = [
     "text_blocklist_match",
     "storage_cdc_chunks",
     "text_unigram_lm_encode",
+    "graph_communities_lpa",
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
@@ -4228,6 +4229,72 @@ _CC_PAIRS_SQL = """
                     CAST((c_custkey % 50 + 5) % 50 AS BIGINT) AS doc_b
     FROM customer
 """
+
+
+# planted two-community host graph for the LPA gate: nodes 0..49 in
+# two 25-node clusters (ring + chord-7 inside each), one 0-25 bridge —
+# dense intra-cluster, a single inter-cluster edge
+_LPA_EDGES_SQL = """
+    WITH nodes AS (
+      SELECT DISTINCT CAST(c_custkey % 50 AS BIGINT) AS a FROM customer),
+    raw AS (
+      SELECT a AS src, (CASE WHEN a >= 25 THEN 25 ELSE 0 END)
+             + ((a % 25) + 1) % 25 AS dst FROM nodes
+      UNION ALL
+      SELECT a, (CASE WHEN a >= 25 THEN 25 ELSE 0 END)
+             + ((a % 25) + 7) % 25 FROM nodes
+      UNION ALL
+      SELECT n1.a, n2.a FROM nodes n1, nodes n2
+      WHERE n1.a = 0 AND n2.a = 25)
+    SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+"""
+
+
+def _lpa_edges(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    nodes = c.select((F.col("c_custkey") % 50).cast("long").alias("a")).distinct()
+    base = F.when(F.col("a") >= 25, F.lit(25)).otherwise(F.lit(0)).cast("long")
+    ring = nodes.select(
+        F.col("a").alias("src"),
+        (base + ((F.col("a") % 25) + 1) % 25).alias("dst"),
+    )
+    chord = nodes.select(
+        F.col("a").alias("src"),
+        (base + ((F.col("a") % 25) + 7) % 25).alias("dst"),
+    )
+    bridge = (
+        nodes.filter(F.col("a") == 0)
+        .crossJoin(nodes.filter(F.col("a") == 25).select(F.col("a").alias("b")))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return (
+        ring.unionByName(chord)
+        .unionByName(bridge)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+@_register(
+    "graph_communities_lpa",
+    # Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    # — community detection over the host graph (mirror farms, link
+    # rings, template networks). Plain LPA tie-breaks randomly, which
+    # a value-hash gate cannot accept: ties break to the SMALLEST
+    # label via a packed-integer argmax (cnt*2^20 + (2^20-1-lbl), one
+    # plain max — no max_by ambiguity, no doubles), iterations FIXED
+    # at 3. The planted graph (two dense 25-node clusters, one
+    # bridge) makes the result non-vacuous: labels collapse inside
+    # clusters but not across the bridge. Per iteration ONE slim join
+    # + ONE map-side-combinable groupBy — the host_rank shuffle
+    # budget; oracle = the recurrence unrolled as CTEs.
+    _hr.label_propagation_sql(_LPA_EDGES_SQL, iterations=3)
+    + " ORDER BY host",
+)
+def q_graph_communities_lpa(spark, sf_dir):
+    return _hr.label_propagation(
+        _lpa_edges(spark, sf_dir), iterations=3
+    ).orderBy("host")
 
 
 @_register(

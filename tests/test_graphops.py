@@ -119,3 +119,40 @@ def test_pack_shards_are_independent(spark):
         seqs = [s for _, s in sorted(docs_seqs)]
         assert seqs == list(range(len(seqs)))
     assert set(by_shard) == {0, 1}
+
+
+def test_label_propagation_two_cluster_structure(spark):
+    """Synchronous LPA with smallest-label ties over the planted
+    two-cluster graph: after 3 iterations labels must have collapsed
+    inside each 25-node cluster (far fewer labels than nodes) and
+    must NOT have merged the clusters across the single bridge —
+    and Spark must agree with the DuckDB-unrolled recurrence."""
+    import duckdb
+
+    from goto_eater_crawler_spark.operators import hostrank as hr
+    from goto_eater_crawler_spark.plans import queries as q
+
+    got = {
+        r["host"]: r["label"]
+        for r in q.q_graph_communities_lpa(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(got) == 50
+    a_labels = {lbl for h, lbl in got.items() if h < 25}
+    b_labels = {lbl for h, lbl in got.items() if h >= 25}
+    assert len(a_labels) <= 8 and len(b_labels) <= 8  # collapsed
+    # the bridge may leak ONE label, not merge the communities
+    assert len(a_labels & b_labels) <= 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        "'/root/testdata/sf0.001/customer.parquet'"
+    )
+    oracle = dict(
+        con.execute(
+            hr.label_propagation_sql(q._LPA_EDGES_SQL, 3)
+        ).fetchall()
+    )
+    assert got == oracle
