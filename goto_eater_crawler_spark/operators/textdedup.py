@@ -907,3 +907,131 @@ def containment_pairs_sql(
     WHERE sa.n_sh >= {CONTAIN_MIN_SHINGLES}
       AND round(n_common / sa.n_sh, 4) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filtered similarity join (Xiao, Wang, Lin &
+# Yu, WWW 2008) — the database-literature EXACT-RECALL alternative to
+# LSH banding: order each doc's shingle set by ascending global
+# document frequency (rarest first, shingle text as the
+# deterministic tie), take the first |x| - ceil(t|x|) + 1 tokens as
+# the PREFIX, and join only docs sharing a prefix token. The prefix-
+# filter theorem guarantees every pair with Jaccard >= t shares at
+# least one prefix token, so unlike MinHash/SimHash this candidate
+# generation misses NOTHING — and the DuckDB oracle is the plain
+# brute-force join, so the gate passes only if the theorem is
+# honored by the implementation. Thresholds are integer fractions
+# (num/den) end to end: prefix length uses ceil(num*n/den) =
+# (num*n + den - 1) div den and the verify is den*common >=
+# num*union — no doubles anywhere (the cross-engine float rule).
+#
+# Scale shape: df counting is one map-side-combinable groupBy on
+# shingle; per-doc ordering is a local sort_array inside one groupBy
+# on doc_id (no global window); prefixes are a few tokens per doc, so
+# the candidate equi-join touches a small fraction of the shingle
+# relation, and exact verification joins shingles for candidate pairs
+# only. Rare-first ordering makes hot shingles structurally unlikely
+# in prefixes — the skew story LSH needs a DF cap for comes built in.
+# ---------------------------------------------------------------------------
+
+
+def ppjoin_pairs(docs: DataFrame, num: int = 4, den: int = 5) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_union) for all pairs with shingle
+    Jaccard >= num/den, found via prefix filtering (exact recall)."""
+    sh = shingles(docs).persist()
+    df_rel = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df_rel, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("ord"),
+            F.count("*").alias("n"),
+        )
+    )
+    # prefix length p = n - ceil(num*n/den) + 1, all-integer
+    p = (
+        F.col("n")
+        - F.expr(f"(n * {num} + {den} - 1) div {den}")
+        + 1
+    ).cast("int")
+    prefixes = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("ord"), 1, p), lambda s: s["shingle"]
+            )
+        ).alias("shingle"),
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        cands.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("na") + F.col("nb") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+        )
+        .filter(F.col("n_common") * den >= F.col("n_union") * num)
+    )
+
+
+def ppjoin_pairs_sql(docs_rel: str, num: int = 4, den: int = 5) -> str:
+    """Brute-force oracle — NO prefix filter: every pair with
+    den*common >= num*union. The engine passes only if its prefix
+    filter really has exact recall."""
+    return f"""
+    WITH sh AS ({SHINGLES_SQL.format(docs=docs_rel)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n_sh + sb.n_sh - n_common AS BIGINT) AS n_union
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * {den} >= (sa.n_sh + sb.n_sh - n_common) * {num}
+    ORDER BY doc_a, doc_b
+    """

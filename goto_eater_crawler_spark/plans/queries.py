@@ -128,6 +128,7 @@ _GATE_ORDER: list[str] = [
     "storage_cdc_chunks",
     "text_unigram_lm_encode",
     "graph_communities_lpa",
+    "dedup_ppjoin_prefix",
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
@@ -778,6 +779,28 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return _td.jaccard_pairs(_td.shingles(d), 0.5, _JACCARD_DF_CAP).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@_register(
+    "dedup_ppjoin_prefix",
+    # PPJoin-style prefix-filtered similarity join (Xiao et al. WWW
+    # 2008): the EXACT-RECALL candidate generation from the database
+    # literature, complementing the probabilistic near-dup arms
+    # (MinHash banding, SimHash pigeonhole, RHP-LSH). Docs order
+    # their shingles rarest-first (global df, shingle tie) and join
+    # only on the first n - ceil(t*n) + 1 tokens; the prefix-filter
+    # theorem says no qualifying pair is missed — and the oracle is
+    # the plain BRUTE-FORCE join with no filter, so a prefix that is
+    # one token too short fails the hash. Threshold is the integer
+    # fraction 4/5 end to end (prefix length and den*common >=
+    # num*union verify) — no doubles (cross-engine float rule).
+    # Rare-first prefixes are the built-in hot-shingle skew guard the
+    # LSH arm needs a DF cap for.
+    _td.ppjoin_pairs_sql(_AUG_SQL, 4, 5),
+)
+def q_dedup_ppjoin_prefix(spark, sf_dir):
+    d = _AUG_SPARK(spark, sf_dir)
+    return _td.ppjoin_pairs(d, 4, 5).orderBy("doc_a", "doc_b")
 
 
 @_register(

