@@ -158,3 +158,100 @@ def parquet_footer_sql(tables: dict[str, list[str]] | None = None) -> str:
         "\nUNION ALL\n".join(parts)
         + "\nORDER BY table_name, col_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle corpus digest — hierarchical content hashing (Merkle 1987),
+# the integrity/diff structure behind Iceberg manifest lists, git
+# trees and Dat/IPFS blob stores. Two corpus snapshots at 100 TB are
+# compared WITHOUT re-reading rows: equal subtree digests prune the
+# descent, so a point edit costs O(fanout * depth) digest reads.
+#
+# Scale shape: depth-3 tree with fanout 16 on doc_id — each level is
+# ONE map-side-combinable groupBy whose collect_list is bounded by
+# the FANOUT (never by data size), the tree-reduction shape. Digests
+# are h60 over the ','-joined ordered child digests; ordering is by
+# child key (array_sort on (key, digest) structs / string_agg ORDER
+# BY), so both engines fold in the identical order — the ordered-
+# fold rule for anything feeding a hash.
+# ---------------------------------------------------------------------------
+
+MERKLE_FANOUT = 16
+
+
+def merkle_digest(docs: "DataFrame") -> "DataFrame":
+    """(level, bucket, digest): level 0 = per-doc leaf digests
+    h60(doc_id ':' text), levels 1..2 = fanout-16 interior nodes,
+    level 3 = the corpus root."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import h60_col
+
+    f = MERKLE_FANOUT
+
+    def interior(child: "DataFrame", key: str, parent: str) -> "DataFrame":
+        ordered = F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(key, "dig"))
+                ),
+                lambda s: s["dig"].cast("string"),
+            ),
+            ",",
+        )
+        return child.groupBy(parent).agg(h60_col(ordered).alias("dig"))
+
+    l0 = docs.select(
+        F.col("doc_id"),
+        F.expr(f"doc_id div {f}").alias("b1"),
+        h60_col(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        ).alias("dig"),
+    )
+    l1 = interior(l0, "doc_id", "b1").withColumn(
+        "b2", F.expr(f"b1 div {f}")
+    )
+    l2 = interior(l1, "b1", "b2").withColumn("r", F.lit(0))
+    root = interior(l2, "b2", "r")
+
+    def leveled(df: "DataFrame", level: int, bucket: str) -> "DataFrame":
+        return df.select(
+            F.lit(level).cast("long").alias("level"),
+            F.col(bucket).cast("long").alias("bucket"),
+            F.col("dig").alias("digest"),
+        )
+
+    return (
+        leveled(l0, 0, "doc_id")
+        .unionByName(leveled(l1, 1, "b1"))
+        .unionByName(leveled(l2, 2, "b2"))
+        .unionByName(leveled(root, 3, "r"))
+    )
+
+
+def merkle_digest_sql(rel: str = "documents") -> str:
+    from ..functions.hashing import h60_sql
+
+    f = MERKLE_FANOUT
+
+    def agg(order_key: str) -> str:
+        return h60_sql(
+            f"string_agg(CAST(dig AS VARCHAR), ',' ORDER BY {order_key})"
+        )
+
+    leaf = h60_sql("CAST(doc_id AS VARCHAR) || ':' || text")
+    return f"""
+    WITH l0 AS (
+      SELECT doc_id, doc_id // {f} AS b1, {leaf} AS dig FROM {rel}),
+    l1 AS (
+      SELECT b1, b1 // {f} AS b2, {agg("doc_id")} AS dig
+      FROM l0 GROUP BY b1),
+    l2 AS (SELECT b2, {agg("b1")} AS dig FROM l1 GROUP BY b2),
+    root AS (SELECT {agg("b2")} AS dig FROM l2)
+    SELECT CAST(0 AS BIGINT) AS level, CAST(doc_id AS BIGINT) AS bucket,
+           dig AS digest FROM l0
+    UNION ALL SELECT 1, b1, dig FROM l1
+    UNION ALL SELECT 2, b2, dig FROM l2
+    UNION ALL SELECT 3, 0, dig FROM root
+    ORDER BY level, bucket
+    """

@@ -129,6 +129,7 @@ _GATE_ORDER: list[str] = [
     "text_unigram_lm_encode",
     "graph_communities_lpa",
     "dedup_ppjoin_prefix",
+    "storage_merkle_digest",
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
@@ -7061,6 +7062,27 @@ def q_storage_parquet_footer(spark, sf_dir):
     return _st.parquet_footer_stats(spark, sf_dir).orderBy(
         "table_name", "col_name"
     )
+
+
+@_register(
+    "storage_merkle_digest",
+    # Merkle corpus digest (Merkle 1987 — the integrity/diff tree
+    # behind Iceberg manifest lists, git trees, IPFS): depth-3
+    # fanout-16 content tree over the documents table; two 100 TB
+    # snapshots diff by comparing subtree digests top-down, touching
+    # O(fanout*depth) hashes per changed leaf instead of re-reading
+    # rows. Each level is ONE map-side-combinable groupBy whose
+    # collect_list is bounded by the FANOUT, never data size — the
+    # tree-reduction shape. Child digests fold in child-key order on
+    # both engines (array_sort structs / string_agg ORDER BY): the
+    # ordered-fold rule for anything feeding a hash, so a single
+    # changed doc changes its leaf, its 3 ancestors, and nothing
+    # else — pinned by the unit test.
+    _st.merkle_digest_sql(),
+)
+def q_storage_merkle_digest(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.merkle_digest(d).orderBy("level", "bucket")
 
 
 from ..operators import dust as _dust  # noqa: E402

@@ -928,3 +928,45 @@ def test_ppjoin_matches_bruteforce_and_prunes(spark):
         .count()
     )
     assert n_cand <= 10  # sanity: sparse overlap in this corpus
+
+
+# -- Merkle corpus digest (storage_merkle_digest gate) --
+
+
+def test_merkle_point_edit_touches_only_ancestors(spark):
+    """A single changed doc must change exactly its leaf digest and
+    its ancestor chain (one node per level), nothing else — the
+    property that makes snapshot diffing O(fanout*depth)."""
+    from goto_eater_crawler_spark.operators import storage as st
+
+    base = [(i, f"text of document {i}") for i in range(40)]
+    edited = [(i, t if i != 19 else t + " EDITED") for i, t in base]
+    d1 = spark.createDataFrame(base, ["doc_id", "text"])
+    d2 = spark.createDataFrame(edited, ["doc_id", "text"])
+    m1 = {(r["level"], r["bucket"]): r["digest"]
+          for r in st.merkle_digest(d1).collect()}
+    m2 = {(r["level"], r["bucket"]): r["digest"]
+          for r in st.merkle_digest(d2).collect()}
+    assert set(m1) == set(m2)
+    changed = {k for k in m1 if m1[k] != m2[k]}
+    f = st.MERKLE_FANOUT
+    assert changed == {(0, 19), (1, 19 // f), (2, 19 // f // f), (3, 0)}
+
+
+def test_merkle_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from goto_eater_crawler_spark.operators import storage as st
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        tuple(r)
+        for r in st.merkle_digest(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        ).orderBy("level", "bucket").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    assert got == con.execute(st.merkle_digest_sql()).fetchall()
