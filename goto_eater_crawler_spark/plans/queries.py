@@ -130,6 +130,7 @@ _GATE_ORDER: list[str] = [
     "graph_communities_lpa",
     "dedup_ppjoin_prefix",
     "storage_merkle_digest",
+    "storage_cdc_dedup_ratio",
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
@@ -5130,6 +5131,48 @@ def q_text_bpe_encode(spark, sf_dir):
 def q_storage_cdc_chunks(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _cdc.chunk_rows(d).orderBy("doc_id", "chunk_idx")
+
+
+@_register(
+    "storage_cdc_dedup_ratio",
+    # The PAYOFF query for content-defined chunking: blob-store
+    # dedup accounting — how many chunks (and bytes) the chunk store
+    # actually keeps once identical-content chunks share one copy
+    # (the LBFS/restic/casync model). One combinable groupBy on
+    # chunk_fp over the chunk relation, then a 1-row total: at 100 TB
+    # this is the storage planner's "dedup ratio" dashboard number.
+    # min(chunk_len) per fingerprint keeps the engines deterministic
+    # even under a (harmless, identical-on-both-sides) fp collision.
+    # Non-vacuous: the synthetic corpus shares ~28% of chunks.
+    f"""
+    WITH c AS ({_cdc.chunk_rows_sql()}),
+    g AS (SELECT chunk_fp, count(*) AS cnt, min(chunk_len) AS ln,
+                 sum(chunk_len) AS tot
+          FROM c GROUP BY 1)
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(tot) AS BIGINT) AS total_bytes,
+           CAST(sum(ln) AS BIGINT) AS unique_bytes
+    FROM g
+    """,
+)
+def q_storage_cdc_dedup_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        _cdc.chunk_rows(d)
+        .groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("chunk_len").alias("ln"),
+            F.sum("chunk_len").alias("tot"),
+        )
+    )
+    return g.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct_chunks"),
+        F.sum("tot").cast("long").alias("total_bytes"),
+        F.sum("ln").cast("long").alias("unique_bytes"),
+    )
 
 
 _BLOCKLIST_PATTERNS = [

@@ -66,6 +66,7 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
+                    "storage_cdc_dedup_ratio",
                     "transfer_gzip_decode", "transfer_chunked_decode",
                     "transfer_zstd_decode", "transfer_bz2_decode",
                     "transfer_xz_decode", "transfer_snappy_decode",
