@@ -255,3 +255,158 @@ def merkle_digest_sql(rel: str = "documents") -> str:
     UNION ALL SELECT 3, 0, dig FROM root
     ORDER BY level, bucket
     """
+
+
+# ---------------------------------------------------------------------------
+# ORC footer sweep — the ORC sibling of parquet_footer_stats. Same
+# 100 TB manifest-sweep contract (one ranged tail-GET per file, never
+# row data), different wire format: ORC footers are PROTOBUF, walked
+# by the engine's own decoder (functions/miniorc.py), with the footer
+# chunk framing decompressed by the engine's OWN codec stack (raw
+# deflate / snappy block / zstd frame / lz4 block). Files are written
+# by the REAL Apache ORC writer (pyarrow.orc), compression cycling
+# per file so all four own decoders sit in one gate's corpus.
+# ---------------------------------------------------------------------------
+
+ORC_CODEC_CYCLE = ["ZLIB", "SNAPPY", "ZSTD", "LZ4"]
+ORC_FOOTER_COLUMNS = ["doc_id", "n_chars", "lang", "source"]
+
+
+def synth_orc_from_docs(
+    documents: DataFrame, docs_per_file: int = 100
+) -> DataFrame:
+    """One REAL ORC file blob per doc_id//docs_per_file group over
+    (doc_id, n_chars, lang, source), compression = ORC_CODEC_CYCLE[
+    file_id % 4] — deterministic corpus, real writer."""
+    import io
+
+    from pyspark.sql import functions as F
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        t = pa.table(
+            {
+                "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                "n_chars": pa.array(pdf["n_chars"], pa.int64()),
+                "lang": pa.array(pdf["lang"], pa.string()),
+                "source": pa.array(pdf["source"], pa.string()),
+            }
+        )
+        buf = io.BytesIO()
+        orc.write_table(t, buf, compression=ORC_CODEC_CYCLE[fid % 4])
+        return pd.DataFrame({"file_id": [fid], "data": [buf.getvalue()]})
+
+    return (
+        documents.select(
+            "doc_id", "n_chars", "lang", "source",
+            (F.col("doc_id") / docs_per_file).cast("long").alias("file_id"),
+        )
+        .groupBy("file_id")
+        .applyInPandas(build, schema="file_id long, data binary")
+    )
+
+
+_ORC_PERFILE_SCHEMA = (
+    "file_id long, col_name string, kind string, codec string, "
+    "num_rows long, num_values long, min_int long, max_int long, "
+    "sum_int long, min_s string, max_s string"
+)
+
+
+def orc_footer_stats(blobs: DataFrame) -> DataFrame:
+    """ORC manifest sweep: per-blob footer walk (map stage, no row
+    data decoded) -> per-column aggregation across files (min of
+    mins / max of maxs / summed counts — what a manifest-level
+    pruner keeps). Output: (col_name, kind, num_rows, num_values,
+    n_files, n_codecs, min_str, max_str, sum_val); sum_val is the
+    footer's IntegerStatistics.sum for int columns and
+    StringStatistics.sum (total value BYTES) for string columns —
+    both zigzag varints, so the sint64 decode is load-bearing."""
+    from pyspark.sql import functions as F
+
+    def sweep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import miniorc
+
+        for pdf in it:
+            rows = []
+            for fid, blob in zip(pdf["file_id"], pdf["data"]):
+                ft = miniorc.parse_orc_tail(bytes(blob))
+                assert sum(s.num_rows for s in ft.stripes) == ft.num_rows
+                for i, col in enumerate(ft.column_names):
+                    st = ft.statistics[i + 1]  # 0 = root struct
+                    is_int = st.kind == "int"
+                    # st.total is an integer for BOTH kinds: the
+                    # IntegerStatistics sum, or StringStatistics'
+                    # total value bytes — one BIGINT slot serves both
+                    rows.append(
+                        (
+                            int(fid), col, ft.column_kinds[i + 1],
+                            ft.compression, ft.num_rows, st.num_values,
+                            st.minimum if is_int else None,
+                            st.maximum if is_int else None,
+                            st.total,
+                            None if is_int else st.minimum,
+                            None if is_int else st.maximum,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id", "col_name", "kind", "codec", "num_rows",
+                    "num_values", "min_int", "max_int", "sum_int",
+                    "min_s", "max_s",
+                ],
+            )
+
+    per_file = blobs.mapInPandas(sweep, schema=_ORC_PERFILE_SCHEMA)
+    return per_file.groupBy("col_name", "kind").agg(
+        F.sum("num_rows").alias("num_rows"),
+        F.sum("num_values").alias("num_values"),
+        F.count(F.lit(1)).alias("n_files"),
+        F.count_distinct("codec").alias("n_codecs"),
+        F.coalesce(
+            F.min("min_int").cast("string"), F.min("min_s")
+        ).alias("min_str"),
+        F.coalesce(
+            F.max("max_int").cast("string"), F.max("max_s")
+        ).alias("max_str"),
+        F.sum("sum_int").alias("sum_val"),
+    )
+
+
+def orc_footer_sql(docs_per_file: int = 100) -> str:
+    """Closed-form oracle: every footer fact re-derived from the data
+    (COUNT/MIN/MAX/SUM; string sum_val = total utf-8 BYTES per the
+    ORC StringStatistics.sum contract)."""
+    parts = []
+    for c in ("doc_id", "n_chars"):
+        parts.append(f"""
+    SELECT '{c}' AS col_name, 'LONG' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS num_rows,
+           CAST(COUNT(*) AS BIGINT) AS num_values,
+           CAST(COUNT(DISTINCT doc_id // {docs_per_file}) AS BIGINT)
+             AS n_files,
+           CAST(LEAST(4, COUNT(DISTINCT doc_id // {docs_per_file}))
+             AS BIGINT) AS n_codecs,
+           CAST(MIN({c}) AS VARCHAR) AS min_str,
+           CAST(MAX({c}) AS VARCHAR) AS max_str,
+           CAST(SUM({c}) AS BIGINT) AS sum_val
+    FROM documents""")
+    for c in ("lang", "source"):
+        parts.append(f"""
+    SELECT '{c}' AS col_name, 'STRING' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS num_rows,
+           CAST(COUNT(*) AS BIGINT) AS num_values,
+           CAST(COUNT(DISTINCT doc_id // {docs_per_file}) AS BIGINT)
+             AS n_files,
+           CAST(LEAST(4, COUNT(DISTINCT doc_id // {docs_per_file}))
+             AS BIGINT) AS n_codecs,
+           MIN({c}) AS min_str,
+           MAX({c}) AS max_str,
+           CAST(SUM(octet_length(encode({c}))) AS BIGINT) AS sum_val
+    FROM documents""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"

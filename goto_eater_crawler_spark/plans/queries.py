@@ -131,6 +131,11 @@ _GATE_ORDER: list[str] = [
     "dedup_ppjoin_prefix",
     "storage_merkle_digest",
     "storage_cdc_dedup_ratio",
+    "archive_zip_ingest",
+    "archive_tar_ingest",
+    "storage_orc_footer",
+    "index_postings_roaring",
+    "events_gorilla_bytes",
     "transfer_gzip_decode",
     "transfer_chunked_decode",
     "transfer_zstd_decode",
@@ -7584,4 +7589,310 @@ def q_sketch_theta_setops(spark, sf_dir):
         va.union(vb).union(rho).union(vu)
         .select("set_op", "k_used", "kth_value", est.alias("est_distinct"))
         .orderBy("set_op")
+    )
+
+
+@_register(
+    "archive_zip_ingest",
+    # S-class source op: ZIP corpus-dump ingest through the engine's
+    # OWN container walk (functions/minizip.py: backward EOCD scan
+    # through the comment window, central-directory authority over
+    # local headers per APPNOTE 4.4.4, DOS timestamp decode, STORED +
+    # DEFLATE members inflated by the OWN RFC 1951 decoder and pinned
+    # by the OWN CRC-32). Writer is the REAL stdlib zipfile (real
+    # zlib deflate), methods alternate by doc_id parity so both
+    # decode paths are in-corpus. The oracle states the round-trip
+    # invariant over documents directly — a wrong EOCD offset, CD
+    # field, DOS date bit or inflate byte fails the hash. Corpus-
+    # scale generalization of the reference's ZIP-container XLSX
+    # sources (xlsx_body.py). Scale shape: one blob per task,
+    # mapInPandas 1->many, no shuffle (sources/archives.py).
+    """
+    SELECT 'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+           CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8 END AS method,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           2021 AS mtime_y,
+           text
+    FROM documents ORDER BY name
+    """,
+)
+def q_archive_zip_ingest(spark, sf_dir):
+    from ..sources import archives as _ar
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        _ar.zip_members(_ar.synth_zip_from_docs(d, docs_per_file=50))
+        .orderBy("name")
+    )
+
+
+@_register(
+    "archive_tar_ingest",
+    # S-class source op: .tar.gz corpus-dump ingest — OWN gzip member
+    # walk (RFC 1952 header + RFC 1951 inflate + CRC32/ISIZE trailer,
+    # functions/minideflate.py) under the OWN ustar/pax walk
+    # (functions/minitar.py: 512-byte headers, octal + GNU base-256
+    # numerics, per-header checksum verify, pax 'x'/'g' record
+    # overrides, GNU longname). Writer is the REAL stdlib tarfile
+    # (PAX format) over real zlib. mtime_y = mtime//86400 makes the
+    # octal mtime parse load-bearing in the hash, not just names and
+    # bodies. Scale shape identical to warc/zip ingest: one blob per
+    # task, mapInPandas 1->many, no shuffle.
+    """
+    SELECT 'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+           8 AS method,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(doc_id % 28 + 1 AS INT) AS mtime_y,
+           text
+    FROM documents ORDER BY name
+    """,
+)
+def q_archive_tar_ingest(spark, sf_dir):
+    from ..sources import archives as _ar
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        _ar.targz_members(_ar.synth_targz_from_docs(d, docs_per_file=50))
+        .orderBy("name")
+    )
+
+
+@_register(
+    "storage_orc_footer",
+    # ORC footer/manifest sweep — the PROTOBUF sibling of
+    # storage_parquet_footer (that one walks Thrift compact). The
+    # engine's OWN wire walk (functions/miniorc.py: varints, zigzag
+    # sint64 stats, length-delimited submessages, packed u32 type
+    # subtrees) over REAL ORC files written by pyarrow's Apache ORC
+    # writer, with the footer's chunk framing decompressed by the
+    # engine's OWN codec stack — compression cycles ZLIB/SNAPPY/ZSTD/
+    # LZ4 per file, so one gate exercises the own inflate, snappy
+    # block, zstd frame AND lz4 block decoders against a real
+    # producer. Oracle re-derives every footer fact from the data
+    # (COUNT/MIN/MAX/SUM; string sum_val = total utf-8 bytes per the
+    # StringStatistics.sum contract) — a wrong varint, zigzag, field
+    # id or chunk header fails the hash. Scale shape: per-blob footer
+    # walk in one narrow map stage (a ranged tail-GET per file at
+    # 100 TB, no row data), then a tiny per-column aggregation.
+    _st.orc_footer_sql(docs_per_file=100),
+)
+def q_storage_orc_footer(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.orc_footer_stats(_st.synth_orc_from_docs(d, 100)).orderBy(
+        "col_name"
+    )
+
+
+@_register(
+    "index_postings_roaring",
+    # Roaring-bitmap container cost model (Chambi, Kaser, Lemire &
+    # Godin, "Better bitmap performance with Roaring bitmaps", 2016 —
+    # the Lucene/Druid/ClickHouse posting-set format): 32-bit keys
+    # split hi = v >> 16 / lo = v & 0xFFFF; per container the format
+    # keeps a sorted u16 ARRAY (2c bytes, c <= 4096), a fixed BITMAP
+    # (8192 bytes) or a RUN container (2 + 4r bytes), runOptimize
+    # converting when the run form beats the current best. The
+    # corpus plants all three regimes at EVERY sf: dense consecutive
+    # ranges (doc_id*64+k -> single giant runs), scattered sparse
+    # values across 64 chunks (arrays), and an odd-values-only chunk
+    # (never-adjacent, so the run form can't win; cardinality
+    # saturates past 4096 -> bitmap). Everything is INTEGER arithmetic — distinct, one lag
+    # window per container for run counts, range CASEs — so both
+    # engines agree to the byte. Scale shape: the window and both
+    # groupBys share the hi shuffle key (container id), each
+    # partition bounded by 65536 rows by construction; the final
+    # 3-row summary is map-side combinable.
+    """
+    WITH vals AS (
+      SELECT DISTINCT v FROM (
+        SELECT doc_id * 64 + u.k AS v
+        FROM documents, unnest(range(64)) AS u(k)
+        UNION ALL
+        SELECT 16777216 + (doc_id % 64) * 65536 + (doc_id * 509) % 65536
+        FROM documents
+        UNION ALL
+        SELECT 33554432 + ((doc_id * 97 + u.k) % 8192) * 2 + 1
+        FROM documents, unnest(range(40)) AS u(k)
+      ) t(v)),
+    cont AS (SELECT v // 65536 AS hi, v % 65536 AS lo FROM vals),
+    runs AS (
+      SELECT hi,
+             CASE WHEN lo - lag(lo) OVER (PARTITION BY hi ORDER BY lo) = 1
+                  THEN 0 ELSE 1 END AS new_run
+      FROM cont),
+    per AS (
+      SELECT hi, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(new_run) AS BIGINT) AS r
+      FROM runs GROUP BY hi),
+    typed AS (
+      SELECT c, r,
+             CASE WHEN 2 + 4*r < CASE WHEN c <= 4096 THEN 2*c
+                                      ELSE 8192 END THEN 'run'
+                  WHEN c <= 4096 THEN 'array' ELSE 'bitmap'
+             END AS container_type,
+             CASE WHEN 2 + 4*r < CASE WHEN c <= 4096 THEN 2*c
+                                      ELSE 8192 END THEN 2 + 4*r
+                  WHEN c <= 4096 THEN 2*c ELSE 8192
+             END AS nbytes
+      FROM per)
+    SELECT container_type,
+           CAST(count(*) AS BIGINT) AS n_containers,
+           CAST(sum(c) AS BIGINT) AS n_values,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes
+    FROM typed GROUP BY container_type ORDER BY container_type
+    """,
+)
+def q_index_postings_roaring(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    run_vals = d.select(
+        F.explode(
+            F.sequence(F.col("doc_id") * 64, F.col("doc_id") * 64 + 63)
+        ).alias("v")
+    )
+    arr_vals = d.select(
+        (
+            F.lit(16777216)
+            + (F.col("doc_id") % 64) * 65536
+            + (F.col("doc_id") * 509) % 65536
+        ).alias("v")
+    )
+    bmp_vals = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda k: F.lit(33554432)
+                + ((F.col("doc_id") * 97 + k) % 8192) * 2
+                + 1,
+            )
+        ).alias("v")
+    )
+    vals = run_vals.union(arr_vals).union(bmp_vals).distinct()
+    cont = vals.select(
+        (F.col("v") / 65536).cast("long").alias("hi"),
+        (F.col("v") % 65536).alias("lo"),
+    )
+    w = Window.partitionBy("hi").orderBy("lo")
+    runs = cont.select(
+        "hi",
+        F.when(F.col("lo") - F.lag("lo").over(w) == 1, 0)
+        .otherwise(1)
+        .alias("new_run"),
+    )
+    per = runs.groupBy("hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("new_run").cast("bigint").alias("r"),
+    )
+    best_nonrun = F.when(F.col("c") <= 4096, 2 * F.col("c")).otherwise(
+        F.lit(8192)
+    )
+    is_run = (2 + 4 * F.col("r")) < best_nonrun
+    typed = per.select(
+        F.when(is_run, "run")
+        .when(F.col("c") <= 4096, "array")
+        .otherwise("bitmap")
+        .alias("container_type"),
+        "c",
+        F.when(is_run, 2 + 4 * F.col("r"))
+        .otherwise(best_nonrun)
+        .alias("nbytes"),
+    )
+    return (
+        typed.groupBy("container_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_containers"),
+            F.sum("c").cast("bigint").alias("n_values"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("container_type")
+    )
+
+
+@_register(
+    "events_gorilla_bytes",
+    # Gorilla timestamp compression cost (Pelkonen et al., VLDB 2015
+    # — Facebook's in-memory TSDB; the delta-of-delta layout behind
+    # Prometheus/VictoriaMetrics chunks): per series (user_id) the
+    # fetch/event timestamps are stored as 64-bit header + 14-bit
+    # first delta + variable-width delta-of-deltas with the paper's
+    # exact buckets (0 -> 1 bit; [-63,64] -> 2+7; [-255,256] -> 3+9;
+    # [-2047,2048] -> 4+12; else 4+32 bits). The crawl analogue: a
+    # recrawl scheduler keeping per-host fetch-time series for
+    # change-rate estimation stores them in exactly this shape.
+    # Integer once floored: unix_timestamp / floor(epoch(ts)) both
+    # truncate the positive epoch to whole seconds, then lag-twice
+    # windows and range CASEs are pure BIGINT — both engines agree
+    # to the bit. Scale shape: one exchange on user_id shared by the
+    # window and the final groupBy; per-partition rows bounded by the
+    # series length; summary agg map-side combinable.
+    """
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events),
+    d AS (
+      SELECT user_id,
+             row_number() OVER w AS rn,
+             sec - lag(sec, 1) OVER w AS delta,
+             sec - 2 * lag(sec, 1) OVER w + lag(sec, 2) OVER w AS dod
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+    bits AS (
+      SELECT user_id,
+             CASE WHEN rn = 1 THEN 64
+                  WHEN rn = 2 THEN 14
+                  WHEN dod = 0 THEN 1
+                  WHEN dod BETWEEN -63 AND 64 THEN 9
+                  WHEN dod BETWEEN -255 AND 256 THEN 12
+                  WHEN dod BETWEEN -2047 AND 2048 THEN 16
+                  ELSE 36 END AS nbits
+      FROM d)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+           CAST((sum(nbits) + 7) // 8 AS BIGINT) AS gorilla_bytes,
+           round(((sum(nbits) + 7) // 8) / (8.0 * count(*)), 4) AS ratio
+    FROM bits GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_events_gorilla_bytes(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    d = s.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        (
+            F.col("sec")
+            - 2 * F.lag("sec", 1).over(w)
+            + F.lag("sec", 2).over(w)
+        ).alias("dod"),
+    )
+    nbits = (
+        F.when(F.col("rn") == 1, 64)
+        .when(F.col("rn") == 2, 14)
+        .when(F.col("dod") == 0, 1)
+        .when(F.col("dod").between(-63, 64), 9)
+        .when(F.col("dod").between(-255, 256), 12)
+        .when(F.col("dod").between(-2047, 2048), 16)
+        .otherwise(36)
+    )
+    return (
+        d.select("user_id", nbits.alias("nbits"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (8 * F.count(F.lit(1))).cast("bigint").alias("raw_bytes"),
+            F.expr("CAST((sum(nbits) + 7) DIV 8 AS BIGINT)").alias(
+                "gorilla_bytes"
+            ),
+            F.round(
+                F.expr("(sum(nbits) + 7) DIV 8")
+                / (F.lit(8.0) * F.count(F.lit(1))),
+                4,
+            ).alias("ratio"),
+        )
+        .orderBy("user_id")
     )

@@ -67,6 +67,9 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
                     "storage_cdc_dedup_ratio",
+                    "archive_zip_ingest", "archive_tar_ingest",
+                    "storage_orc_footer",
+                    "index_postings_roaring", "events_gorilla_bytes",
                     "transfer_gzip_decode", "transfer_chunked_decode",
                     "transfer_zstd_decode", "transfer_bz2_decode",
                     "transfer_xz_decode", "transfer_snappy_decode",

@@ -1,0 +1,196 @@
+"""minizip / minitar: own container walks vs the real stdlib
+producers (zipfile / tarfile over real zlib)."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from goto_eater_crawler_spark.functions import minitar, minizip
+from goto_eater_crawler_spark.functions.minideflate import gunzip
+
+# ---------------------------------------------------------------- zip
+
+
+def _zip_bytes(members, comment=b"", stream=False):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, body, method, dt in members:
+            if stream:
+                zi = zipfile.ZipInfo(name, date_time=dt)
+                zi.compress_type = method
+                with z.open(zi, "w") as f:
+                    f.write(body)
+            else:
+                zi = zipfile.ZipInfo(name, date_time=dt)
+                z.writestr(zi, body, compress_type=method)
+        z.comment = comment
+    return buf.getvalue()
+
+
+_DT = (2021, 6, 2, 12, 34, 56)
+
+
+def test_zip_roundtrip_both_methods():
+    data = _zip_bytes(
+        [
+            ("a/stored.bin", b"\x00\x01\x02" * 100, zipfile.ZIP_STORED, _DT),
+            ("b/deflated.txt", b"deflate me " * 200, zipfile.ZIP_DEFLATED, _DT),
+        ]
+    )
+    es = minizip.parse_zip(data)
+    assert [e.name for e in es] == ["a/stored.bin", "b/deflated.txt"]
+    assert es[0].method == 0 and es[1].method == 8
+    assert es[0].data == b"\x00\x01\x02" * 100
+    assert es[1].data == b"deflate me " * 200
+    assert es[0].mtime == _DT and es[1].mtime == _DT
+
+
+def test_zip_trailing_comment_with_fake_sig():
+    # EOCD signature bytes INSIDE the comment must not derail the scan
+    comment = b"xx" + (0x06054B50).to_bytes(4, "little") + b"yy"
+    data = _zip_bytes(
+        [("f.txt", b"body", zipfile.ZIP_DEFLATED, _DT)], comment=comment
+    )
+    es = minizip.parse_zip(data)
+    assert es[0].data == b"body"
+
+
+def test_zip_data_descriptor_stream_write():
+    # streamed writes set flag bit 3: local header sizes are zero and
+    # the CD is authoritative — the walk must still decode
+    data = _zip_bytes(
+        [("s.txt", b"streamed" * 64, zipfile.ZIP_DEFLATED, _DT)], stream=True
+    )
+    es = minizip.parse_zip(data)
+    assert es[0].data == b"streamed" * 64
+    assert es[0].uncomp_size == 8 * 64
+
+
+def test_zip_crc_corruption_detected():
+    data = bytearray(
+        _zip_bytes([("f.txt", b"A" * 400, zipfile.ZIP_STORED, _DT)])
+    )
+    # flip a payload byte: local header is 30 + len("f.txt") = 35
+    data[40] ^= 0xFF
+    with pytest.raises(minizip.ZipError, match="CRC-32"):
+        minizip.parse_zip(bytes(data))
+
+
+def test_zip_truncated_eocd():
+    with pytest.raises(minizip.ZipError):
+        minizip.parse_zip(b"PK\x05\x06 not really")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=300),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED]),
+)
+def test_zip_fuzz_vs_stdlib(bodies, method):
+    members = [
+        (f"m/{i}.bin", b, method, _DT) for i, b in enumerate(bodies)
+    ]
+    blob = _zip_bytes(members)
+    ours = minizip.parse_zip(blob)
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        theirs = [(zi.filename, z.read(zi)) for zi in z.infolist()]
+    assert [(e.name, e.data) for e in ours] == theirs
+    for e in ours:
+        assert e.crc32 == zlib.crc32(e.data)
+
+
+# ---------------------------------------------------------------- tar
+
+
+def _tar_bytes(members, mode="w", fmt=tarfile.PAX_FORMAT):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode=mode, format=fmt) as t:
+        for name, body, mtime in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(body)
+            ti.mtime = mtime
+            t.addfile(ti, io.BytesIO(body))
+    return buf.getvalue()
+
+
+def test_tar_roundtrip_plain_and_gz():
+    members = [("doc/1.txt", b"alpha " * 40, 86400), ("doc/2.txt", b"b", 3)]
+    for raw in (
+        _tar_bytes(members),
+        gunzip(_tar_bytes(members, mode="w:gz")),
+    ):
+        es = minitar.parse_tar(raw)
+        assert [(e.name, e.data, e.mtime) for e in es] == [
+            (n, b, m) for n, b, m in members
+        ]
+
+
+def test_tar_ustar_format_and_checksum():
+    raw = bytearray(
+        _tar_bytes([("f.txt", b"x" * 10, 0)], fmt=tarfile.USTAR_FORMAT)
+    )
+    assert minitar.parse_tar(bytes(raw))[0].data == b"x" * 10
+    raw[0] ^= 0x01  # corrupt the name -> checksum must fail
+    with pytest.raises(minitar.TarError, match="checksum"):
+        minitar.parse_tar(bytes(raw))
+
+
+def test_tar_pax_longname_and_gnu_longname():
+    long = "deep/" + "n" * 180 + ".txt"
+    for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
+        raw = _tar_bytes([(long, b"abc", 7)], fmt=fmt)
+        es = minitar.parse_tar(raw)
+        assert es[0].name == long and es[0].data == b"abc"
+
+
+def test_tar_directories_skipped():
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as t:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        t.addfile(d)
+        ti = tarfile.TarInfo("dir/f.txt")
+        ti.size = 2
+        t.addfile(ti, io.BytesIO(b"ok"))
+    es = minitar.parse_tar(buf.getvalue())
+    assert [e.name for e in es] == ["dir/f.txt"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.binary(min_size=0, max_size=2000),
+            st.integers(min_value=0, max_value=2**33),  # exercises base-256
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.sampled_from(
+        [tarfile.USTAR_FORMAT, tarfile.GNU_FORMAT, tarfile.PAX_FORMAT]
+    ),
+)
+def test_tar_fuzz_vs_stdlib(items, fmt):
+    members = [
+        (f"m/{i}.bin", body, mt) for i, (body, mt) in enumerate(items)
+    ]
+    blob = _tar_bytes(members, fmt=fmt)
+    ours = minitar.parse_tar(blob)
+    with tarfile.open(fileobj=io.BytesIO(blob)) as t:
+        theirs = [
+            (m.name, t.extractfile(m).read(), m.mtime)
+            for m in t.getmembers()
+            if m.isfile()
+        ]
+    assert [(e.name, e.data, e.mtime) for e in ours] == theirs
