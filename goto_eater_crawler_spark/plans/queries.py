@@ -196,6 +196,7 @@ _GATE_ORDER: list[str] = [
     "http_revalidate",
     "shard_rendezvous",
     "crawl_delay_schedule",
+    "url_seen_xor",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -1898,6 +1899,53 @@ def q_url_seen_cuckoo(spark, sf_dir):
         F.xxhash64(F.col("o_custkey").cast("string")).alias("url_hash"),
     )
     new_rows, _, _ = _ck.split_new_urls_cuckoo(cand, blocks, seen, params)
+    return (
+        new_rows.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )
+
+
+@_register(
+    "url_seen_xor",
+    # P7 through the xor-filter arm (Graf & Lemire 2020): the
+    # IMMUTABLE seen-snapshot tier next to the mutable bloom/cuckoo
+    # arms — zero false negatives by the xor identity, so probe-
+    # negatives skip the exact table entirely and only probe-positive
+    # maybes (~2^-8 of the non-seen mass) are confirmed. Observable
+    # result is therefore exactly the anti-join the oracle states,
+    # while the engine routes candidates through per-shard broadcast
+    # filter blobs built in parallel applyInPandas tasks.
+    """
+    SELECT o.o_orderstatus AS status, count(*) AS n
+    FROM orders o
+    ANTI JOIN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) s
+      ON o.o_custkey = s.c_custkey
+    GROUP BY status ORDER BY status
+    """,
+)
+def q_url_seen_xor(spark, sf_dir):
+    from ..operators import xorfilter as _xf
+
+    seen = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(
+            F.concat(F.lit("https://h"), F.col("c_custkey").cast("string")).alias(
+                "canonical_url"
+            ),
+            F.xxhash64(F.col("c_custkey").cast("string")).alias("url_hash"),
+        )
+    ).persist()
+    filters = _xf.build_shard_filters(seen.select("url_hash"), n_shards=8)
+    cand = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.concat(F.lit("https://h"), F.col("o_custkey").cast("string")).alias(
+            "canonical_url"
+        ),
+        F.xxhash64(F.col("o_custkey").cast("string")).alias("url_hash"),
+    )
+    new_rows, _, _ = _xf.split_new_urls_xor(cand, filters, seen, n_shards=8)
     return (
         new_rows.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(F.count("*").alias("n"))

@@ -101,7 +101,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "sample_temperature_mix", "text_within_doc_dedup",
                     "robots_longest_match", "url_redirect_resolve",
                     "c4_line_filter", "http_revalidate",
-                    "shard_rendezvous", "crawl_delay_schedule"}
+                    "shard_rendezvous", "crawl_delay_schedule",
+                    "url_seen_xor"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
