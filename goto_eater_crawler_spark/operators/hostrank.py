@@ -564,3 +564,74 @@ def label_propagation_sql(edges_sql: str, iterations: int = 3) -> str:
         "WITH " + ", ".join(stages)
         + f" SELECT node AS host, lbl AS label FROM l{iterations}"
     )
+
+
+def kcore(edges: DataFrame, k: int, iterations: int) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Seidman, "Network
+    structure and minimum degree", Social Networks 1983; the
+    Batagelj–Zaversnik 2003 peel in bulk-synchronous form): repeat
+    ``iterations`` times — compute each survivor's degree over edges
+    whose BOTH endpoints survive, drop nodes with degree < k. The
+    web-graph use: isolating densely-linked host neighborhoods (link
+    farms, mirror rings) from the sparse periphery that peels away;
+    cascades matter (a tail chain attached to a core peels one node
+    per round), so callers pick ``iterations`` >= the longest cascade
+    and pin fixpoint in tests.
+
+    Scale shape: per iteration the survivor relation is a slim
+    (node) set — TWO semi-joins of the undirected edge list against
+    it plus ONE map-side-combinable count groupBy, all on the same
+    node key; the edge list itself never grows or shuffles wider.
+    Returns (host, core_deg): the members of the k-core with their
+    within-core degree.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = und.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(iterations):
+        deg = (
+            und.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("core_deg"))
+        )
+        alive = (
+            deg.filter(F.col("core_deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return deg.join(alive, "node", "left_semi").select(
+        F.col("node").alias("host"), "core_deg"
+    )
+
+
+def kcore_sql(edges_sql: str, k: int, iterations: int) -> str:
+    """DuckDB mirror — the identical peel unrolled as CTE stages."""
+    stages = [
+        f"e AS ({edges_sql})",
+        "und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)",
+        "a0 AS (SELECT DISTINCT src AS node FROM und)",
+    ]
+    for i in range(iterations):
+        stages.append(
+            f"d{i} AS (SELECT u.src AS node, "
+            f"CAST(count(*) AS BIGINT) AS core_deg FROM und u "
+            f"JOIN a{i} s ON u.src = s.node "
+            f"JOIN a{i} t ON u.dst = t.node GROUP BY 1)"
+        )
+        stages.append(
+            f"a{i + 1} AS (SELECT node FROM d{i} WHERE core_deg >= {k})"
+        )
+    last = iterations - 1
+    return (
+        "WITH " + ", ".join(stages)
+        + f" SELECT d.node AS host, d.core_deg FROM d{last} d "
+        f"JOIN a{iterations} a ON d.node = a.node"
+    )

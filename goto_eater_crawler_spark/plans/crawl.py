@@ -135,6 +135,14 @@ class CrawlConfig:
     # key and build per-partition tables in parallel (round-4
     # profiling, BASELINE.md).
     seen_confirm_join: str = "auto"
+    # shard count for the IMMUTABLE xor-filter seen-snapshot tier
+    # (operators/xorfilter; Graf & Lemire 2020) built by
+    # CrawlEngine.freeze_seen_snapshot: the frozen historical seen
+    # mass at ~10 bits/key, probed per round ahead of the mutable
+    # bloom/cuckoo arm (which after a freeze covers only post-freeze
+    # deltas). At 10^10 keys, shards scale the per-blob size and the
+    # build parallelism; the per-shard blobs broadcast to the probe.
+    xor_snapshot_shards: int = 8
     # incremental seen-set cardinality estimate via HyperLogLog
     # (operators/sketches — VERDICT r3 ask #8): when set (register
     # count log2), the loop carries <= 2^log2m register rows as state,
@@ -295,6 +303,11 @@ class CrawlEngine:
             if self.cfg.host_ranks is not None
             else None
         )
+        # immutable seen-snapshot tier (set by freeze_seen_snapshot /
+        # reloaded by resume): (shard, data) xor8 blobs + the round
+        # they were committed under
+        self.xor_filters: DataFrame | None = None
+        self._xor_round: int | None = None
 
     def _prioritize(self, df: DataFrame) -> DataFrame:
         """priority column per the configured policy: host-rank-driven
@@ -422,6 +435,14 @@ class CrawlEngine:
             if _seen_ops(config)[0]
             else None
         )
+        xr = info.get("xor_snapshot_round")
+        if xr is not None:
+            from ..schema import XOR_SNAPSHOT_SCHEMA
+
+            eng.xor_filters = eng.store.read(
+                xr, "xor_snapshot", XOR_SNAPSHOT_SCHEMA
+            ).localCheckpoint(eager=True)
+            eng._xor_round = xr
         return eng._loop(
             frontier,
             seen,
@@ -430,6 +451,65 @@ class CrawlEngine:
             info["fetch_seq_offset"],
             list(info.get("metrics", [])),
         )
+
+    # -- seen-snapshot freeze (xor arm) ---------------------------------
+
+    def freeze_seen_snapshot(
+        self, seen: DataFrame, blocks: DataFrame | None
+    ) -> tuple[DataFrame | None, DataFrame]:
+        """Freeze the full exact seen set into the IMMUTABLE xor-filter
+        snapshot tier (operators/xorfilter — Graf & Lemire 2020) and
+        reset the mutable bloom/cuckoo arm to empty, so from here on
+        the mutable arm carries only POST-freeze deltas. This is the
+        compaction product a long-running crawl periodically cuts: the
+        10^10-key historical seen mass served at ~10 bits/key from
+        broadcast-able immutable blobs (exactly 3 loads per probe, no
+        false negatives), while the per-round filter state stays
+        O(new URLs since last freeze).
+
+        Exactness is preserved by construction: the round loop drops a
+        candidate via the snapshot only when the xor probe is positive
+        AND the exact seen table confirms it — so a later ``retract``
+        needs no snapshot rebuild (the retracted row leaves the exact
+        table; its lingering xor fingerprint degrades into an ordinary
+        false positive that the confirm rescues).
+
+        Persistent stores get the blobs as a ``xor_snapshot`` table
+        under the last committed round plus manifest metadata, so
+        :meth:`resume` reattaches the tier; every subsequent round's
+        manifest carries the pointer forward.
+
+        Returns ``(blocks', filters)`` — the reset mutable arm and the
+        snapshot blobs; continue with ``run_rounds(frontier, seen,
+        blocks')``.
+        """
+        from ..operators.xorfilter import build_shard_filters
+        from ..schema import XOR_SNAPSHOT_SCHEMA  # noqa: F401  (schema home)
+
+        n_shards = self.cfg.xor_snapshot_shards
+        filters = build_shard_filters(
+            seen.select("url_hash"), n_shards=n_shards
+        )
+        f_on, f_build, _, _, f_params, _ = _seen_ops(self.cfg)
+        new_blocks = (
+            f_build(seen.select("url_hash").limit(0), f_params) if f_on else None
+        )
+        if self.store.persistent:
+            last = self.store.committed_rounds()[-1]
+            filters = self._materialize(filters, last, "xor_snapshot")
+            if new_blocks is not None:
+                new_blocks = self._materialize(new_blocks, last, "blocks")
+            info = self.store.round_info(last)
+            info["xor_snapshot_round"] = last
+            info["xor_snapshot_shards"] = n_shards
+            self._commit_round(last, info)
+            self._xor_round = last
+        else:
+            filters = filters.localCheckpoint(eager=True)
+            if new_blocks is not None:
+                new_blocks = new_blocks.localCheckpoint(eager=True)
+        self.xor_filters = filters
+        return new_blocks, filters
 
     # -- frontier retraction (cuckoo arm) -------------------------------
 
@@ -682,7 +762,48 @@ class CrawlEngine:
                 if cfg.seen_confirm_join == "auto"
                 else seen.hint(cfg.seen_confirm_join)
             )
-            new_rows, _, _ = f_split(links_dedup, blocks, exact_seen, f_params)
+            obs_xor = None
+            if self.xor_filters is not None:
+                # tier-1: the frozen xor snapshot. A candidate is
+                # dropped here only when the probe is positive AND the
+                # exact table confirms it (no false negatives, so the
+                # historical seen mass never reaches the mutable arm;
+                # fp rate ~2^-8 means the exact confirm touches only
+                # true-seen + a sliver). Everything surviving goes to
+                # the mutable arm, which post-freeze holds only the
+                # delta keys.
+                from ..operators.xorfilter import xor_maybe_hashes
+
+                maybe = xor_maybe_hashes(
+                    links_dedup, self.xor_filters, cfg.xor_snapshot_shards
+                )
+                snap_seen = (
+                    links_dedup.join(maybe, "url_hash", "left_semi")
+                    .join(
+                        exact_seen.select("canonical_url"),
+                        "canonical_url",
+                        "left_semi",
+                    )
+                    .select("canonical_url")
+                    .withColumn("_snap", F.lit(1))
+                )
+                # left join + flag filter (not an anti join) so the
+                # drop-count Observation rides the MAIN probe path —
+                # CollectMetrics under a BroadcastExchange subtree is
+                # never reported back. links_dedup and snap_seen are
+                # both unique per canonical_url: no row multiplication.
+                flagged = links_dedup.join(snap_seen, "canonical_url", "left")
+                obs_xor = Observation(f"xor_{round_no}")
+                flagged = flagged.observe(
+                    obs_xor,
+                    F.sum(F.coalesce(F.col("_snap"), F.lit(0))).alias("dropped"),
+                )
+                links_for_split = flagged.filter(
+                    F.col("_snap").isNull()
+                ).drop("_snap")
+            else:
+                links_for_split = links_dedup
+            new_rows, _, _ = f_split(links_for_split, blocks, exact_seen, f_params)
             # materialize ONCE; this is the round's heavy job — it
             # computes the whole selected->fetch->extract->dedup chain
             # (upstream persists fill here); everything below reads
@@ -822,6 +943,20 @@ class CrawlEngine:
             if hot_hosts is not None:
                 m["hot_hosts"] = hot_hosts
                 m["hot_hosts_max_err"] = hot_hosts_err
+            if obs_xor is not None:
+                # tier-1 snapshot drops (rode the new_rows job as an
+                # Observation like the via counters; sum is NULL on an
+                # empty link set). Unlike obs_via — observed at the
+                # job's materialized ROOT — this node sits mid-plan,
+                # and AQE's empty-relation propagation folds it away
+                # entirely when the round produced no candidate links;
+                # the metric row then comes back unconvertible. In
+                # every such fold the true count is 0 (only an empty
+                # input is folded), so that is what we record.
+                try:
+                    m["xor_snapshot_dropped"] = int(obs_xor.get["dropped"] or 0)
+                except Exception:
+                    m["xor_snapshot_dropped"] = 0
             if hll_regs is not None:
                 from ..operators.sketches import hll_estimate, hll_registers
 
@@ -865,14 +1000,17 @@ class CrawlEngine:
             log_parts.append(round_log)
             done_rounds.append(round_no)
             metrics.append(m)
-            self._commit_round(
-                round_no,
-                {
-                    "round": round_no,
-                    "fetch_seq_offset": fetch_seq_offset,
-                    "metrics": metrics,
-                },
-            )
+            round_info = {
+                "round": round_no,
+                "fetch_seq_offset": fetch_seq_offset,
+                "metrics": metrics,
+            }
+            if self._xor_round is not None:
+                # carry the snapshot pointer forward so resume() from
+                # ANY later round reattaches the tier
+                round_info["xor_snapshot_round"] = self._xor_round
+                round_info["xor_snapshot_shards"] = cfg.xor_snapshot_shards
+            self._commit_round(round_no, round_info)
             selected.unpersist()
             extracted.unpersist()
 

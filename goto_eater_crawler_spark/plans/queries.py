@@ -197,6 +197,7 @@ _GATE_ORDER: list[str] = [
     "shard_rendezvous",
     "crawl_delay_schedule",
     "url_seen_xor",
+    "graph_kcore",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -7943,4 +7944,64 @@ def q_events_gorilla_bytes(spark, sf_dir):
             ).alias("ratio"),
         )
         .orderBy("user_id")
+    )
+
+
+_KCORE_EDGES_SQL = """
+    WITH cyc AS (
+      SELECT DISTINCT CAST(c_custkey % 20 AS BIGINT) AS a FROM customer),
+    raw AS (
+      SELECT a AS src, (a + 1) % 20 AS dst FROM cyc
+      UNION ALL
+      SELECT 0, 100 UNION ALL
+      SELECT 100 + u.i, 101 + u.i FROM unnest(range(4)) AS u(i)
+      UNION ALL
+      SELECT 200 + u.i, 200 + (u.i + 1) % 3 FROM unnest(range(3)) AS u(i)
+      UNION ALL
+      SELECT 300, 301 + u.i FROM unnest(range(5)) AS u(i))
+    SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+    FROM raw WHERE src <> dst
+"""
+
+
+def _kcore_edges(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    cyc = c.select((F.col("c_custkey") % 20).cast("long").alias("a")).distinct()
+    ring = cyc.select(
+        F.col("a").alias("src"), ((F.col("a") + 1) % 20).alias("dst")
+    )
+    fixed = spark.createDataFrame(
+        [(0, 100)]
+        + [(100 + i, 101 + i) for i in range(4)]
+        + [(200 + i, 200 + (i + 1) % 3) for i in range(3)]
+        + [(300, 301 + i) for i in range(5)],
+        "src long, dst long",
+    )
+    return (
+        ring.unionByName(fixed)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+@_register(
+    "graph_kcore",
+    # k-core decomposition (Seidman 1983; Batagelj-Zaversnik 2003) by
+    # synchronous peeling — the dense-subgraph pass that separates
+    # link farms / mirror rings from the sparse crawl periphery. The
+    # planted graph makes every peel behavior load-bearing at EVERY
+    # sf: a 20-cycle and a triangle survive k=2 exactly (deg 2), a
+    # 5-node star peels in 2 cascading rounds (leaves, then the
+    # starved center), and a 5-node tail chained to the cycle peels
+    # ONE node per round (5-round cascade) — so fewer than 6
+    # iterations gives the wrong core, pinning the fixpoint, while
+    # the cycle node it hangs off keeps exactly its in-core degree.
+    # Per iteration: two semi-joins of the slim survivor set + one
+    # combinable count groupBy, all on the node key; oracle = the
+    # identical peel unrolled as CTEs.
+    _hr.kcore_sql(_KCORE_EDGES_SQL, k=2, iterations=6) + " ORDER BY host",
+)
+def q_graph_kcore(spark, sf_dir):
+    return _hr.kcore(_kcore_edges(spark, sf_dir), k=2, iterations=6).orderBy(
+        "host"
     )
