@@ -410,3 +410,183 @@ def orc_footer_sql(docs_per_file: int = 100) -> str:
            CAST(SUM(octet_length(encode({c}))) AS BIGINT) AS sum_val
     FROM documents""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+# --------------------------------------------------------- log replay
+
+
+def delta_log_replay(actions: DataFrame) -> DataFrame:
+    """Transaction-log replay — Delta Lake's InMemoryLogReplay /
+    Iceberg's snapshot resolution, relationally: table state = per
+    path, the HIGHEST-version action wins (add => live file,
+    remove => tombstoned), dataChange history before it irrelevant.
+    A path may be re-added after a remove (compaction rewrites,
+    un-delete) with a different size — last-writer-wins must carry
+    the WINNING action's attributes, not the first add's.
+
+    Input: (version long, action string in {'add','remove'},
+    path string, part long, size_bytes long), (path, version) unique.
+    Output: per-partition live-file accounting
+    (part, n_files, total_bytes, max_add_version).
+
+    Scale shape: ONE shuffle on path (max_by groupBy — map-side
+    combinable), then a tiny combinable per-part rollup. At 10^8 log
+    actions this is exactly the one-pass replay a driver-side
+    version-ordered HashMap fold cannot do distributed; checkpoints
+    (see tests) cut the left edge of the scan, same as Delta's
+    _last_checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    last = actions.groupBy("path").agg(
+        F.max_by(
+            F.struct("action", "part", "size_bytes", "version"), "version"
+        ).alias("w")
+    )
+    return (
+        last.filter(F.col("w.action") == "add")
+        .groupBy(F.col("w.part").alias("part"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("w.size_bytes").cast("bigint").alias("total_bytes"),
+            F.max("w.version").cast("bigint").alias("max_add_version"),
+        )
+    )
+
+
+def delta_checkpoint(actions: DataFrame, upto_version: int) -> DataFrame:
+    """Materialize the snapshot at ``upto_version`` as pure add
+    actions (Delta's checkpoint parquet): the live set of the log
+    prefix, attributes from each path's winning action. Replaying
+    (checkpoint UNION tail) must equal replaying the full log — the
+    invariant tests pin."""
+    from pyspark.sql import functions as F
+
+    pre = actions.filter(F.col("version") <= upto_version)
+    last = pre.groupBy("path").agg(
+        F.max_by(
+            F.struct("action", "part", "size_bytes", "version"), "version"
+        ).alias("w")
+    )
+    return last.filter(F.col("w.action") == "add").select(
+        F.col("w.version").alias("version"),
+        F.lit("add").alias("action"),
+        "path",
+        F.col("w.part").alias("part"),
+        F.col("w.size_bytes").alias("size_bytes"),
+    )
+
+
+def delta_log_replay_sql(actions_sql: str) -> str:
+    """DuckDB mirror: identical last-writer-wins via a version-desc
+    row_number window."""
+    return f"""
+    WITH actions AS ({actions_sql}),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY path ORDER BY version DESC)
+             AS rn
+      FROM actions),
+    live AS (SELECT * FROM last WHERE rn = 1 AND action = 'add')
+    SELECT part, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           CAST(max(version) AS BIGINT) AS max_add_version
+    FROM live GROUP BY part
+    """
+
+
+# ---------------------------------------------------------- z-order
+
+
+def zorder_file_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    file_rows: int,
+    bits: int = 8,
+    qx: tuple[int, int] = (64, 127),
+    qy: tuple[int, int] = (0, 63),
+) -> DataFrame:
+    """Z-order (Morton) data layout + the min/max pruning payoff it
+    exists for (Morton 1966; the Delta OPTIMIZE ZORDER / Databricks
+    liquid-clustering pass): interleave ``bits`` bits of two integer
+    columns into the Morton code, lay rows into fixed-size files in
+    z order, and emit each file's (min/max x, min/max y) zone map
+    plus whether a rectangle query would have to touch it. Because
+    the z curve keeps both dimensions locally dense, a rectangle
+    touches O(perimeter) files instead of the O(n_files) a
+    single-column sort costs the other dimension — pinned by the
+    linear-layout comparison in tests.
+
+    Everything is integer arithmetic (bit shifts + masks both
+    engines agree on to the byte). Scale shape: the interleave is a
+    native projection in whole-stage codegen; the file assignment is
+    ONE global sort by (z, x, y) — exactly the shuffle OPTIMIZE
+    ZORDER pays — and the zone map is a combinable per-file groupBy.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(F.col(x_col), b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(
+                F.shiftright(F.col(y_col), b).bitwiseAND(F.lit(1)), 2 * b + 1
+            )
+        )
+    w = Window.orderBy("z", x_col, y_col)
+    return (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .withColumn("z", z)
+        .withColumn(
+            "file_id",
+            ((F.row_number().over(w) - 1) / file_rows).cast("long"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .withColumn(
+            "touched",
+            (F.col("min_x") <= qx[1])
+            & (F.col("max_x") >= qx[0])
+            & (F.col("min_y") <= qy[1])
+            & (F.col("max_y") >= qy[0]),
+        )
+    )
+
+
+def zorder_file_stats_sql(
+    rel_sql: str,
+    file_rows: int,
+    bits: int = 8,
+    qx: tuple[int, int] = (64, 127),
+    qy: tuple[int, int] = (0, 63),
+) -> str:
+    """DuckDB mirror — identical interleave and file assignment."""
+    z = " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    return f"""
+    WITH pts AS ({rel_sql}),
+    zz AS (SELECT x, y, {z} AS z FROM pts),
+    files AS (
+      SELECT x, y,
+             CAST((row_number() OVER (ORDER BY z, x, y) - 1)
+                  // {file_rows} AS BIGINT) AS file_id
+      FROM zz),
+    zone AS (
+      SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM files GROUP BY file_id)
+    SELECT *, (min_x <= {qx[1]} AND max_x >= {qx[0]}
+               AND min_y <= {qy[1]} AND max_y >= {qy[0]}) AS touched
+    FROM zone
+    """

@@ -198,6 +198,8 @@ _GATE_ORDER: list[str] = [
     "crawl_delay_schedule",
     "url_seen_xor",
     "graph_kcore",
+    "storage_delta_log_replay",
+    "storage_zorder_layout",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8005,3 +8007,103 @@ def q_graph_kcore(spark, sf_dir):
     return _hr.kcore(_kcore_edges(spark, sf_dir), k=2, iterations=6).orderBy(
         "host"
     )
+
+
+_DELTA_ACTIONS_SQL = """
+    SELECT CAST(doc_id % 4 AS BIGINT) AS version, 'add' AS action,
+           'f' || CAST(doc_id AS VARCHAR) AS path,
+           CAST(doc_id % 8 AS BIGINT) AS part,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id % 4 + 4 AS BIGINT), 'remove',
+           'f' || CAST(doc_id AS VARCHAR), CAST(doc_id % 8 AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT CAST(doc_id % 4 + 8 AS BIGINT), 'add',
+           'f' || CAST(doc_id AS VARCHAR), CAST(doc_id % 8 AS BIGINT),
+           CAST(octet_length(encode(text)) + 7 AS BIGINT)
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _delta_actions(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    size = F.octet_length("text").cast("long")
+    adds = d.select(
+        (F.col("doc_id") % 4).cast("long").alias("version"),
+        F.lit("add").alias("action"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        (F.col("doc_id") % 8).cast("long").alias("part"),
+        size.alias("size_bytes"),
+    )
+    removes = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") % 4 + 4).cast("long").alias("version"),
+            F.lit("remove").alias("action"),
+            F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+            (F.col("doc_id") % 8).cast("long").alias("part"),
+            F.lit(0).cast("long").alias("size_bytes"),
+        )
+    )
+    readds = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") % 4 + 8).cast("long").alias("version"),
+            F.lit("add").alias("action"),
+            F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+            (F.col("doc_id") % 8).cast("long").alias("part"),
+            (size + 7).alias("size_bytes"),
+        )
+    )
+    return adds.unionByName(removes).unionByName(readds)
+
+
+@_register(
+    "storage_delta_log_replay",
+    # Transaction-log replay (the Delta Lake _delta_log / Iceberg
+    # snapshot-resolution shape, delta-io PROTOCOL.md): table state =
+    # per path the HIGHEST-version action wins. The synthesized log
+    # plants all three lifecycle classes at every sf: plain adds
+    # (live), add→remove (dead — docs 5 mod 10), add→remove→re-add
+    # with a DIFFERENT size (live again — docs 0 mod 10; +7 bytes
+    # makes last-writer-wins carry the WINNING attributes, a
+    # first-add fold fails the byte sums). One map-side-combinable
+    # max_by shuffle on path + a tiny per-part rollup; oracle = the
+    # identical last-writer-wins via a version-desc window. The
+    # checkpoint-cut invariant (replay(checkpoint ∪ tail) ==
+    # replay(full)) is pinned in tests/test_storage_log.py.
+    _st.delta_log_replay_sql(_DELTA_ACTIONS_SQL) + " ORDER BY part",
+)
+def q_storage_delta_log_replay(spark, sf_dir):
+    return _st.delta_log_replay(_delta_actions(spark, sf_dir)).orderBy("part")
+
+
+@_register(
+    "storage_zorder_layout",
+    # Z-order / Morton data clustering + the zone-map pruning payoff
+    # (Morton 1966; Delta OPTIMIZE ZORDER BY): interleave 8 bits of
+    # (x, y) = (doc_id % 256, doc_id*37 % 256), lay rows into 64-row
+    # files in z order, emit each file's min/max zone map and whether
+    # the rectangle query x∈[64,127] ∧ y∈[0,63] must touch it. Pure
+    # integer shifts/masks — byte-identical both engines. The payoff
+    # (z-order touches ~perimeter files where a linear-by-x layout
+    # touches every file the x-slab intersects regardless of y) is
+    # pinned against a linear layout in tests/test_storage_log.py.
+    # Scale shape: one global sort (the shuffle OPTIMIZE pays), one
+    # combinable per-file groupBy.
+    _st.zorder_file_stats_sql(
+        "SELECT CAST(doc_id % 256 AS BIGINT) AS x, "
+        "CAST((doc_id * 37) % 256 AS BIGINT) AS y FROM documents",
+        file_rows=64,
+    )
+    + " ORDER BY file_id",
+)
+def q_storage_zorder_layout(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 256).cast("long").alias("x"),
+        ((F.col("doc_id") * 37) % 256).cast("long").alias("y"),
+    )
+    return _st.zorder_file_stats(d, "x", "y", file_rows=64).orderBy("file_id")
