@@ -1035,3 +1035,79 @@ def ppjoin_pairs_sql(docs_rel: str, num: int = 4, den: int = 5) -> str:
     WHERE n_common * {den} >= (sa.n_sh + sb.n_sh - n_common) * {num}
     ORDER BY doc_a, doc_b
     """
+
+
+# ---------------------------------------------------- suffix ranking
+
+
+def suffix_ranks(
+    docs: DataFrame, trunc: int = 200, width: int = 64
+) -> DataFrame:
+    """Suffix ranking by prefix doubling (Manber & Myers, "Suffix
+    arrays: a new method for on-line string searches", SODA 1990) —
+    the construction under suffix-array exact-substring dedup (Lee et
+    al. 2022, the ExactSubstr pass whose SPAN extraction lives in
+    :func:`substring_spans`). Each doc's suffixes are ranked by their
+    first ``width`` characters: start from single-character dense
+    ranks, then double the compared prefix per pass by re-ranking on
+    the integer pair ``(rank[pos], rank[pos + 2^i])`` — positions
+    past the end carry a -1 sentinel, so a shorter suffix sorts
+    before every extension, exactly SQL string order.
+
+    The 100 TB point of doubling over direct sorting: keys stay TWO
+    integers per pass instead of ``width``-byte strings, and all
+    log2(width) passes share ONE hash shuffle on doc_id — each
+    ``lead`` and ``dense_rank`` window re-sorts in place within the
+    same partitioning (AQE plans a single Exchange), so the whole
+    construction is one shuffle + O(log width) in-partition sorts.
+
+    Returns (doc_id, pos, rank64) with dense ranks per doc.
+    """
+    from pyspark.sql import Window
+
+    s = docs.select("doc_id", F.substring("text", 1, trunc).alias("s"))
+    sx = s.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, length(s) - 1)")).alias("p"),
+        "s",
+    )
+    w0 = Window.partitionBy("doc_id").orderBy(F.expr("substr(s, p + 1, 1)"))
+    df = sx.select(
+        "doc_id",
+        F.col("p").cast("long").alias("pos"),
+        F.dense_rank().over(w0).cast("long").alias("r"),
+    )
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    off = 1
+    while off < width:
+        w_rank = Window.partitionBy("doc_id").orderBy("r", "r2")
+        df = (
+            df.withColumn(
+                "r2", F.coalesce(F.lead("r", off).over(w_pos), F.lit(-1))
+            )
+            .withColumn("nr", F.dense_rank().over(w_rank).cast("long"))
+            .select("doc_id", "pos", F.col("nr").alias("r"))
+        )
+        off *= 2
+    return df.select("doc_id", "pos", F.col("r").alias("rank64"))
+
+
+def suffix_ranks_sql(
+    docs_sql: str, trunc: int = 200, width: int = 64
+) -> str:
+    """DuckDB mirror — the DEFINITION the doubling must reproduce: a
+    dense rank over the literal ``width``-char suffix prefix (binary
+    collation both engines; a doubling bug that compares one byte too
+    few or mishandles the end sentinel fails the hash)."""
+    return f"""
+    WITH d AS (SELECT doc_id, substr(text, 1, {trunc}) AS s
+               FROM ({docs_sql})),
+    px AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, s
+           FROM d, unnest(range(length(s))) AS u(i))
+    SELECT doc_id, pos,
+           CAST(dense_rank() OVER (
+                PARTITION BY doc_id
+                ORDER BY substr(s, CAST(pos AS INT) + 1, {width})
+           ) AS BIGINT) AS rank64
+    FROM px
+    """

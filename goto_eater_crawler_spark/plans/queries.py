@@ -200,6 +200,7 @@ _GATE_ORDER: list[str] = [
     "graph_kcore",
     "storage_delta_log_replay",
     "storage_zorder_layout",
+    "text_suffix_ranks",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8107,3 +8108,26 @@ def q_storage_zorder_layout(spark, sf_dir):
         ((F.col("doc_id") * 37) % 256).cast("long").alias("y"),
     )
     return _st.zorder_file_stats(d, "x", "y", file_rows=64).orderBy("file_id")
+
+
+@_register(
+    "text_suffix_ranks",
+    # Prefix-doubling suffix ranking (Manber & Myers 1990) — the
+    # construction under suffix-array ExactSubstr dedup (Lee et al.
+    # 2022; span extraction = dedup_substring_spans). Engine runs the
+    # DOUBLING (integer-pair re-rank per pass, -1 end sentinel, one
+    # doc_id shuffle for all log2(64) passes); oracle states the
+    # DEFINITION (dense rank over the literal 64-char suffix prefix),
+    # so an off-by-one in the lead offset, a wrong sentinel, or a
+    # missed doubling pass fails the hash. The corpus's repetitive
+    # vocabulary makes 64-char ties real (dense_rank tie behavior is
+    # load-bearing), and shorter-suffix-sorts-first is exercised at
+    # every doc tail.
+    _td.suffix_ranks_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0"
+    )
+    + " ORDER BY doc_id, pos",
+)
+def q_text_suffix_ranks(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return _td.suffix_ranks(d).orderBy("doc_id", "pos")
