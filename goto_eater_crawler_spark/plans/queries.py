@@ -201,6 +201,7 @@ _GATE_ORDER: list[str] = [
     "storage_delta_log_replay",
     "storage_zorder_layout",
     "text_suffix_ranks",
+    "archive_avro_ingest",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8131,3 +8132,33 @@ def q_storage_zorder_layout(spark, sf_dir):
 def q_text_suffix_ranks(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return _td.suffix_ranks(d).orderBy("doc_id", "pos")
+
+
+@_register(
+    "archive_avro_ingest",
+    # S-class source op: Avro object-container ingest — the ROW-format
+    # corpus container (Kafka pipelines, classic Hadoop dumps) next to
+    # the columnar footer walks and zip/tar/warc. OWN walk end to end
+    # (functions/miniavro.py: magic, metadata map, zigzag ULEB128
+    # varints, length-prefixed strings, IEEE doubles, 16-record block
+    # framing with per-block sync VERIFY, raw-deflate blocks inflated
+    # by the own RFC 1951 decoder; deflate blocks compressed by REAL
+    # zlib). Codec alternates null/deflate by file parity so both
+    # block paths carry half the corpus — a wrong varint shift, block
+    # frame or sync check fails the round-trip hash. No Avro library
+    # exists in this sandbox; the encoder is pinned by the spec's own
+    # zigzag vectors in tests/test_miniavro.py. Scale shape: one blob
+    # per task, mapInPandas 1->many, no shuffle.
+    """
+    SELECT doc_id, lang, text, n_chars,
+           (doc_id % 2 = 0) AS even
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_archive_avro_ingest(spark, sf_dir):
+    from ..sources import archives as _ar
+
+    d = _t(spark, sf_dir, "documents")
+    return _ar.avro_records(_ar.synth_avro_from_docs(d, docs_per_file=50)).orderBy(
+        "doc_id"
+    )

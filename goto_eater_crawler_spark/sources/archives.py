@@ -175,3 +175,97 @@ def targz_members(blobs: DataFrame, blob_col: str = "data") -> DataFrame:
             )
 
     return blobs.mapInPandas(parse, schema=MEMBER_SCHEMA)
+
+
+AVRO_SCHEMA_JSON = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "lang", "type": "string"},
+        {"name": "text", "type": "string"},
+        {"name": "n_chars", "type": "long"},
+        {"name": "even", "type": "boolean"},
+    ],
+}
+
+AVRO_ROW_SCHEMA = (
+    "doc_id bigint, lang string, text string, n_chars bigint, even boolean"
+)
+
+
+def synth_avro_from_docs(
+    documents: DataFrame, docs_per_file: int = 50
+) -> DataFrame:
+    """Deterministic Avro object container files from the documents
+    table (functions/miniavro.py): codec alternates null / deflate by
+    file_id parity (both block paths in-corpus; deflate blocks are
+    compressed by REAL zlib), sync marker fixed from file_id, 16
+    records per block so multi-block framing is load-bearing."""
+    from ..functions import miniavro
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        recs = [
+            {
+                "doc_id": int(d),
+                "lang": la,
+                "text": t,
+                "n_chars": int(n),
+                "even": int(d) % 2 == 0,
+            }
+            for d, la, t, n in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"], pdf["n_chars"]
+            )
+        ]
+        blob = miniavro.write_ocf(
+            recs,
+            AVRO_SCHEMA_JSON,
+            codec="null" if fid % 2 == 0 else "deflate",
+            sync=fid.to_bytes(8, "little") * 2,
+            records_per_block=16,
+        )
+        return pd.DataFrame({"file_id": [fid], "data": [blob]})
+
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            "text",
+            "n_chars",
+            (F.col("doc_id") / docs_per_file).cast("long").alias("file_id"),
+        )
+        .groupBy("file_id")
+        .applyInPandas(build, schema="file_id long, data binary")
+    )
+
+
+def avro_records(blobs: DataFrame, blob_col: str = "data") -> DataFrame:
+    """(.., data binary) Avro OCF blobs -> one row per record through
+    the OWN container walk (magic, metadata map, block framing, sync
+    verify) + OWN zigzag-varint/primitive decode + OWN inflate for
+    deflate blocks."""
+    from ..functions import miniavro
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                _, recs = miniavro.read_ocf(bytes(blob))
+                rows.extend(
+                    (
+                        r["doc_id"],
+                        r["lang"],
+                        r["text"],
+                        r["n_chars"],
+                        r["even"],
+                    )
+                    for r in recs
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "text", "n_chars", "even"],
+            )
+
+    return blobs.mapInPandas(parse, schema=AVRO_ROW_SCHEMA)
