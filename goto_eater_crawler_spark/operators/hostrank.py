@@ -635,3 +635,197 @@ def kcore_sql(edges_sql: str, k: int, iterations: int) -> str:
         + f" SELECT d.node AS host, d.core_deg FROM d{last} d "
         f"JOIN a{iterations} a ON d.node = a.node"
     )
+
+
+def opic_importance(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003), batch-synchronous form: the importance signal
+    real crawlers (including the original Xyleme crawler the paper
+    describes) maintain WHILE crawling, because unlike PageRank it
+    needs no convergence loop over the full graph before being
+    useful. Every node starts with cash 1/N; each round every node
+    distributes its cash equally over its out-edges (dangling cash
+    redistributes uniformly — the paper's virtual page), and banks
+    the distributed amount into its history. Importance after T
+    rounds = history / T (total cash is conserved at 1, so total
+    banked history is exactly T).
+
+    Scale shape mirrors :func:`host_rank`: per round ONE join of the
+    slim (host, cash) relation against the static precomputed
+    edge-fraction relation + ONE map-side-combinable sum, dangling
+    mass as an in-plan 1-row broadcast, state localCheckpointed.
+    Returns (host, importance) rounded to 6 decimals.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("importance", F.lit(0.0).cast("double"))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    frac = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    state = nodes.select(
+        "host", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        inflow = (
+            frac.join(state, frac["src"] == state["host"])
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("cash") * F.col("f")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = state.join(
+            out_deg, state["host"] == out_deg["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dm"))
+        state = (
+            state.join(inflow, "host", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                (
+                    F.coalesce("inflow", F.lit(0.0))
+                    + F.col("_dm") / F.lit(float(n))
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "host", F.round(F.col("hist") / iterations, 6).alias("importance")
+    )
+
+
+def opic_importance_sql(edges_sql: str, iterations: int = 5) -> str:
+    """The identical recurrence unrolled as chained CTEs."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED ({edges_sql}),
+    nodes AS MATERIALIZED (SELECT DISTINCT host FROM (
+        SELECT src AS host FROM edges UNION SELECT dst FROM edges)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    out_deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    frac AS (SELECT e.src, e.dst, 1.0 / o.deg AS f
+             FROM edges e JOIN out_deg o ON e.src = o.src),
+    s0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS cash,
+                  0.0 AS hist FROM nodes)"""
+    ]
+    prev = "s0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""d{i} AS (SELECT coalesce(sum(s.cash), 0.0) AS m FROM {prev} s
+        ANTI JOIN out_deg o ON s.host = o.src),
+    s{i} AS (
+      SELECT n.host,
+             coalesce(c.inflow, 0.0)
+             + (SELECT m FROM d{i}) / (SELECT n FROM nn) AS cash,
+             s.hist + s.cash AS hist
+      FROM nodes n
+      JOIN {prev} s ON n.host = s.host
+      LEFT JOIN (
+        SELECT f.dst AS host, sum(s.cash * f.f) AS inflow
+        FROM frac f JOIN {prev} s ON f.src = s.host GROUP BY 1) c
+      ON n.host = c.host)"""
+        )
+        prev = f"s{i}"
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT host, round(hist / {iterations}, 6) AS importance"
+        f" FROM {prev}"
+    )
+
+
+def scc_bowtie(edges: DataFrame, pivot, iterations: int) -> DataFrame:
+    """Bow-tie decomposition around a pivot (Broder et al., "Graph
+    structure in the Web", WWW 2000 — THE web-graph structure paper):
+    forward-backward reachability classifies every host as ``scc``
+    (reaches AND is reached by the pivot — the giant strongly
+    connected core), ``in`` (reaches the core only), ``out`` (reached
+    from it only), or ``other`` (tendrils + disconnected). The
+    forward/backward closures grow by one BFS level per iteration —
+    callers pick ``iterations`` >= the graph diameter and pin the
+    fixpoint in tests.
+
+    Scale shape: each level is ONE semi-join of the edge list against
+    the slim frontier set + a distinct-union — the Yan et al.
+    forward-backward SCC primitive; no per-node state beyond
+    membership.
+    """
+    und_fwd = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    fwd = und_fwd.select(F.lit(pivot).alias("host")).limit(1)
+    bwd = fwd
+    for _ in range(iterations):
+        fwd = (
+            fwd.unionByName(
+                und_fwd.join(
+                    fwd.withColumnRenamed("host", "src"), "src", "left_semi"
+                ).select(F.col("dst").alias("host"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        bwd = (
+            bwd.unionByName(
+                und_fwd.join(
+                    bwd.withColumnRenamed("host", "dst"), "dst", "left_semi"
+                ).select(F.col("src").alias("host"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    nodes = (
+        und_fwd.select(F.col("src").alias("host"))
+        .unionByName(und_fwd.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    f = fwd.withColumn("_f", F.lit(1))
+    b = bwd.withColumn("_b", F.lit(1))
+    return nodes.join(f, "host", "left").join(b, "host", "left").select(
+        "host",
+        F.when(F.col("_f").isNotNull() & F.col("_b").isNotNull(), "scc")
+        .when(F.col("_b").isNotNull(), "in")
+        .when(F.col("_f").isNotNull(), "out")
+        .otherwise("other")
+        .alias("cls"),
+    )
+
+
+def scc_bowtie_sql(edges_sql: str, pivot_sql: str, iterations: int) -> str:
+    """DuckDB mirror — the two closures unrolled level by level."""
+    stages = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"f0 AS (SELECT {pivot_sql} AS host)",
+        f"b0 AS (SELECT {pivot_sql} AS host)",
+    ]
+    for i in range(iterations):
+        stages.append(
+            f"f{i + 1} AS (SELECT host FROM f{i} UNION "
+            f"SELECT e.dst FROM e JOIN f{i} x ON e.src = x.host)"
+        )
+        stages.append(
+            f"b{i + 1} AS (SELECT host FROM b{i} UNION "
+            f"SELECT e.src FROM e JOIN b{i} x ON e.dst = x.host)"
+        )
+    k = iterations
+    return (
+        "WITH " + ", ".join(stages) + f""",
+    nodes AS (SELECT DISTINCT host FROM (
+        SELECT src AS host FROM e UNION SELECT dst FROM e))
+    SELECT * FROM (
+      SELECT n.host AS host,
+             CASE WHEN f.host IS NOT NULL AND b.host IS NOT NULL THEN 'scc'
+                  WHEN b.host IS NOT NULL THEN 'in'
+                  WHEN f.host IS NOT NULL THEN 'out'
+                  ELSE 'other' END AS cls
+      FROM nodes n
+      LEFT JOIN f{k} f ON n.host = f.host
+      LEFT JOIN b{k} b ON n.host = b.host) q"""
+    )

@@ -202,6 +202,8 @@ _GATE_ORDER: list[str] = [
     "storage_zorder_layout",
     "text_suffix_ranks",
     "archive_avro_ingest",
+    "frontier_opic_importance",
+    "graph_scc_bowtie",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8161,4 +8163,104 @@ def q_archive_avro_ingest(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _ar.avro_records(_ar.synth_avro_from_docs(d, docs_per_file=50)).orderBy(
         "doc_id"
+    )
+
+
+_OPIC_EDGES_SQL = """
+    WITH nodes AS (
+      SELECT DISTINCT CAST(c_custkey % 30 AS BIGINT) AS a FROM customer),
+    raw AS (
+      SELECT a AS src, (a * 2 + 1) % 30 AS dst FROM nodes WHERE a < 24
+      UNION ALL
+      SELECT a, (a + 3) % 30 FROM nodes WHERE a < 24)
+    SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+"""
+
+
+def _opic_edges(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    nodes = c.select((F.col("c_custkey") % 30).cast("long").alias("a")).distinct()
+    lo = nodes.filter(F.col("a") < 24)
+    e1 = lo.select(
+        F.col("a").alias("src"), ((F.col("a") * 2 + 1) % 30).alias("dst")
+    )
+    e2 = lo.select(F.col("a").alias("src"), ((F.col("a") + 3) % 30).alias("dst"))
+    return (
+        e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    )
+
+
+@_register(
+    "frontier_opic_importance",
+    # OPIC (Abiteboul, Preda & Cobena WWW 2003) — the ONLINE
+    # importance signal a crawler maintains while crawling, no
+    # convergence loop needed before it is useful (the O3 frontier-
+    # priority family's third member next to PageRank and TrustRank).
+    # Batch-synchronous cash distribution with the paper's virtual-
+    # page dangling redistribution — nodes 24..29 have NO out-edges,
+    # so the dangling path carries real mass at every sf. Importance
+    # = banked history / T (cash conserved at 1). Per round one join
+    # of the slim (host, cash) state against the static edge-fraction
+    # relation + one combinable sum; oracle = the recurrence unrolled.
+    _hr.opic_importance_sql(_OPIC_EDGES_SQL, iterations=5)
+    + " ORDER BY host",
+)
+def q_frontier_opic_importance(spark, sf_dir):
+    return _hr.opic_importance(_opic_edges(spark, sf_dir), iterations=5).orderBy(
+        "host"
+    )
+
+
+_BOWTIE_EDGES_SQL = """
+    WITH cyc AS (
+      SELECT DISTINCT CAST(c_custkey % 10 AS BIGINT) AS a FROM customer),
+    raw AS (
+      SELECT a AS src, (a + 1) % 10 AS dst FROM cyc
+      UNION ALL SELECT a, (a + 3) % 10 FROM cyc
+      UNION ALL SELECT 100, 101 UNION ALL SELECT 101, 102
+      UNION ALL SELECT 102, 0
+      UNION ALL SELECT 5, 200 UNION ALL SELECT 200, 201
+      UNION ALL SELECT 201, 202
+      UNION ALL SELECT 300, 301 UNION ALL SELECT 301, 300)
+    SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+    FROM raw WHERE src <> dst
+"""
+
+
+def _bowtie_edges(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    cyc = c.select((F.col("c_custkey") % 10).cast("long").alias("a")).distinct()
+    ring = cyc.select(F.col("a").alias("src"), ((F.col("a") + 1) % 10).alias("dst"))
+    chord = cyc.select(F.col("a").alias("src"), ((F.col("a") + 3) % 10).alias("dst"))
+    fixed = spark.createDataFrame(
+        [(100, 101), (101, 102), (102, 0), (5, 200), (200, 201), (201, 202),
+         (300, 301), (301, 300)],
+        "src long, dst long",
+    )
+    return (
+        ring.unionByName(chord)
+        .unionByName(fixed)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+@_register(
+    "graph_scc_bowtie",
+    # Bow-tie decomposition (Broder et al. WWW 2000 — the web's
+    # SCC/IN/OUT/tendril structure) by forward-backward reachability
+    # from a pivot (the Yan et al. distributed-SCC primitive). The
+    # planted graph carries every class at every sf: a 10-node
+    # chorded cycle (scc), a 3-hop chain INTO it (in), a 3-hop chain
+    # OUT of node 5 (out), and a disconnected 2-cycle (other); chains
+    # make the level count load-bearing (fewer BFS levels misclassify
+    # the chain tails). Per level: one semi-join of the edge list
+    # against the slim frontier + distinct-union; oracle = both
+    # closures unrolled level by level.
+    _hr.scc_bowtie_sql(_BOWTIE_EDGES_SQL, "CAST(0 AS BIGINT)", iterations=8)
+    + " ORDER BY host",
+)
+def q_graph_scc_bowtie(spark, sf_dir):
+    return _hr.scc_bowtie(_bowtie_edges(spark, sf_dir), 0, iterations=8).orderBy(
+        "host"
     )
