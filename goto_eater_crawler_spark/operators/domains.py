@@ -170,3 +170,93 @@ def registered_domain(
             "registered_domain"
         ),
     )
+
+
+def cidr_rules(spark) -> "DataFrame":
+    """The planted CIDR policy dim: /8 blocks for first octets 0 and
+    16 (plus never-matching 64/128 — absent labels prove the match is
+    selective), /16 blocks nested inside 16.0.0.0/8, /24 blocks
+    nested inside 16.0.0.0/16 — so longest-prefix is load-bearing
+    three levels deep. ~14 rows; always broadcast."""
+    rows = (
+        [(8, a << 24, f"net8-{a}") for a in (0, 16, 64, 128)]
+        + [(16, (16 << 24) | (b << 16), f"net16-16-{b}") for b in range(8)]
+        + [(24, (16 << 24) | (0 << 16) | (c << 8), f"net24-16-0-{c}") for c in range(4)]
+    )
+    return spark.createDataFrame(rows, "plen int, net long, label string")
+
+
+CIDR_RULES_SQL = """
+    SELECT 8 AS plen, CAST(a.x AS BIGINT) * 16777216 AS net,
+           'net8-' || CAST(a.x AS VARCHAR) AS label
+    FROM (VALUES (0), (16), (64), (128)) AS a(x)
+    UNION ALL
+    SELECT 16, CAST(16 * 16777216 + b.i * 65536 AS BIGINT),
+           'net16-16-' || CAST(b.i AS VARCHAR)
+    FROM unnest(range(8)) AS b(i)
+    UNION ALL
+    SELECT 24, CAST(16 * 16777216 + c.i * 256 AS BIGINT),
+           'net24-16-0-' || CAST(c.i AS VARCHAR)
+    FROM unnest(range(4)) AS c(i)
+"""
+
+
+def cidr_longest_match(ips: "DataFrame", rules: "DataFrame") -> "DataFrame":
+    """Longest-prefix CIDR match — the IP-policy join every crawler
+    runs (per-network politeness tiers, geo/ASN segmentation, abuse
+    blocklists; BGP's own forwarding rule). With a FIXED prefix-length
+    set the scale-right plan is NOT a range join: each ip expands to
+    one candidate row per prefix length (ip >> (32 - len)), equi-joins
+    the broadcast rules dim on (plen, net-prefix), and the longest
+    match wins by a packed-integer max — one broadcast join, zero
+    shuffles of the event stream beyond the final label rollup.
+    Unmatched ips keep the 'none' label (the left-join default
+    policy), so coverage is visible in the output.
+
+    Input: (ip long). Output: (label, n_events) per winning label.
+    """
+    from pyspark.sql import functions as F
+
+    plens = [r.plen for r in rules.select("plen").distinct().collect()]
+    cand = ips.select(
+        "ip",
+        F.explode(F.array(*[F.lit(p) for p in sorted(plens)])).alias("plen"),
+    )
+    scale = F.pow(F.lit(2.0), (F.lit(32) - F.col("plen"))).cast("long")
+    cand = cand.withColumn(
+        "pref", (F.col("ip") / scale).cast("long") * scale
+    )
+    hit = cand.join(
+        F.broadcast(rules),
+        (cand["plen"] == rules["plen"]) & (cand["pref"] == rules["net"]),
+    ).select("ip", rules["plen"].alias("mlen"), "label")
+    best = hit.groupBy("ip").agg(F.max_by("label", "mlen").alias("label"))
+    return (
+        ips.join(best, "ip", "left")
+        .select(F.coalesce("label", F.lit("none")).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+
+
+def cidr_longest_match_sql(ips_sql: str, rules_sql: str) -> str:
+    """DuckDB mirror — identical candidate expansion and packed max."""
+    return f"""
+    WITH ips AS ({ips_sql}),
+    rules AS ({rules_sql}),
+    plens AS (SELECT DISTINCT plen FROM rules),
+    cand AS (
+      SELECT i.ip, p.plen,
+             (i.ip // CAST(pow(2, 32 - p.plen) AS BIGINT))
+               * CAST(pow(2, 32 - p.plen) AS BIGINT) AS pref
+      FROM ips i, plens p),
+    hit AS (
+      SELECT c.ip, r.plen AS mlen, r.label
+      FROM cand c JOIN rules r ON c.plen = r.plen AND c.pref = r.net),
+    best AS (
+      SELECT ip, arg_max(label, mlen) AS label FROM hit GROUP BY ip)
+    SELECT coalesce(b.label, 'none') AS label,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ips i LEFT JOIN best b ON i.ip = b.ip
+    GROUP BY 1
+    """

@@ -91,3 +91,94 @@ def pack_next_fit_sql(
       FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)
     SELECT doc_id, shard, CAST(tok AS BIGINT) AS tok, seq_id
     FROM pack"""
+
+
+def span_corruption(docs: DataFrame, chunk: int = 20, span: int = 3) -> DataFrame:
+    """T5 span-corruption accounting (Raffel et al., "Exploring the
+    Limits of Transfer Learning...", JMLR 2020 §3.1.4 — the
+    pretraining objective's data-prep pass): mask contiguous token
+    spans, replace each with ONE sentinel in the encoder input and
+    emit ``sentinel + original tokens`` pairs as the decoder target.
+    The usual implementation draws span starts at random; a
+    distributed, resumable pipeline needs the DETERMINISTIC variant —
+    here every ``chunk``-token window corrupts one ``span``-token run
+    whose offset is the Knuth multiplicative hash of (doc_id, window)
+    — so any worker, any retry, any engine produces the same mask
+    (the same reproducibility rule as the sampling gates).
+
+    Non-overlap by construction: offsets land in [0, chunk - span],
+    spans stay inside their window. Output per doc: n_tokens,
+    n_spans, n_corrupted (masked tokens), input_len (kept + one
+    sentinel per span), target_len (corrupted + one sentinel per
+    span + EOS) — the (input, target) length budget the packing step
+    (:func:`pack_next_fit`) consumes downstream.
+
+    Scale shape: one whitespace split + one explode over
+    length/chunk window ids per doc, one combinable groupBy — no
+    shuffle beyond the doc_id aggregation, everything whole-stage
+    codegen except nothing (pure native exprs).
+    """
+    n_tok = F.size(F.split(F.col("text"), " "))
+    d = docs.select("doc_id", n_tok.alias("n_tokens"))
+    win = d.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.expr("sequence(0, CAST((n_tokens - 1) / %d AS INT))" % chunk)
+        ).alias("w"),
+    )
+    # window w covers tokens [w*chunk, min(n_tokens, (w+1)*chunk));
+    # offset = hash(doc_id, w) mod (chunk - span + 1); the span clips
+    # at the doc tail (last window may be short)
+    off = (
+        (F.col("doc_id") * 2654435761 + F.col("w") * 40503) % (chunk - span + 1)
+    )
+    start = F.col("w") * chunk + off
+    corrupted = F.greatest(
+        F.lit(0),
+        F.least(F.lit(span).cast("long"), F.col("n_tokens") - start),
+    )
+    per_win = win.select(
+        "doc_id",
+        "n_tokens",
+        corrupted.alias("c"),
+        (corrupted > 0).cast("long").alias("s"),
+    )
+    return per_win.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.sum("s").cast("bigint").alias("n_spans"),
+        F.sum("c").cast("bigint").alias("n_corrupted"),
+        (
+            F.first("n_tokens") - F.sum("c") + F.sum("s")
+        ).cast("bigint").alias("input_len"),
+        (F.sum("c") + F.sum("s") + 1).cast("bigint").alias("target_len"),
+    )
+
+
+def span_corruption_sql(docs_sql: str, chunk: int = 20, span: int = 3) -> str:
+    """DuckDB mirror — identical window/offset arithmetic."""
+    m = chunk - span + 1
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM ({docs_sql})),
+    win AS (
+      SELECT doc_id, n_tokens, CAST(u.w AS BIGINT) AS w
+      FROM d, unnest(range(((n_tokens - 1) // {chunk}) + 1)) AS u(w)),
+    per AS (
+      SELECT doc_id, n_tokens,
+             greatest(0, least({span},
+               n_tokens - (w * {chunk}
+                 + (doc_id * 2654435761 + w * 40503) % {m}))) AS c
+      FROM win)
+    SELECT doc_id, any_value(n_tokens) AS n_tokens,
+           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           CAST(sum(c) AS BIGINT) AS n_corrupted,
+           CAST(any_value(n_tokens) - sum(c)
+                + sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS input_len,
+           CAST(sum(c) + sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS target_len
+    FROM per GROUP BY doc_id
+    """

@@ -204,6 +204,8 @@ _GATE_ORDER: list[str] = [
     "archive_avro_ingest",
     "frontier_opic_importance",
     "graph_scc_bowtie",
+    "data_span_corruption",
+    "url_ip_cidr_match",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -4521,6 +4523,7 @@ def q_crawl_cdx_revisit(spark, sf_dir):
     )
 
 
+from ..operators import domains as _dm  # noqa: E402
 from ..operators import packing as _pk  # noqa: E402
 
 _PACK_DOCS_SQL = """
@@ -8264,3 +8267,51 @@ def q_graph_scc_bowtie(spark, sf_dir):
     return _hr.scc_bowtie(_bowtie_edges(spark, sf_dir), 0, iterations=8).orderBy(
         "host"
     )
+
+
+@_register(
+    "data_span_corruption",
+    # T5 span corruption accounting (Raffel et al. JMLR 2020 §3.1.4)
+    # — the pretraining objective's data-prep pass in its
+    # DETERMINISTIC distributed form: every 20-token window corrupts
+    # one 3-token run at a Knuth-hash offset of (doc_id, window), so
+    # any worker/retry/engine produces the same mask (the sampling
+    # gates' reproducibility rule). Output = the (input, target)
+    # length budget the packing step consumes; tail clipping (last
+    # window shorter than the span) and zero-span windows are real at
+    # every sf. One explode + one combinable groupBy, native exprs.
+    _pk.span_corruption_sql("SELECT doc_id, text FROM documents")
+    + " ORDER BY doc_id",
+)
+def q_data_span_corruption(spark, sf_dir):
+    return _pk.span_corruption(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@_register(
+    "url_ip_cidr_match",
+    # Longest-prefix CIDR match (the BGP forwarding rule; a crawler's
+    # per-network politeness tiers / geo-ASN segmentation / abuse
+    # blocklists). Scale-right plan for a FIXED prefix-length set:
+    # expand each ip to one candidate per length, equi-join the
+    # broadcast rules dim on (plen, prefix), longest wins by max_by —
+    # one broadcast join, never a range join. The planted rules nest
+    # three levels deep inside 16.0.0.0/8 (so the /24 must beat /16
+    # must beat /8), two /8 labels never match (selectivity visible),
+    # and unmatched ips roll up under 'none' (coverage visible). IPs
+    # are the Knuth hash of event_id over first octets 0..31.
+    _dm.cidr_longest_match_sql(
+        """SELECT CAST((event_id % 32) * 16777216
+                  + (event_id * 2654435761) % 16777216 AS BIGINT) AS ip
+           FROM events""",
+        _dm.CIDR_RULES_SQL,
+    )
+    + " ORDER BY label",
+)
+def q_url_ip_cidr_match(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        (
+            (F.col("event_id") % 32) * 16777216
+            + (F.col("event_id") * 2654435761) % 16777216
+        ).cast("long").alias("ip")
+    )
+    return _dm.cidr_longest_match(e, _dm.cidr_rules(spark)).orderBy("label")
