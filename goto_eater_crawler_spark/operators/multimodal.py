@@ -1849,3 +1849,81 @@ def image_neardup_sql(mod: int = 3, max_hamming: int = 2) -> str:
     WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
     ORDER BY doc_a, doc_b
     """
+
+
+def synth_exif_blobs(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — one TIFF/EXIF blob per selected doc
+    (doc_id % mod == 0), fields deterministic in doc_id (closed forms
+    the SQL oracle recomputes); byte order alternates II/MM by doc_id
+    parity so BOTH endian paths carry corpus. Encoded through
+    functions/miniexif.write_tiff (entries in spec-required ascending
+    tag order, ASCII out-of-line when > 4 bytes, RATIONAL always
+    out-of-line)."""
+    from ..functions import miniexif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fields = {
+                    270: f"doc{d}",
+                    271: f"cam{d % 5}",
+                    272: f"m{d % 3}",
+                    274: d % 8 + 1,
+                    282: (72 + d % 4, 1),
+                    306: "2021:%02d:%02d 12:00:00" % (d % 12 + 1, d % 28 + 1),
+                }
+                ids.append(d)
+                payloads.append(
+                    miniexif.write_tiff(fields, big_endian=d % 2 == 1)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def exif_meta(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) TIFF blobs -> extracted metadata through the
+    OWN IFD walk (functions/miniexif.read_tiff): the pre-decode pass
+    that reads KBs per blob (orientation for resize, capture time for
+    provenance, make/model for stratified sampling). One Arrow-batched
+    map stage, no shuffle."""
+    from ..functions import miniexif
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = miniexif.read_tiff(bytes(blob))
+                rows.append(
+                    (
+                        int(d),
+                        "MM" if bytes(blob)[:2] == b"MM" else "II",
+                        m["make"],
+                        m["model"],
+                        int(m["orientation"]),
+                        m["datetime"],
+                        int(m["x_resolution"][0]),
+                        int(m["x_resolution"][1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "endian", "make", "model",
+                    "orientation", "datetime", "xres_num", "xres_den",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, endian string, make string, model string, "
+            "orientation int, datetime string, xres_num long, xres_den long"
+        ),
+    )

@@ -206,6 +206,7 @@ _GATE_ORDER: list[str] = [
     "graph_scc_bowtie",
     "data_span_corruption",
     "url_ip_cidr_match",
+    "multimodal_exif_meta",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8315,3 +8316,33 @@ def q_url_ip_cidr_match(spark, sf_dir):
         ).cast("long").alias("ip")
     )
     return _dm.cidr_longest_match(e, _dm.cidr_rules(spark)).orderBy("label")
+
+
+@_register(
+    "multimodal_exif_meta",
+    # TIFF/EXIF IFD metadata walk (TIFF 6.0 / JEITA CP-3451) — the
+    # pre-decode metadata pass of a multimodal pipeline (orientation
+    # for resize, capture time for provenance, make/model for
+    # sampling), reading KBs per blob, never pixels. OWN walk both
+    # directions (functions/miniexif.py): byte order ALTERNATES II/MM
+    # by doc_id parity so the endian dispatch is load-bearing, ASCII
+    # values sit out-of-line, orientation SHORT sits inline
+    # left-justified, RATIONAL is two u32s out-of-line — a wrong
+    # offset rule or endian read fails the closed-form hash.
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS endian,
+           'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'm' || CAST(doc_id % 3 AS VARCHAR) AS model,
+           CAST(doc_id % 8 + 1 AS INT) AS orientation,
+           '2021:' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS datetime,
+           CAST(72 + doc_id % 4 AS BIGINT) AS xres_num,
+           CAST(1 AS BIGINT) AS xres_den
+    FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
+    """,
+)
+def q_multimodal_exif_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.exif_meta(_mm.synth_exif_blobs(d, mod=3)).orderBy("doc_id")

@@ -106,7 +106,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "storage_delta_log_replay", "storage_zorder_layout",
                     "text_suffix_ranks", "archive_avro_ingest",
                     "frontier_opic_importance", "graph_scc_bowtie",
-                    "data_span_corruption", "url_ip_cidr_match"}
+                    "data_span_corruption", "url_ip_cidr_match",
+                    "multimodal_exif_meta"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
