@@ -829,3 +829,133 @@ def scc_bowtie_sql(edges_sql: str, pivot_sql: str, iterations: int) -> str:
       LEFT JOIN f{k} f ON n.host = f.host
       LEFT JOIN b{k} b ON n.host = b.host) q"""
     )
+
+
+def anf_exact(edges: DataFrame, radius: int) -> DataFrame:
+    """Exact neighborhood function N(v, r) = |{u : dist(v, u) <= r}|
+    (Palmer, Gibbons & Faloutsos, "ANF: a fast and scalable tool for
+    data mining in massive graphs", KDD 2002 — the exact arm). The
+    web-graph use: per-host reach profiles (how much of the web a
+    host can touch in r clicks) feeding crawl prioritization and
+    spam/mirror forensics.
+
+    Semi-naive expansion: per hop ONE equi-join of the slim
+    (node, member) reach relation against the edge list plus ONE
+    distinct (shuffle on the pair key); the per-radius counts are
+    map-side-combinable groupBys. The reach relation is
+    O(sum of ball sizes) — this is the verify/oracle arm; the scale
+    arm is :func:`anf_hyperball` (constant per-node state, the
+    Boldi–Vigna register-merge form).
+
+    Returns (host, ball_1, .., ball_radius), balls including the
+    host itself.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    reach = nodes.select(
+        "node", F.col("node").alias("member")
+    ).localCheckpoint(eager=True)
+    counts = None
+    for r in range(1, radius + 1):
+        hop = reach.join(e, reach["member"] == e["src"]).select(
+            reach["node"], e["dst"].alias("member")
+        )
+        reach = (
+            reach.unionByName(hop).distinct().localCheckpoint(eager=True)
+        )
+        c = reach.groupBy("node").agg(
+            F.count("*").cast("bigint").alias(f"ball_{r}")
+        )
+        counts = c if counts is None else counts.join(c, "node")
+    return counts.select(
+        F.col("node").alias("host"),
+        *[f"ball_{r}" for r in range(1, radius + 1)],
+    )
+
+
+def anf_exact_sql(edges_sql: str, radius: int) -> str:
+    """DuckDB mirror — the identical semi-naive expansion unrolled."""
+    stages = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "r0 AS (SELECT node, node AS member FROM n)",
+    ]
+    for r in range(1, radius + 1):
+        stages.append(
+            f"r{r} AS (SELECT node, member FROM r{r - 1} UNION "
+            f"SELECT p.node, e.dst FROM r{r - 1} p JOIN e ON p.member = e.src)"
+        )
+        stages.append(
+            f"c{r} AS (SELECT node, CAST(count(*) AS BIGINT) AS ball_{r} "
+            f"FROM r{r} GROUP BY node)"
+        )
+    joins = " ".join(
+        f"JOIN c{r} ON c1.node = c{r}.node" for r in range(2, radius + 1)
+    )
+    balls = ", ".join(f"ball_{r}" for r in range(1, radius + 1))
+    return f"WITH {', '.join(stages)} SELECT c1.node AS host, {balls} FROM c1 {joins}"
+
+
+def anf_hyperball(
+    edges: DataFrame, radius: int, log2m: int = 6
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-core computation of geometric
+    centralities with HyperBall", ICDMW 2013; HyperANF, WWW 2011):
+    one HyperLogLog counter per node, grown by register merges along
+    edges — regs(v) <- elementwise-max(regs(v), regs(u)) for every
+    v->u. Per iteration: ONE equi-join of the (node, reg, mr)
+    register relation against the edge list + ONE groupBy(node, reg)
+    max — per-node state is m registers REGARDLESS of ball size,
+    which is the whole point vs :func:`anf_exact`'s O(n * ball)
+    relation at web scale.
+
+    Returns (host, est): estimated |ball(host, radius)|. Accuracy is
+    the HLL bound (~1.04/sqrt(m)); pinned against anf_exact in
+    tests/test_anf.py, not oracle-gated (the gate is the exact arm).
+    """
+    m = 1 << log2m
+    budget = 32 - log2m
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = F.xxhash64(F.col("node")).bitwiseAND(F.lit((1 << 32) - 1))
+    v = F.floor(h / m).cast("long")
+    rho = F.when(v >= (1 << (budget - 1)), F.lit(1))
+    for r in range(2, budget + 1):
+        rho = rho.when(v >= (1 << (budget - r)), F.lit(r))
+    rho = rho.otherwise(F.lit(budget + 1))
+    regs = nodes.select(
+        "node", (h % m).cast("int").alias("reg"), rho.alias("mr")
+    ).localCheckpoint(eager=True)
+    for _ in range(radius):
+        pulled = e.join(regs, e["dst"] == regs["node"]).select(
+            e["src"].alias("node"), regs["reg"], regs["mr"]
+        )
+        regs = (
+            regs.unionByName(pulled)
+            .groupBy("node", "reg")
+            .agg(F.max("mr").alias("mr"))
+            .localCheckpoint(eager=True)
+        )
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
+        log2m, 0.7213 / (1 + 1.079 / m)
+    )
+    agg = regs.groupBy("node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    s = F.col("s_present") + (F.lit(m) - F.col("n_present"))
+    zeros = F.lit(m) - F.col("n_present")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(F.col("node").alias("host"), F.round(est, 4).alias("est"))

@@ -207,6 +207,7 @@ _GATE_ORDER: list[str] = [
     "data_span_corruption",
     "url_ip_cidr_match",
     "multimodal_exif_meta",
+    "graph_anf_neighborhood",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8346,3 +8347,36 @@ def q_url_ip_cidr_match(spark, sf_dir):
 def q_multimodal_exif_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.exif_meta(_mm.synth_exif_blobs(d, mod=3)).orderBy("doc_id")
+
+
+def _host_edges_df(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.concat(
+                F.lit("h"), (F.col("o_custkey") % 50).cast("string")
+            ).alias("src"),
+            F.concat(
+                F.lit("h"), (F.col("o_orderkey") % 50).cast("string")
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+@_register(
+    "graph_anf_neighborhood",
+    # Exact neighborhood function N(v, r) for r = 1..3 (Palmer et al.
+    # KDD 2002) over the 50-host synthetic web graph: semi-naive
+    # frontier expansion, one equi-join + one distinct per hop. The
+    # scale arm (HyperBall register merges, Boldi-Vigna 2013 —
+    # constant per-node state instead of the O(n*ball) exact
+    # relation) is pinned against this exact arm in tests/test_anf.py.
+    # Radius is load-bearing: ball_3 > ball_2 > ball_1 for hub hosts.
+    _hr.anf_exact_sql(_HOST_EDGES_SQL, radius=3) + " ORDER BY host",
+)
+def q_graph_anf_neighborhood(spark, sf_dir):
+    return _hr.anf_exact(_host_edges_df(spark, sf_dir), radius=3).orderBy(
+        "host"
+    )
