@@ -1927,3 +1927,157 @@ def exif_meta(blobs: DataFrame) -> DataFrame:
             "orientation int, datetime string, xres_num long, xres_den long"
         ),
     )
+
+
+def synth_mp4_blobs(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — one ISO-BMFF container per selected doc
+    (doc_id % mod == 0), fields deterministic in doc_id (closed forms
+    the SQL oracle recomputes). Version (mvhd/tkhd 32- vs 64-bit
+    fields) alternates by doc_id parity and every third selected doc
+    uses the size==1 largesize mdat, so all spec branches carry
+    corpus. Encoded through functions/minimp4.write_mp4."""
+    from ..functions import minimp4
+
+    handlers = ["vide", "soun", "text"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_tracks = 1 + (d % 9) // 3
+                ts = 600 * (1 + d % 4)
+                w = 320 + (d % 4) * 160
+                h = 240 + (d % 4) * 120
+                ids.append(d)
+                payloads.append(
+                    minimp4.write_mp4(
+                        timescale=ts,
+                        duration=ts * (d % 30 + 1),
+                        tracks=[(handlers[i], w, h) for i in range(n_tracks)],
+                        version=d % 2,
+                        largesize_mdat=d % 9 == 0,
+                        payload=b"x" * (d % 7),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def mp4_meta(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) MP4 blobs -> container metadata through the
+    OWN box walk (functions/minimp4.parse_mp4): brand, movie
+    timescale/duration, track handler list, first video track
+    dimensions. One Arrow-batched map stage, no shuffle, mdat payload
+    bytes never touched."""
+    from ..functions import minimp4
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = minimp4.parse_mp4(bytes(blob))
+                rows.append(
+                    (
+                        int(d),
+                        m["brand"],
+                        int(m["mvhd_version"]),
+                        int(m["timescale"]),
+                        int(m["duration"]),
+                        len(m["handlers"]),
+                        ",".join(m["handlers"]),
+                        int(m["width"]),
+                        int(m["height"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "mvhd_version", "timescale",
+                    "duration", "n_tracks", "handlers", "width", "height",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, brand string, mvhd_version int, timescale long, "
+            "duration long, n_tracks int, handlers string, "
+            "width int, height int"
+        ),
+    )
+
+
+def synth_mp3_blobs(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — one ID3v2.3-tagged CBR MPEG-1 Layer III
+    stream per selected doc (doc_id % mod == 1), fields deterministic
+    in doc_id. The ID3 pad pushes tag size past 127 so the SYNCHSAFE
+    multi-byte rule is load-bearing; the padding bit alternates per
+    audio frame so the 144*br/sr+pad length rule is too."""
+    from ..functions import minimp3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ids.append(d)
+                payloads.append(
+                    minimp3.write_mp3(
+                        frames={
+                            "TIT2": f"t{d % 7}",
+                            "TPE1": f"a{d % 5}",
+                        },
+                        bitrate_idx=1 + d % 14,
+                        sr_idx=(d // 3) % 3,
+                        n_frames=3 + d % 5,
+                        id3_pad=120 + d % 9,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 1")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def mp3_meta(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) MP3 blobs -> stream metadata through the OWN
+    ID3v2 + frame-header walk (functions/minimp3.parse_mp3). One
+    Arrow-batched map stage, no shuffle, no entropy decode."""
+    from ..functions import minimp3
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = minimp3.parse_mp3(bytes(blob))
+                rows.append(
+                    (
+                        int(d), m["title"], m["artist"],
+                        int(m["bitrate_kbps"]), int(m["sample_rate"]),
+                        int(m["n_frames"]), int(m["duration_ms"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "title", "artist", "bitrate_kbps",
+                    "sample_rate", "n_frames", "duration_ms",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, title string, artist string, bitrate_kbps int, "
+            "sample_rate int, n_frames int, duration_ms long"
+        ),
+    )

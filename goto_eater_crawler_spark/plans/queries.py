@@ -208,6 +208,8 @@ _GATE_ORDER: list[str] = [
     "url_ip_cidr_match",
     "multimodal_exif_meta",
     "graph_anf_neighborhood",
+    "multimodal_mp4_meta",
+    "multimodal_mp3_meta",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8380,3 +8382,72 @@ def q_graph_anf_neighborhood(spark, sf_dir):
     return _hr.anf_exact(_host_edges_df(spark, sf_dir), radius=3).orderBy(
         "host"
     )
+
+
+@_register(
+    "multimodal_mp4_meta",
+    # ISO-BMFF (MP4) container box walk (ISO/IEC 14496-12) — the
+    # pre-codec metadata pass for the video modality: duration/
+    # timescale for frame-sampling budgets, track handlers for
+    # modality routing, tkhd 16.16 dimensions for resize planning;
+    # mdat payload bytes never read. OWN walk (functions/minimp4.py):
+    # mvhd/tkhd VERSION alternates by doc parity (32- vs 64-bit
+    # fields) and every third selected doc uses the size==1
+    # largesize mdat — a wrong field width or size rule fails the
+    # closed-form hash.
+    """
+    SELECT doc_id,
+           'isom' AS brand,
+           CAST(doc_id % 2 AS INT) AS mvhd_version,
+           CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+           CAST(600 * (1 + doc_id % 4) * (doc_id % 30 + 1) AS BIGINT)
+             AS duration,
+           CAST(1 + (doc_id % 9) // 3 AS INT) AS n_tracks,
+           CASE (doc_id % 9) // 3
+             WHEN 0 THEN 'vide'
+             WHEN 1 THEN 'vide,soun'
+             ELSE 'vide,soun,text' END AS handlers,
+           CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
+           CAST(240 + (doc_id % 4) * 120 AS INT) AS height
+    FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id
+    """,
+)
+def q_multimodal_mp4_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.mp4_meta(_mm.synth_mp4_blobs(d, mod=3)).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_mp3_meta",
+    # ID3v2.3 + MPEG-1 Layer III frame-header walk (id3.org spec;
+    # ISO/IEC 11172-3 bitrate/samplerate tables) — the audio-modality
+    # pre-decode pass: tag text for provenance, CBR frame scan for
+    # bitrate/samplerate/duration. OWN walk (functions/minimp3.py):
+    # SYNCHSAFE tag sizes (>127 via pad, multi-byte rule
+    # load-bearing), frame length 144*br/sr + alternating padding
+    # bit; sr index rotates by doc_id//3 so all three MPEG-1 rates
+    # carry corpus. A wrong table row or length rule loses sync and
+    # errors the gate.
+    """
+    SELECT doc_id,
+           't' || CAST(doc_id % 7 AS VARCHAR) AS title,
+           'a' || CAST(doc_id % 5 AS VARCHAR) AS artist,
+           CAST(CASE doc_id % 14
+             WHEN 0 THEN 32 WHEN 1 THEN 40 WHEN 2 THEN 48 WHEN 3 THEN 56
+             WHEN 4 THEN 64 WHEN 5 THEN 80 WHEN 6 THEN 96 WHEN 7 THEN 112
+             WHEN 8 THEN 128 WHEN 9 THEN 160 WHEN 10 THEN 192
+             WHEN 11 THEN 224 WHEN 12 THEN 256 ELSE 320 END AS INT)
+             AS bitrate_kbps,
+           CAST(CASE (doc_id // 3) % 3
+             WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS INT)
+             AS sample_rate,
+           CAST(3 + doc_id % 5 AS INT) AS n_frames,
+           CAST((3 + doc_id % 5) * 1152000 // (CASE (doc_id // 3) % 3
+             WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END) AS BIGINT)
+             AS duration_ms
+    FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id
+    """,
+)
+def q_multimodal_mp3_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.mp3_meta(_mm.synth_mp3_blobs(d, mod=3)).orderBy("doc_id")
