@@ -260,3 +260,98 @@ def cidr_longest_match_sql(ips_sql: str, rules_sql: str) -> str:
     FROM ips i LEFT JOIN best b ON i.ip = b.ip
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Typosquat detection — FastSS deletion-neighborhood edit-distance join
+# ---------------------------------------------------------------------------
+
+TYPOSQUAT_BRANDS = [
+    "searchhub.com", "shopmart.net", "newsdaily.org", "mailbox.io",
+    "streamly.tv", "socialite.app", "travelkit.co", "bankfort.com",
+]
+
+TYPOSQUAT_BRANDS_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{b}')" for b in TYPOSQUAT_BRANDS)
+    + ") AS b(brand)"
+)
+
+
+def typosquat_brands(spark) -> "DataFrame":
+    return spark.createDataFrame(
+        [(b,) for b in TYPOSQUAT_BRANDS], "brand string"
+    )
+
+
+_DELETION_VARIANTS = (
+    "array_union(array({c}), transform(sequence(1, length({c})), "
+    "i -> concat(substring({c}, 1, i - 1), substring({c}, i + 1, 1000))))"
+)
+
+
+def typosquat_match(domains: "DataFrame", brands: "DataFrame") -> "DataFrame":
+    """Edit-distance<=1 join of a domain corpus against a brand dim
+    WITHOUT an all-pairs comparison: the FastSS deletion-neighborhood
+    signature join (Bocek, Hunt & Stiller, "Fast Similarity Search in
+    Large Dictionaries", TR 2007; the same signature family as
+    SymSpell). Each side expands to its 1-deletion variants (the
+    string itself + every single-character deletion — native
+    transform/sequence HOFs, JVM-side); candidates meet brands on
+    variant EQUALITY via one broadcast equi-join (brand side is a
+    classic small dim: |brands| * avg_len rows), then an exact
+    levenshtein confirm keeps true distance <= 1 — the signature join
+    admits distance-2 pairs (two different deletions colliding), so
+    the verify step is load-bearing, exactly the LSH-then-verify
+    shape of the near-dup family.
+
+    Scale: the corpus side never self-joins and never broadcasts;
+    per domain ~len(domain) slim (variant, domain) rows flow into a
+    broadcast hash join, matched pairs (tiny) dedup with one shuffle.
+
+    Returns (domain, brand, dist) for dist <= 1 pairs, one row per
+    pair.
+
+    Reference analogue: the reference canonicalizes/dedups source
+    URLs per prefecture (`common/util.py` url cleanup); this is the
+    adversarial-variant form of the same URL-identity problem at web
+    scale.
+    """
+    cand = domains.select(
+        "domain",
+        F.explode(
+            F.expr(_DELETION_VARIANTS.format(c="domain"))
+        ).alias("variant"),
+    )
+    bvar = brands.select(
+        "brand",
+        F.explode(
+            F.expr(_DELETION_VARIANTS.format(c="brand"))
+        ).alias("variant"),
+    )
+    pairs = (
+        cand.join(F.broadcast(bvar), "variant")
+        .select("domain", "brand")
+        .distinct()
+    )
+    return pairs.filter(
+        F.levenshtein(F.col("domain"), F.col("brand")) <= 1
+    ).select(
+        "domain",
+        "brand",
+        F.levenshtein(F.col("domain"), F.col("brand"))
+        .cast("int")
+        .alias("dist"),
+    )
+
+
+def typosquat_match_sql(domains_sql: str, brands_sql: str) -> str:
+    """DuckDB mirror — exact levenshtein against the brand dim (the
+    all-pairs form is fine at oracle scale; the Spark arm must agree
+    while never materializing the cross product)."""
+    return f"""
+    SELECT d.domain, b.brand,
+           CAST(levenshtein(d.domain, b.brand) AS INT) AS dist
+    FROM (SELECT DISTINCT domain FROM ({domains_sql})) d
+    JOIN ({brands_sql}) b ON levenshtein(d.domain, b.brand) <= 1
+    """

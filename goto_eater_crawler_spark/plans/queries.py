@@ -210,6 +210,8 @@ _GATE_ORDER: list[str] = [
     "graph_anf_neighborhood",
     "multimodal_mp4_meta",
     "multimodal_mp3_meta",
+    "domain_typosquat_match",
+    "html_jsonld_extract",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8451,3 +8453,163 @@ def q_multimodal_mp4_meta(spark, sf_dir):
 def q_multimodal_mp3_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.mp3_meta(_mm.synth_mp3_blobs(d, mod=3)).orderBy("doc_id")
+
+
+_TYPOSQUAT_CAND_SQL = (
+    "WITH bl AS (SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{b}', {i})" for i, b in enumerate(_dm.TYPOSQUAT_BRANDS)
+    )
+    + """) AS t(brand, idx))
+    SELECT CASE (c_custkey // 8) % 3
+      WHEN 0 THEN bl.brand
+      WHEN 1 THEN substring(bl.brand, 1,
+               CAST(2 + (c_custkey // 24) % (length(bl.brand) - 2) AS INT) - 1)
+            || substring(bl.brand,
+               CAST(2 + (c_custkey // 24) % (length(bl.brand) - 2) AS INT) + 1)
+      ELSE 'site' || CAST(c_custkey AS VARCHAR) || '.net' END AS domain
+    FROM customer JOIN bl ON bl.idx = c_custkey % 8"""
+)
+
+
+@_register(
+    "domain_typosquat_match",
+    # Edit-distance<=1 brand-impersonation scan WITHOUT all-pairs:
+    # FastSS deletion-neighborhood signature join (Bocek et al. 2007 /
+    # the SymSpell family) — both sides expand to 1-deletion variants
+    # via native transform/sequence HOFs, meet on variant EQUALITY
+    # through one broadcast equi-join, exact levenshtein confirm
+    # keeps true dist<=1 (the signature join admits dist-2
+    # collisions, so the verify arm is load-bearing). Candidate
+    # classes planted per customer: exact brand (dist 0), single
+    # deletion at a rotating position (dist 1), and 'siteN.net'
+    # noise that must vanish (selectivity visible). Oracle = exact
+    # levenshtein against the brand dim (all-pairs fine at oracle
+    # scale).
+    _dm.typosquat_match_sql(_TYPOSQUAT_CAND_SQL, _dm.TYPOSQUAT_BRANDS_SQL)
+    + " ORDER BY domain, brand",
+)
+def q_domain_typosquat_match(spark, sf_dir):
+    brands_arr = "array(" + ", ".join(
+        f"'{b}'" for b in _dm.TYPOSQUAT_BRANDS
+    ) + ")"
+    cand = (
+        _t(spark, sf_dir, "customer")
+        .withColumn(
+            "b",
+            F.expr(
+                f"element_at({brands_arr}, "
+                "cast(c_custkey % 8 + 1 as int))"
+            ),
+        )
+        .withColumn(
+            "p",
+            F.expr(
+                "cast(2 + (c_custkey div 24) % (length(b) - 2) as int)"
+            ),
+        )
+        .select(
+            F.expr(
+                """CASE (c_custkey div 8) % 3
+                   WHEN 0 THEN b
+                   WHEN 1 THEN concat(substring(b, 1, p - 1),
+                                      substring(b, p + 1, 1000))
+                   ELSE concat('site', cast(c_custkey as string), '.net')
+                   END"""
+            ).alias("domain")
+        )
+    )
+    return _dm.typosquat_match(
+        cand, _dm.typosquat_brands(spark)
+    ).orderBy("domain", "brand")
+
+
+@_register(
+    "html_jsonld_extract",
+    # schema.org JSON-LD structured-data extraction — the modern-web
+    # form of EXACTLY the reference's extraction contract (shop name
+    # / address / cuisine / lat+lng per restaurant page, e.g.
+    # tochigi.py:25's XPath field pulls): many real restaurant pages
+    # carry the same fields as <script type="application/ld+json">
+    # blocks. Page synthesis plants TWO ld+json blocks per page — a
+    # WebSite entity and the Restaurant entity, block ORDER swapping
+    # by doc parity — plus a plain-JS distractor script, so a naive
+    # first-script or fixed-position extraction fails; the operator
+    # pulls ALL ld+json blocks (regexp_extract_all), parses each with
+    # from_json against a nested schema (address/geo sub-objects),
+    # and keeps @type='Restaurant'. Entirely Catalyst-native; the
+    # only exchange is the final sort. Geo values ride as JSON
+    # strings (schema.org-permitted) so both engines compare text,
+    # not float re-parses.
+    """
+    SELECT doc_id,
+           'Shop ' || CAST(doc_id AS VARCHAR) AS name,
+           CAST(doc_id % 90 + 1 AS VARCHAR) || ' Main St' AS street,
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0001'
+             AS postal,
+           '35.' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS lat,
+           '139.' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+             AS lng,
+           'cuisine' || CAST(doc_id % 7 AS VARCHAR) AS cuisine
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_html_jsonld_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    rest = F.concat(
+        F.lit('{"@type":"Restaurant","name":"Shop '), i,
+        F.lit('","address":{"streetAddress":"'),
+        (F.col("doc_id") % 90 + 1).cast("string"),
+        F.lit(' Main St","postalCode":"'),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit('-0001"},"geo":{"latitude":"35.'),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit('","longitude":"139.'),
+        F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit('"},"servesCuisine":"cuisine'),
+        (F.col("doc_id") % 7).cast("string"), F.lit('"}'),
+    )
+    site = F.lit(
+        '{"@type":"WebSite","name":"Eatlog","url":"https://eatlog.example"}'
+    )
+    b = F.lit('<script type="application/ld+json">')
+    e = F.lit("</script>")
+    blocks = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(b, site, e, b, rest, e),
+    ).otherwise(F.concat(b, rest, e, b, site, e))
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script>"), blocks,
+        F.lit("</head><body>menu</body></html>"),
+    )
+    schema = (
+        "struct<`@type`:string, name:string, "
+        "address:struct<streetAddress:string, postalCode:string>, "
+        "geo:struct<latitude:string, longitude:string>, "
+        "servesCuisine:string>"
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    parsed = pages.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(html, "
+                "'<script type=\"application/ld\\\\+json\">(.*?)"
+                "</script>', 1)"
+            )
+        ).alias("block"),
+    ).select("doc_id", F.from_json("block", schema).alias("j"))
+    return (
+        parsed.filter(F.col("j.`@type`") == "Restaurant")
+        .select(
+            "doc_id",
+            F.col("j.name").alias("name"),
+            F.col("j.address.streetAddress").alias("street"),
+            F.col("j.address.postalCode").alias("postal"),
+            F.col("j.geo.latitude").alias("lat"),
+            F.col("j.geo.longitude").alias("lng"),
+            F.col("j.servesCuisine").alias("cuisine"),
+        )
+        .orderBy("doc_id")
+    )
