@@ -2081,3 +2081,80 @@ def mp3_meta(blobs: DataFrame) -> DataFrame:
             "sample_rate int, n_frames int, duration_ms long"
         ),
     )
+
+
+def synth_ogg_blobs(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """(doc_id, payload) — one Ogg Vorbis container per selected doc
+    (doc_id % mod == 2), fields deterministic in doc_id. Data packets
+    are always >= 255 bytes so every page exercises multi-segment
+    lacing (255-run rule), and the first data page carries TWO
+    packets so multi-packet pages are load-bearing too."""
+    from ..functions import miniogg
+
+    rates = [8000, 22050, 44100]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_data = 2 + d % 3
+                packets = [
+                    bytes(
+                        (d + j * 7 + k) % 251
+                        for k in range(255 + (d * 31 + j * 17) % 200)
+                    )
+                    for j in range(n_data)
+                ]
+                ids.append(d)
+                payloads.append(
+                    miniogg.write_ogg_vorbis(
+                        serial=d * 97 + 1,
+                        channels=1 + d % 2,
+                        rate=rates[d % 3],
+                        data_packets=packets,
+                        granule_per_page=1024 * (1 + d % 4),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 2")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def ogg_meta(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) Ogg blobs -> container metadata through the
+    OWN page walk (functions/miniogg.parse_ogg) with per-page CRC
+    VERIFY. One Arrow-batched map stage, no shuffle."""
+    from ..functions import miniogg
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = miniogg.parse_ogg(bytes(blob))
+                rows.append(
+                    (
+                        int(d), int(m["serial"]), int(m["channels"]),
+                        int(m["rate"]), int(m["n_pages"]),
+                        int(m["n_packets"]), int(m["last_granule"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "serial", "channels", "rate",
+                    "n_pages", "n_packets", "last_granule",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, serial long, channels int, rate int, "
+            "n_pages int, n_packets int, last_granule long"
+        ),
+    )

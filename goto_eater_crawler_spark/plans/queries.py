@@ -212,6 +212,9 @@ _GATE_ORDER: list[str] = [
     "multimodal_mp3_meta",
     "domain_typosquat_match",
     "html_jsonld_extract",
+    "sample_priority_weighted",
+    "geo_cell_dedup",
+    "multimodal_ogg_meta",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8613,3 +8616,142 @@ def q_html_jsonld_extract(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "sample_priority_weighted",
+    # Weighted without-replacement sampling by PRIORITY SAMPLING
+    # (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    # arbitrary subset sums", JACM 2007): priority = weight / u with
+    # u hash-uniform in (0,1]; the k highest priorities per stratum
+    # are the sample. Chosen over Efraimidis-Spirakis u^(1/w) keys
+    # deliberately: the priority key needs ONE IEEE division (exactly
+    # rounded, bit-identical across JVM and C engines) where A-ES
+    # needs pow/log (correctly-rounded nowhere, so cross-engine
+    # rank flips at ulp ties) — determinism across workers/retries/
+    # engines is the production contract for reproducible corpus
+    # draws. Scale shape: the rank is a per-stratum top-k window
+    # (partial top-k per partition under AQE; salt the window key if
+    # one stratum dominates, as skewed_agg_salted shows); no
+    # collect, no global sort of the corpus.
+    """
+    WITH keyed AS (
+      SELECT event_type,
+             event_id,
+             CAST(1 + event_id % 8 AS INT) AS weight,
+             CAST(1 + (event_id * 2654435761) % 4294967296 AS DOUBLE)
+               / (1 + event_id % 8) AS invp
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY invp, event_id) AS rn
+      FROM keyed)
+    SELECT event_type, event_id, weight, round(invp, 4) AS invp_r
+    FROM ranked WHERE rn <= 10
+    ORDER BY event_type, invp_r, event_id
+    """,
+)
+def q_sample_priority_weighted(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (F.lit(1) + F.col("event_id") % 8).cast("int")
+    u = F.lit(1) + (F.col("event_id") * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
+    keyed = e.select(
+        "event_type",
+        "event_id",
+        w.alias("weight"),
+        (u.cast("double") / w).alias("invp"),
+    )
+    win = Window.partitionBy("event_type").orderBy("invp", "event_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "event_type", "event_id", "weight",
+            F.round("invp", 4).alias("invp_r"),
+        )
+        .orderBy("event_type", "invp_r", "event_id")
+    )
+
+
+from ..operators import geo as _geo  # noqa: E402
+
+_GEO_RECS_SQL = """
+    SELECT doc_id * 2 AS rec_id,
+           (doc_id % 1000) * 5000 AS lat_u,
+           (doc_id // 1000) * 5000 AS lng_u
+    FROM documents
+    UNION ALL
+    SELECT doc_id * 2 + 1,
+           (doc_id % 1000) * 5000 + (doc_id % 5) * 100,
+           (doc_id // 1000) * 5000 + (doc_id % 3) * 100 + 100
+    FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+@_register(
+    "geo_cell_dedup",
+    # Fixed-radius spatial near-dup join (same shop, two sources —
+    # the downstream consumer of the reference's lat/lng extraction,
+    # cards.py F4): integer-microdegree grid bucketing, 3x3 neighbor
+    # expansion on ONE side, exact integer squared-distance confirm —
+    # never all-pairs. Planted layout: base shops on a 5000-microdeg
+    # lattice (isolated: spacing > 2x threshold), every 4th doc gets
+    # a twin offset <= (400, 400) so twins OFTEN cross cell
+    # boundaries (bases sit exactly on cell corners) — a missing
+    # neighbor cell loses those pairs. Oracle = the independent
+    # all-pairs algorithm.
+    _geo.grid_near_pairs_sql(_GEO_RECS_SQL, threshold=1000)
+    + " ORDER BY rec_a",
+)
+def q_geo_cell_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        (F.col("doc_id") * 2).alias("rec_id"),
+        ((F.col("doc_id") % 1000) * 5000).alias("lat_u"),
+        (F.floor(F.col("doc_id") / 1000) * 5000).alias("lng_u"),
+    )
+    twins = d.filter("doc_id % 4 = 0").select(
+        (F.col("doc_id") * 2 + 1).alias("rec_id"),
+        (
+            (F.col("doc_id") % 1000) * 5000 + (F.col("doc_id") % 5) * 100
+        ).alias("lat_u"),
+        (
+            F.floor(F.col("doc_id") / 1000) * 5000
+            + (F.col("doc_id") % 3) * 100
+            + 100
+        ).alias("lng_u"),
+    )
+    recs = base.unionByName(twins)
+    return _geo.grid_near_pairs(recs, threshold=1000).orderBy("rec_a")
+
+
+@_register(
+    "multimodal_ogg_meta",
+    # Ogg container walk (RFC 3533) + Vorbis id-header parse (Xiph
+    # Vorbis I §4.2.2) with REAL per-page CRC verification (the
+    # spec's unreflected 0x04c11db7 CRC-32, crc field zeroed) — the
+    # third audio container beside WAV and MP3. Lacing rules are
+    # load-bearing: every data packet is >= 255 bytes (multi-segment
+    # 255-runs) and the first data page holds TWO packets, so a
+    # wrong 255-continuation or segment walk miscounts packets and
+    # fails the closed-form hash.
+    """
+    SELECT doc_id,
+           CAST(doc_id * 97 + 1 AS BIGINT) AS serial,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                ELSE 44100 END AS INT) AS rate,
+           CAST(2 + doc_id % 3 AS INT) AS n_pages,
+           CAST(3 + doc_id % 3 AS INT) AS n_packets,
+           CAST((1 + doc_id % 3) * 1024 * (1 + doc_id % 4) AS BIGINT)
+             AS last_granule
+    FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id
+    """,
+)
+def q_multimodal_ogg_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.ogg_meta(_mm.synth_ogg_blobs(d, mod=3)).orderBy("doc_id")

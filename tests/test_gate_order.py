@@ -112,7 +112,10 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "multimodal_mp4_meta",
                     "multimodal_mp3_meta",
                     "domain_typosquat_match",
-                    "html_jsonld_extract"}
+                    "html_jsonld_extract",
+                    "sample_priority_weighted",
+                    "geo_cell_dedup",
+                    "multimodal_ogg_meta"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
