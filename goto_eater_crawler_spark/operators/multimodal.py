@@ -2158,3 +2158,72 @@ def ogg_meta(blobs: DataFrame) -> DataFrame:
             "n_pages int, n_packets int, last_granule long"
         ),
     )
+
+
+def synth_cert_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) — one DER X.509 certificate per doc, fields
+    deterministic in doc_id. Serials rotate through values whose
+    leading magnitude byte has the top bit both set and clear (the
+    X.690 §8.3.2 0x00 sign-pad rule is load-bearing), and key_fill
+    varies the SPKI size so long-form lengths appear at many sizes."""
+    from ..functions import minix509
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                month = "%02d" % (d % 12 + 1)
+                ids.append(d)
+                payloads.append(
+                    minix509.write_cert(
+                        serial=d * 1009 + 100,
+                        issuer_cn=f"ca{d % 4}",
+                        subject_cn=f"host{d}",
+                        not_before=f"21{month}01000000Z",
+                        not_after=f"22{month}01000000Z",
+                        is_ca=d % 5 == 0,
+                        key_fill=d % 60,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def cert_meta(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) DER blobs -> certificate identity/validity
+    through the OWN ASN.1 walk (functions/minix509.parse_cert). One
+    Arrow-batched map stage, no shuffle, no crypto."""
+    from ..functions import minix509
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = minix509.parse_cert(bytes(blob))
+                rows.append(
+                    (
+                        int(d), int(m["version"]), int(m["serial"]),
+                        m["issuer_cn"], m["subject_cn"],
+                        m["not_before"], m["not_after"], bool(m["is_ca"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "version", "serial", "issuer_cn",
+                    "subject_cn", "not_before", "not_after", "is_ca",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, version int, serial long, issuer_cn string, "
+            "subject_cn string, not_before string, not_after string, "
+            "is_ca boolean"
+        ),
+    )

@@ -215,6 +215,9 @@ _GATE_ORDER: list[str] = [
     "sample_priority_weighted",
     "geo_cell_dedup",
     "multimodal_ogg_meta",
+    "html_hreflang_reciprocal",
+    "html_robots_meta",
+    "tls_cert_meta",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8755,3 +8758,220 @@ def q_geo_cell_dedup(spark, sf_dir):
 def q_multimodal_ogg_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.ogg_meta(_mm.synth_ogg_blobs(d, mod=3)).orderBy("doc_id")
+
+
+@_register(
+    "html_hreflang_reciprocal",
+    # hreflang alternate-cluster validation (Google's published
+    # hreflang rule, search-central docs): an annotation only COUNTS
+    # when it is RECIPROCATED — page A listing B as its 'ja'
+    # alternate is valid only if B lists A back. That makes this a
+    # self-join on extracted links, not a per-page parse: extract
+    # (page, lang, target) from <link rel="alternate" hreflang=..>
+    # tags (attribute order alternates by parity so fixed-order
+    # regexes fail), then ONE equi-join of the link relation against
+    # its own reversal. Planted structure: doc pairs (2k, 2k+1)
+    # reciprocate en<->ja; every 5th doc ALSO annotates a 'de'
+    # alternate pointing at a page that never links back — the
+    # broken annotation must be flagged invalid (selectivity
+    # visible). Scale: links relation shuffles once on the pair key;
+    # no window, no collect.
+    """
+    WITH links AS (
+      SELECT 'p' || CAST(doc_id AS VARCHAR) AS page,
+             CASE WHEN doc_id % 2 = 0 THEN 'ja' ELSE 'en' END AS lang,
+             'p' || CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id + 1
+                              ELSE doc_id - 1 END AS VARCHAR) AS target
+      FROM documents
+      UNION ALL
+      SELECT 'p' || CAST(doc_id AS VARCHAR), 'de',
+             'p' || CAST(doc_id + 2 AS VARCHAR)
+      FROM documents WHERE doc_id % 5 = 0),
+    rev AS (SELECT target AS page, page AS target FROM links)
+    SELECT l.page, l.lang, l.target,
+           CASE WHEN r.page IS NOT NULL THEN TRUE ELSE FALSE END
+             AS reciprocal
+    FROM links l LEFT JOIN (SELECT DISTINCT * FROM rev) r
+      ON l.page = r.page AND l.target = r.target
+    ORDER BY l.page, l.lang, l.target
+    """,
+)
+def q_html_hreflang_reciprocal(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    partner = F.when(
+        F.col("doc_id") % 2 == 0, F.col("doc_id") + 1
+    ).otherwise(F.col("doc_id") - 1)
+    lang = F.when(F.col("doc_id") % 2 == 0, F.lit("ja")).otherwise(
+        F.lit("en")
+    )
+    # synthesize the HTML with alternating attribute order, then
+    # extract attribute-order-agnostically
+    tag_pair = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="'), lang,
+            F.lit('" href="/p'), partner.cast("string"), F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<link href="/p'), partner.cast("string"),
+            F.lit('" hreflang="'), lang,
+            F.lit('" rel="alternate">'),
+        ),
+    )
+    tag_de = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="de" href="/p'),
+            (F.col("doc_id") + 2).cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        tag_pair, tag_de, F.lit("</head></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("page"),
+        html.alias("html"),
+    )
+    tags = pages.select(
+        "page",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(html, "
+                "'<link[^>]*rel=\"alternate\"[^>]*>', 0)"
+            )
+        ).alias("tag"),
+    )
+    links = tags.select(
+        "page",
+        F.regexp_extract("tag", 'hreflang="([^"]*)"', 1).alias("lang"),
+        F.concat(
+            F.lit("p"),
+            F.regexp_extract("tag", 'href="/p([0-9]+)"', 1),
+        ).alias("target"),
+    )
+    rev = links.select(
+        F.col("target").alias("page"), F.col("page").alias("target")
+    ).distinct().withColumn("_r", F.lit(1))
+    return (
+        links.join(rev, ["page", "target"], "left")
+        .select(
+            "page", "lang", "target",
+            F.col("_r").isNotNull().alias("reciprocal"),
+        )
+        .orderBy("page", "lang", "target")
+    )
+
+
+@_register(
+    "html_robots_meta",
+    # Per-page robots DIRECTIVE resolution (Google/Bing documented
+    # semantics, robotstxt.org meta extension): <meta name="robots">
+    # content directives AND the HTTP X-Robots-Tag header combine
+    # with MOST-RESTRICTIVE-WINS per directive — a page is noindex
+    # if EITHER channel says so; 'none' expands to noindex,nofollow;
+    # 'all' grants nothing extra. The crawl loop consumes this as
+    # two flags: indexable (keep in records) and followable (links
+    # feed the frontier). Planting rotates all four channel
+    # combinations incl. a 'none' shorthand and a whitespace-varied
+    # content list so token parsing, shorthand expansion and
+    # cross-channel OR are each load-bearing. Pure Catalyst
+    # projection; the only exchange is the final sort.
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'index, follow'
+               WHEN 1 THEN 'noindex,follow'
+               WHEN 2 THEN ' none '
+               ELSE 'all' END AS meta_content,
+             CASE doc_id % 3
+               WHEN 0 THEN 'nofollow'
+               WHEN 1 THEN ''
+               ELSE 'noarchive' END AS x_robots
+      FROM documents)
+    SELECT doc_id,
+           NOT (meta_content LIKE '%noindex%'
+                OR trim(meta_content) = 'none'
+                OR x_robots LIKE '%noindex%'
+                OR trim(x_robots) = 'none') AS indexable,
+           NOT (meta_content LIKE '%nofollow%'
+                OR trim(meta_content) = 'none'
+                OR x_robots LIKE '%nofollow%'
+                OR trim(x_robots) = 'none') AS followable
+    FROM pages
+    ORDER BY doc_id
+    """,
+)
+def q_html_robots_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    meta_content = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("index, follow"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("noindex,follow"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" none "))
+        .otherwise(F.lit("all"))
+    )
+    x_robots = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("nofollow"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(""))
+        .otherwise(F.lit("noarchive"))
+    )
+    html = F.concat(
+        F.lit('<html><head><meta name="robots" content="'),
+        meta_content, F.lit('"></head></html>'),
+    )
+    pages = d.select(
+        "doc_id", html.alias("html"), x_robots.alias("x_robots")
+    )
+    extracted = pages.select(
+        "doc_id",
+        F.regexp_extract(
+            "html", '<meta name="robots" content="([^"]*)"', 1
+        ).alias("meta_content"),
+        "x_robots",
+    )
+
+    def restrict(token):
+        return (
+            F.col("meta_content").contains(token)
+            | (F.trim(F.col("meta_content")) == "none")
+            | F.col("x_robots").contains(token)
+            | (F.trim(F.col("x_robots")) == "none")
+        )
+
+    return extracted.select(
+        "doc_id",
+        (~restrict("noindex")).alias("indexable"),
+        (~restrict("nofollow")).alias("followable"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "tls_cert_meta",
+    # ASN.1 DER walk + X.509 v3 parse (ITU-T X.690 / RFC 5280) — the
+    # https-crawl trust-metadata pass: issuer/subject identity,
+    # validity window and CA flag per host, structure only, no
+    # crypto. OWN walk (functions/minix509.py): short/long-form DER
+    # lengths (SPKI always > 127 bytes), INTEGER sign-pad rule for
+    # serials, CN located by OID inside nested RDN SET/SEQUENCEs,
+    # basicConstraints BOOLEAN re-parsed from inside its OCTET
+    # STRING — each a spec rule whose violation shifts every later
+    # offset and fails the closed-form hash.
+    """
+    SELECT doc_id,
+           CAST(3 AS INT) AS version,
+           CAST(doc_id * 1009 + 100 AS BIGINT) AS serial,
+           'ca' || CAST(doc_id % 4 AS VARCHAR) AS issuer_cn,
+           'host' || CAST(doc_id AS VARCHAR) AS subject_cn,
+           '21' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+             || '01000000Z' AS not_before,
+           '22' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+             || '01000000Z' AS not_after,
+           doc_id % 5 = 0 AS is_ca
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_tls_cert_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.cert_meta(_mm.synth_cert_blobs(d)).orderBy("doc_id")

@@ -115,7 +115,10 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "html_jsonld_extract",
                     "sample_priority_weighted",
                     "geo_cell_dedup",
-                    "multimodal_ogg_meta"}
+                    "multimodal_ogg_meta",
+                    "html_hreflang_reciprocal",
+                    "html_robots_meta",
+                    "tls_cert_meta"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
