@@ -590,3 +590,80 @@ def zorder_file_stats_sql(
                AND min_y <= {qy[1]} AND max_y >= {qy[0]}) AS touched
     FROM zone
     """
+
+
+def synth_proto_blobs(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — one protobuf Fetch record per doc, fields
+    deterministic in doc_id; every blob plants unknown fields of all
+    three skippable wire types mid-message (the spec's forward-compat
+    skip rule is load-bearing), and delta rotates negative so zigzag
+    is too."""
+    import pandas as pd
+
+    from ..functions import miniproto
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ids.append(d)
+                payloads.append(
+                    miniproto.encode_fetch(
+                        rec_id=d,
+                        url=f"https://h{d % 50}.example.org/p/{d}",
+                        status=[200, 301, 404, 503][d % 4],
+                        delta=(d % 21) - 10,
+                        content_type=f"text/ct{d % 3}",
+                        size=100 + d % 900,
+                        tags=[d % 5, d % 7, d % 11],
+                        score=(d % 10) + 0.5,
+                        crc=(d * 2654435761) % (1 << 32),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def proto_decode(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> decoded Fetch fields through the OWN wire
+    walk (functions/miniproto.decode_fetch). One Arrow-batched map
+    stage, no shuffle; packed repeated tags re-emitted as a
+    comma-joined string so both engines compare text."""
+    import pandas as pd
+
+    from ..functions import miniproto
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = miniproto.decode_fetch(bytes(blob))
+                rows.append(
+                    (
+                        int(d), int(m["rec_id"]), m["url"],
+                        int(m["status"]), int(m["delta"]),
+                        m["content_type"], int(m["size"]),
+                        ",".join(str(t) for t in m["tags"]),
+                        float(m["score"]), int(m["crc"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rec_id", "url", "status", "delta",
+                    "content_type", "size", "tags", "score", "crc",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, rec_id long, url string, status int, "
+            "delta long, content_type string, size int, tags string, "
+            "score double, crc long"
+        ),
+    )

@@ -218,6 +218,8 @@ _GATE_ORDER: list[str] = [
     "html_hreflang_reciprocal",
     "html_robots_meta",
     "tls_cert_meta",
+    "url_homoglyph_skeleton",
+    "storage_protobuf_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -8975,3 +8977,120 @@ def q_html_robots_meta(spark, sf_dir):
 def q_tls_cert_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.cert_meta(_mm.synth_cert_blobs(d)).orderBy("doc_id")
+
+
+# UTS #39 confusables subset (unicode.org, public): Cyrillic/Greek
+# lookalikes + digit skins, each mapping to its ASCII skeleton char.
+_CONFUSABLE_FROM = "аеорсхіοα" "01"
+_CONFUSABLE_TO = "aeopcxioa" "ol"
+
+
+@_register(
+    "url_homoglyph_skeleton",
+    # IDN homoglyph spoof detection via the UTS #39 skeleton
+    # transform (Unicode Technical Standard #39 "confusables",
+    # public data): map every confusable codepoint to its ASCII
+    # prototype with ONE translate() (single JVM-side projection),
+    # then equi-join skeletons against the brand dim — the
+    # fixed-point companion to the edit-distance arm
+    # (domain_typosquat_match): a Cyrillic-а 'bаnkfort.com'
+    # is levenshtein-1-invisible in bytes but skeleton-identical.
+    # Planted classes: pure-ASCII brand (spoofed=false), all-'a's
+    # Cyrillic substitution + digit skins (spoofed=true), and
+    # 'xN.org' noise that must vanish. Both engines run the same
+    # translate table; the flag is a raw string compare.
+    f"""
+    WITH brands AS ({{brands}}),
+    cand AS (
+      SELECT CASE (doc_id // 8) % 3
+        WHEN 0 THEN b.brand
+        WHEN 1 THEN CASE doc_id % 2
+          WHEN 0 THEN replace(b.brand, 'a', 'а')
+          ELSE replace(replace(b.brand, 'o', '0'), 'l', '1') END
+        ELSE 'x' || CAST(doc_id AS VARCHAR) || '.org' END AS domain
+      FROM documents d JOIN brands b ON b.idx = doc_id % 8),
+    sk AS (SELECT DISTINCT domain,
+                  translate(domain, '{_CONFUSABLE_FROM}',
+                            '{_CONFUSABLE_TO}') AS skel
+           FROM cand)
+    SELECT sk.domain, b.brand, sk.domain <> b.brand AS spoofed
+    FROM sk JOIN brands b ON sk.skel = b.brand
+    ORDER BY domain, brand
+    """.format(
+        brands="SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{b}', {i})" for i, b in enumerate(_dm.TYPOSQUAT_BRANDS)
+        )
+        + ") AS t(brand, idx)"
+    ),
+)
+def q_url_homoglyph_skeleton(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    brands_arr = "array(" + ", ".join(
+        f"'{b}'" for b in _dm.TYPOSQUAT_BRANDS
+    ) + ")"
+    cand = d.select(
+        F.expr(
+            f"""CASE (doc_id div 8) % 3
+            WHEN 0 THEN element_at({brands_arr},
+                                   cast(doc_id % 8 + 1 as int))
+            WHEN 1 THEN CASE doc_id % 2
+              WHEN 0 THEN replace(element_at({brands_arr},
+                           cast(doc_id % 8 + 1 as int)), 'a', 'а')
+              ELSE replace(replace(element_at({brands_arr},
+                           cast(doc_id % 8 + 1 as int)), 'o', '0'),
+                           'l', '1') END
+            ELSE concat('x', cast(doc_id as string), '.org') END"""
+        ).alias("domain")
+    )
+    sk = cand.distinct().select(
+        "domain",
+        F.translate(
+            "domain", _CONFUSABLE_FROM, _CONFUSABLE_TO
+        ).alias("skel"),
+    )
+    brands = _dm.typosquat_brands(spark)
+    return (
+        sk.join(
+            F.broadcast(brands), sk["skel"] == brands["brand"]
+        )
+        .select(
+            "domain", "brand",
+            (F.col("domain") != F.col("brand")).alias("spoofed"),
+        )
+        .orderBy("domain", "brand")
+    )
+
+
+@_register(
+    "storage_protobuf_decode",
+    # Protobuf wire-format walk (the published protobuf encoding
+    # spec) — fetch-sidecar records: varint keys/values, ZIGZAG
+    # sint64 (delta rotates negative), nested message, PACKED
+    # repeated varints, fixed64 double, fixed32, and planted UNKNOWN
+    # fields of all three skippable wire types mid-message — the
+    # forward-compat skip rule is load-bearing (a reader that can't
+    # skip field 99 desyncs and fails every later field). Score is
+    # a dyadic rational (d%10 + 0.5) so the double is exact in both
+    # engines.
+    """
+    SELECT doc_id,
+           doc_id AS rec_id,
+           'https://h' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+                WHEN 2 THEN 404 ELSE 503 END AS INT) AS status,
+           CAST(doc_id % 21 - 10 AS BIGINT) AS delta,
+           'text/ct' || CAST(doc_id % 3 AS VARCHAR) AS content_type,
+           CAST(100 + doc_id % 900 AS INT) AS size,
+           CAST(doc_id % 5 AS VARCHAR) || ',' ||
+             CAST(doc_id % 7 AS VARCHAR) || ',' ||
+             CAST(doc_id % 11 AS VARCHAR) AS tags,
+           CAST(doc_id % 10 + 0.5 AS DOUBLE) AS score,
+           CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS crc
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_storage_protobuf_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.proto_decode(_st.synth_proto_blobs(d)).orderBy("doc_id")

@@ -118,7 +118,9 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "multimodal_ogg_meta",
                     "html_hreflang_reciprocal",
                     "html_robots_meta",
-                    "tls_cert_meta"}
+                    "tls_cert_meta",
+                    "url_homoglyph_skeleton",
+                    "storage_protobuf_decode"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
