@@ -220,6 +220,8 @@ _GATE_ORDER: list[str] = [
     "tls_cert_meta",
     "url_homoglyph_skeleton",
     "storage_protobuf_decode",
+    "quality_min_k_prob",
+    "index_postings_gamma",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -9094,3 +9096,179 @@ def q_url_homoglyph_skeleton(spark, sf_dir):
 def q_storage_protobuf_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _st.proto_decode(_st.synth_proto_blobs(d)).orderBy("doc_id")
+
+
+@_register(
+    "quality_min_k_prob",
+    # Min-K% Prob pretraining-data detection (Shi et al., "Detecting
+    # Pretraining Data from Large Language Models", ICLR 2024): a
+    # doc's membership score is the MEAN log-probability of its K%
+    # LEAST-probable tokens (outlier tokens dominate membership
+    # signal; the mean over all tokens washes it out). LM = the
+    # corpus unigram model already used by quality_unigram_logprob.
+    # Distributed shape: per-doc TERM frequencies (not occurrences)
+    # join the vocab, one per-doc window ordered by (logprob, token)
+    # accumulates tf until the k-occurrence budget — the clipped-
+    # contribution trick keeps the relation at n_distinct rows per
+    # doc while scoring over OCCURRENCES. Ordering parity across
+    # engines holds because equal-count tokens have EXACTLY equal
+    # logprob in each engine and ties break on the token string.
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             ln(CAST(v.cnt AS DOUBLE) / t.total) AS lp,
+             sum(tf.tf) OVER (PARTITION BY tf.doc_id) AS n_tokens,
+             sum(tf.tf) OVER (PARTITION BY tf.doc_id
+                              ORDER BY ln(CAST(v.cnt AS DOUBLE) / t.total),
+                                       tf.token) AS cum
+      FROM tf JOIN vocab v USING (token) CROSS JOIN total t),
+    clipped AS (
+      SELECT doc_id, n_tokens,
+             greatest(1, n_tokens // 5) AS k,
+             CASE WHEN cum - tf < greatest(1, n_tokens // 5)
+                  THEN least(tf, greatest(1, n_tokens // 5) - (cum - tf))
+                  ELSE 0 END * lp AS contrib
+      FROM scored)
+    SELECT doc_id,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(max(k) AS BIGINT) AS k_tokens,
+           round(sum(contrib) / max(k), 4) AS min_k_logprob
+    FROM clipped GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_quality_min_k_prob(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_td.tokens_col(F.col("text"))).alias("token")
+    )
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = F.log(F.col("cnt").cast("double") / F.col("total"))
+    scored = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "token", "tf", lp.alias("lp"),
+            F.sum("tf")
+            .over(Window.partitionBy("doc_id"))
+            .alias("n_tokens"),
+            F.sum("tf")
+            .over(
+                Window.partitionBy("doc_id").orderBy(lp, "token")
+            )
+            .alias("cum"),
+        )
+    )
+    k = F.greatest(F.lit(1), F.floor(F.col("n_tokens") / 5))
+    contrib = (
+        F.when(
+            F.col("cum") - F.col("tf") < k,
+            F.least(F.col("tf"), k - (F.col("cum") - F.col("tf"))),
+        )
+        .otherwise(F.lit(0))
+        * F.col("lp")
+    )
+    return (
+        scored.select(
+            "doc_id", "n_tokens", k.alias("k"), contrib.alias("contrib")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+            F.max("k").cast("bigint").alias("k_tokens"),
+            F.round(F.sum("contrib") / F.max("k"), 4).alias(
+                "min_k_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bits_case_sql(col: str) -> str:
+    """bit length of a positive integer as a pure-integer CASE —
+    doubles never touch the sizing (the varint gate's rule)."""
+    cases = " ".join(
+        f"WHEN {col} < {1 << b} THEN {b}" for b in range(1, 32)
+    )
+    return f"CASE {cases} ELSE 32 END"
+
+
+@_register(
+    "index_postings_gamma",
+    # Elias gamma/delta bit costs for the gap-encoded postings (Elias
+    # 1975; the code family under Boldi-Vigna WebGraph compression,
+    # TWEB 2004) — the BIT-level sibling of index_postings_varint:
+    # gamma(g) = 2*bits(g) - 1, delta(g) = bits(g) - 1 + gamma(bits
+    # (g)) — better than bytes for the small gaps hot terms produce.
+    # Bit lengths come from pure-integer range CASEs so both engines
+    # agree to the bit.
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    toks AS (SELECT DISTINCT doc_id, tok FROM tk),
+    g AS (
+      SELECT tok,
+             coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tok
+                                                 ORDER BY doc_id),
+                      doc_id + 1) AS gap
+      FROM toks),
+    b AS (SELECT tok, {_bits_case_sql('gap')} AS nb FROM g)
+    SELECT tok, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(2 * nb - 1) AS BIGINT) AS gamma_bits,
+           CAST(sum(nb - 1 + 2 * ({_bits_case_sql('nb')}) - 1)
+                AS BIGINT) AS delta_bits,
+           CAST(64 * count(*) AS BIGINT) AS raw_bits,
+           round(sum(2 * nb - 1) / (64.0 * count(*)), 4) AS gamma_ratio
+    FROM b GROUP BY tok HAVING count(*) >= 10 ORDER BY tok
+    """,
+)
+def q_index_postings_gamma(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).distinct()
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    gap = F.coalesce(
+        F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id") + 1
+    )
+    gapped = toks.select("tok", gap.alias("gap"))
+    nb = F.expr(_bits_case_sql("gap"))
+    b = gapped.select("tok", nb.alias("nb"))
+    nbb = F.expr(_bits_case_sql("nb"))
+    return (
+        b.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum(2 * F.col("nb") - 1).cast("bigint").alias("gamma_bits"),
+            F.sum(F.col("nb") - 1 + 2 * nbb - 1)
+            .cast("bigint")
+            .alias("delta_bits"),
+            (F.count(F.lit(1)) * 64).cast("bigint").alias("raw_bits"),
+            F.round(
+                F.sum(2 * F.col("nb") - 1)
+                / (F.lit(64.0) * F.count(F.lit(1))),
+                4,
+            ).alias("gamma_ratio"),
+        )
+        .filter(F.col("df") >= 10)
+        .orderBy("tok")
+    )

@@ -120,7 +120,9 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "html_robots_meta",
                     "tls_cert_meta",
                     "url_homoglyph_skeleton",
-                    "storage_protobuf_decode"}
+                    "storage_protobuf_decode",
+                    "quality_min_k_prob",
+                    "index_postings_gamma"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
