@@ -87,3 +87,141 @@ def grid_near_pairs_sql(recs_sql: str, threshold: int) -> str:
     WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
         + (a.lng_u - b.lng_u) * (a.lng_u - b.lng_u) < {t * t}
     """
+
+
+def dbscan(
+    recs: DataFrame, eps: int, min_pts: int
+) -> DataFrame:
+    """DBSCAN (Ester, Kriegel, Sander & Xu, KDD 1996) at web-corpus
+    scale, composed entirely from bucketed primitives:
+
+    1. eps-neighbor pairs via :func:`grid_near_pairs` (grid-bucketed,
+       never all-pairs — the index DBSCAN assumes, in join form);
+    2. CORE points = neighbor count + 1 (self) >= min_pts — one
+       map-side-combinable groupBy over the symmetrized pairs;
+    3. clusters = connected components over core-core pairs through
+       textdedup.dedup_clusters (pointer-doubling min-label,
+       O(log diameter) shuffles); singleton cores keep themselves
+       via planted self-pairs;
+    4. BORDER points attach to the MIN cluster id among their core
+       neighbors (plain DBSCAN is assignment-order-dependent here —
+       the min rule makes it deterministic, which a value-hash gate
+       and any retry/replay contract require);
+    5. everything else is NOISE (cluster_id -1).
+
+    Returns (rec_id, role, cluster_id).
+    """
+    from . import textdedup as _td
+
+    pairs = grid_near_pairs(recs, eps).persist()
+    sym = pairs.select(
+        F.col("rec_a").alias("rec"), F.col("rec_b").alias("nb")
+    ).unionByName(
+        pairs.select(F.col("rec_b").alias("rec"), F.col("rec_a").alias("nb"))
+    )
+    ncnt = sym.groupBy("rec").agg(F.count("*").alias("nbrs"))
+    core = (
+        recs.select(F.col("rec_id").alias("rec"))
+        .join(ncnt, "rec", "left")
+        .select(
+            "rec",
+            (F.coalesce(F.col("nbrs"), F.lit(0)) + 1 >= min_pts).alias(
+                "is_core"
+            ),
+        )
+        .persist()
+    )
+    core_ids = core.filter("is_core").select("rec")
+    core_pairs = (
+        pairs.join(
+            core_ids.withColumnRenamed("rec", "rec_a"), "rec_a", "left_semi"
+        )
+        .join(
+            core_ids.withColumnRenamed("rec", "rec_b"), "rec_b", "left_semi"
+        )
+        .select(F.col("rec_a").alias("doc_a"), F.col("rec_b").alias("doc_b"))
+        .unionByName(
+            core_ids.select(
+                F.col("rec").alias("doc_a"), F.col("rec").alias("doc_b")
+            )
+        )
+    )
+    comp = _td.dedup_clusters(core_pairs).select(
+        F.col("doc_id").alias("rec"), "cluster_id"
+    )
+    border = (
+        sym.join(core_ids.withColumnRenamed("rec", "nb"), "nb", "left_semi")
+        .join(comp.withColumnRenamed("rec", "nb"), "nb")
+        .groupBy("rec")
+        .agg(F.min("cluster_id").alias("b_cluster"))
+    )
+    return (
+        core.join(comp, "rec", "left")
+        .join(border, "rec", "left")
+        .select(
+            F.col("rec").alias("rec_id"),
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(
+                F.when(F.col("is_core"), F.col("cluster_id")).otherwise(
+                    F.col("b_cluster")
+                ),
+                F.lit(-1).cast("long"),
+            ).alias("cluster_id"),
+        )
+    )
+
+
+def dbscan_sql(recs_sql: str, eps: int, min_pts: int) -> str:
+    """DuckDB mirror — the INDEPENDENT all-pairs DBSCAN (neighbor
+    counts by cross join, components by recursive CTE), so any grid
+    or propagation defect in the Spark arm diverges."""
+    from . import textdedup as _td
+
+    e2 = eps * eps
+    core_pairs = f"""
+      SELECT a.rec_id AS doc_a, b.rec_id AS doc_b
+      FROM r a JOIN r b ON a.rec_id < b.rec_id
+      WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+          + (a.lng_u - b.lng_u) * (a.lng_u - b.lng_u) < {e2}
+        AND a.rec_id IN (SELECT rec_id FROM core)
+        AND b.rec_id IN (SELECT rec_id FROM core)
+      UNION ALL
+      SELECT rec_id, rec_id FROM core
+    """
+    comp_sql = _td.dedup_clusters_sql(core_pairs)
+    # dedup_clusters_sql opens its own WITH RECURSIVE — inline it as
+    # a subquery instead of a CTE to keep one statement
+    return f"""
+    WITH r AS MATERIALIZED ({recs_sql}),
+    n AS (
+      SELECT a.rec_id, count(*) AS cnt
+      FROM r a JOIN r b ON
+        (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+        + (a.lng_u - b.lng_u) * (a.lng_u - b.lng_u) < {e2}
+      GROUP BY 1),
+    core AS (SELECT rec_id FROM n WHERE cnt >= {min_pts}),
+    comp AS ({comp_sql}),
+    border AS (
+      SELECT a.rec_id, min(c.cluster_id) AS b_cluster
+      FROM r a JOIN r b ON
+        (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+        + (a.lng_u - b.lng_u) * (a.lng_u - b.lng_u) < {e2}
+        AND a.rec_id <> b.rec_id
+      JOIN core k ON b.rec_id = k.rec_id
+      JOIN comp c ON c.doc_id = b.rec_id
+      WHERE a.rec_id NOT IN (SELECT rec_id FROM core)
+      GROUP BY 1)
+    SELECT r.rec_id AS rec_id,
+           CASE WHEN k.rec_id IS NOT NULL THEN 'core'
+                WHEN bd.b_cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(CASE WHEN k.rec_id IS NOT NULL THEN c.cluster_id
+                ELSE bd.b_cluster END, -1) AS cluster_id
+    FROM r
+    LEFT JOIN core k ON r.rec_id = k.rec_id
+    LEFT JOIN comp c ON r.rec_id = c.doc_id
+    LEFT JOIN border bd ON r.rec_id = bd.rec_id
+    """

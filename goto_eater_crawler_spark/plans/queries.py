@@ -222,6 +222,8 @@ _GATE_ORDER: list[str] = [
     "storage_protobuf_decode",
     "quality_min_k_prob",
     "index_postings_gamma",
+    "graph_harmonic_centrality",
+    "geo_dbscan_clusters",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -9272,3 +9274,93 @@ def q_index_postings_gamma(spark, sf_dir):
         .filter(F.col("df") >= 10)
         .orderBy("tok")
     )
+
+
+@_register(
+    "graph_harmonic_centrality",
+    # Truncated harmonic centrality (Boldi & Vigna, "Axioms for
+    # centrality", Internet Math 2014 — THE centrality HyperBall was
+    # built to compute): h(v) = sum over distances 1..R of
+    # (|ball_r| - |ball_{r-1}|) / r, here over OUT-balls at R=3,
+    # derived directly from the exact neighborhood function
+    # (graph_anf_neighborhood's operator) — new-nodes-at-distance-r
+    # is a difference of consecutive balls, no per-pair distances
+    # ever materialize. The HyperBall register arm estimates the
+    # same quantity at constant per-node state (tests/test_anf.py).
+    "SELECT host, round((ball_1 - 1) / 1.0 + (ball_2 - ball_1) / 2.0 "
+    "+ (ball_3 - ball_2) / 3.0, 4) AS harmonic FROM ("
+    + _hr.anf_exact_sql(_HOST_EDGES_SQL, radius=3)
+    + ") ORDER BY host",
+)
+def q_graph_harmonic_centrality(spark, sf_dir):
+    anf = _hr.anf_exact(_host_edges_df(spark, sf_dir), radius=3)
+    return anf.select(
+        "host",
+        F.round(
+            (F.col("ball_1") - 1) / 1.0
+            + (F.col("ball_2") - F.col("ball_1")) / 2.0
+            + (F.col("ball_3") - F.col("ball_2")) / 3.0,
+            4,
+        ).alias("harmonic"),
+    ).orderBy("host")
+
+
+_DBSCAN_RECS_SQL = """
+    SELECT doc_id AS rec_id,
+      CASE WHEN doc_id % 5 <= 2 THEN
+             (doc_id % 20) * 50000 + 5000000
+               + ((doc_id * 7) % 5 - 2) * 150
+           WHEN doc_id % 5 = 3 THEN
+             (doc_id % 20) * 50000 + 5000000 + 1100 + (doc_id % 3) * 80
+           ELSE 20000000 + (doc_id * 9973) % 4000000 END AS lat_u,
+      CASE WHEN doc_id % 5 <= 2 THEN
+             (doc_id % 20) * 37000 + 5000000
+               + ((doc_id * 11) % 5 - 2) * 150
+           WHEN doc_id % 5 = 3 THEN
+             (doc_id % 20) * 37000 + 5000000 + (doc_id * 13) % 1100 - 550
+           ELSE 20000000 + (doc_id * 7919) % 4000000 END AS lng_u
+    FROM documents
+"""
+
+
+@_register(
+    "geo_dbscan_clusters",
+    # DBSCAN (Ester et al., KDD 1996) over shop coordinates, composed
+    # from bucketed primitives: grid eps-neighbor pairs (never
+    # all-pairs) -> core test (one combinable groupBy) -> components
+    # over core-core pairs (pointer-doubling min-label) -> border
+    # attach by MIN core-neighbor cluster (the determinism rule plain
+    # DBSCAN lacks). Planted layout: 20 dense blobs (+-300 spread, all
+    # mutually within eps -> cores), per-blob satellites ~1100-1400
+    # away (border or noise depending on exact planted offsets), and
+    # a sparse far-field (noise). Oracle = the INDEPENDENT all-pairs
+    # DBSCAN with recursive-CTE components.
+    _geo.dbscan_sql(_DBSCAN_RECS_SQL, eps=1000, min_pts=5)
+    + " ORDER BY rec_id",
+)
+def q_geo_dbscan_clusters(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    blob = F.col("doc_id") % 20
+    member_lat = (
+        blob * 50000 + 5000000 + ((F.col("doc_id") * 7) % 5 - 2) * 150
+    )
+    member_lng = (
+        blob * 37000 + 5000000 + ((F.col("doc_id") * 11) % 5 - 2) * 150
+    )
+    sat_lat = blob * 50000 + 5000000 + 1100 + (F.col("doc_id") % 3) * 80
+    sat_lng = blob * 37000 + 5000000 + (F.col("doc_id") * 13) % 1100 - 550
+    noise_lat = F.lit(20000000) + (F.col("doc_id") * 9973) % 4000000
+    noise_lng = F.lit(20000000) + (F.col("doc_id") * 7919) % 4000000
+    cls = F.col("doc_id") % 5
+    recs = d.select(
+        F.col("doc_id").alias("rec_id"),
+        F.when(cls <= 2, member_lat)
+        .when(cls == 3, sat_lat)
+        .otherwise(noise_lat)
+        .alias("lat_u"),
+        F.when(cls <= 2, member_lng)
+        .when(cls == 3, sat_lng)
+        .otherwise(noise_lng)
+        .alias("lng_u"),
+    )
+    return _geo.dbscan(recs, eps=1000, min_pts=5).orderBy("rec_id")

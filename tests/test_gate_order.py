@@ -122,7 +122,9 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "url_homoglyph_skeleton",
                     "storage_protobuf_decode",
                     "quality_min_k_prob",
-                    "index_postings_gamma"}
+                    "index_postings_gamma",
+                    "graph_harmonic_centrality",
+                    "geo_dbscan_clusters"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (

@@ -70,3 +70,77 @@ def test_no_cartesian_in_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _py_dbscan(points, eps, min_pts):
+    ids = sorted(points)
+    nbrs = {
+        i: [
+            j
+            for j in ids
+            if (points[i][0] - points[j][0]) ** 2
+            + (points[i][1] - points[j][1]) ** 2
+            < eps * eps
+        ]
+        for i in ids
+    }  # includes self
+    core = {i for i in ids if len(nbrs[i]) >= min_pts}
+    # components over core-core eps-pairs, label = min member
+    label = {i: i for i in core}
+
+    def find(i):
+        while label[i] != i:
+            label[i] = label[label[i]]
+            i = label[i]
+        return i
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    label[max(ri, rj)] = min(ri, rj)
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = ("core", find(i))
+        else:
+            cl = [find(j) for j in nbrs[i] if j in core]
+            out[i] = ("border", min(cl)) if cl else ("noise", -1)
+    return out
+
+
+def test_dbscan_matches_reference(spark):
+    # two blobs, a border satellite, a bridge too thin to merge
+    # blobs, and far noise
+    pts = {}
+    for i in range(6):
+        pts[i] = (100 * i % 500, 100 * (i * 3) % 500)  # blob A-ish
+    for i in range(6, 12):
+        pts[i] = (10000 + 100 * (i % 5), 10000 + 130 * (i % 4))
+    pts[20] = (1300, 0)       # satellite of A (border or noise)
+    pts[21] = (50000, 50000)  # noise
+    pts[22] = (5000, 5000)    # lone middle point
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in sorted(pts.items())],
+        "rec_id long, lat_u long, lng_u long",
+    )
+    got = {
+        r["rec_id"]: (r["role"], r["cluster_id"])
+        for r in geo.dbscan(df, eps=1000, min_pts=4).collect()
+    }
+    assert got == _py_dbscan(pts, 1000, 4)
+
+
+def test_dbscan_singleton_core_keeps_itself(spark):
+    # 5 coincident points: all core, cluster = min id, and no other
+    # cores exist anywhere -> the self-pair path is load-bearing
+    df = spark.createDataFrame(
+        [(i, 7, 7) for i in range(5)],
+        "rec_id long, lat_u long, lng_u long",
+    )
+    got = {
+        r["rec_id"]: (r["role"], r["cluster_id"])
+        for r in geo.dbscan(df, eps=10, min_pts=5).collect()
+    }
+    assert got == {i: ("core", 0) for i in range(5)}
