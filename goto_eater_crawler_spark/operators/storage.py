@@ -667,3 +667,78 @@ def proto_decode(blobs: "DataFrame") -> "DataFrame":
             "score double, crc long"
         ),
     )
+
+
+def synth_cbor_blobs(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — one CBOR event record per doc; arrays are
+    INDEFINITE-length on odd docs (the 0x9f..0xff break rule carries
+    corpus on both paths), a negint field exercises major type 1,
+    ratio is a dyadic rational (exact float64 in both engines)."""
+    import pandas as pd
+
+    from ..functions import minicbor
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rec = {
+                    "url": f"https://h{d % 50}.example.org/p/{d}",
+                    "status": [200, 301, 404, 503][d % 4],
+                    "delta": (d % 21) - 10,
+                    "ok": d % 3 == 0,
+                    "note": None if d % 4 == 0 else f"n{d % 6}",
+                    "tags": [d % 5, d % 7, d % 11],
+                    "meta": {"ct": f"text/ct{d % 3}", "size": 100 + d % 900},
+                    "ratio": (d % 16) / 16.0,
+                }
+                ids.append(d)
+                payloads.append(
+                    minicbor.encode(rec, indefinite_arrays=d % 2 == 1)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def cbor_decode(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> decoded record fields through the OWN
+    RFC 8949 walk (functions/minicbor.decode). One Arrow-batched map
+    stage, no shuffle."""
+    import pandas as pd
+
+    from ..functions import minicbor
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = minicbor.decode(bytes(blob))
+                rows.append(
+                    (
+                        int(d), m["url"], int(m["status"]),
+                        int(m["delta"]), bool(m["ok"]), m["note"],
+                        ",".join(str(t) for t in m["tags"]),
+                        m["meta"]["ct"], int(m["meta"]["size"]),
+                        float(m["ratio"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "url", "status", "delta", "ok", "note",
+                    "tags", "ct", "size", "ratio",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, url string, status int, delta long, "
+            "ok boolean, note string, tags string, ct string, "
+            "size int, ratio double"
+        ),
+    )

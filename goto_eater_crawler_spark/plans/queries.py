@@ -224,6 +224,9 @@ _GATE_ORDER: list[str] = [
     "index_postings_gamma",
     "graph_harmonic_centrality",
     "geo_dbscan_clusters",
+    "url_uuid_v3",
+    "storage_cbor_decode",
+    "sample_doremi_weights",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -9364,3 +9367,187 @@ def q_geo_dbscan_clusters(spark, sf_dir):
         .alias("lng_u"),
     )
     return _geo.dbscan(recs, eps=1000, min_pts=5).orderBy("rec_id")
+
+
+@_register(
+    "url_uuid_v3",
+    # Content-addressed document IDs as RFC 4122 name-based UUIDs
+    # (v3, §4.3): md5 the namespaced name, then the two bit-surgery
+    # rules — version nibble (hex position 13) forced to '3' and the
+    # variant nibble (position 17) mapped to 10xx (8/9/a/b by its low
+    # two bits) — then 8-4-4-4-12 formatting. The crawl use: stable,
+    # engine-independent doc ids for records/seen exchange with
+    # external systems (a plain md5 collides with RFC consumers that
+    # validate version/variant). Namespace rides as an ASCII prefix
+    # ('url:') rather than the RFC's binary URL-namespace bytes —
+    # DuckDB's md5() is VARCHAR-only (documented deviation; the bit
+    # surgery, which is the spec contract, is identical). Pure
+    # projection in both engines.
+    """
+    WITH h AS (
+      SELECT 'https://h' || CAST(event_id % 50 AS VARCHAR)
+               || '.example.org/p/' || CAST(event_id AS VARCHAR) AS url,
+             md5('url:' || 'https://h' || CAST(event_id % 50 AS VARCHAR)
+                 || '.example.org/p/' || CAST(event_id AS VARCHAR)) AS hx
+      FROM events WHERE event_id % 7 = 0)
+    SELECT url,
+           substring(hx, 1, 8) || '-' || substring(hx, 9, 4) || '-3'
+             || substring(hx, 14, 3) || '-'
+             || CASE WHEN substring(hx, 17, 1) IN ('0','4','8','c') THEN '8'
+                     WHEN substring(hx, 17, 1) IN ('1','5','9','d') THEN '9'
+                     WHEN substring(hx, 17, 1) IN ('2','6','a','e') THEN 'a'
+                     ELSE 'b' END
+             || substring(hx, 18, 3) || '-' || substring(hx, 21, 12)
+             AS uuid3
+    FROM h ORDER BY url
+    """,
+)
+def q_url_uuid_v3(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter("event_id % 7 = 0")
+    url = F.concat(
+        F.lit("https://h"), (F.col("event_id") % 50).cast("string"),
+        F.lit(".example.org/p/"), F.col("event_id").cast("string"),
+    )
+    hx = F.md5(F.encode(F.concat(F.lit("url:"), url), "utf-8"))
+    v = F.substring(hx, 17, 1)
+    variant = (
+        F.when(v.isin("0", "4", "8", "c"), F.lit("8"))
+        .when(v.isin("1", "5", "9", "d"), F.lit("9"))
+        .when(v.isin("2", "6", "a", "e"), F.lit("a"))
+        .otherwise(F.lit("b"))
+    )
+    return (
+        e.select(
+            url.alias("url"),
+            F.concat(
+                F.substring(hx, 1, 8), F.lit("-"),
+                F.substring(hx, 9, 4), F.lit("-3"),
+                F.substring(hx, 14, 3), F.lit("-"),
+                variant, F.substring(hx, 18, 3), F.lit("-"),
+                F.substring(hx, 21, 12),
+            ).alias("uuid3"),
+        )
+        .orderBy("url")
+    )
+
+
+@_register(
+    "storage_cbor_decode",
+    # CBOR walk (RFC 8949) — the IETF binary-JSON sidecar codec
+    # beside protobuf/Avro: major-type/additional-info heads with
+    # 1/2/4/8-byte args, negint (-1-n) encoding, nested map,
+    # INDEFINITE-length arrays (0x9f..0xff break) on odd docs so
+    # both array paths carry corpus, float64 dyadic ratio exact in
+    # both engines, null/bool simples. A wrong arg width or break
+    # rule desyncs the walk and errors the gate.
+    """
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+                WHEN 2 THEN 404 ELSE 503 END AS INT) AS status,
+           CAST(doc_id % 21 - 10 AS BIGINT) AS delta,
+           doc_id % 3 = 0 AS ok,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE 'n' || CAST(doc_id % 6 AS VARCHAR) END AS note,
+           CAST(doc_id % 5 AS VARCHAR) || ',' ||
+             CAST(doc_id % 7 AS VARCHAR) || ',' ||
+             CAST(doc_id % 11 AS VARCHAR) AS tags,
+           'text/ct' || CAST(doc_id % 3 AS VARCHAR) AS ct,
+           CAST(100 + doc_id % 900 AS INT) AS size,
+           CAST((doc_id % 16) / 16.0 AS DOUBLE) AS ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_storage_cbor_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.cbor_decode(_st.synth_cbor_blobs(d)).orderBy("doc_id")
+
+
+@_register(
+    "sample_doremi_weights",
+    # DoReMi-style domain reweighting (Xie et al., "DoReMi:
+    # Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    # NeurIPS 2023) — ONE exponentiated-gradient step of its Group
+    # DRO update: per-domain excess loss (clipped at 0) drives
+    # w_d ∝ u_d * exp(eta * excess_d), renormalized. The loss signal
+    # here is the corpus unigram-LM NLL (the engine's model-free
+    # stand-in — swapping in real proxy/reference model losses
+    # changes one input relation, not the plan); excess = domain
+    # mean NLL minus the global mean. Scale shape: token NLLs reduce
+    # map-side to (domain, sum, n); the EG step runs on a
+    # |domains|-row relation; the normalizer stays in-plan as a
+    # 1-row broadcast — no collect at any size.
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    nll AS (
+      SELECT tf.source,
+             sum(tf.tf * -ln(CAST(v.cnt AS DOUBLE) / t.total)) AS s,
+             CAST(sum(tf.tf) AS BIGINT) AS n
+      FROM tf JOIN vocab v USING (token) CROSS JOIN total t
+      GROUP BY 1),
+    g AS (SELECT sum(s) / sum(n) AS gmean FROM nll),
+    ex AS (
+      SELECT source, n AS n_tokens,
+             greatest(s / n - (SELECT gmean FROM g), 0.0) AS excess
+      FROM nll),
+    w AS (SELECT source, n_tokens, excess, exp(1.0 * excess) AS raw
+          FROM ex)
+    SELECT source, n_tokens, round(excess, 4) AS excess,
+           round(raw / (SELECT sum(raw) FROM w), 4) AS weight
+    FROM w ORDER BY source
+    """,
+)
+def q_sample_doremi_weights(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_td.tokens_col(F.col("text"))).alias("token")
+    )
+    tf = (
+        toks.groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    nll = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * -F.log(F.col("cnt").cast("double") / F.col("total"))
+            ).alias("s"),
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+        )
+    )
+    g = nll.agg(
+        (F.sum("s") / F.sum("n_tokens")).alias("gmean")
+    )
+    ex = nll.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_tokens",
+        F.greatest(
+            F.col("s") / F.col("n_tokens") - F.col("gmean"), F.lit(0.0)
+        ).alias("excess"),
+    )
+    w = ex.select(
+        "source", "n_tokens", "excess", F.exp(F.col("excess")).alias("raw")
+    )
+    z = w.agg(F.sum("raw").alias("z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source", "n_tokens",
+            F.round("excess", 4).alias("excess"),
+            F.round(F.col("raw") / F.col("z"), 4).alias("weight"),
+        )
+        .orderBy("source")
+    )

@@ -124,7 +124,10 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "quality_min_k_prob",
                     "index_postings_gamma",
                     "graph_harmonic_centrality",
-                    "geo_dbscan_clusters"}
+                    "geo_dbscan_clusters",
+                    "url_uuid_v3",
+                    "storage_cbor_decode",
+                    "sample_doremi_weights"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
