@@ -816,3 +816,87 @@ def lz4_decode_sql(mod: int = 3) -> str:
     FROM documents WHERE doc_id % {mod} = 0
     ORDER BY doc_id
     """
+
+
+def synth_ws_streams(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — one captured WebSocket stream per doc: a
+    masked text message fragmented into 1+doc%3 frames with a ping
+    control frame interleaved after the first fragment (§5.4's
+    interleave allowance is load-bearing when fragments >= 2), then
+    a masked binary frame. Text length >= 126 so the 16-bit extended
+    length path always carries corpus; the mask key varies per doc
+    so the XOR unmask is too."""
+    import pandas as pd
+
+    from ..functions import miniws
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                text = (f"w{d % 10} " * ((d % 5 + 1) * 20)).encode()
+                key = bytes(
+                    [d % 251, (d * 7) % 251, (d * 13) % 251, (d * 29) % 251]
+                )
+                ping = miniws.write_frame(
+                    0x9, f"ping{d % 4}".encode(), mask_key=key
+                )
+                stream = miniws.write_fragmented(
+                    0x1, text, 1 + d % 3, key, interleave=[ping]
+                )
+                stream += miniws.write_frame(
+                    0x2,
+                    bytes((d + j) % 256 for j in range(d % 40 + 10)),
+                    mask_key=key,
+                )
+                ids.append(d)
+                payloads.append(stream)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def ws_decode(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) captured streams -> reassembled message
+    metadata through the OWN RFC 6455 walk (functions/miniws).
+    One Arrow-batched map stage, no shuffle."""
+    import pandas as pd
+
+    from ..functions import miniws
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = miniws.parse_stream(bytes(blob))
+                text = next(
+                    p.decode() for op, p in m["messages"] if op == 0x1
+                )
+                bin_len = next(
+                    len(p) for op, p in m["messages"] if op == 0x2
+                )
+                rows.append(
+                    (
+                        int(d), len(m["messages"]), int(m["n_frames"]),
+                        int(m["n_masked"]), text, len(text),
+                        m["pings"][0].decode(), bin_len,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_messages", "n_frames", "n_masked",
+                    "text", "text_len", "ping", "bin_len",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_messages int, n_frames int, n_masked int, "
+            "text string, text_len int, ping string, bin_len int"
+        ),
+    )

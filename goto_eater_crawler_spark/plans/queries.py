@@ -227,6 +227,7 @@ _GATE_ORDER: list[str] = [
     "url_uuid_v3",
     "storage_cbor_decode",
     "sample_doremi_weights",
+    "transfer_websocket_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -9551,3 +9552,31 @@ def q_sample_doremi_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@_register(
+    "transfer_websocket_decode",
+    # WebSocket frame walk (RFC 6455) — the live-feed transport
+    # beside the HTTP codecs: FIN/opcode framing, 7-bit + 16-bit
+    # extended lengths (text always >= 126 bytes so the extended
+    # path carries corpus), XOR unmasking with a per-doc key, and
+    # §5.4 fragmentation with a PING control frame interleaved
+    # between fragments (control frames may interleave, data frames
+    # may not — both rules enforced). A wrong unmask or length path
+    # corrupts the reassembled text and fails the closed-form hash.
+    """
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_messages,
+           CAST(1 + doc_id % 3 + 2 AS INT) AS n_frames,
+           CAST(1 + doc_id % 3 + 2 AS INT) AS n_masked,
+           repeat('w' || CAST(doc_id % 10 AS VARCHAR) || ' ',
+                  (doc_id % 5 + 1) * 20) AS text,
+           CAST(3 * (doc_id % 5 + 1) * 20 AS INT) AS text_len,
+           'ping' || CAST(doc_id % 4 AS VARCHAR) AS ping,
+           CAST(doc_id % 40 + 10 AS INT) AS bin_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_transfer_websocket_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _tx.ws_decode(_tx.synth_ws_streams(d)).orderBy("doc_id")

@@ -127,7 +127,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "geo_dbscan_clusters",
                     "url_uuid_v3",
                     "storage_cbor_decode",
-                    "sample_doremi_weights"}
+                    "sample_doremi_weights",
+                    "transfer_websocket_decode"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
