@@ -228,6 +228,10 @@ _GATE_ORDER: list[str] = [
     "storage_cbor_decode",
     "sample_doremi_weights",
     "transfer_websocket_decode",
+    "similarity_int8_quantize",
+    "graph_link_prediction",
+    "graph_assortativity",
+    "crawl_host_gini",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -9580,3 +9584,271 @@ def q_sample_doremi_weights(spark, sf_dir):
 def q_transfer_websocket_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _tx.ws_decode(_tx.synth_ws_streams(d)).orderBy("doc_id")
+
+
+@_register(
+    "similarity_int8_quantize",
+    # Symmetric per-vector int8 quantization (the FAISS/SQ8 scalar
+    # quantizer layout; Jacob et al. CVPR 2018's symmetric scheme
+    # without zero-point): scale = max|x|, q_i = trunc(127 x_i /
+    # scale) — 4x smaller vectors for the ANN index tier. Entirely
+    # array HOFs (transform/aggregate/array_max), zero Python, zero
+    # shuffle beyond the final sort. Cross-engine exactness by
+    # construction: float32->double is exact, each per-element op is
+    # one IEEE-exact expression, TRUNCATION replaces rounding (Spark
+    # CAST truncates, DuckDB CAST rounds — trunc() first makes both
+    # agree), integer checksums (sum q, sum q^2) are order-free, and
+    # the reconstruction-error summary is a MAX, not a sum, so
+    # aggregation order can't flip a bit.
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 6) AS scale,
+           CAST(list_sum(list_transform(embedding, x ->
+             CAST(trunc(CAST(x AS DOUBLE) * 127.0 /
+               (CASE WHEN list_max(list_transform(embedding,
+                  y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 1.0
+                ELSE list_max(list_transform(embedding,
+                  y -> abs(CAST(y AS DOUBLE)))) END)) AS BIGINT)))
+             AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(embedding, x ->
+             CAST(trunc(CAST(x AS DOUBLE) * 127.0 /
+               (CASE WHEN list_max(list_transform(embedding,
+                  y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 1.0
+                ELSE list_max(list_transform(embedding,
+                  y -> abs(CAST(y AS DOUBLE)))) END)) AS BIGINT)
+             * CAST(trunc(CAST(x AS DOUBLE) * 127.0 /
+               (CASE WHEN list_max(list_transform(embedding,
+                  y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 1.0
+                ELSE list_max(list_transform(embedding,
+                  y -> abs(CAST(y AS DOUBLE)))) END)) AS BIGINT)))
+             AS BIGINT) AS sum_q2
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def q_similarity_int8_quantize(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn(
+        "scale_raw",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(cast(x as double))))"
+        ),
+    ).withColumn(
+        "s", F.expr("CASE WHEN scale_raw = 0 THEN 1.0 ELSE scale_raw END")
+    )
+    q = "cast(cast(x as double) * 127.0 / s as bigint)"
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round("scale_raw", 6).alias("scale"),
+        F.expr(
+            f"aggregate(transform(embedding, x -> {q}), "
+            "cast(0 as bigint), (a, v) -> a + v)"
+        ).alias("sum_q"),
+        F.expr(
+            f"aggregate(transform(embedding, x -> {q} * {q}), "
+            "cast(0 as bigint), (a, v) -> a + v)"
+        ).alias("sum_q2"),
+    ).orderBy("vec_id")
+
+
+@_register(
+    "graph_link_prediction",
+    # Link-prediction features for frontier expansion (which
+    # host-pairs will link next): CO-CITATION count (Small, JASIS
+    # 1973 — pairs pointed at by the same citer) and ADAMIC-ADAR
+    # (Adamic & Adar, Social Networks 2003 — common neighbors
+    # weighted 1/ln(deg), rare hubs count more). One wedge self-join
+    # of the edge list on the shared endpoint (bounded by citer
+    # out-degree, never all-pairs), one combinable groupBy; ln only
+    # touches per-neighbor degrees so both engines compute identical
+    # doubles before the rounded sum.
+    f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_HOST_EDGES_SQL})),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+    wedges AS (
+      SELECT a.dst AS u, b.dst AS v, a.src AS citer
+      FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst)
+    SELECT w.u, w.v,
+           CAST(count(*) AS BIGINT) AS cocitation,
+           round(sum(1.0 / ln(CAST(d.outdeg AS DOUBLE))), 4)
+             AS adamic_adar
+    FROM wedges w JOIN deg d ON w.citer = d.src
+    WHERE d.outdeg > 1
+    GROUP BY w.u, w.v
+    HAVING count(*) >= 3
+    ORDER BY u, v
+    """,
+)
+def q_graph_link_prediction(spark, sf_dir):
+    e = _host_edges_df(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    a = e.select(F.col("src").alias("citer"), F.col("dst").alias("u"))
+    b = e.select(F.col("src").alias("citer"), F.col("dst").alias("v"))
+    wedges = a.join(b, "citer").filter(F.col("u") < F.col("v"))
+    return (
+        wedges.join(
+            deg.withColumnRenamed("src", "citer"), "citer"
+        )
+        .filter(F.col("outdeg") > 1)
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cocitation"),
+            F.round(
+                F.sum(1.0 / F.log(F.col("outdeg").cast("double"))), 4
+            ).alias("adamic_adar"),
+        )
+        .filter(F.col("cocitation") >= 3)
+        .orderBy("u", "v")
+    )
+
+
+@_register(
+    "graph_assortativity",
+    # Whole-graph structure summary: RECIPROCITY (fraction of
+    # directed edges whose reverse exists — Garlaschelli & Loffredo
+    # 2004) and DEGREE ASSORTATIVITY (Newman, PRL 2002: Pearson
+    # correlation of endpoint total degrees over edges). Everything
+    # reduces to INTEGER edge/degree sums (exact in both engines);
+    # doubles appear only in the one final closed-form expression,
+    # rounded. One self-join for reciprocity, one degree join per
+    # endpoint — no quadratic anything.
+    f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_HOST_EDGES_SQL})),
+    rec AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS recip
+      FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src),
+    deg AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT src AS host FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY 1),
+    ed AS (
+      SELECT ds.d AS dj, dt.d AS dk
+      FROM e JOIN deg ds ON e.src = ds.host
+             JOIN deg dt ON e.dst = dt.host),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2,
+             CAST(sum(dj * dk) AS BIGINT) AS sjk,
+             CAST(sum(dj + dk) AS BIGINT) AS sj,
+             CAST(sum(dj * dj + dk * dk) AS BIGINT) AS sq
+      FROM ed)
+    SELECT round(CAST(recip AS DOUBLE) / rec.m, 6) AS reciprocity,
+           round(
+             (CAST(sjk AS DOUBLE) / m2
+              - (CAST(sj AS DOUBLE) / (2 * m2)) * (CAST(sj AS DOUBLE) / (2 * m2)))
+             / (CAST(sq AS DOUBLE) / (2 * m2)
+              - (CAST(sj AS DOUBLE) / (2 * m2)) * (CAST(sj AS DOUBLE) / (2 * m2))),
+             6) AS assortativity
+    FROM rec, s
+    """,
+)
+def q_graph_assortativity(spark, sf_dir):
+    e = _host_edges_df(spark, sf_dir)
+    r = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    r = r.withColumn("_r", F.lit(1))
+    rec = (
+        e.join(r, ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum(
+                F.when(F.col("_r").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("recip"),
+        )
+    )
+    deg = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("host", "src"), "src")
+        .withColumnRenamed("d", "dj")
+        .join(deg.withColumnRenamed("host", "dst"), "dst")
+        .withColumnRenamed("d", "dk")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum(F.col("dj") * F.col("dk")).cast("bigint").alias("sjk"),
+        F.sum(F.col("dj") + F.col("dk")).cast("bigint").alias("sj"),
+        F.sum(
+            F.col("dj") * F.col("dj") + F.col("dk") * F.col("dk")
+        ).cast("bigint").alias("sq"),
+    )
+    mean = F.col("sj").cast("double") / (2 * F.col("m2"))
+    return rec.crossJoin(s).select(
+        F.round(F.col("recip").cast("double") / F.col("m"), 6).alias(
+            "reciprocity"
+        ),
+        F.round(
+            (F.col("sjk").cast("double") / F.col("m2") - mean * mean)
+            / (F.col("sq").cast("double") / (2 * F.col("m2")) - mean * mean),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@_register(
+    "crawl_host_gini",
+    # Crawl-share inequality: the GINI COEFFICIENT (Gini 1912; the
+    # standard fairness summary for per-host fetch allocation — a
+    # politeness scheduler that starves the tail shows up here
+    # before it shows up in error budgets). Exact rank formula
+    # G = (2 * sum(i * x_i) / (n * sum x)) - (n + 1) / n over counts
+    # sorted ascending (ties broken by host for determinism): ONE
+    # combinable count groupBy + ONE rank over the |hosts|-slim
+    # relation (never the raw fetch log) + integer sums — doubles
+    # only in the final expression.
+    """
+    WITH cnt AS (
+      SELECT 'h' || CAST(o_custkey % 50 AS VARCHAR) AS host,
+             CAST(count(*) AS BIGINT) AS fetches
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT fetches,
+             row_number() OVER (ORDER BY fetches, host) AS i
+      FROM cnt),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(fetches) AS BIGINT) AS tot,
+             CAST(sum(i * fetches) AS BIGINT) AS wsum
+      FROM ranked)
+    SELECT n, tot,
+           round(2.0 * wsum / (n * CAST(tot AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+)
+def q_crawl_host_gini(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cnt = (
+        o.select(
+            F.concat(
+                F.lit("h"), (F.col("o_custkey") % 50).cast("string")
+            ).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("fetches"))
+    )
+    ranked = cnt.select(
+        "fetches",
+        F.row_number()
+        .over(Window.orderBy("fetches", "host"))
+        .alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("fetches").cast("bigint").alias("tot"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("fetches"))
+            / (F.count(F.lit(1)) * F.sum("fetches").cast("double"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

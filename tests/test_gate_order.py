@@ -128,7 +128,11 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "url_uuid_v3",
                     "storage_cbor_decode",
                     "sample_doremi_weights",
-                    "transfer_websocket_decode"}
+                    "transfer_websocket_decode",
+                    "similarity_int8_quantize",
+                    "graph_link_prediction",
+                    "graph_assortativity",
+                    "crawl_host_gini"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
