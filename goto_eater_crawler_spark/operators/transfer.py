@@ -900,3 +900,96 @@ def ws_decode(blobs: "DataFrame") -> "DataFrame":
             "text string, text_len int, ping string, bin_len int"
         ),
     )
+
+
+def synth_hpack_captures(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, b1, b2, b3) — a 3-block HTTP/2 header capture per doc
+    sharing ONE connection dynamic table: block 1 inserts entries,
+    block 2 references them by DYNAMIC index (only decodable with
+    carried state), block 3 shrinks the table (size update -> 2
+    evictions), reads the survivor by index, then inserts one more
+    entry (a 3rd eviction). The eviction arithmetic is size-stable
+    across docs, so eviction/final-size closed forms hold for all."""
+    import pandas as pd
+
+    from ..functions import minihpack as hp
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                enc = hp.Encoder()
+                b1 = (
+                    enc.indexed(2)
+                    + enc.indexed(7)
+                    + enc.literal_indexing(":path", f"/p/{d}")
+                    + enc.literal_indexing("x-trace", f"t{d % 100}")
+                    + enc.literal_indexing_nameidx(58, f"bot{d % 5}")
+                )
+                b2 = (
+                    enc.indexed(2)
+                    + enc.indexed(63)
+                    + enc.indexed(64)
+                    + enc.literal_no_indexing("x-req", f"r{d % 7}")
+                )
+                b3 = (
+                    enc.size_update(70)
+                    + enc.indexed(62)
+                    + enc.literal_indexing("x-new", f"n{d % 3}")
+                )
+                rows.append((d, b1, b2, b3))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b1", "b2", "b3"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, b1 binary, b2 binary, b3 binary"
+    )
+
+
+def hpack_decode(caps: "DataFrame") -> "DataFrame":
+    """Decode each capture's blocks IN ORDER against one carried
+    DynamicTable (functions/minihpack) — the per-connection
+    sessionful decode; connections are independent so the stage is
+    embarrassingly parallel across rows, state never crosses the
+    Arrow batch boundary."""
+    import pandas as pd
+
+    from ..functions import minihpack as hp
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, b1, b2, b3 in zip(
+                pdf["doc_id"], pdf["b1"], pdf["b2"], pdf["b3"]
+            ):
+                table = hp.DynamicTable()
+                h1 = hp.decode_block(bytes(b1), table)
+                h2 = hp.decode_block(bytes(b2), table)
+                h3 = hp.decode_block(bytes(b3), table)
+                rows.append(
+                    (
+                        int(d),
+                        len(h1) + len(h2) + len(h3),
+                        table.evictions,
+                        table.size,
+                        ";".join(f"{n}={v}" for n, v in h2),
+                        ";".join(f"{n}={v}" for n, v in h3),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_headers", "evictions",
+                    "final_size", "block2", "block3",
+                ],
+            )
+
+    return caps.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_headers int, evictions int, "
+            "final_size int, block2 string, block3 string"
+        ),
+    )

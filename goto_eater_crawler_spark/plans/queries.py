@@ -232,6 +232,7 @@ _GATE_ORDER: list[str] = [
     "graph_link_prediction",
     "graph_assortativity",
     "crawl_host_gini",
+    "transfer_hpack_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -9852,3 +9853,31 @@ def q_crawl_host_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@_register(
+    "transfer_hpack_decode",
+    # HPACK header decompression (RFC 7541) — the h2-capture decode
+    # beside the HTTP/1 codecs: §5.1 prefix integers, static-table
+    # (Appendix A) and DYNAMIC-table indexing, incremental-indexing
+    # literals, a §6.3 size update forcing EVICTIONS mid-connection.
+    # Block 2 is only decodable with block 1's table state and block
+    # 3 only after the evictions — a stateless or order-broken
+    # decoder fails the closed-form hash. Raw string literals (H=0;
+    # Huffman is an encoder choice, documented out of scope).
+    """
+    SELECT doc_id,
+           CAST(11 AS INT) AS n_headers,
+           CAST(3 AS INT) AS evictions,
+           CAST(39 AS INT) AS final_size,
+           ':method=GET;x-trace=t' || CAST(doc_id % 100 AS VARCHAR)
+             || ';:path=/p/' || CAST(doc_id AS VARCHAR)
+             || ';x-req=r' || CAST(doc_id % 7 AS VARCHAR) AS block2,
+           'user-agent=bot' || CAST(doc_id % 5 AS VARCHAR)
+             || ';x-new=n' || CAST(doc_id % 3 AS VARCHAR) AS block3
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_transfer_hpack_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _tx.hpack_decode(_tx.synth_hpack_captures(d)).orderBy("doc_id")
