@@ -233,6 +233,7 @@ _GATE_ORDER: list[str] = [
     "graph_assortativity",
     "crawl_host_gini",
     "transfer_hpack_decode",
+    "text_zipf_fit",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -9881,3 +9882,71 @@ def q_crawl_host_gini(spark, sf_dir):
 def q_transfer_hpack_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _tx.hpack_decode(_tx.synth_hpack_captures(d)).orderBy("doc_id")
+
+
+@_register(
+    "text_zipf_fit",
+    # Corpus-statistics health check: least-squares fit of the Zipf
+    # rank-frequency law (Zipf 1949; the standard sanity plot for a
+    # scraped corpus — templated/spammy crawls bend the tail) over
+    # the top-200 vocabulary terms: ln(freq) ~ a + b*ln(rank). All
+    # inputs to the regression are integer (rank, count) pairs;
+    # doubles appear in per-row ln() and the 5 OLS sums, rounded.
+    # Scale shape: one tf groupBy, one 200-row top-k, OLS in a
+    # single 1-row aggregation — the corpus never re-shuffles.
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS r
+      FROM vocab QUALIFY r <= 200),
+    pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+            FROM ranked),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 4) AS intercept
+    FROM s
+    """,
+)
+def q_text_zipf_fit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    ranked = vocab.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        .alias("r"),
+    ).filter(F.col("r") <= 200)
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("intercept"),
+    )
