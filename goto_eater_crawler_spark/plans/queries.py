@@ -234,6 +234,7 @@ _GATE_ORDER: list[str] = [
     "crawl_host_gini",
     "transfer_hpack_decode",
     "text_zipf_fit",
+    "html_to_markdown",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -9950,3 +9951,77 @@ def q_text_zipf_fit(spark, sf_dir):
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
         ).alias("intercept"),
     )
+
+
+@_register(
+    "html_to_markdown",
+    # HTML -> Markdown corpus extraction (the html2text/markdownify
+    # step of an LLM-pretraining pipeline) over the engine's OWN
+    # tolerant parser (functions/minimd on the minihtml span DOM):
+    # headings/emphasis/links/lists/code survive as markdown,
+    # script/style subtrees are dropped, unknown tags unwrap, text
+    # rides byte-raw (no entity decoding — the minihtml extraction
+    # contract). One Arrow-batched map stage, no shuffle; the oracle
+    # restates the conversion closed-form (chr(10) blocks), so a
+    # wrong block separator, list marker, or inline form breaks the
+    # hash.
+    """
+    SELECT doc_id,
+           '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+           || 'Intro **bold' || CAST(doc_id % 5 AS VARCHAR)
+           || '** with [link' || CAST(doc_id % 9 AS VARCHAR)
+           || '](/l/' || CAST(doc_id % 9 AS VARCHAR) || ') end.'
+           || chr(10) || chr(10)
+           || '## Sec ' || CAST(doc_id % 4 AS VARCHAR)
+           || chr(10) || chr(10)
+           || '- alpha ' || CAST(doc_id % 3 AS VARCHAR) || chr(10)
+           || '- beta' || chr(10) || chr(10)
+           || '```' || chr(10) || 'code ' || CAST(doc_id % 7 AS VARCHAR)
+           || ' &amp;' || chr(10) || '```' || chr(10) || chr(10)
+           || 'Tail *em' || CAST(doc_id % 2 AS VARCHAR) || '*.'
+             AS markdown
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_html_to_markdown(spark, sf_dir):
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script></head><body><h1>Doc "),
+        i, F.lit("</h1><p>Intro <b>bold"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('</b> with <a href="/l/'),
+        (F.col("doc_id") % 9).cast("string"), F.lit('">link'),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("</a> end.</p><h2>Sec "),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("</h2><ul><li>alpha "),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("</li><li>beta</li></ul><pre>code "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" &amp;</pre><p>Tail <i>em"),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit("</i>.</p></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+
+    def convert(it: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        from ..functions import minimd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "markdown": [
+                        minimd.to_markdown(h) for h in pdf["html"]
+                    ],
+                }
+            )
+
+    return pages.mapInPandas(
+        convert, schema="doc_id long, markdown string"
+    ).orderBy("doc_id")

@@ -134,7 +134,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "graph_assortativity",
                     "crawl_host_gini",
                     "transfer_hpack_decode",
-                    "text_zipf_fit"}
+                    "text_zipf_fit",
+                    "html_to_markdown"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
