@@ -2227,3 +2227,69 @@ def cert_meta(blobs: DataFrame) -> DataFrame:
             "is_ca boolean"
         ),
     )
+
+
+def synth_ico_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) — one favicon.ico per doc with 1 + doc%3
+    entries; payload kind alternates PNG/BMP by (doc+entry) parity
+    and sizes rotate through 16/32/48/256 so the 0-means-256
+    directory rule carries corpus."""
+    from ..functions import minico
+
+    sizes = [16, 32, 48, 256]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                entries = [
+                    (
+                        sizes[(d + j) % 4],
+                        sizes[(d + j) % 4],
+                        "png" if (d + j) % 2 == 0 else "bmp",
+                    )
+                    for j in range(1 + d % 3)
+                ]
+                ids.append(d)
+                payloads.append(minico.write_ico(entries))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def ico_meta(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) ICO blobs -> one row per directory entry
+    through the OWN container walk (functions/minico.parse_ico),
+    which also CROSS-CHECKS declared vs embedded dimensions. 1->many
+    Arrow-batched map stage, no shuffle."""
+    from ..functions import minico
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                for j, e in enumerate(minico.parse_ico(bytes(blob))):
+                    rows.append(
+                        (
+                            int(d), j, e["width"], e["height"],
+                            e["kind"], e["bytes"], e["bitcount"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "entry", "width", "height",
+                    "kind", "nbytes", "bitcount",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, entry int, width int, height int, "
+            "kind string, nbytes int, bitcount int"
+        ),
+    )

@@ -235,6 +235,8 @@ _GATE_ORDER: list[str] = [
     "transfer_hpack_decode",
     "text_zipf_fit",
     "html_to_markdown",
+    "multimodal_ico_meta",
+    "events_ams_f2",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -10025,3 +10027,122 @@ def q_html_to_markdown(spark, sf_dir):
     return pages.mapInPandas(
         convert, schema="doc_id long, markdown string"
     ).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_ico_meta",
+    # ICO favicon container walk (the /favicon.ico host-metadata
+    # pass; shared favicons fingerprint mirror/parked templates):
+    # ICONDIR/ICONDIRENTRY little-endian layout, the 0-MEANS-256
+    # dimension rule (size-256 entries really store 0 on the wire),
+    # per-entry payload dispatch by PNG-signature sniff (IHDR dims
+    # big-endian) vs BMP BITMAPINFOHEADER (height DOUBLED by the
+    # AND-mask rule, undone on read), declared-vs-embedded dims
+    # cross-checked. One 1->many Arrow map stage.
+    """
+    WITH j AS (SELECT 0 AS entry UNION ALL SELECT 1 UNION ALL SELECT 2)
+    SELECT doc_id,
+           CAST(entry AS INT) AS entry,
+           CAST(CASE (doc_id + entry) % 4 WHEN 0 THEN 16 WHEN 1 THEN 32
+                WHEN 2 THEN 48 ELSE 256 END AS INT) AS width,
+           CAST(CASE (doc_id + entry) % 4 WHEN 0 THEN 16 WHEN 1 THEN 32
+                WHEN 2 THEN 48 ELSE 256 END AS INT) AS height,
+           CASE WHEN (doc_id + entry) % 2 = 0 THEN 'png' ELSE 'bmp' END
+             AS kind,
+           CAST(CASE WHEN (doc_id + entry) % 2 = 0 THEN 33 ELSE 44 END
+                AS INT) AS nbytes,
+           CAST(32 AS INT) AS bitcount
+    FROM documents CROSS JOIN j
+    WHERE entry < 1 + doc_id % 3
+    ORDER BY doc_id, entry
+    """,
+)
+def q_multimodal_ico_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.ico_meta(_mm.synth_ico_blobs(d)).orderBy("doc_id", "entry")
+
+
+_AMS_K = 16
+
+
+def _ams_sign_sql(j: int) -> str:
+    return (
+        "(1 - 2 * CAST((((user_id * 2654435761 + "
+        f"{j} * 40503 + 17) % 4294967296) // 32768) % 2 AS BIGINT))"
+    )
+
+
+@_register(
+    "events_ams_f2",
+    # AMS second-frequency-moment sketch (Alon, Matias & Szegedy,
+    # STOC 1996 — the Gödel-prize streaming paper): F2 = sum f_i^2
+    # estimated by K random-sign projections Z_j = sum sign_j(item),
+    # E[Z^2] = F2. The skew/self-join-size signal for a crawl's
+    # host distribution at 10^10 scale where exact per-key counts
+    # don't fit. Scale shape: the K=16 sign sums ride ONE map-side-
+    # combinable aggregation over the raw event stream (no per-key
+    # state, no 16x row blowup — 16 agg columns, the minhash trick);
+    # exact F2 for the gate's error column is a count groupBy. All
+    # hashes/signs/sums INTEGER, so both engines agree to the bit;
+    # /16 is a power-of-two division (exact in IEEE).
+    f"""
+    WITH z AS (
+      SELECT {", ".join(
+          f"CAST(sum({_ams_sign_sql(j)}) AS BIGINT) AS z{j}"
+          for j in range(_AMS_K)
+      )}
+      FROM events),
+    exact AS (
+      SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2
+      FROM (SELECT count(*) AS cnt FROM events GROUP BY user_id)),
+    est AS (
+      SELECT CAST({" + ".join(f"z{j} * z{j}" for j in range(_AMS_K))}
+             AS BIGINT) AS sq
+      FROM z)
+    SELECT exact.f2 AS f2_exact,
+           CAST(est.sq AS DOUBLE) / {_AMS_K} AS f2_est,
+           round(abs(CAST(est.sq AS DOUBLE) / {_AMS_K} - exact.f2)
+                 / exact.f2, 6) AS rel_err
+    FROM exact, est
+    """,
+)
+def q_events_ams_f2(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+
+    def sign(j: int):
+        h = (
+            F.col("user_id") * F.lit(2654435761)
+            + F.lit(j * 40503 + 17)
+        ) % F.lit(4294967296)
+        return 1 - 2 * (F.floor(h / 32768) % 2).cast("long")
+
+    z = e.agg(
+        *[
+            F.sum(sign(j)).cast("bigint").alias(f"z{j}")
+            for j in range(_AMS_K)
+        ]
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2"))
+    )
+    sq = sum(
+        (F.col(f"z{j}") * F.col(f"z{j}") for j in range(_AMS_K)),
+        F.lit(0),
+    ).cast("bigint")
+    est = z.select(sq.alias("sq"))
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            F.col("f2").alias("f2_exact"),
+            (F.col("sq").cast("double") / _AMS_K).alias("f2_est"),
+            F.round(
+                F.abs(
+                    F.col("sq").cast("double") / _AMS_K - F.col("f2")
+                )
+                / F.col("f2"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -135,7 +135,9 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "crawl_host_gini",
                     "transfer_hpack_decode",
                     "text_zipf_fit",
-                    "html_to_markdown"}
+                    "html_to_markdown",
+                    "multimodal_ico_meta",
+                    "events_ams_f2"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
