@@ -993,3 +993,138 @@ def hpack_decode(caps: "DataFrame") -> "DataFrame":
             "final_size int, block2 string, block3 string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DNS resolver-cache decode (RFC 1035) — every fetch starts with a
+# lookup; at 10^10-URL scale the resolver cache is itself a corpus
+# table of wire-format responses keyed by host.
+# ---------------------------------------------------------------------------
+
+
+def synth_dns_blobs(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — one resolver response per doc through the
+    OWN RFC 1035 encoder (functions/minidns).  Every message carries
+    suffix compression (the shared '.example.org' tail plus, on the
+    CNAME arm, A-record owner names as pointers INTO the CNAME
+    RDATA); d % 17 == 0 docs are NXDOMAIN with an SOA authority
+    (negative caching, RFC 2308)."""
+
+    from ..functions import minidns
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                qname = f"www.h{d % 50}.example.org"
+                if d % 17 == 0:
+                    payload = minidns.encode_response(
+                        txn_id=d % 65536,
+                        qname=qname,
+                        rcode=3,
+                        authority=[
+                            (
+                                "example.org",
+                                minidns.TYPE_SOA,
+                                3600,
+                                (
+                                    "ns1.example.org",
+                                    "hostmaster.example.org",
+                                    2026080000 + d % 100,
+                                    7200,
+                                    900,
+                                    86400,
+                                    60 + (d % 5) * 30,
+                                ),
+                            )
+                        ],
+                    )
+                else:
+                    a_ttl = 300 + (d % 7) * 60
+                    n_a = 1 + d % 3
+                    answers: list = []
+                    owner = qname
+                    if d % 3 == 0:
+                        target = f"edge{d % 4}.cdn.example.net"
+                        answers.append(
+                            (qname, minidns.TYPE_CNAME, 3600, target)
+                        )
+                        owner = target
+                    for i in range(n_a):
+                        answers.append(
+                            (
+                                owner,
+                                minidns.TYPE_A,
+                                a_ttl,
+                                f"10.{d % 200}.{(d * 7) % 250}.{i + 1}",
+                            )
+                        )
+                    payload = minidns.encode_response(
+                        txn_id=d % 65536, qname=qname, answers=answers
+                    )
+                ids.append(d)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def dns_decode(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> resolver-cache row: qname, rcode,
+    answer count, CNAME target ('-' sentinel when absent), ordered
+    A-record IPs, and the cache TTL (min answer TTL; for NXDOMAIN
+    the SOA MINIMUM per RFC 2308 negative caching).  One
+    Arrow-batched map stage, no shuffle."""
+
+    from ..functions import minidns
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = minidns.decode_message(bytes(blob))
+                cname = "-"
+                ips, ttls = [], []
+                for rr in m["answers"]:
+                    if rr["type"] == "CNAME":
+                        cname = rr["rdata"]
+                    elif rr["type"] == "A":
+                        ips.append(rr["rdata"])
+                    ttls.append(rr["ttl"])
+                if m["rcode"] == 3 and not m["answers"]:
+                    ttl = min(
+                        rr["rdata"][6]
+                        for rr in m["authority"]
+                        if rr["type"] == "SOA"
+                    )
+                else:
+                    ttl = min(ttls)
+                rows.append(
+                    (
+                        int(d),
+                        m["qname"],
+                        int(m["rcode"]),
+                        len(m["answers"]),
+                        cname,
+                        ",".join(ips) if ips else "-",
+                        int(ttl),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "qname", "rcode", "ancount",
+                    "cname", "ips", "cache_ttl",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, qname string, rcode int, ancount int, "
+            "cname string, ips string, cache_ttl bigint"
+        ),
+    )

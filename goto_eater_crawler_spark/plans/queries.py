@@ -237,6 +237,7 @@ _GATE_ORDER: list[str] = [
     "html_to_markdown",
     "multimodal_ico_meta",
     "events_ams_f2",
+    "transfer_dns_decode",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -10146,3 +10147,50 @@ def q_events_ams_f2(spark, sf_dir):
             ).alias("rel_err"),
         )
     )
+
+
+@_register(
+    "transfer_dns_decode",
+    # DNS wire-format walk (RFC 1035 §4) — the resolver-cache decode
+    # every fetch round depends on (the reference delegates lookup to
+    # twisted's resolver; at 10^10-URL scale the cache is a corpus
+    # table of binary responses). The OWN encoder emits §4.1.4
+    # suffix COMPRESSION on every message — including pointers into
+    # the MIDDLE of the CNAME RDATA for the A-record owner names —
+    # so a decoder without full pointer chasing desyncs; d%17 docs
+    # are NXDOMAIN whose cache TTL is the SOA MINIMUM (RFC 2308
+    # negative caching). One Arrow map stage, no shuffle.
+    """
+    SELECT doc_id,
+           'www.h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org'
+             AS qname,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 3 ELSE 0 END AS INT)
+             AS rcode,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                ELSE 1 + doc_id % 3
+                     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                END AS INT) AS ancount,
+           CASE WHEN doc_id % 17 <> 0 AND doc_id % 3 = 0
+                THEN 'edge' || CAST(doc_id % 4 AS VARCHAR)
+                     || '.cdn.example.net'
+                ELSE '-' END AS cname,
+           CASE WHEN doc_id % 17 = 0 THEN '-'
+                ELSE '10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+                     || CAST((doc_id * 7) % 250 AS VARCHAR) || '.1'
+                  || CASE WHEN doc_id % 3 >= 1
+                     THEN ',10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+                          || CAST((doc_id * 7) % 250 AS VARCHAR) || '.2'
+                     ELSE '' END
+                  || CASE WHEN doc_id % 3 >= 2
+                     THEN ',10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+                          || CAST((doc_id * 7) % 250 AS VARCHAR) || '.3'
+                     ELSE '' END
+                END AS ips,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 60 + (doc_id % 5) * 30
+                ELSE 300 + (doc_id % 7) * 60 END AS BIGINT) AS cache_ttl
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_transfer_dns_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _tx.dns_decode(_tx.synth_dns_blobs(d)).orderBy("doc_id")

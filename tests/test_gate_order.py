@@ -137,7 +137,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "text_zipf_fit",
                     "html_to_markdown",
                     "multimodal_ico_meta",
-                    "events_ams_f2"}
+                    "events_ams_f2",
+                    "transfer_dns_decode"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
