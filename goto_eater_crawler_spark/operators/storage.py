@@ -742,3 +742,188 @@ def cbor_decode(blobs: "DataFrame") -> "DataFrame":
             "size int, ratio double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-style scan planning (Apache Iceberg table spec v2,
+# https://iceberg.apache.org/spec/) — the north rule frames the
+# corpus as "Iceberg tables of Common-Crawl-style web pages"; this
+# is the metadata walk a reader performs BEFORE any data I/O: a
+# manifest LIST (avro container) whose per-manifest partition
+# summaries prune whole manifests, then the surviving MANIFEST files
+# (avro containers) whose per-data-file column stats (lower/upper
+# bounds) prune individual files.  At 10^10 rows the scan-planning
+# tier is what keeps a ts-range + partition query from touching all
+# N-million data files.  Both container tiers are read through the
+# OWN avro OCF walk (functions/miniavro — sync markers verified,
+# zigzag varints), mirroring plans/store.py's manifest-last design.
+# ---------------------------------------------------------------------------
+
+_ML_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "added_files_count", "type": "long"},
+        {"name": "min_part", "type": "long"},
+        {"name": "max_part", "type": "long"},
+    ],
+}
+
+_MF_SCHEMA = {
+    "type": "record",
+    "name": "data_file",
+    "fields": [
+        {"name": "file_path", "type": "string"},
+        {"name": "partition", "type": "long"},
+        {"name": "record_count", "type": "long"},
+        {"name": "min_ts", "type": "long"},
+        {"name": "max_ts", "type": "long"},
+        {"name": "null_count", "type": "long"},
+    ],
+}
+
+
+def synth_iceberg_meta(docs: "DataFrame") -> "DataFrame":
+    """One tiny Iceberg metadata tree per doc: a manifest list over 3
+    manifests (one partition each), each holding 1-3 data files with
+    ts lower/upper bounds, plus the scan predicate (partition equality
+    + ts range) the planner must apply.  Bounds are arranged so BOTH
+    stats ends prune real files (low-f files fail the lower bound on
+    some docs, f=2 files always fail the upper)."""
+    import pandas as pd
+
+    from ..functions import miniavro
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mpaths, mblobs, ml_records = [], [], []
+                for m in range(3):
+                    n_files = 1 + (d + m) % 3
+                    files = []
+                    for f in range(n_files):
+                        min_ts = 100 * m + 10 * f + d % 10
+                        files.append(
+                            {
+                                "file_path": (
+                                    f"warehouse/doc{d}/m{m}/f{f}.parquet"
+                                ),
+                                "partition": m,
+                                "record_count": 100
+                                + (d + 31 * m + 7 * f) % 400,
+                                "min_ts": min_ts,
+                                "max_ts": min_ts + 5 + (d + f) % 5,
+                                "null_count": (d + f) % 3,
+                            }
+                        )
+                    path = f"warehouse/doc{d}/meta/m{m}.avro"
+                    mpaths.append(path)
+                    mblobs.append(
+                        miniavro.write_ocf(
+                            files, _MF_SCHEMA,
+                            sync=bytes([m]) * 16,
+                        )
+                    )
+                    ml_records.append(
+                        {
+                            "manifest_path": path,
+                            "added_files_count": n_files,
+                            "min_part": m,
+                            "max_part": m,
+                        }
+                    )
+                manifest_list = miniavro.write_ocf(
+                    ml_records, _ML_SCHEMA, sync=b"\xab" * 16
+                )
+                part_pred = d % 3
+                ts_lo = 100 * part_pred + 7
+                rows.append(
+                    (
+                        d, manifest_list, mpaths, mblobs,
+                        part_pred, ts_lo, ts_lo + 12,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "manifest_list", "mpaths", "mblobs",
+                    "part_pred", "ts_lo", "ts_hi",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, manifest_list binary, mpaths array<string>, "
+            "mblobs array<binary>, part_pred long, ts_lo long, "
+            "ts_hi long"
+        ),
+    )
+
+
+def iceberg_scan_plan(meta: "DataFrame") -> "DataFrame":
+    """Two-tier scan planning: manifest-list partition summaries
+    prune manifests WITHOUT opening them (only pruned-in manifest
+    blobs are decoded — asserted by never touching the others), then
+    per-file [min_ts, max_ts] bounds prune data files against the
+    ts-range predicate.  Emits the surviving files — the read set a
+    distributed scan would fan out over.  One Arrow map stage."""
+    import pandas as pd
+
+    from ..functions import miniavro
+
+    def plan(it):
+        for pdf in it:
+            rows = []
+            for (
+                d, ml, mpaths, mblobs, part_pred, ts_lo, ts_hi,
+            ) in zip(
+                pdf["doc_id"], pdf["manifest_list"], pdf["mpaths"],
+                pdf["mblobs"], pdf["part_pred"], pdf["ts_lo"],
+                pdf["ts_hi"],
+            ):
+                blob_by_path = {
+                    p: b for p, b in zip(list(mpaths), list(mblobs))
+                }
+                _, manifests = miniavro.read_ocf(bytes(ml))
+                for mrec in manifests:
+                    if not (
+                        mrec["min_part"] <= part_pred <= mrec["max_part"]
+                    ):
+                        continue  # pruned: manifest never opened
+                    _, files = miniavro.read_ocf(
+                        bytes(blob_by_path[mrec["manifest_path"]])
+                    )
+                    for frec in files:
+                        if frec["partition"] != part_pred:
+                            continue
+                        if frec["min_ts"] > ts_hi or frec["max_ts"] < ts_lo:
+                            continue  # stats-pruned
+                        rows.append(
+                            (
+                                int(d),
+                                frec["file_path"],
+                                int(frec["partition"]),
+                                int(frec["record_count"]),
+                                int(frec["min_ts"]),
+                                int(frec["max_ts"]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "file_path", "part",
+                    "record_count", "min_ts", "max_ts",
+                ],
+            )
+
+    return meta.mapInPandas(
+        plan,
+        schema=(
+            "doc_id long, file_path string, part long, "
+            "record_count long, min_ts long, max_ts long"
+        ),
+    )

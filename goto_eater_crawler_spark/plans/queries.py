@@ -238,6 +238,7 @@ _GATE_ORDER: list[str] = [
     "multimodal_ico_meta",
     "events_ams_f2",
     "transfer_dns_decode",
+    "storage_iceberg_scan_plan",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -10194,3 +10195,44 @@ def q_events_ams_f2(spark, sf_dir):
 def q_transfer_dns_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _tx.dns_decode(_tx.synth_dns_blobs(d)).orderBy("doc_id")
+
+
+@_register(
+    "storage_iceberg_scan_plan",
+    # Iceberg-spec-v2 scan planning (iceberg.apache.org/spec) — the
+    # north rule's corpus lives in "Iceberg tables"; this is the
+    # metadata walk a reader does BEFORE any data I/O. Two avro
+    # container tiers through the OWN OCF walk (miniavro): the
+    # manifest LIST's per-manifest partition summaries prune 2 of 3
+    # manifests unopened, then per-file [min_ts,max_ts] bounds prune
+    # data files against the ts-range predicate — bounds arranged so
+    # BOTH ends fire (f=2 always fails the upper bound; f=0 fails
+    # the lower on d%10=0,d%5=0 docs). Emits the surviving read set.
+    """
+    WITH fr AS (SELECT 0 AS f UNION ALL SELECT 1 UNION ALL SELECT 2),
+    base AS (
+      SELECT doc_id, doc_id % 3 AS m, f,
+             100 * (doc_id % 3) + 10 * f + doc_id % 10 AS min_ts,
+             100 * (doc_id % 3) + 10 * f + doc_id % 10
+               + 5 + (doc_id + f) % 5 AS max_ts
+      FROM documents CROSS JOIN fr
+      WHERE f < 1 + (doc_id + doc_id % 3) % 3)
+    SELECT doc_id,
+           'warehouse/doc' || CAST(doc_id AS VARCHAR) || '/m'
+             || CAST(m AS VARCHAR) || '/f' || CAST(f AS VARCHAR)
+             || '.parquet' AS file_path,
+           CAST(m AS BIGINT) AS part,
+           CAST(100 + (doc_id + 31 * m + 7 * f) % 400 AS BIGINT)
+             AS record_count,
+           CAST(min_ts AS BIGINT) AS min_ts,
+           CAST(max_ts AS BIGINT) AS max_ts
+    FROM base
+    WHERE min_ts <= 100 * m + 19 AND max_ts >= 100 * m + 7
+    ORDER BY doc_id, file_path
+    """,
+)
+def q_storage_iceberg_scan_plan(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.iceberg_scan_plan(_st.synth_iceberg_meta(d)).orderBy(
+        "doc_id", "file_path"
+    )
