@@ -239,6 +239,8 @@ _GATE_ORDER: list[str] = [
     "events_ams_f2",
     "transfer_dns_decode",
     "storage_iceberg_scan_plan",
+    "shard_consistent_ring",
+    "text_heaps_fit",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -10235,4 +10237,220 @@ def q_storage_iceberg_scan_plan(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _st.iceberg_scan_plan(_st.synth_iceberg_meta(d)).orderBy(
         "doc_id", "file_path"
+    )
+
+
+# --- consistent-hash ring (Karger et al., STOC 1997) ---------------------
+# Ring constants are module-level pure functions of the node names so
+# the Spark plan and the DuckDB oracle share the exact integers.
+
+_RING_M = 4294967296
+
+
+def _ring_vnodes(n_nodes: int) -> list[tuple[int, str]]:
+    out = []
+    for i in range(n_nodes):
+        for v in range(4):
+            h = ((1000 * i + v + 1) * 2654435761 + 97) % _RING_M
+            out.append((h, f"n{i}"))
+    return sorted(out)
+
+
+def _ring_case(kh_expr: str, ring: list[tuple[int, str]]) -> str:
+    """Successor-on-the-ring as a boundary CASE (owner = first vnode
+    clockwise from the key hash, wrapping to the ring's first vnode)
+    — valid SQL in BOTH engines, pure projection, no join."""
+    whens = " ".join(
+        f"WHEN {kh_expr} < {h} THEN '{node}'" for h, node in ring
+    )
+    return f"(CASE {whens} ELSE '{ring[0][1]}' END)"
+
+
+@_register(
+    "shard_consistent_ring",
+    # Consistent-hash ring sharding (Karger et al. 1997; the web-
+    # cache paper) for frontier/host -> worker assignment, the
+    # alternative to shard_rendezvous: 8 nodes x 4 virtual points on
+    # a 2^32 ring, owner = successor vnode. The gate adds node n8
+    # and pins THE consistent-hashing contract: keys either stay or
+    # move TO the new node (moved_elsewhere must be 0 for every
+    # node); ~|n8's arc|/ring of keys move, not 1/9 of ALL keys per
+    # node as naive mod-N resharding would. Assignment is a pure
+    # boundary CASE projection (no join, no shuffle beyond the count
+    # groupBy) — at 10^10 URLs the ring is plan-side config.
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT user_id,
+             (user_id * 2654435761 + 12345) % {_RING_M} AS kh
+      FROM events),
+    owned AS (
+      SELECT {_ring_case('kh', _ring_vnodes(8))} AS node8,
+             {_ring_case('kh', _ring_vnodes(9))} AS node9
+      FROM keys)
+    SELECT node8 AS node,
+           CAST(count(*) AS BIGINT) AS keys_8,
+           CAST(sum(CASE WHEN node9 = node8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS staying,
+           CAST(sum(CASE WHEN node9 = 'n8' THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_to_new,
+           CAST(sum(CASE WHEN node9 <> node8 AND node9 <> 'n8'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS moved_elsewhere
+    FROM owned GROUP BY node8 ORDER BY node
+    """,
+)
+def q_shard_consistent_ring(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    keys = e.select("user_id").distinct().select(
+        ((F.col("user_id") * 2654435761 + 12345) % _RING_M).alias("kh")
+    )
+    owned = keys.select(
+        F.expr(_ring_case("kh", _ring_vnodes(8))).alias("node8"),
+        F.expr(_ring_case("kh", _ring_vnodes(9))).alias("node9"),
+    )
+    return (
+        owned.groupBy(F.col("node8").alias("node"))
+        .agg(
+            F.count("*").cast("bigint").alias("keys_8"),
+            F.sum(
+                F.when(F.col("node9") == F.col("node8"), 1).otherwise(0)
+            ).cast("bigint").alias("staying"),
+            F.sum(
+                F.when(F.col("node9") == "n8", 1).otherwise(0)
+            ).cast("bigint").alias("moved_to_new"),
+            F.sum(
+                F.when(
+                    (F.col("node9") != F.col("node8"))
+                    & (F.col("node9") != "n8"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("moved_elsewhere"),
+        )
+        .orderBy("node")
+    )
+
+
+@_register(
+    "text_heaps_fit",
+    # Heaps'-law vocabulary-growth fit (Heaps 1978; Herdan 1960) —
+    # the companion corpus-health check to text_zipf_fit: V(T) ~ K
+    # T^beta over (tokens-seen, distinct-vocab) checkpoints in doc
+    # order. A templated or boilerplate-heavy crawl flattens beta;
+    # dedup regressions inflate it. All checkpoint inputs are exact
+    # integers (cumulative token / first-occurrence counts); doubles
+    # only in the per-point ln() and the 5 OLS sums, rounded.
+    # Scale shape: tokens collapse map-side to one slim row per doc
+    # (count + first-occurrence count), and the running totals are a
+    # TWO-PHASE prefix sum — in-bucket window + tiny bucket-offset
+    # relation (the crawl plan's fetch_seq pattern, crawl.py) — so
+    # no global single-partition window touches the corpus.
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    per_doc AS (SELECT doc_id, count(*) AS ntok FROM toks GROUP BY 1),
+    firsts AS (SELECT token, min(doc_id) AS fd FROM toks GROUP BY 1),
+    news AS (SELECT fd AS doc_id, count(*) AS nnew FROM firsts GROUP BY 1),
+    cum AS (
+      SELECT p.doc_id,
+             sum(p.ntok) OVER (ORDER BY p.doc_id) AS t,
+             sum(coalesce(n.nnew, 0)) OVER (ORDER BY p.doc_id) AS v
+      FROM per_doc p LEFT JOIN news n USING (doc_id)),
+    pts AS (SELECT ln(CAST(t AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+            FROM cum WHERE doc_id % 20 = 0 AND v > 0 AND t > 0),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM pts),
+    tot AS (SELECT count(*) AS vocab FROM firsts),
+    tt AS (SELECT sum(ntok) AS toks FROM per_doc)
+    SELECT CAST(s.n AS BIGINT) AS n_points,
+           round((s.n * s.sxy - s.sx * s.sy)
+                 / (s.n * s.sxx - s.sx * s.sx), 4) AS beta,
+           round((s.sy - ((s.n * s.sxy - s.sx * s.sy)
+                          / (s.n * s.sxx - s.sx * s.sx)) * s.sx)
+                 / s.n, 4) AS lnk,
+           CAST(tot.vocab AS BIGINT) AS vocab_total,
+           CAST(tt.toks AS BIGINT) AS tokens_total
+    FROM s, tot, tt
+    """,
+)
+def q_text_heaps_fit(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("ntok"))
+    news = (
+        toks.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nnew"))
+    )
+    slim = (
+        per_doc.join(news, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ntok",
+            F.coalesce("nnew", F.lit(0)).alias("nnew"),
+            F.floor(F.col("doc_id") / 64).alias("bucket"),
+        )
+        .persist()
+    )
+    # two-phase prefix sum: per-bucket totals (tiny) -> exclusive
+    # bucket offsets via a window over |buckets| rows, then the
+    # in-bucket running sum partitions by bucket
+    btot = slim.groupBy("bucket").agg(
+        F.sum("ntok").alias("bt"), F.sum("nnew").alias("bv")
+    )
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boff = btot.select(
+        "bucket",
+        (F.sum("bt").over(wb) - F.col("bt")).alias("off_t"),
+        (F.sum("bv").over(wb) - F.col("bv")).alias("off_v"),
+    )
+    wi = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = slim.join(F.broadcast(boff), "bucket").select(
+        "doc_id",
+        (F.col("off_t") + F.sum("ntok").over(wi)).alias("t"),
+        (F.col("off_v") + F.sum("nnew").over(wi)).alias("v"),
+    )
+    pts = cum.filter(
+        (F.col("doc_id") % 20 == 0) & (F.col("v") > 0) & (F.col("t") > 0)
+    ).select(
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(F.col("v").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vocab = toks.select("token").distinct().agg(
+        F.count("*").alias("vocab")
+    )
+    tt = per_doc.agg(F.sum("ntok").alias("toks"))
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col("n").cast("bigint").alias("n_points"),
+            F.round(beta, 4).alias("beta"),
+            F.round(
+                (F.col("sy") - beta * F.col("sx")) / F.col("n"), 4
+            ).alias("lnk"),
+            F.col("vocab").cast("bigint").alias("vocab_total"),
+            F.col("toks").cast("bigint").alias("tokens_total"),
+        )
     )

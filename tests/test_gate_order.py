@@ -139,7 +139,9 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "multimodal_ico_meta",
                     "events_ams_f2",
                     "transfer_dns_decode",
-                    "storage_iceberg_scan_plan"}
+                    "storage_iceberg_scan_plan",
+                    "shard_consistent_ring",
+                    "text_heaps_fit"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
