@@ -1128,3 +1128,115 @@ def dns_decode(blobs: "DataFrame") -> "DataFrame":
             "cname string, ips string, cache_ttl bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTTP/2 session decode (RFC 9113) — the multiplexed session layer
+# under the HPACK gate: one captured connection blob carries
+# interleaved frames of several fetch streams.
+# ---------------------------------------------------------------------------
+
+
+def synth_h2_sessions(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — one captured h2 client session per doc
+    through the OWN RFC 9113 encoder (functions/minih2): SETTINGS +
+    ack, a split header block (HEADERS w/o END_HEADERS followed by
+    its CONTINUATION — the adjacency rule is live on every doc),
+    stream-1 DATA split across two frames INTERLEAVED with a padded
+    stream-3 DATA frame, optional PING, WINDOW_UPDATE, GOAWAY."""
+
+    from ..functions import minih2 as h2
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                s1 = (f"body1-{d}-" * (1 + d % 3)).encode()
+                s3 = f"b3-{d % 7}".encode()
+                pad = d % 8
+                frames = [
+                    h2.settings_frame(
+                        [
+                            (h2.SETTINGS_MAX_CONCURRENT_STREAMS,
+                             100 + d % 50),
+                            (h2.SETTINGS_INITIAL_WINDOW_SIZE, 65535),
+                            (h2.SETTINGS_MAX_FRAME_SIZE,
+                             16384 + (d % 3) * 4096),
+                        ]
+                    ),
+                    h2.settings_frame([], ack=True),
+                    h2.frame(h2.T_HEADERS, h2.F_END_HEADERS, 1, b"hb1"),
+                    h2.frame(h2.T_HEADERS, 0, 3, b"hb3a"),
+                    h2.frame(h2.T_CONTINUATION, h2.F_END_HEADERS, 3,
+                             b"hb3b"),
+                    h2.data_frame(1, s1[:4]),
+                    h2.data_frame(3, s3, end_stream=True, pad_len=pad),
+                    h2.data_frame(1, s1[4:], end_stream=True),
+                ]
+                if d % 2:
+                    frames.append(
+                        h2.frame(h2.T_PING, 0, 0, bytes(8))
+                    )
+                frames.append(
+                    h2.frame(
+                        h2.T_WINDOW_UPDATE, 0, 0,
+                        (1000 + d % 100).to_bytes(4, "big"),
+                    )
+                )
+                frames.append(
+                    h2.frame(h2.T_GOAWAY, 0, 0, (3).to_bytes(4, "big")
+                             + bytes(4))
+                )
+                ids.append(d)
+                payloads.append(h2.PREFACE + b"".join(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def h2_decode(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> session summary: reassembled per-stream
+    bodies (padding stripped), flow-control consumption (padding
+    COUNTED), negotiated MAX_FRAME_SIZE, GOAWAY last-stream-id.
+    One Arrow-batched map stage, no shuffle."""
+
+    from ..functions import minih2 as h2
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = h2.decode_session(bytes(blob))
+                rows.append(
+                    (
+                        int(d),
+                        int(m["n_frames"]),
+                        len(m["bodies"]),
+                        m["bodies"][1].decode(),
+                        m["bodies"][3].decode(),
+                        int(m["flow_consumed"]),
+                        int(m["settings"][h2.SETTINGS_MAX_FRAME_SIZE]),
+                        int(m["goaway_last"]),
+                        int(m["pings"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_streams", "s1_body",
+                    "s3_body", "flow_consumed", "max_frame_size",
+                    "goaway_last", "pings",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_frames int, n_streams int, s1_body string, "
+            "s3_body string, flow_consumed bigint, max_frame_size bigint, "
+            "goaway_last int, pings int"
+        ),
+    )

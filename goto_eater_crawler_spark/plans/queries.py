@@ -241,6 +241,7 @@ _GATE_ORDER: list[str] = [
     "storage_iceberg_scan_plan",
     "shard_consistent_ring",
     "text_heaps_fit",
+    "transfer_http2_frames",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -10454,3 +10455,35 @@ def q_text_heaps_fit(spark, sf_dir):
             F.col("toks").cast("bigint").alias("tokens_total"),
         )
     )
+
+
+@_register(
+    "transfer_http2_frames",
+    # HTTP/2 session walk (RFC 9113) — the multiplexed framing layer
+    # under transfer_hpack_decode: 9-byte frame headers (24-bit BE
+    # length, masked R bit), per-stream DATA reassembly with the
+    # PADDED asymmetry (padding STRIPPED from the body but COUNTED —
+    # incl. the length octet — against flow control), a split header
+    # block whose CONTINUATION adjacency rule is live on every doc,
+    # SETTINGS id/value pairs + empty-ACK rule, GOAWAY last-stream.
+    # One Arrow map stage, no shuffle.
+    """
+    SELECT doc_id,
+           CAST(10 + doc_id % 2 AS INT) AS n_frames,
+           CAST(2 AS INT) AS n_streams,
+           repeat('body1-' || CAST(doc_id AS VARCHAR) || '-',
+                  CAST(1 + doc_id % 3 AS INT)) AS s1_body,
+           'b3-' || CAST(doc_id % 7 AS VARCHAR) AS s3_body,
+           CAST((7 + length(CAST(doc_id AS VARCHAR))) * (1 + doc_id % 3)
+                + 4
+                + CASE WHEN doc_id % 8 > 0 THEN doc_id % 8 + 1 ELSE 0 END
+                AS BIGINT) AS flow_consumed,
+           CAST(16384 + (doc_id % 3) * 4096 AS BIGINT) AS max_frame_size,
+           CAST(3 AS INT) AS goaway_last,
+           CAST(doc_id % 2 AS INT) AS pings
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_transfer_http2_frames(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _tx.h2_decode(_tx.synth_h2_sessions(d)).orderBy("doc_id")

@@ -141,7 +141,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "transfer_dns_decode",
                     "storage_iceberg_scan_plan",
                     "shard_consistent_ring",
-                    "text_heaps_fit"}
+                    "text_heaps_fit",
+                    "transfer_http2_frames"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
