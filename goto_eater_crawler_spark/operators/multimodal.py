@@ -2293,3 +2293,98 @@ def ico_meta(blobs: DataFrame) -> DataFrame:
             "kind string, nbytes int, bitcount int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WebM / Matroska (EBML) metadata — RFC 9559; the one major web
+# container the family (MP4/MP3/Ogg/FLAC/WAV/ICO/...) lacked.
+# ---------------------------------------------------------------------------
+
+
+def synth_webm_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) — metadata-only WebM per doc via the OWN
+    EBML encoder (functions/miniebml).  Odd docs use an UNKNOWN-SIZE
+    Segment (the streaming form — children parse to EOF); d%4==0
+    docs store floats wide (8-byte) so both float widths carry
+    corpus; d%3==0 docs add an Opus audio track."""
+
+    from ..functions import miniebml
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                audio = None
+                if d % 3 == 0:
+                    audio = ("A_OPUS", 1 + d % 2, 48000.0)
+                payloads.append(
+                    miniebml.build_webm(
+                        duration_ms=(10 + d % 50) * 1000.0,
+                        video=(
+                            "V_VP9" if d % 2 == 0 else "V_VP8",
+                            320 + (d % 8) * 80,
+                            240 + (d % 8) * 60,
+                        ),
+                        audio=audio,
+                        unknown_size_segment=d % 2 == 1,
+                        wide_floats=d % 4 == 0,
+                    )
+                )
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def webm_meta(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> stream metadata through the OWN EBML
+    walk: doctype, timestamp scale, duration (ms), per-kind track
+    fields ('-'/0 sentinels when absent). One Arrow map stage."""
+
+    from ..functions import miniebml
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = miniebml.parse(bytes(blob))
+                video = next(
+                    (t for t in m["tracks"] if t["type"] == 1), None
+                )
+                audio = next(
+                    (t for t in m["tracks"] if t["type"] == 2), None
+                )
+                rows.append(
+                    (
+                        int(d),
+                        m["doctype"],
+                        int(m["timestamp_scale"]),
+                        float(m["duration"]),
+                        len(m["tracks"]),
+                        video["codec"] if video else "-",
+                        int(video["width"]) if video else 0,
+                        int(video["height"]) if video else 0,
+                        audio["codec"] if audio else "-",
+                        int(audio["channels"]) if audio else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "doctype", "ts_scale", "duration_ms",
+                    "n_tracks", "v_codec", "width", "height",
+                    "a_codec", "channels",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, doctype string, ts_scale bigint, "
+            "duration_ms double, n_tracks int, v_codec string, "
+            "width int, height int, a_codec string, channels int"
+        ),
+    )

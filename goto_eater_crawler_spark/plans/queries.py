@@ -242,6 +242,8 @@ _GATE_ORDER: list[str] = [
     "shard_consistent_ring",
     "text_heaps_fit",
     "transfer_http2_frames",
+    "text_textrank_keywords",
+    "multimodal_webm_meta",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -10487,3 +10489,137 @@ def q_text_heaps_fit(spark, sf_dir):
 def q_transfer_http2_frames(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _tx.h2_decode(_tx.synth_h2_sessions(d)).orderBy("doc_id")
+
+
+@_register(
+    "text_textrank_keywords",
+    # TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004) — the
+    # graph-based keyword extractor of an LLM-data pipeline: nodes
+    # are vocabulary words, edges are adjacent-token co-occurrences
+    # (window 2, symmetric, count-weighted), scores are 2 unrolled
+    # damped-PageRank iterations s' = 0.15 + 0.85 * sum w/wdeg * s
+    # from s0 = 1. Output keeps EVERY word above an integer tf
+    # threshold ordered by word — no top-k-by-float cutoff, so float
+    # summation order can never flip membership; doubles appear only
+    # inside the two iteration sums, rounded at the end. Scale
+    # shape: the token stream collapses to a (u,v,count) edge
+    # relation once; each iteration is ONE join + ONE groupBy over
+    # the |edges|-slim relation — the corpus never re-shuffles.
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS l
+            FROM documents)),
+    pairs AS (
+      SELECT a.tok AS u, b.tok AS v
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok <> b.tok),
+    edges AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT u, v FROM pairs
+        UNION ALL SELECT v AS u, u AS v FROM pairs)
+      GROUP BY 1, 2),
+    wdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY 1),
+    s1 AS (
+      SELECT e.v AS tok,
+             0.15 + 0.85 * sum(CAST(e.w AS DOUBLE) / d.wd) AS s
+      FROM edges e JOIN wdeg d ON e.u = d.u GROUP BY e.v),
+    s2 AS (
+      SELECT e.v AS tok,
+             0.15 + 0.85 * sum(CAST(e.w AS DOUBLE) / d.wd * s1.s) AS s
+      FROM edges e JOIN wdeg d ON e.u = d.u JOIN s1 ON s1.tok = e.u
+      GROUP BY e.v),
+    tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1)
+    SELECT s2.tok AS word, CAST(tf.tf AS BIGINT) AS tf,
+           round(s2.s, 4) AS score
+    FROM s2 JOIN tf ON tf.tok = s2.tok
+    WHERE tf.tf >= 20
+    ORDER BY word
+    """,
+)
+def q_text_textrank_keywords(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            "pos0", "tok"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = toks.alias("a")
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tokb")
+    ).alias("b")
+    pairs = (
+        a.join(b, ["doc_id", "pos"])
+        .filter(F.col("tok") != F.col("tokb"))
+        .select(F.col("tok").alias("u"), F.col("tokb").alias("v"))
+    )
+    edges = (
+        pairs.unionAll(pairs.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .persist()
+    )
+    wdeg = edges.groupBy("u").agg(F.sum("w").cast("bigint").alias("wd"))
+
+    def iterate(prev):
+        # prev: (tok, s); one join + one groupBy per iteration
+        e = edges.join(wdeg, "u")
+        if prev is not None:
+            e = e.join(prev.withColumnRenamed("tok", "u"), "u")
+            contrib = (
+                F.col("w").cast("double") / F.col("wd") * F.col("s")
+            )
+        else:
+            contrib = F.col("w").cast("double") / F.col("wd")
+        return e.groupBy(F.col("v").alias("tok")).agg(
+            (F.lit(0.15) + F.lit(0.85) * F.sum(contrib)).alias("s")
+        )
+
+    s2 = iterate(iterate(None))
+    tf = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("tf"))
+    return (
+        s2.join(tf, "tok")
+        .filter(F.col("tf") >= 20)
+        .select(
+            F.col("tok").alias("word"),
+            "tf",
+            F.round("s", 4).alias("score"),
+        )
+        .orderBy("word")
+    )
+
+
+@_register(
+    "multimodal_webm_meta",
+    # WebM/Matroska metadata walk (RFC 9559) through the OWN EBML
+    # decoder: leading-zero vint widths (IDs keep the marker bit,
+    # sizes strip it), UNKNOWN-SIZE streaming Segments on odd docs
+    # (children parse to EOF, not to a byte count), nested masters
+    # (Segment > Info/Tracks > TrackEntry > Video/Audio), floats in
+    # BOTH legal widths (8-byte on d%4==0, else 4-byte), minimal-
+    # width big-endian uints. Durations are integer milliseconds so
+    # the float32 path is exact cross-engine.
+    """
+    SELECT doc_id,
+           'webm' AS doctype,
+           CAST(1000000 AS BIGINT) AS ts_scale,
+           CAST((10 + doc_id % 50) * 1000 AS DOUBLE) AS duration_ms,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT)
+             AS n_tracks,
+           CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END
+             AS v_codec,
+           CAST(320 + (doc_id % 8) * 80 AS INT) AS width,
+           CAST(240 + (doc_id % 8) * 60 AS INT) AS height,
+           CASE WHEN doc_id % 3 = 0 THEN 'A_OPUS' ELSE '-' END AS a_codec,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 2 ELSE 0 END
+                AS INT) AS channels
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_multimodal_webm_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.webm_meta(_mm.synth_webm_blobs(d)).orderBy("doc_id")

@@ -142,7 +142,9 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "storage_iceberg_scan_plan",
                     "shard_consistent_ring",
                     "text_heaps_fit",
-                    "transfer_http2_frames"}
+                    "transfer_http2_frames",
+                    "text_textrank_keywords",
+                    "multimodal_webm_meta"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
