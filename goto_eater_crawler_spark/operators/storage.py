@@ -927,3 +927,92 @@ def iceberg_scan_plan(meta: "DataFrame") -> "DataFrame":
             "record_count long, min_ts long, max_ts long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQLite database-file walk (sqlite.org/fileformat2.html) — the
+# row-store sidecar format a web corpus actually contains.
+# ---------------------------------------------------------------------------
+
+
+def synth_sqlite_blobs(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — one tiny .sqlite database per doc through
+    the OWN builder (functions/minisqlite): page 1 header+schema,
+    interior root, 1-2 leaves; integer values span serial-type
+    widths 1/2/3/4/5 plus the 0/1 constant types 8/9, with NULLs."""
+    import pandas as pd
+
+    from ..functions import minisqlite as sq
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 3 + d % 5
+                rows = []
+                for i in range(n):
+                    mag = (1, 100, 100000)[i % 3]
+                    rows.append(
+                        (
+                            i + 1,
+                            [
+                                d * 10 + i,
+                                f"r{d % 7}-{i}",
+                                (i + d) % 2,
+                                (1000 + (d * 13 + i * 7) % 60000
+                                 - 30000) * mag,
+                                None if (i + d) % 3 == 0
+                                else f"n{(d + i) % 5}",
+                            ],
+                        )
+                    )
+                ids.append(d)
+                payloads.append(sq.build_db("docs", rows))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def sqlite_decode(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> table summary through the OWN b-tree
+    walk: page/row counts, rowid bounds, integer-column sum, labels
+    in rowid order, NULL count. One Arrow map stage, no shuffle."""
+    import pandas as pd
+
+    from ..functions import minisqlite as sq
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = sq.read_db(bytes(blob))
+                recs = m["rows"]
+                rows.append(
+                    (
+                        int(d),
+                        int(m["n_pages"]),
+                        len(recs),
+                        int(recs[-1][0]),
+                        sum(v[3] for _, v in recs),
+                        ";".join(v[1] for _, v in recs),
+                        sum(1 for _, v in recs if v[4] is None),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_pages", "n_rows", "max_rowid",
+                    "sum_val", "labels", "n_nulls",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_pages int, n_rows int, max_rowid long, "
+            "sum_val long, labels string, n_nulls int"
+        ),
+    )

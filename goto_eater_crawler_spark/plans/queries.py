@@ -244,6 +244,9 @@ _GATE_ORDER: list[str] = [
     "transfer_http2_frames",
     "text_textrank_keywords",
     "multimodal_webm_meta",
+    "frontier_mercator_queues",
+    "events_decayed_counts",
+    "storage_sqlite_btree",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -10623,3 +10626,154 @@ def q_text_textrank_keywords(spark, sf_dir):
 def q_multimodal_webm_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _mm.webm_meta(_mm.synth_webm_blobs(d)).orderBy("doc_id")
+
+
+@_register(
+    "frontier_mercator_queues",
+    # Mercator two-level frontier scheduler (Heydon & Najork, WWW
+    # 1999 — the canonical crawler-architecture paper): URLs enter
+    # F=4 FRONT queues by priority band and drain into B=16 BACK
+    # queues keyed by host (one host's URLs always land in one back
+    # queue — the politeness invariant), each back queue ordered by
+    # its earliest due time (the heap key Mercator pops). Modeled
+    # over the frontier stand-in (events: user_id=host, ts=enqueue
+    # time): per back queue the depth, host count, head due-time,
+    # and the per-band composition the front queues feed it. Pure
+    # integer arithmetic; one groupBy, map-side combinable.
+    """
+    WITH f AS (
+      SELECT user_id AS host,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(1 + event_id % 4 AS INT) AS prio
+      FROM events),
+    q AS (SELECT host, sec, prio,
+                 CAST((host * 2654435761 + 7) % 16 AS INT) AS backq
+          FROM f)
+    SELECT backq,
+           CAST(count(*) AS BIGINT) AS depth,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(min(sec) AS BIGINT) AS next_due,
+           CAST(sum(CASE WHEN prio = 1 THEN 1 ELSE 0 END) AS BIGINT) AS band1,
+           CAST(sum(CASE WHEN prio = 2 THEN 1 ELSE 0 END) AS BIGINT) AS band2,
+           CAST(sum(CASE WHEN prio = 3 THEN 1 ELSE 0 END) AS BIGINT) AS band3,
+           CAST(sum(CASE WHEN prio = 4 THEN 1 ELSE 0 END) AS BIGINT) AS band4
+    FROM q GROUP BY backq ORDER BY backq
+    """,
+)
+def q_frontier_mercator_queues(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    q = e.select(
+        F.col("user_id").alias("host"),
+        F.unix_timestamp("ts").alias("sec"),
+        (1 + F.col("event_id") % 4).cast("int").alias("prio"),
+        ((F.col("user_id") * 2654435761 + 7) % 16)
+        .cast("int")
+        .alias("backq"),
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("depth"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        F.min("sec").cast("bigint").alias("next_due"),
+    ]
+    for b in range(1, 5):
+        aggs.append(
+            F.sum(F.when(F.col("prio") == b, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"band{b}")
+        )
+    return q.groupBy("backq").agg(*aggs).orderBy("backq")
+
+
+@_register(
+    "events_decayed_counts",
+    # Exponentially-decayed per-host activity counters (the
+    # half-life scoring behind recrawl schedulers and trending-host
+    # detection; cf. Cormode et al., "Exponentially Decayed
+    # Aggregates on Data Streams", ICDE 2008): weight = 2^-b where
+    # b = age-days//3 — the decay exponent is kept INTEGER so every
+    # weight is an exact dyadic rational and the per-host sums are
+    # bit-identical across engines with NO rounding (the engine's
+    # cross-engine float rule: transcendentals out, powers of two
+    # in). now() is the corpus max timestamp, carried in-plan as a
+    # 1-row broadcast — no driver round-trip. One map-side-
+    # combinable groupBy.
+    """
+    WITH s AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events),
+    mx AS (SELECT max(sec) AS now FROM s),
+    w AS (
+      SELECT user_id,
+             CAST(floor(floor((mx.now - sec) / 86400.0) / 3.0)
+                  AS BIGINT) AS b
+      FROM s CROSS JOIN mx)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS exact_cnt,
+           sum(1.0 / CAST(1 << b AS DOUBLE)) AS decayed_cnt,
+           CAST(min(b) AS BIGINT) AS newest_bucket
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_events_decayed_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    s = e.select("user_id", F.unix_timestamp("ts").alias("sec"))
+    mx = s.agg(F.max("sec").alias("now"))
+    w = s.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(
+            F.floor((F.col("now") - F.col("sec")) / 86400.0) / 3.0
+        ).cast("bigint").alias("b"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("exact_cnt"),
+            F.sum(
+                F.lit(1.0)
+                / F.expr("shiftleft(1L, cast(b as int))").cast("double")
+            ).alias("decayed_cnt"),
+            F.min("b").cast("bigint").alias("newest_bucket"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "storage_sqlite_btree",
+    # SQLite database-file walk (sqlite.org/fileformat2.html) — the
+    # row-store container a web corpus actually carries (app/site
+    # data exports): 100-byte header, the page-1 duality (schema
+    # b-tree header at offset 100, cell offsets page-relative),
+    # interior->leaf table b-tree with rowid-ascending and
+    # key==child-max invariants VERIFIED during the walk, SQLite's
+    # BIG-endian varints (a LEB128 reader fails immediately), and
+    # records at minimal integer serial widths incl. the 0/1
+    # zero-payload types. One Arrow map stage, no shuffle.
+    """
+    WITH j AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2
+               UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
+               UNION ALL SELECT 6),
+    r AS (
+      SELECT doc_id, i,
+             (1000 + (doc_id * 13 + i * 7) % 60000 - 30000)
+               * CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 100
+                 ELSE 100000 END AS val,
+             'r' || CAST(doc_id % 7 AS VARCHAR) || '-'
+               || CAST(i AS VARCHAR) AS label,
+             CASE WHEN (i + doc_id) % 3 = 0 THEN 1 ELSE 0 END AS nul
+      FROM documents CROSS JOIN j
+      WHERE i < 3 + doc_id % 5)
+    SELECT doc_id,
+           CAST(CASE WHEN 3 + doc_id % 5 > 4 THEN 4 ELSE 3 END AS INT)
+             AS n_pages,
+           CAST(3 + doc_id % 5 AS INT) AS n_rows,
+           CAST(3 + doc_id % 5 AS BIGINT) AS max_rowid,
+           CAST(sum(val) AS BIGINT) AS sum_val,
+           string_agg(label, ';' ORDER BY i) AS labels,
+           CAST(sum(nul) AS INT) AS n_nulls
+    FROM r GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_storage_sqlite_btree(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.sqlite_decode(_st.synth_sqlite_blobs(d)).orderBy("doc_id")

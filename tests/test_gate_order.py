@@ -144,7 +144,10 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "text_heaps_fit",
                     "transfer_http2_frames",
                     "text_textrank_keywords",
-                    "multimodal_webm_meta"}
+                    "multimodal_webm_meta",
+                    "frontier_mercator_queues",
+                    "events_decayed_counts",
+                    "storage_sqlite_btree"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
