@@ -319,3 +319,75 @@ def idn_canonicalize_sql(mod: int = 7) -> str:
            doc_id % 4 <> 3 AS changed
     FROM documents WHERE doc_id % {mod} = 0
     """
+
+
+# ---------------------------------------------------------------------------
+# Punycode (RFC 3492) — the OWN bootstring walk under the IDN fold
+# above (which uses the stdlib codec); xn-- labels decode back to
+# unicode through functions/minipuny's adaptive-bias decoder.
+# ---------------------------------------------------------------------------
+
+PUNY_CHARS = ["é", "ü", "ñ", "日", "本", "ア"]
+
+
+def synth_puny_labels(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, ascii_label) — xn-- hostname labels whose unicode
+    form mixes basic and extended code points; odd docs carry TWO
+    extended cps so insertion order and bias adaptation do real
+    work."""
+    import pandas as pd
+
+    from ..functions import minipuny
+
+    def batches(it):
+        for pdf in it:
+            ids, labels = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                uni = f"p{d % 3}" + PUNY_CHARS[d % 6]
+                if d % 2:
+                    uni += "m" + PUNY_CHARS[(d + 1) % 6]
+                uni += f"s{d % 5}"
+                ids.append(d)
+                labels.append("xn--" + minipuny.encode(uni))
+            yield pd.DataFrame({"doc_id": ids, "ascii_label": labels})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, ascii_label string"
+    )
+
+
+def puny_decode(labels: "DataFrame") -> "DataFrame":
+    """(doc_id, ascii_label) -> decoded unicode label + basic/
+    extended code-point counts, through the OWN RFC 3492 decoder.
+    One Arrow map stage, no shuffle."""
+    import pandas as pd
+
+    from ..functions import minipuny
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, lbl in zip(pdf["doc_id"], pdf["ascii_label"]):
+                if not lbl.startswith("xn--"):
+                    raise ValueError(f"not an IDNA label: {lbl!r}")
+                uni = minipuny.decode(lbl[4:])
+                rows.append(
+                    (
+                        int(d),
+                        uni,
+                        sum(1 for c in uni if ord(c) < 128),
+                        sum(1 for c in uni if ord(c) >= 128),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "uni_label", "n_basic", "n_extended"],
+            )
+
+    return labels.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, uni_label string, n_basic int, n_extended int"
+        ),
+    )

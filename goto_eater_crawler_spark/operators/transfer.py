@@ -1240,3 +1240,131 @@ def h2_decode(blobs: "DataFrame") -> "DataFrame":
             "goaway_last int, pings int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTTP range reassembly (RFC 9110 §14 / RFC 7233 multipart/
+# byteranges) — resumable fetches arrive as 206 parts; the corpus
+# op rebuilds full bodies, verifies overlaps, and flags gaps.
+# ---------------------------------------------------------------------------
+
+_RANGE_BOUNDARY = b"RANGE_SEP_3d6f"
+
+
+def synth_range_parts(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — one multipart/byteranges body per doc:
+    the full body split at the thirds; odd docs deliver parts OUT OF
+    ORDER, d%5==0 docs LOSE the middle part (gap), d%4==1 (non-gap)
+    docs overlap part 2 backwards by 2 bytes (the reassembler must
+    verify overlapping bytes agree)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                body = (f"PAYLOAD-{d}-" * (2 + d % 3)).encode()
+                total = len(body)
+                p1, p2 = total // 3, 2 * total // 3
+                ranges = [(0, p1 - 1), (p1, p2 - 1), (p2, total - 1)]
+                if d % 5 == 0:
+                    ranges = [ranges[0], ranges[2]]
+                elif d % 4 == 1:
+                    ranges[1] = (p1 - 2, p2 - 1)
+                if d % 2:
+                    ranges = ranges[::-1]
+                parts = []
+                for a, b in ranges:
+                    parts.append(
+                        b"--" + _RANGE_BOUNDARY + b"\r\n"
+                        b"Content-Type: text/plain\r\n"
+                        + f"Content-Range: bytes {a}-{b}/{total}\r\n"
+                        .encode()
+                        + b"\r\n" + body[a : b + 1] + b"\r\n"
+                    )
+                payload = b"".join(parts) + b"--" + _RANGE_BOUNDARY + b"--\r\n"
+                ids.append(d)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def range_reassemble(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> reassembled body ('-' when byte coverage
+    is incomplete), received-byte count, overlap-consistency
+    enforced (overlapping ranges must carry identical bytes — a
+    mismatch raises). One Arrow map stage, no shuffle."""
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(blob)
+                sep = b"--" + _RANGE_BOUNDARY
+                chunks = raw.split(sep)
+                if not chunks[-1].startswith(b"--"):
+                    raise ValueError("missing closing boundary")
+                buf: dict[int, int] = {}
+                total = None
+                n_parts = 0
+                for part in chunks[1:-1]:
+                    if not part.startswith(b"\r\n"):
+                        raise ValueError("malformed part prologue")
+                    head, _, body = part[2:].partition(b"\r\n\r\n")
+                    if not body.endswith(b"\r\n"):
+                        raise ValueError("part body missing CRLF")
+                    body = body[:-2]
+                    cr = None
+                    for line in head.split(b"\r\n"):
+                        if line.lower().startswith(b"content-range:"):
+                            cr = line.split(b":", 1)[1].strip()
+                    if cr is None or not cr.startswith(b"bytes "):
+                        raise ValueError("missing Content-Range")
+                    rng, tot = cr[6:].split(b"/")
+                    a, b = (int(x) for x in rng.split(b"-"))
+                    tot = int(tot)
+                    if total is None:
+                        total = tot
+                    elif total != tot:
+                        raise ValueError("inconsistent complete-length")
+                    if b - a + 1 != len(body):
+                        raise ValueError("range width != part length")
+                    for i, byte in enumerate(body):
+                        pos = a + i
+                        if pos in buf and buf[pos] != byte:
+                            raise ValueError(
+                                f"overlap mismatch at byte {pos}"
+                            )
+                        buf[pos] = byte
+                    n_parts += 1
+                complete = total is not None and len(buf) == total
+                rows.append(
+                    (
+                        int(d),
+                        int(total),
+                        n_parts,
+                        complete,
+                        len(buf),
+                        bytes(
+                            buf[i] for i in range(total)
+                        ).decode() if complete else "-",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "total", "n_parts", "complete",
+                    "received", "body",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, total bigint, n_parts int, complete boolean, "
+            "received bigint, body string"
+        ),
+    )

@@ -247,6 +247,8 @@ _GATE_ORDER: list[str] = [
     "frontier_mercator_queues",
     "events_decayed_counts",
     "storage_sqlite_btree",
+    "url_punycode_decode",
+    "transfer_range_reassembly",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -10777,3 +10779,74 @@ def q_events_decayed_counts(spark, sf_dir):
 def q_storage_sqlite_btree(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _st.sqlite_decode(_st.synth_sqlite_blobs(d)).orderBy("doc_id")
+
+
+def _puny_char_case(expr: str) -> str:
+    from ..operators.charset import PUNY_CHARS
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(PUNY_CHARS)
+    )
+    return f"(CASE {expr} {whens} END)"
+
+
+@_register(
+    "url_punycode_decode",
+    # Punycode decode (RFC 3492) through the OWN bootstring walk —
+    # the adaptive-bias generalized-variable-length integers under
+    # every xn-- hostname (the IDN gate folds THROUGH the stdlib
+    # codec; this one owns the algorithm, pinned to the RFC §7.1
+    # vectors and stdlib parity in pytest). Odd docs interleave two
+    # extended code points so the insertion ordering and bias
+    # adaptation are live. One Arrow map stage, no shuffle.
+    f"""
+    SELECT doc_id,
+           'p' || CAST(doc_id % 3 AS VARCHAR)
+             || {_puny_char_case('doc_id % 6')}
+             || CASE WHEN doc_id % 2 = 1
+                THEN 'm' || {_puny_char_case('(doc_id + 1) % 6')}
+                ELSE '' END
+             || 's' || CAST(doc_id % 5 AS VARCHAR) AS uni_label,
+           CAST(4 + doc_id % 2 AS INT) AS n_basic,
+           CAST(1 + doc_id % 2 AS INT) AS n_extended
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_url_punycode_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _cset.puny_decode(_cset.synth_puny_labels(d)).orderBy("doc_id")
+
+
+@_register(
+    "transfer_range_reassembly",
+    # HTTP range reassembly (RFC 9110 §14 / RFC 7233 multipart/
+    # byteranges) — resumable fetches land as 206 parts; the corpus
+    # op rebuilds the body from Content-Range offsets with parts
+    # OUT OF ORDER on odd docs, verifies 2-byte OVERLAPS carry
+    # identical bytes (d%4==1), and flags coverage GAPS (d%5==0
+    # docs lose the middle third; body becomes the '-' sentinel and
+    # received counts only covered bytes). One Arrow map stage.
+    """
+    WITH b AS (
+      SELECT doc_id,
+             (9 + length(CAST(doc_id AS VARCHAR))) * (2 + doc_id % 3)
+               AS total
+      FROM documents)
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS total,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 3 END AS INT)
+             AS n_parts,
+           doc_id % 5 <> 0 AS complete,
+           CAST(CASE WHEN doc_id % 5 = 0
+                THEN total - (CAST(floor(2 * total / 3.0) AS BIGINT)
+                              - CAST(floor(total / 3.0) AS BIGINT))
+                ELSE total END AS BIGINT) AS received,
+           CASE WHEN doc_id % 5 = 0 THEN '-'
+                ELSE repeat('PAYLOAD-' || CAST(doc_id AS VARCHAR) || '-',
+                            CAST(2 + doc_id % 3 AS INT)) END AS body
+    FROM b ORDER BY doc_id
+    """,
+)
+def q_transfer_range_reassembly(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _tx.range_reassemble(_tx.synth_range_parts(d)).orderBy("doc_id")

@@ -147,7 +147,9 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "multimodal_webm_meta",
                     "frontier_mercator_queues",
                     "events_decayed_counts",
-                    "storage_sqlite_btree"}
+                    "storage_sqlite_btree",
+                    "url_punycode_decode",
+                    "transfer_range_reassembly"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
