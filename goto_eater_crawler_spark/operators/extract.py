@@ -176,3 +176,90 @@ def split_records_links(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
     )
     return records, links
+
+
+# ---------------------------------------------------------------------------
+# Source-map mappings decode (Source Map v3 / ECMA-426) — .map
+# sidecars of shipped JS; base64-VLQ via functions/minivlq.
+# ---------------------------------------------------------------------------
+
+
+def synth_sourcemaps(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, mappings) — per doc a mappings string over 2-4
+    generated lines, 1-3 segments each, with NEGATIVE source-column
+    deltas on odd segments (the VLQ sign bit is live)."""
+    import pandas as pd
+
+    from ..functions import minivlq
+
+    def batches(it):
+        for pdf in it:
+            ids, maps = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                lines = []
+                for line in range(2 + d % 3):
+                    segs = []
+                    for s in range(1 + (d + line) % 3):
+                        segs.append(
+                            [
+                                1 + (d + line + s) % 3,
+                                0,
+                                (line + s + d) % 2,
+                                1 if s % 2 == 0 else -1,
+                            ]
+                        )
+                    lines.append(segs)
+                ids.append(d)
+                maps.append(minivlq.encode_mappings(lines))
+            yield pd.DataFrame({"doc_id": ids, "mappings": maps})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, mappings string"
+    )
+
+
+def sourcemap_decode(maps: "DataFrame") -> "DataFrame":
+    """(doc_id, mappings) -> structural summary from ABSOLUTE
+    positions after delta resolution: line/segment counts, the last
+    segment's source line/column (the cross-line accumulators), and
+    the total generated-column advance (sum of per-line last
+    columns). One Arrow map stage, no shuffle."""
+    import pandas as pd
+
+    from ..functions import minivlq
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, s in zip(pdf["doc_id"], pdf["mappings"]):
+                m = minivlq.decode_mappings(s)
+                last = m["segments"][-1]
+                per_line_last = {}
+                for gl, gc, *_ in m["segments"]:
+                    per_line_last[gl] = gc
+                rows.append(
+                    (
+                        int(d),
+                        int(m["n_lines"]),
+                        int(m["n_segments"]),
+                        int(last[3]),
+                        int(last[4]),
+                        int(sum(per_line_last.values())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_lines", "n_segments",
+                    "last_src_line", "last_src_col", "col_advance",
+                ],
+            )
+
+    return maps.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_lines int, n_segments int, "
+            "last_src_line int, last_src_col int, col_advance int"
+        ),
+    )

@@ -1016,3 +1016,75 @@ def sqlite_decode(blobs: "DataFrame") -> "DataFrame":
             "sum_val long, labels string, n_nulls int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5 compressed cross-references (ISO 32000-1 §7.5.7/7.5.8) —
+# modern web PDFs; the classic-xref walk (minipdf, the reference's
+# fixture shape) cannot open these.
+# ---------------------------------------------------------------------------
+
+
+def synth_pdf15_blobs(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — a 2-page PDF 1.5 per doc through the OWN
+    builder (functions/minipdf15): Flate content streams, catalog/
+    page tree packed in an object stream, Up-predicted XRef
+    stream."""
+    import pandas as pd
+
+    from ..functions import minipdf15
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pages = [
+                    [
+                        [f"n{d % 7}", f"a{d % 5}"],
+                        [f"g{d % 3}", f"t{d % 9}"],
+                    ],
+                    [[f"z{d % 4}", f"w{d % 11}"]],
+                ]
+                ids.append(d)
+                payloads.append(minipdf15.write_pdf15(pages))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def pdf15_extract(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> per-page cell text through the 1.5
+    structural walk (XRef stream + predictor + ObjStm). One Arrow
+    map stage, no shuffle."""
+    import pandas as pd
+
+    from ..functions import minipdf15
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                pages = minipdf15.extract_text_rows(bytes(blob))
+                texts = [
+                    "|".join(
+                        cell for row in page for _, cell in row
+                    )
+                    for page in pages
+                ]
+                rows.append(
+                    (int(d), len(pages), texts[0], texts[1])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pages", "p1_text", "p2_text"],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_pages int, p1_text string, p2_text string"
+        ),
+    )

@@ -249,6 +249,9 @@ _GATE_ORDER: list[str] = [
     "storage_sqlite_btree",
     "url_punycode_decode",
     "transfer_range_reassembly",
+    "storage_pdf_xref_stream",
+    "web_sourcemap_decode",
+    "http_cookie_match",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -10850,3 +10853,190 @@ def q_url_punycode_decode(spark, sf_dir):
 def q_transfer_range_reassembly(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _tx.range_reassemble(_tx.synth_range_parts(d)).orderBy("doc_id")
+
+
+@_register(
+    "storage_pdf_xref_stream",
+    # PDF 1.5 compressed cross-references (ISO 32000-1 §7.5.7/
+    # §7.5.8) — the modern-web PDF shape the classic-xref walk
+    # (minipdf; S6's fixture PDFs) cannot open: the xref is itself a
+    # Flate STREAM of fixed-width binary rows run through the PNG
+    # **Up predictor** (skip it and every offset after row 1 is
+    # garbage), catalog/page-tree objects live inside an /ObjStm
+    # container reached through type-2 entries, and content streams
+    # are FlateDecode (real zlib). One Arrow map stage, no shuffle.
+    """
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_pages,
+           'n' || CAST(doc_id % 7 AS VARCHAR) || '|a'
+             || CAST(doc_id % 5 AS VARCHAR) || '|g'
+             || CAST(doc_id % 3 AS VARCHAR) || '|t'
+             || CAST(doc_id % 9 AS VARCHAR) AS p1_text,
+           'z' || CAST(doc_id % 4 AS VARCHAR) || '|w'
+             || CAST(doc_id % 11 AS VARCHAR) AS p2_text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_storage_pdf_xref_stream(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.pdf15_extract(_st.synth_pdf15_blobs(d)).orderBy("doc_id")
+
+
+from ..operators import extract as _ex  # noqa: E402
+
+
+@_register(
+    "web_sourcemap_decode",
+    # Source-map mappings walk (Source Map v3 / ECMA-426) — the .map
+    # sidecars beside a large share of shipped JS; decoding the
+    # mappings field recovers minified-code provenance. Base64-VLQ
+    # via the OWN walk (functions/minivlq): 5-bit little-endian
+    # continuation groups (the OPPOSITE byte order of the SQLite
+    # varints), sign in the decoded LSB (live here via negative
+    # source-column deltas), ';' resetting ONLY the generated-column
+    # accumulator while source line/col accumulate across lines.
+    # One Arrow map stage, no shuffle.
+    """
+    WITH l AS (SELECT 0 AS l UNION ALL SELECT 1 UNION ALL SELECT 2
+               UNION ALL SELECT 3),
+    s AS (SELECT 0 AS s UNION ALL SELECT 1 UNION ALL SELECT 2),
+    seg AS (
+      SELECT doc_id, l.l, s.s
+      FROM documents CROSS JOIN l CROSS JOIN s
+      WHERE l.l < 2 + doc_id % 3
+        AND s.s < 1 + (doc_id + l.l) % 3)
+    SELECT doc_id,
+           CAST(2 + doc_id % 3 AS INT) AS n_lines,
+           CAST(count(*) AS INT) AS n_segments,
+           CAST(sum((l + s + doc_id) % 2) AS INT) AS last_src_line,
+           CAST(sum(CASE WHEN s % 2 = 0 THEN 1 ELSE -1 END) AS INT)
+             AS last_src_col,
+           CAST(sum(1 + (doc_id + l + s) % 3) AS INT) AS col_advance
+    FROM seg GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_web_sourcemap_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _ex.sourcemap_decode(_ex.synth_sourcemaps(d)).orderBy("doc_id")
+
+
+# RFC 6265 cookie jar — module constant shared verbatim by the Spark
+# plan (literal broadcast dim) and the DuckDB oracle (VALUES list).
+_COOKIE_JAR = [
+    # (name, domain, host_only, path, secure)
+    ("sid", "example.org", False, "/", False),
+    ("pref", "www.example.org", True, "/", False),
+    ("cart", "example.org", False, "/a", False),
+    ("tok", "example.org", False, "/a/b", True),
+    ("cdn", "cdn.example.org", True, "/", False),
+    ("oth", "other.net", False, "/", False),
+    ("deep", "example.org", False, "/a/", False),
+    ("sec", "www.example.org", True, "/", True),
+]
+
+
+def _cookie_values_sql() -> str:
+    rows = ", ".join(
+        f"('{n}', '{d}', {str(ho).lower()}, '{p}', {str(sec).lower()})"
+        for n, d, ho, p, sec in _COOKIE_JAR
+    )
+    return f"(VALUES {rows}) AS jar(cname, cdomain, host_only, cpath, csecure)"
+
+
+@_register(
+    "http_cookie_match",
+    # RFC 6265 cookie applicability (§5.1.3 domain-match, §5.1.4
+    # path-match, §5.4 ordering) — the session-crawl arm (S8) needs
+    # exactly this to know which stored cookies ride on each fetch:
+    # host-only cookies match the exact host ONLY, domain cookies
+    # match the host or any dot-boundary suffix; a cookie path
+    # matches on equality, a '/'-terminated prefix, or a prefix cut
+    # at a '/' boundary ('/a' matches '/a/b/c' but NOT '/ab');
+    # Secure cookies ride only on https; the Cookie header orders
+    # longer paths first. Jar is an 8-row broadcast dim; one
+    # broadcast join + one groupBy.
+    f"""
+    WITH req AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'www.example.org'
+                  WHEN 1 THEN 'sub.example.org'
+                  WHEN 2 THEN 'example.org'
+                  ELSE 'other.net' END AS host,
+             CASE doc_id % 3 WHEN 0 THEN '/' WHEN 1 THEN '/a'
+                  ELSE '/a/b/c' END AS path,
+             doc_id % 2 = 1 AS https
+      FROM documents),
+    m AS (
+      SELECT req.doc_id, jar.cname, jar.cpath
+      FROM req JOIN {_cookie_values_sql()}
+        ON (req.host = jar.cdomain
+            OR (NOT jar.host_only
+                AND req.host LIKE '%.' || jar.cdomain))
+       AND (req.path = jar.cpath
+            OR (jar.cpath = substr(req.path, 1, length(jar.cpath))
+                AND (substr(jar.cpath, length(jar.cpath), 1) = '/'
+                     OR substr(req.path, length(jar.cpath) + 1, 1)
+                        = '/')))
+       AND (NOT jar.csecure OR req.https))
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_matched,
+           string_agg(cname, ';' ORDER BY length(cpath) DESC, cname)
+             AS cookie_header
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_http_cookie_match(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    req = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, "www.example.org")
+        .when(F.col("doc_id") % 4 == 1, "sub.example.org")
+        .when(F.col("doc_id") % 4 == 2, "example.org")
+        .otherwise("other.net")
+        .alias("host"),
+        F.when(F.col("doc_id") % 3 == 0, "/")
+        .when(F.col("doc_id") % 3 == 1, "/a")
+        .otherwise("/a/b/c")
+        .alias("path"),
+        (F.col("doc_id") % 2 == 1).alias("https"),
+    )
+    jar = spark.createDataFrame(
+        _COOKIE_JAR,
+        "cname string, cdomain string, host_only boolean, "
+        "cpath string, csecure boolean",
+    )
+    domain_ok = (F.col("host") == F.col("cdomain")) | (
+        (~F.col("host_only"))
+        & F.col("host").endswith(F.concat(F.lit("."), F.col("cdomain")))
+    )
+    plen = F.length("cpath")
+    path_ok = (
+        (F.col("path") == F.col("cpath"))
+        | (
+            (F.col("cpath") == F.expr("substr(path, 1, length(cpath))"))
+            & (
+                (F.expr("substr(cpath, length(cpath), 1)") == "/")
+                | (F.expr("substr(path, length(cpath) + 1, 1)") == "/")
+            )
+        )
+    )
+    secure_ok = (~F.col("csecure")) | F.col("https")
+    m = req.join(
+        F.broadcast(jar), domain_ok & path_ok & secure_ok
+    ).select(
+        "doc_id",
+        F.struct(
+            (-plen).alias("a"), F.col("cname").alias("b")
+        ).alias("k"),
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_matched"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(k)), x -> x.b)"),
+                ";",
+            ).alias("cookie_header"),
+        )
+        .orderBy("doc_id")
+    )

@@ -149,7 +149,10 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "events_decayed_counts",
                     "storage_sqlite_btree",
                     "url_punycode_decode",
-                    "transfer_range_reassembly"}
+                    "transfer_range_reassembly",
+                    "storage_pdf_xref_stream",
+                    "web_sourcemap_decode",
+                    "http_cookie_match"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
