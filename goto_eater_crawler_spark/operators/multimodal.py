@@ -2388,3 +2388,91 @@ def webm_meta(blobs: DataFrame) -> DataFrame:
             "width int, height int, a_codec string, channels int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WOFF 1.0 web-font container (W3C) — fonts are a top non-image
+# byte class in a crawl; inventory without a font engine.
+# ---------------------------------------------------------------------------
+
+
+def synth_woff_blobs(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) — a 3-table WOFF per doc via the OWN
+    builder: a compressible cmap + name (zlib really applied) and a
+    high-entropy glyf stored RAW (the never-expand rule is live on
+    every doc)."""
+
+    from ..functions import miniwoff
+
+    def _xs_bytes(seed: int, n: int) -> bytes:
+        x = (seed * 2654435761 + 1) % (1 << 32) or 1
+        out = bytearray()
+        for _ in range(n):
+            x ^= (x << 13) & 0xFFFFFFFF
+            x ^= x >> 17
+            x ^= (x << 5) & 0xFFFFFFFF
+            out.append(x & 0xFF)
+        return bytes(out)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                tables = [
+                    (b"cmap", (f"map{d % 9}-" * 20).encode()),
+                    (b"glyf", _xs_bytes(d, 40 + d % 20)),
+                    (b"name", (f"Font Family {d % 50} " * 6).encode()),
+                ]
+                flavor = (
+                    miniwoff.FLAVOR_TTF if d % 2 == 0
+                    else miniwoff.FLAVOR_CFF
+                )
+                ids.append(d)
+                payloads.append(miniwoff.build_woff(tables, flavor))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def woff_meta(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> verified font inventory (checksums and
+    totalSfntSize recomputed during the walk). One Arrow map
+    stage."""
+
+    from ..functions import miniwoff
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = miniwoff.read_woff(bytes(blob))
+                rows.append(
+                    (
+                        int(d),
+                        m["flavor"],
+                        int(m["n_tables"]),
+                        sum(1 for t in m["tables"] if t["compressed"]),
+                        ";".join(t["tag"] for t in m["tables"]),
+                        sum(t["orig_len"] for t in m["tables"]),
+                        int(m["sfnt_size"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "flavor", "n_tables", "n_compressed",
+                    "tags", "orig_total", "sfnt_size",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, flavor string, n_tables int, "
+            "n_compressed int, tags string, orig_total bigint, "
+            "sfnt_size bigint"
+        ),
+    )

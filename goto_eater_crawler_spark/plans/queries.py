@@ -252,6 +252,10 @@ _GATE_ORDER: list[str] = [
     "storage_pdf_xref_stream",
     "web_sourcemap_decode",
     "http_cookie_match",
+    "multimodal_woff_meta",
+    "html_css_urls",
+    "url_hsts_upgrade",
+    "robots_failure_policy",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -11040,3 +11044,274 @@ def q_http_cookie_match(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "multimodal_woff_meta",
+    # WOFF 1.0 web-font walk (W3C WOFF File Format 1.0) — fonts are
+    # a top non-image byte class in a crawl; the walk inventories
+    # flavor/tables/true sizes and VERIFIES the format's own
+    # integrity rules: per-table sfnt checksums (sum of BE uint32s
+    # over 4-padded data), the never-expand rule (a table is zlib'd
+    # iff it shrank — the high-entropy glyf stays raw on every doc),
+    # and the recomputed totalSfntSize (12 + 16n + 4-aligned
+    # origLengths). Real zlib both directions. One Arrow map stage.
+    """
+    WITH t AS (
+      SELECT doc_id,
+             40 + doc_id % 20 AS glyf_len,
+             (13 + length(CAST(doc_id % 50 AS VARCHAR))) * 6 AS name_len
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ttf' ELSE 'cff' END AS flavor,
+           CAST(3 AS INT) AS n_tables,
+           CAST(2 AS INT) AS n_compressed,
+           'cmap;glyf;name' AS tags,
+           CAST(100 + glyf_len + name_len AS BIGINT) AS orig_total,
+           CAST(12 + 48 + 100
+                + CAST(floor((glyf_len + 3) / 4.0) AS BIGINT) * 4
+                + CAST(floor((name_len + 3) / 4.0) AS BIGINT) * 4
+                AS BIGINT) AS sfnt_size
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_multimodal_woff_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _mm.woff_meta(_mm.synth_woff_blobs(d)).orderBy("doc_id")
+
+
+@_register(
+    "html_css_urls",
+    # CSS url() frontier mining — stylesheets are a real link source
+    # (background images, @font-face) the HTML <a>-extraction
+    # families never see. The token grammar's THREE url() forms are
+    # all live per doc: single-quoted, double-quoted, and bare
+    # (CSS Syntax Module §4.3.6). Extraction is PURE CATALYST
+    # (regexp_extract_all + explode — no Python stage; the
+    # whole-stage-codegen path), root-relative refs resolve against
+    # the doc's host.
+    """
+    WITH e AS (
+      SELECT doc_id, 0 AS ref_idx,
+             '/img/a' || CAST(doc_id % 9 AS VARCHAR) || '.png' AS raw
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1,
+             'https://cdn.example.org/b' || CAST(doc_id % 7 AS VARCHAR)
+               || '.webp'
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2,
+             '/fonts/f' || CAST(doc_id % 5 AS VARCHAR) || '.woff2'
+      FROM documents)
+    SELECT doc_id, CAST(ref_idx AS INT) AS ref_idx,
+           CASE WHEN raw LIKE '/%'
+                THEN 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                     || '.example.org' || raw
+                ELSE raw END AS url,
+           CASE WHEN raw LIKE '%.woff2' THEN 'font' ELSE 'image' END
+             AS kind
+    FROM e ORDER BY doc_id, ref_idx
+    """,
+)
+def q_html_css_urls(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    css = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(".a{background:url('/img/a"),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit(".png')} .b{background:url(\"https://cdn.example.org/b"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.webp")} @font-face{src:url(/fonts/f'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".woff2)}"),
+        ).alias("css"),
+    )
+    refs = css.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                r"""regexp_extract_all(css,
+                    'url\\(\\s*[\'"]?([^\'")\\s]+)[\'"]?\\s*\\)', 1)"""
+            )
+        ).alias("ref_idx", "raw"),
+    )
+    return refs.select(
+        "doc_id",
+        F.col("ref_idx").cast("int").alias("ref_idx"),
+        F.when(
+            F.col("raw").startswith("/"),
+            F.concat(
+                F.lit("https://h"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.org"),
+                F.col("raw"),
+            ),
+        )
+        .otherwise(F.col("raw"))
+        .alias("url"),
+        F.when(F.col("raw").endswith(".woff2"), "font")
+        .otherwise("image")
+        .alias("kind"),
+    ).orderBy("doc_id", "ref_idx")
+
+
+# HSTS preload dim — module constant shared by both arms.
+_HSTS_PRELOAD = [
+    ("example.org", True),
+    ("secure.net", False),
+    ("cdn.example.org", True),
+]
+
+
+@_register(
+    "url_hsts_upgrade",
+    # HSTS scheme upgrade (RFC 6797 §8.2/§8.3 + the Chromium preload
+    # list semantics): before fetching an http:// URL the frontier
+    # consults the known-HSTS set — exact host match always
+    # upgrades; a PARENT domain entry upgrades subdomains only when
+    # its includeSubDomains flag is set (www.secure.net stays http
+    # because secure.net's flag is false). The preload set is a
+    # 3-row broadcast dim; upgrade is a projection — no shuffle
+    # beyond the final sort.
+    f"""
+    WITH req AS (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 'example.org'
+                  WHEN 1 THEN 'www.example.org'
+                  WHEN 2 THEN 'secure.net'
+                  WHEN 3 THEN 'www.secure.net'
+                  ELSE 'plain.org' END AS host
+      FROM documents),
+    hits AS (
+      SELECT req.doc_id, max(CASE WHEN req.host = h.host
+                                  OR (h.inc_sub AND req.host LIKE
+                                      '%.' || h.host)
+                             THEN 1 ELSE 0 END) AS up
+      FROM req
+      CROSS JOIN (VALUES {", ".join(
+          f"('{h}', {str(s).lower()})" for h, s in _HSTS_PRELOAD
+      )}) AS h(host, inc_sub)
+      GROUP BY req.doc_id)
+    SELECT req.doc_id,
+           'http://' || req.host || '/p/' || CAST(req.doc_id AS VARCHAR)
+             AS url_in,
+           CASE WHEN hits.up = 1 THEN 'https' ELSE 'http' END
+             || '://' || req.host || '/p/'
+             || CAST(req.doc_id AS VARCHAR) AS url_out,
+           hits.up = 1 AS upgraded
+    FROM req JOIN hits ON req.doc_id = hits.doc_id
+    ORDER BY req.doc_id
+    """,
+)
+def q_url_hsts_upgrade(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    req = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, "example.org")
+        .when(F.col("doc_id") % 5 == 1, "www.example.org")
+        .when(F.col("doc_id") % 5 == 2, "secure.net")
+        .when(F.col("doc_id") % 5 == 3, "www.secure.net")
+        .otherwise("plain.org")
+        .alias("host"),
+    )
+    dim = spark.createDataFrame(
+        _HSTS_PRELOAD, "phost string, inc_sub boolean"
+    )
+    hit = (F.col("host") == F.col("phost")) | (
+        F.col("inc_sub")
+        & F.col("host").endswith(F.concat(F.lit("."), F.col("phost")))
+    )
+    joined = (
+        req.join(F.broadcast(dim), hit, "left")
+        .groupBy("doc_id", "host")
+        .agg(F.max(F.col("phost").isNotNull()).alias("upgraded"))
+    )
+    path = F.concat(
+        F.lit("://"),
+        F.col("host"),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat(F.lit("http"), path).alias("url_in"),
+        F.concat(
+            F.when(F.col("upgraded"), "https").otherwise("http"), path
+        ).alias("url_out"),
+        "upgraded",
+    ).orderBy("doc_id")
+
+
+@_register(
+    "robots_failure_policy",
+    # robots.txt unavailability semantics (RFC 9309 §2.3.1) — what a
+    # crawler may fetch when /robots.txt itself does not parse: 2xx
+    # parses rules (here: /private subtree disallowed on even
+    # hosts); 3xx follows to the target's rules (same arm after one
+    # hop); 4xx (incl. 401/403) means UNRESTRICTED access; 5xx means
+    # complete DISALLOW (the MUST NOT of §2.3.1.4 until the
+    # 30-day/unreachable relaxation). The reference's scrapy stack
+    # delegates this matrix to RobotsTxtMiddleware; here it is an
+    # explicit projection the frontier filter applies.
+    """
+    WITH r AS (
+      SELECT doc_id,
+             CASE doc_id % 6 WHEN 0 THEN 200 WHEN 1 THEN 301
+                  WHEN 2 THEN 404 WHEN 3 THEN 403 WHEN 4 THEN 503
+                  ELSE 500 END AS status,
+             CASE WHEN doc_id % 2 = 1 THEN '/private/x'
+                  ELSE '/pub/y' END AS path,
+             doc_id % 4 = 0 AS rules_disallow_private
+      FROM documents)
+    SELECT doc_id, CAST(status AS INT) AS status, path,
+           CASE WHEN status >= 500 THEN FALSE
+                WHEN status >= 400 THEN TRUE
+                WHEN rules_disallow_private
+                     AND path LIKE '/private%' THEN FALSE
+                ELSE TRUE END AS allowed,
+           CASE WHEN status >= 500 THEN 'unavailable-disallow'
+                WHEN status >= 400 THEN 'unrestricted'
+                WHEN rules_disallow_private
+                     AND path LIKE '/private%' THEN 'rule-disallow'
+                ELSE 'rule-allow' END AS reason
+    FROM r ORDER BY doc_id
+    """,
+)
+def q_robots_failure_policy(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    r = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0, 200)
+        .when(F.col("doc_id") % 6 == 1, 301)
+        .when(F.col("doc_id") % 6 == 2, 404)
+        .when(F.col("doc_id") % 6 == 3, 403)
+        .when(F.col("doc_id") % 6 == 4, 503)
+        .otherwise(500)
+        .cast("int")
+        .alias("status"),
+        F.when(F.col("doc_id") % 2 == 1, "/private/x")
+        .otherwise("/pub/y")
+        .alias("path"),
+        (F.col("doc_id") % 4 == 0).alias("rules_disallow_private"),
+    )
+    disallowed_by_rule = F.col("rules_disallow_private") & F.col(
+        "path"
+    ).startswith("/private")
+    allowed = (
+        F.when(F.col("status") >= 500, F.lit(False))
+        .when(F.col("status") >= 400, F.lit(True))
+        .when(disallowed_by_rule, F.lit(False))
+        .otherwise(F.lit(True))
+    )
+    reason = (
+        F.when(F.col("status") >= 500, "unavailable-disallow")
+        .when(F.col("status") >= 400, "unrestricted")
+        .when(disallowed_by_rule, "rule-disallow")
+        .otherwise("rule-allow")
+    )
+    return r.select(
+        "doc_id", "status", "path",
+        allowed.alias("allowed"), reason.alias("reason"),
+    ).orderBy("doc_id")

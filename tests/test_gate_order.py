@@ -152,7 +152,11 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "transfer_range_reassembly",
                     "storage_pdf_xref_stream",
                     "web_sourcemap_decode",
-                    "http_cookie_match"}
+                    "http_cookie_match",
+                    "multimodal_woff_meta",
+                    "html_css_urls",
+                    "url_hsts_upgrade",
+                    "robots_failure_policy"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
