@@ -263,3 +263,129 @@ def sourcemap_decode(maps: "DataFrame") -> "DataFrame":
             "last_src_line int, last_src_col int, col_advance int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# schema.org MICRODATA extraction (WHATWG HTML §microdata) — the
+# attribute-based sibling of the JSON-LD gate: itemscope/itemtype/
+# itemprop with real nesting rules over the minihtml span DOM.
+# ---------------------------------------------------------------------------
+
+
+def synth_microdata_pages(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, html) — a Restaurant itemscope with a NESTED
+    PostalAddress itemscope (whose props must NOT leak to the outer
+    item), meta/content and a/href property forms, a WebSite
+    distractor itemscope (order swaps by parity), and non-itemprop
+    noise."""
+
+    def batches(it):
+        for pdf in it:
+            ids, htmls = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rest = (
+                    '<div itemscope itemtype="https://schema.org/'
+                    'Restaurant">'
+                    f'<span itemprop="name">Shop {d}</span>'
+                    '<div itemprop="address" itemscope itemtype='
+                    '"https://schema.org/PostalAddress">'
+                    f'<span itemprop="streetAddress">{d % 90 + 1}'
+                    " Main St</span>"
+                    f'<meta itemprop="postalCode" content='
+                    f'"{d % 1000:03d}-0001">'
+                    "</div>"
+                    f'<a itemprop="menu" href="/menu/{d % 9}">Menu</a>'
+                    '<span class="noise">nope</span>'
+                    f'<span itemprop="servesCuisine">cuisine{d % 7}'
+                    "</span></div>"
+                )
+                site = (
+                    '<div itemscope itemtype="https://schema.org/'
+                    'WebSite"><span itemprop="name">Eatlog</span></div>'
+                )
+                body = site + rest if d % 2 == 0 else rest + site
+                ids.append(d)
+                htmls.append(f"<html><body>{body}</body></html>")
+            yield pd.DataFrame({"doc_id": ids, "html": htmls})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, html string"
+    )
+
+
+def microdata_extract(pages: "DataFrame") -> "DataFrame":
+    """(doc_id, html) -> Restaurant fields through the microdata
+    walk: property value = content attr for <meta>, href for
+    <a>/<link>, inner text otherwise; an itemprop carrying its own
+    itemscope becomes a SUB-ITEM whose props stay scoped to it.
+    One Arrow map stage, no shuffle."""
+
+    from ..functions import minihtml
+
+    def walk_item(node):
+        """Collect {prop: value-or-subitem} for one itemscope node,
+        not crossing nested itemscope boundaries."""
+        props = {}
+
+        def rec(n):
+            for c in n.children:
+                p = c.get("itemprop")
+                if p is not None:
+                    if c.get("itemscope") is not None:
+                        props[p] = walk_item(c)
+                        continue  # nested scope: do not descend
+                    if c.tag == "meta":
+                        props[p] = c.get("content") or ""
+                    elif c.tag in ("a", "link"):
+                        props[p] = c.get("href") or ""
+                    else:
+                        props[p] = c.text()
+                if c.get("itemscope") is None:
+                    rec(c)
+
+        rec(node)
+        return props
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, html in zip(pdf["doc_id"], pdf["html"]):
+                root = minihtml.parse(html)
+                rest = None
+                for n in root.iter():
+                    if (
+                        n.get("itemscope") is not None
+                        and (n.get("itemtype") or "").endswith(
+                            "/Restaurant"
+                        )
+                    ):
+                        rest = n
+                        break
+                props = walk_item(rest)
+                addr = props["address"]
+                rows.append(
+                    (
+                        int(d),
+                        props["name"],
+                        addr["streetAddress"],
+                        addr["postalCode"],
+                        props["menu"],
+                        props["servesCuisine"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "name", "street", "postal", "menu",
+                    "cuisine",
+                ],
+            )
+
+    return pages.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, name string, street string, postal string, "
+            "menu string, cuisine string"
+        ),
+    )

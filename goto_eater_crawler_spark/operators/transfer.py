@@ -1368,3 +1368,129 @@ def range_reassemble(blobs: "DataFrame") -> "DataFrame":
             "received bigint, body string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTTP-date parsing (RFC 9110 §5.6.7) — Last-Modified / Expires /
+# Retry-After arrive in THREE legal formats; recrawl scheduling
+# depends on reading all of them.
+# ---------------------------------------------------------------------------
+
+_MONTHS = [
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+]
+_WDAYS = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+_WDAYS_LONG = [
+    "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+    "Saturday", "Sunday",
+]
+
+
+def _days_from_civil(y: int, m: int, d: int) -> int:
+    """Days since 1970-01-01, pure integer (the civil-calendar
+    algorithm; no datetime/locale involvement)."""
+    y -= m <= 2
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def format_http_date(
+    y: int, mo: int, d: int, hh: int, mm: int, ss: int, fmt: str
+) -> str:
+    wd = (_days_from_civil(y, mo, d) + 3) % 7  # 1970-01-01 = Thursday
+    if fmt == "imf":
+        return (
+            f"{_WDAYS[wd]}, {d:02d} {_MONTHS[mo - 1]} {y} "
+            f"{hh:02d}:{mm:02d}:{ss:02d} GMT"
+        )
+    if fmt == "rfc850":
+        return (
+            f"{_WDAYS_LONG[wd]}, {d:02d}-{_MONTHS[mo - 1]}-{y % 100:02d} "
+            f"{hh:02d}:{mm:02d}:{ss:02d} GMT"
+        )
+    if fmt == "asctime":
+        return (
+            f"{_WDAYS[wd]} {_MONTHS[mo - 1]} {d:2d} "
+            f"{hh:02d}:{mm:02d}:{ss:02d} {y}"
+        )
+    raise ValueError(fmt)
+
+
+def parse_http_date(s: str) -> int:
+    """Epoch seconds from any of the three RFC 9110 formats; the
+    rfc850 two-digit year maps 70-99 -> 19xx, 00-69 -> 20xx."""
+    parts = s.split()
+    if len(parts) == 6 and parts[0].endswith(","):  # IMF-fixdate
+        _, dd, mon, yyyy, hms, tz = parts
+        if tz != "GMT":
+            raise ValueError(f"bad timezone {tz!r}")
+        y, mo, d = int(yyyy), _MONTHS.index(mon) + 1, int(dd)
+    elif len(parts) == 4 and parts[0].endswith(","):  # rfc850
+        _, dmy, hms, tz = parts
+        if tz != "GMT":
+            raise ValueError(f"bad timezone {tz!r}")
+        dd, mon, yy = dmy.split("-")
+        y2 = int(yy)
+        y = 1900 + y2 if y2 >= 70 else 2000 + y2
+        mo, d = _MONTHS.index(mon) + 1, int(dd)
+    elif len(parts) == 5:  # asctime
+        _, mon, dd, hms, yyyy = parts
+        y, mo, d = int(yyyy), _MONTHS.index(mon) + 1, int(dd)
+    else:
+        raise ValueError(f"unrecognized HTTP-date {s!r}")
+    hh, mm, ss = (int(x) for x in hms.split(":"))
+    if not (0 <= hh < 24 and 0 <= mm < 60 and 0 <= ss < 61):
+        raise ValueError("time out of range")
+    return _days_from_civil(y, mo, d) * 86400 + hh * 3600 + mm * 60 + ss
+
+
+def synth_http_dates(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, header) — one Last-Modified value per doc cycling
+    through the three formats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, headers, fmts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fmt = ("imf", "rfc850", "asctime")[d % 3]
+                headers.append(
+                    format_http_date(
+                        1994 + d % 30, 1 + d % 12, 1 + d % 28,
+                        d % 24, d % 60, (d * 7) % 60, fmt,
+                    )
+                )
+                ids.append(d)
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {"doc_id": ids, "fmt": fmts, "header": headers}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, fmt string, header string"
+    )
+
+
+def http_date_decode(headers: "DataFrame") -> "DataFrame":
+    """(doc_id, fmt, header) -> epoch seconds via the OWN walk (no
+    strptime/locale). One Arrow map stage, no shuffle."""
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fmt": pdf["fmt"],
+                    "epoch": [
+                        parse_http_date(h) for h in pdf["header"]
+                    ],
+                }
+            )
+
+    return headers.mapInPandas(
+        parse, schema="doc_id long, fmt string, epoch bigint"
+    )

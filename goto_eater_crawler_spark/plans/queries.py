@@ -256,6 +256,9 @@ _GATE_ORDER: list[str] = [
     "html_css_urls",
     "url_hsts_upgrade",
     "robots_failure_policy",
+    "html_microdata_extract",
+    "http_date_parse",
+    "quality_k_anonymity",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -11315,3 +11318,103 @@ def q_robots_failure_policy(spark, sf_dir):
         "doc_id", "status", "path",
         allowed.alias("allowed"), reason.alias("reason"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "html_microdata_extract",
+    # schema.org MICRODATA extraction (WHATWG HTML microdata spec) —
+    # the attribute-based sibling of html_jsonld_extract carrying
+    # the reference's exact field contract (shop name / address /
+    # cuisine): itemscope/itemtype/itemprop over the minihtml span
+    # DOM with the real scoping rules live — the nested
+    # PostalAddress itemscope's props must NOT leak to the outer
+    # Restaurant item, <meta> props read content=, <a> props read
+    # href=, a WebSite distractor itemscope (order swapped by
+    # parity) must be skipped by itemtype. One Arrow map stage.
+    """
+    SELECT doc_id,
+           'Shop ' || CAST(doc_id AS VARCHAR) AS name,
+           CAST(doc_id % 90 + 1 AS VARCHAR) || ' Main St' AS street,
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0001'
+             AS postal,
+           '/menu/' || CAST(doc_id % 9 AS VARCHAR) AS menu,
+           'cuisine' || CAST(doc_id % 7 AS VARCHAR) AS cuisine
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_html_microdata_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _ex.microdata_extract(
+        _ex.synth_microdata_pages(d)
+    ).orderBy("doc_id")
+
+
+@_register(
+    "http_date_parse",
+    # HTTP-date parsing (RFC 9110 §5.6.7) — Last-Modified/Expires
+    # arrive in THREE legal formats (IMF-fixdate, obsolete rfc850
+    # with its 2-digit-year 70/69 pivot, C asctime with its
+    # space-padded day); recrawl scheduling must read all three.
+    # The walk is the OWN integer civil-calendar conversion (no
+    # strptime, no locale, no tz database); the oracle recomputes
+    # the epoch with DuckDB's make_timestamp — two independent
+    # calendar implementations agreeing to the second.
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'imf' WHEN 1 THEN 'rfc850'
+                ELSE 'asctime' END AS fmt,
+           CAST(epoch(make_timestamp(
+                CAST(1994 + doc_id % 30 AS BIGINT),
+                CAST(1 + doc_id % 12 AS BIGINT),
+                CAST(1 + doc_id % 28 AS BIGINT),
+                CAST(doc_id % 24 AS BIGINT),
+                CAST(doc_id % 60 AS BIGINT),
+                CAST((doc_id * 7) % 60 AS DOUBLE))) AS BIGINT) AS epoch
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_http_date_parse(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _tx.http_date_decode(_tx.synth_http_dates(d)).orderBy("doc_id")
+
+
+@_register(
+    "quality_k_anonymity",
+    # k-anonymity accounting (Sweeney 2002) over the PII-adjacent
+    # quasi-identifiers a redaction pass leaves behind: group the
+    # corpus by the (region, age-band, source-class) quasi-id tuple
+    # and flag groups below k=5 — the rows a privacy filter must
+    # suppress or generalize before release. One map-side-combinable
+    # groupBy over planted quasi-ids; the k test is a projection.
+    """
+    WITH q AS (
+      SELECT doc_id,
+             CAST(doc_id % 30 AS INT) AS region,
+             CAST((doc_id * 7) % 5 AS INT) AS age_band,
+             CAST(doc_id % 3 AS INT) AS src_class
+      FROM documents)
+    SELECT region, age_band, src_class,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) >= 5 AS meets_k,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM q GROUP BY region, age_band, src_class
+    ORDER BY region, age_band, src_class
+    """,
+)
+def q_quality_k_anonymity(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        (F.col("doc_id") % 30).cast("int").alias("region"),
+        ((F.col("doc_id") * 7) % 5).cast("int").alias("age_band"),
+        (F.col("doc_id") % 3).cast("int").alias("src_class"),
+    )
+    return (
+        q.groupBy("region", "age_band", "src_class")
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            (F.count("*") >= 5).alias("meets_k"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("region", "age_band", "src_class")
+    )

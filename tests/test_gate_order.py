@@ -156,7 +156,10 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "multimodal_woff_meta",
                     "html_css_urls",
                     "url_hsts_upgrade",
-                    "robots_failure_policy"}
+                    "robots_failure_policy",
+                    "html_microdata_extract",
+                    "http_date_parse",
+                    "quality_k_anonymity"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
