@@ -1088,3 +1088,92 @@ def pdf15_extract(blobs: "DataFrame") -> "DataFrame":
             "doc_id long, n_pages int, p1_text string, p2_text string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Git packfile ingest (gitformat-pack) — code corpora arrive as
+# crawled git repositories; the packfile is the storage unit.
+# ---------------------------------------------------------------------------
+
+
+def synth_git_packs(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — a 3-object pack per doc: two base blobs
+    and an OFS_DELTA (copy/insert/copy against blob 0) whose
+    negative offset crosses the second blob, so the +1-per-step
+    offset rule is live on every doc."""
+    import pandas as pd
+
+    from ..functions import minigitpack as gp
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = (f"base-{d}-" * 4).encode()
+                ins = f"INS{d % 10}".encode()
+                delta = gp.make_delta(
+                    base,
+                    base[:5] + ins + base[5:],
+                    [
+                        ("copy", 0, 5),
+                        ("insert", ins),
+                        ("copy", 5, len(base) - 5),
+                    ],
+                )
+                pack = gp.build_pack(
+                    [
+                        (gp.OBJ_BLOB, base, None),
+                        (gp.OBJ_BLOB, f"other{d % 5}".encode(), None),
+                        (gp.OBJ_BLOB, delta, 0),
+                    ]
+                )
+                ids.append(d)
+                payloads.append(pack)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def git_pack_decode(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> object inventory with the delta chain
+    RESOLVED (trailer SHA-1 verified during the walk). One Arrow
+    map stage, no shuffle."""
+    import pandas as pd
+
+    from ..functions import minigitpack as gp
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = gp.read_pack(bytes(blob))
+                objs = m["objects"]
+                deltas = [o for o in objs if o["from_delta"]]
+                rows.append(
+                    (
+                        int(d),
+                        int(m["n_objects"]),
+                        int(objs[0]["size"]),
+                        int(deltas[0]["size"]),
+                        len(deltas),
+                        deltas[0]["data"].decode(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_objects", "base_len", "target_len",
+                    "n_deltas", "resolved",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_objects int, base_len int, "
+            "target_len int, n_deltas int, resolved string"
+        ),
+    )

@@ -259,6 +259,8 @@ _GATE_ORDER: list[str] = [
     "html_microdata_extract",
     "http_date_parse",
     "quality_k_anonymity",
+    "storage_git_pack",
+    "graph_simrank",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -11417,4 +11419,177 @@ def q_quality_k_anonymity(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
         .orderBy("region", "age_band", "src_class")
+    )
+
+
+@_register(
+    "storage_git_pack",
+    # Git packfile walk (git.git Documentation/gitformat-pack;
+    # public) — code corpora enter LLM pipelines as crawled git
+    # repos and the packfile is the unit. THREE integer encodings
+    # stack in one container, all live per doc: 4-bits-then-7-bit-LE
+    # entry size headers, the OFS_DELTA big-endian negative offset
+    # with the +1-per-continuation-step rule (a plain varint reader
+    # mis-bases every 2+-byte offset), and bitmask-selected
+    # copy/insert delta instructions — resolved against the prior
+    # entry, zlib-inflated (real), trailer SHA-1 verified. One
+    # Arrow map stage.
+    """
+    WITH b AS (
+      SELECT doc_id,
+             repeat('base-' || CAST(doc_id AS VARCHAR) || '-', 4) AS base
+      FROM documents)
+    SELECT doc_id,
+           CAST(3 AS INT) AS n_objects,
+           CAST(length(base) AS INT) AS base_len,
+           CAST(length(base) + 4 AS INT) AS target_len,
+           CAST(1 AS INT) AS n_deltas,
+           substr(base, 1, 5) || 'INS' || CAST(doc_id % 10 AS VARCHAR)
+             || substr(base, 6) AS resolved
+    FROM b ORDER BY doc_id
+    """,
+)
+def q_storage_git_pack(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.git_pack_decode(_st.synth_git_packs(d)).orderBy("doc_id")
+
+
+@_register(
+    "graph_simrank",
+    # SimRank structural similarity (Jeh & Widom, KDD 2002) — "two
+    # hosts are similar if similar hosts link to them": the
+    # mirror-site/template-network detector that pure content
+    # similarity misses. Two unrolled iterations with decay C=0.75
+    # (a DYADIC constant — the engine's cross-engine float rule), so
+    # s1 = C|I(u)∩I(v)|/(|I(u)||I(v)|) and s2 re-weights by s1 over
+    # in-neighbor pairs (diagonal s(i,i)=1 carried via CASE).
+    # Quadratic cost is CONFINED to the 50-host dim relation (the
+    # SemDeDup containment pattern) and the probe side is further
+    # restricted to 4 anchor hosts — at 10^10 URLs the host graph
+    # stays millions, never the page graph. Doubles only in the two
+    # rounded similarity columns.
+    f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_HOST_EDGES_SQL})),
+    indeg AS (SELECT dst, count(*) AS ind FROM e GROUP BY 1),
+    s1 AS (
+      SELECT a.dst AS u, b.dst AS v,
+             0.75 * count(*) / (min(ia.ind) * min(ib.ind)) AS s
+      FROM e a JOIN e b ON a.src = b.src AND a.dst <> b.dst
+      JOIN indeg ia ON ia.dst = a.dst
+      JOIN indeg ib ON ib.dst = b.dst
+      GROUP BY a.dst, b.dst),
+    anchors AS (
+      SELECT eu.dst AS u, ev.dst AS v, eu.src AS i, ev.src AS j
+      FROM e eu JOIN e ev
+        ON eu.dst < ev.dst
+      WHERE eu.dst IN ('h1', 'h2', 'h3', 'h4')),
+    contrib AS (
+      SELECT a.u, a.v,
+             CASE WHEN a.i = a.j THEN 1.0 ELSE coalesce(s1.s, 0.0) END
+               AS c
+      FROM anchors a
+      LEFT JOIN s1 ON s1.u = a.i AND s1.v = a.j),
+    s2 AS (
+      SELECT c.u, c.v,
+             0.75 * sum(c.c) / (min(iu.ind) * min(iv.ind)) AS s
+      FROM contrib c
+      JOIN indeg iu ON iu.dst = c.u
+      JOIN indeg iv ON iv.dst = c.v
+      GROUP BY c.u, c.v)
+    SELECT s2.u AS u, s2.v AS v,
+           CAST(iu.ind AS BIGINT) AS ind_u,
+           CAST(iv.ind AS BIGINT) AS ind_v,
+           round(coalesce(s1.s, 0.0), 4) AS sim1,
+           round(s2.s, 4) AS sim2
+    FROM s2
+    JOIN indeg iu ON iu.dst = s2.u
+    JOIN indeg iv ON iv.dst = s2.v
+    LEFT JOIN s1 ON s1.u = s2.u AND s1.v = s2.v
+    ORDER BY s2.u, s2.v
+    """,
+)
+def q_graph_simrank(spark, sf_dir):
+    e = _host_edges_df(spark, sf_dir).persist()
+    indeg = e.groupBy("dst").agg(F.count("*").alias("ind"))
+    a = e.alias("a")
+    b = e.alias("b")
+    s1 = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") != F.col("b.dst")),
+        )
+        .join(
+            indeg.select(
+                F.col("dst").alias("a_dst"), F.col("ind").alias("ind_a")
+            ),
+            F.col("a.dst") == F.col("a_dst"),
+        )
+        .join(
+            indeg.select(
+                F.col("dst").alias("b_dst"), F.col("ind").alias("ind_b")
+            ),
+            F.col("b.dst") == F.col("b_dst"),
+        )
+        .groupBy(
+            F.col("a.dst").alias("u"), F.col("b.dst").alias("v")
+        )
+        .agg(
+            (
+                F.lit(0.75)
+                * F.count("*")
+                / (F.min("ind_a") * F.min("ind_b"))
+            ).alias("s")
+        )
+        .persist()
+    )
+    eu = e.alias("eu")
+    ev = e.alias("ev")
+    anchors = eu.join(
+        ev, F.col("eu.dst") < F.col("ev.dst")
+    ).filter(
+        F.col("eu.dst").isin("h1", "h2", "h3", "h4")
+    ).select(
+        F.col("eu.dst").alias("u"),
+        F.col("ev.dst").alias("v"),
+        F.col("eu.src").alias("i"),
+        F.col("ev.src").alias("j"),
+    )
+    s1_ij = s1.select(
+        F.col("u").alias("i"), F.col("v").alias("j"),
+        F.col("s").alias("sij"),
+    )
+    contrib = anchors.join(s1_ij, ["i", "j"], "left").select(
+        "u", "v",
+        F.when(F.col("i") == F.col("j"), F.lit(1.0))
+        .otherwise(F.coalesce("sij", F.lit(0.0)))
+        .alias("c"),
+    )
+    iu = indeg.select(F.col("dst").alias("u"), F.col("ind").alias("ind_u"))
+    iv = indeg.select(F.col("dst").alias("v"), F.col("ind").alias("ind_v"))
+    s2 = (
+        contrib.join(iu, "u")
+        .join(iv, "v")
+        .groupBy("u", "v")
+        .agg(
+            (
+                F.lit(0.75)
+                * F.sum("c")
+                / (F.min("ind_u") * F.min("ind_v"))
+            ).alias("s2")
+        )
+    )
+    s1_uv = s1.select("u", "v", F.col("s").alias("s1uv"))
+    return (
+        s2.join(iu, "u")
+        .join(iv, "v")
+        .join(s1_uv, ["u", "v"], "left")
+        .select(
+            "u", "v",
+            F.col("ind_u").cast("bigint").alias("ind_u"),
+            F.col("ind_v").cast("bigint").alias("ind_v"),
+            F.round(F.coalesce("s1uv", F.lit(0.0)), 4).alias("sim1"),
+            F.round("s2", 4).alias("sim2"),
+        )
+        .orderBy("u", "v")
     )

@@ -159,7 +159,9 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "robots_failure_policy",
                     "html_microdata_extract",
                     "http_date_parse",
-                    "quality_k_anonymity"}
+                    "quality_k_anonymity",
+                    "storage_git_pack",
+                    "graph_simrank"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
