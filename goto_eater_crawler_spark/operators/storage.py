@@ -1177,3 +1177,82 @@ def git_pack_decode(blobs: "DataFrame") -> "DataFrame":
             "target_len int, n_deltas int, resolved string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bencode / torrent metainfo (BEP 3) — .torrent sidecars in a web
+# corpus; webseed URLs feed the frontier.
+# ---------------------------------------------------------------------------
+
+
+def synth_torrents(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — a metainfo dict per doc through the OWN
+    canonical encoder (byte-sorted keys)."""
+    import pandas as pd
+
+    from ..functions import minibencode
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                meta = {
+                    "announce": f"https://t{d % 5}.example.org/announce",
+                    "info": {
+                        "length": 1 << (10 + d % 16),
+                        "name": f"file-{d}.bin",
+                        "piece length": 16384,
+                    },
+                    "url-list": [
+                        f"https://seed{i}.example.org/f/{d}"
+                        for i in range(1 + d % 3)
+                    ],
+                }
+                ids.append(d)
+                payloads.append(minibencode.encode(meta))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def torrent_decode(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> metainfo fields through the walk (key
+    ordering verified). One Arrow map stage."""
+    import pandas as pd
+
+    from ..functions import minibencode
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = minibencode.decode(bytes(blob))
+                rows.append(
+                    (
+                        int(d),
+                        m["announce"].decode(),
+                        m["info"]["name"].decode(),
+                        int(m["info"]["length"]),
+                        int(m["info"]["piece length"]),
+                        len(m["url-list"]),
+                        ";".join(u.decode() for u in m["url-list"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "announce", "name", "length",
+                    "piece_len", "n_seeds", "webseeds",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, announce string, name string, length bigint, "
+            "piece_len int, n_seeds int, webseeds string"
+        ),
+    )

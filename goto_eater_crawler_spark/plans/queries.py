@@ -261,6 +261,9 @@ _GATE_ORDER: list[str] = [
     "quality_k_anonymity",
     "storage_git_pack",
     "graph_simrank",
+    "storage_bencode_decode",
+    "crawl_ucb_recrawl",
+    "html_opengraph_extract",
     # -- load-bearing core-relational + crawl ops (green r1-r3) --
     "fetch_join",
     "dim_broadcast_join",
@@ -11593,3 +11596,176 @@ def q_graph_simrank(spark, sf_dir):
         )
         .orderBy("u", "v")
     )
+
+
+@_register(
+    "storage_bencode_decode",
+    # Bencode / torrent metainfo walk (BEP 3) — .torrent sidecars in
+    # a web corpus; webseed url-list entries are plain-HTTP frontier
+    # URLs. The decoder enforces the canonical-form rules that make
+    # infohashes well-defined: STRICTLY byte-sorted dict keys
+    # (out-of-order input is rejected, not silently accepted), no
+    # leading-zero integers, byte-exact length-prefixed strings.
+    # One Arrow map stage.
+    """
+    WITH s AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2)
+    SELECT d.doc_id,
+           'https://t' || CAST(d.doc_id % 5 AS VARCHAR)
+             || '.example.org/announce' AS announce,
+           'file-' || CAST(d.doc_id AS VARCHAR) || '.bin' AS name,
+           CAST(1 << (10 + d.doc_id % 16) AS BIGINT) AS length,
+           CAST(16384 AS INT) AS piece_len,
+           CAST(1 + d.doc_id % 3 AS INT) AS n_seeds,
+           string_agg('https://seed' || CAST(s.i AS VARCHAR)
+                      || '.example.org/f/' || CAST(d.doc_id AS VARCHAR),
+                      ';' ORDER BY s.i) AS webseeds
+    FROM documents d JOIN s ON s.i < 1 + d.doc_id % 3
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def q_storage_bencode_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.torrent_decode(_st.synth_torrents(d)).orderBy("doc_id")
+
+
+@_register(
+    "crawl_ucb_recrawl",
+    # UCB1 bandit recrawl scheduling (Auer et al., Machine Learning
+    # 2002) — each host is an arm, a visit is a play, an observed
+    # content change is a reward: score = change-rate + sqrt(2 ln N
+    # / n) balances exploiting fast-changing hosts against
+    # re-exploring rarely-visited ones (the bandit framing of the
+    # Cho-Garcia-Molina freshness problem). Plays/rewards are exact
+    # integer counts from the event log; ln/sqrt touch only the
+    # final per-host doubles, rounded — scores are EMITTED per host
+    # (no argmax-by-float row selection, so ulp noise cannot change
+    # the row set). One combinable groupBy + a 1-row broadcast total.
+    """
+    WITH visits AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_plays,
+             CAST(sum(CASE WHEN event_type IN ('update', 'error')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+      FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(sum(n_plays) AS BIGINT) AS big_n FROM visits)
+    SELECT user_id, n_plays, n_changes,
+           round(CAST(n_changes AS DOUBLE) / n_plays, 4) AS change_rate,
+           round(CAST(n_changes AS DOUBLE) / n_plays
+                 + sqrt(2.0 * ln(CAST(tot.big_n AS DOUBLE)) / n_plays),
+                 4) AS ucb_score
+    FROM visits CROSS JOIN tot ORDER BY user_id
+    """,
+)
+def q_crawl_ucb_recrawl(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    visits = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_plays"),
+        F.sum(
+            F.when(F.col("event_type").isin("update", "error"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_changes"),
+    )
+    tot = visits.agg(F.sum("n_plays").cast("bigint").alias("big_n"))
+    rate = F.col("n_changes").cast("double") / F.col("n_plays")
+    return (
+        visits.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id", "n_plays", "n_changes",
+            F.round(rate, 4).alias("change_rate"),
+            F.round(
+                rate
+                + F.sqrt(
+                    2.0 * F.log(F.col("big_n").cast("double"))
+                    / F.col("n_plays")
+                ),
+                4,
+            ).alias("ucb_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "html_opengraph_extract",
+    # Open Graph / twitter-card meta extraction (the ogp.me
+    # protocol) — the social-preview sidecar of every modern page
+    # and the quickest title/image/canonical source a corpus prep
+    # pass has. PURE CATALYST: the <meta property= content=> pulls
+    # are regexp_extract over the synthesized head (attribute order
+    # varies by parity so a positional parse fails); twitter:card
+    # falls back to '-' when absent (d%3==2 docs omit it).
+    """
+    SELECT doc_id,
+           'OG Title ' || CAST(doc_id AS VARCHAR) AS og_title,
+           'https://h' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.org/canon/' || CAST(doc_id AS VARCHAR)
+             AS og_url,
+           'https://img.example.org/i/' || CAST(doc_id % 100 AS VARCHAR)
+             || '.jpg' AS og_image,
+           CASE WHEN doc_id % 3 = 2 THEN '-' ELSE 'summary' END
+             AS twitter_card
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_html_opengraph_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    title = F.concat(F.lit("OG Title "), i)
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.org/canon/"), i,
+    )
+    img = F.concat(
+        F.lit("https://img.example.org/i/"),
+        (F.col("doc_id") % 100).cast("string"), F.lit(".jpg"),
+    )
+    # attribute order flips by parity: property-first vs content-first
+    m_title = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<meta property="og:title" content="'), title,
+                 F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<meta content="'), title,
+                 F.lit('" property="og:title">')),
+    )
+    m_url = F.concat(
+        F.lit('<meta property="og:url" content="'), url, F.lit('">')
+    )
+    m_img = F.concat(
+        F.lit('<meta content="'), img,
+        F.lit('" property="og:image">'),
+    )
+    m_tw = F.when(
+        F.col("doc_id") % 3 == 2, F.lit("")
+    ).otherwise(
+        F.lit('<meta name="twitter:card" content="summary">')
+    )
+    head = F.concat(
+        F.lit("<head><title>x</title>"), m_title, m_url, m_img, m_tw,
+        F.lit("</head>"),
+    )
+    pages = d.select("doc_id", head.alias("html"))
+
+    def pull(prop: str) -> "F.Column":
+        a = F.regexp_extract(
+            "html",
+            f'<meta property="{prop}" content="([^"]*)"',
+            1,
+        )
+        b = F.regexp_extract(
+            "html",
+            f'<meta content="([^"]*)" property="{prop}"',
+            1,
+        )
+        return F.when(a != "", a).otherwise(b)
+
+    tw = F.regexp_extract(
+        "html", '<meta name="twitter:card" content="([^"]*)"', 1
+    )
+    return pages.select(
+        "doc_id",
+        pull("og:title").alias("og_title"),
+        pull("og:url").alias("og_url"),
+        pull("og:image").alias("og_image"),
+        F.when(tw == "", "-").otherwise(tw).alias("twitter_card"),
+    ).orderBy("doc_id")

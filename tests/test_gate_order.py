@@ -161,7 +161,10 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "http_date_parse",
                     "quality_k_anonymity",
                     "storage_git_pack",
-                    "graph_simrank"}
+                    "graph_simrank",
+                    "storage_bencode_decode",
+                    "crawl_ucb_recrawl",
+                    "html_opengraph_extract"}
     demoted = q._GATE_ORDER[GATE_CAP:]
     missing = [n for n in demoted if n not in green and n not in new_past_cap]
     assert not missing, (
