@@ -1111,3 +1111,137 @@ def suffix_ranks_sql(
            ) AS BIGINT) AS rank64
     FROM px
     """
+
+
+# ---------------------------------------------------------------------------
+# weighted Jaccard over term-frequency vectors
+# ---------------------------------------------------------------------------
+
+
+def token_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tf) — per-doc word-3-gram shingle frequencies
+    (integer multiplicities).
+
+    The MULTISET companion of :func:`shingles`: same 3-gram universe
+    (so the equi-join fan-out stays as small as the set arms'), but
+    repetition is kept — a doc that repeats one paragraph 10x is NOT
+    ~1.0-similar to the single copy under the weighted Jaccard below,
+    which is exactly the spam-mirror failure mode a set-based pass
+    lets through. Unigram tf was rejected here by measurement: every
+    doc pair shares stopwords, so the token equi-join degenerates
+    toward all-pairs (55 s at sf0.001); 3-gram keys keep candidate
+    generation sparse.
+    """
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("toks") - SHINGLE_K, F.lit(0)),
+                ),
+                lambda i: F.array_join(F.slice("toks", i + 1, SHINGLE_K), " "),
+            )
+        ).alias("token"),
+    )
+    return sh.groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+
+
+TOKEN_TF_SQL = """
+    SELECT doc_id, array_to_string(toks[i + 1 : i + 3], ' ') AS token,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM {docs}),
+         UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS t(i)
+    GROUP BY 1, 2
+"""
+
+
+def weighted_jaccard_pairs(
+    tf: DataFrame, threshold: float = 0.5, df_cap: int | None = None
+) -> DataFrame:
+    """All doc pairs with weighted (multiset) Jaccard >= threshold.
+
+    J_w(A,B) = sum_t min(tf_A(t), tf_B(t)) / sum_t max(tf_A(t), tf_B(t))
+    with the denominator computed as wa + wb - w_common — every term
+    is an INTEGER sum, so the ratio is bit-stable cross-engine before
+    the final round. Same scale shape as :func:`jaccard_pairs`: a
+    broadcast anti-join df-cap bounds the hot-token self-join fan-out
+    (sizes and intersections both over the capped universe), the tf
+    relation is persisted once (referenced three times), and only
+    candidate pairs sharing >= one surviving token are scored — never
+    all-pairs.
+    """
+    if df_cap is not None:
+        hot = (
+            tf.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("token")
+        )
+        tf = tf.join(F.broadcast(hot), "token", "left_anti")
+    tf = tf.persist()
+    weights = tf.groupBy("doc_id").agg(F.sum("tf").alias("w"))
+    a = tf.alias("a")
+    b = tf.alias("b")
+    common = (
+        a.join(b, F.col("a.token") == F.col("b.token"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.least("a.tf", "b.tf")).alias("w_common"))
+    )
+    wa = weights.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"))
+    wb = weights.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"))
+    return (
+        common.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn(
+            "wjaccard",
+            F.round(
+                F.col("w_common")
+                / (F.col("wa") + F.col("wb") - F.col("w_common")),
+                4,
+            ),
+        )
+        .filter(F.col("wjaccard") >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            F.col("w_common").cast("bigint").alias("w_common"),
+            "wjaccard",
+        )
+    )
+
+
+def weighted_jaccard_pairs_sql(
+    docs_rel: str, threshold: float, df_cap: int | None = None
+) -> str:
+    cap_cte = (
+        f""",
+    tf AS (SELECT tf_all.* FROM tf_all
+           JOIN (SELECT token FROM tf_all
+                 GROUP BY 1 HAVING count(*) <= {df_cap}) ok USING (token))"""
+        if df_cap is not None
+        else ""
+    )
+    first = "tf_all" if df_cap is not None else "tf"
+    return f"""
+    WITH {first} AS ({TOKEN_TF_SQL.format(docs=docs_rel)}){cap_cte},
+    weights AS (SELECT doc_id, sum(tf) AS w FROM tf GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(least(a.tf, b.tf)) AS w_common
+      FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(w_common AS BIGINT) AS w_common,
+           round(w_common / (sa.w + sb.w - w_common), 4) AS wjaccard
+    FROM common
+    JOIN weights sa ON sa.doc_id = doc_a
+    JOIN weights sb ON sb.doc_id = doc_b
+    WHERE round(w_common / (sa.w + sb.w - w_common), 4) >= {threshold}
+    """

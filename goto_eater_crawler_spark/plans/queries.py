@@ -123,6 +123,9 @@ _GATE_ORDER: list[str] = [
     # still reaches it, and allowlisted in tests/test_gate_order.py
     # for the judge's check_oracle tail pass (the r3 procedure) ----
     "multimodal_image_neardup",
+    "dedup_weighted_jaccard",
+    "quality_l_diversity",
+    "events_ddsketch_quantiles",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -11769,3 +11772,145 @@ def q_html_opengraph_extract(spark, sf_dir):
         pull("og:image").alias("og_image"),
         F.when(tw == "", "-").otherwise(tw).alias("twitter_card"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "dedup_weighted_jaccard",
+    # Weighted (multiset) Jaccard near-dup pairs over term-frequency
+    # vectors (the generalized Jaccard of Ioffe, ICDM 2010 — computed
+    # exactly here, not sampled): J_w = sum min(tf_a, tf_b) / sum
+    # max(tf_a, tf_b). The set-Jaccard arms (ngram/minhash/simhash)
+    # collapse repetition, so a spam mirror that repeats one
+    # paragraph 10x scores 0.97 against the single copy; the
+    # multiset form does not. Every numerator/denominator term is an
+    # INTEGER sum (bit-stable cross-engine before the final round);
+    # candidates come only from the token equi-join under a
+    # broadcast df-cap — bucketed, never all-pairs — and the tf
+    # relation is persisted once (three references).
+    _td.weighted_jaccard_pairs_sql(_AUG_SQL, 0.5, _JACCARD_DF_CAP)
+    + " ORDER BY doc_a, doc_b",
+)
+def q_dedup_weighted_jaccard(spark, sf_dir):
+    d = _AUG_SPARK(spark, sf_dir)
+    return _td.weighted_jaccard_pairs(
+        _td.token_tf(d), 0.5, _JACCARD_DF_CAP
+    ).orderBy("doc_a", "doc_b")
+
+
+@_register(
+    "quality_l_diversity",
+    # l-diversity accounting (Machanavajjhala et al., ICDE 2006) —
+    # the successor criterion to quality_k_anonymity's group-size
+    # test: a quasi-id group can be large (k-anonymous) yet leak its
+    # sensitive attribute if every member SHARES one value. Here the
+    # sensitive attribute is the corpus's real ``lang`` column;
+    # groups with fewer than l=3 distinct languages are flagged.
+    # One map-side-combinable groupBy with a count-distinct.
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(doc_id % 30 AS INT) AS region,
+             CAST(doc_id % 3 AS INT) AS src_class
+      FROM documents)
+    SELECT region, src_class,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           count(DISTINCT lang) >= 3 AS meets_l,
+           min(lang) AS first_lang
+    FROM q GROUP BY region, src_class
+    ORDER BY region, src_class
+    """,
+)
+def q_quality_l_diversity(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "lang",
+        (F.col("doc_id") % 30).cast("int").alias("region"),
+        (F.col("doc_id") % 3).cast("int").alias("src_class"),
+    )
+    return (
+        q.groupBy("region", "src_class")
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            (F.countDistinct("lang") >= 3).alias("meets_l"),
+            F.min("lang").alias("first_lang"),
+        )
+        .orderBy("region", "src_class")
+    )
+
+
+@_register(
+    "events_ddsketch_quantiles",
+    # DDSketch relative-error quantiles (Masson, Lee & Riviere, VLDB
+    # 2019) with gamma = 2 — the DYADIC instance where the bucket
+    # index is exactly floor(log2(v)) and therefore computable with
+    # NO floating-point log: values become integer cents, the bucket
+    # is length(bin(v)) - 1 in BOTH engines (bit-identical), and the
+    # relative-error guarantee is (gamma-1)/(gamma+1) = 1/3. The
+    # sketch is one map-side-combinable groupBy into ~16 bucket rows;
+    # the cumulative walk and the q in {0.5, 0.9, 0.99} rank
+    # assignment run over that sketch-sized relation, never the
+    # corpus. Floats appear only in the final emitted estimate,
+    # rounded.
+    """
+    WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+    b AS (SELECT CAST(length(bin(v)) - 1 AS INT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM c GROUP BY 1),
+    cum AS (SELECT bucket, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+            FROM b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    q(quantile) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                    (CAST(0.99 AS DOUBLE))),
+    asg AS (
+      SELECT q.quantile,
+             CAST(ceil(q.quantile * tot.n) AS BIGINT) AS target_rank,
+             CAST(min(cum.bucket) AS INT) AS bucket
+      FROM q CROSS JOIN tot
+      JOIN cum ON cum.cum >= ceil(q.quantile * tot.n)
+      GROUP BY 1, 2)
+    SELECT quantile, target_rank, bucket,
+           CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS bucket_lo_cents,
+           round(((CAST(1 AS BIGINT) << bucket) * 4.0 / 3.0) / 100.0, 4)
+             AS est_value
+    FROM asg ORDER BY quantile
+    """,
+)
+def q_events_ddsketch_quantiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = e.select(F.round(F.col("value") * 100).cast("bigint").alias("v"))
+    b = (
+        c.groupBy(
+            (F.length(F.bin("v")) - 1).cast("int").alias("bucket")
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    cum = b.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.orderBy("bucket")).cast("bigint"),
+    )
+    tot = c.agg(F.count("*").cast("bigint").alias("n"))
+    q = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "quantile double"
+    )
+    asg = (
+        q.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_rank",
+            F.ceil(F.col("quantile") * F.col("n")).cast("bigint"),
+        )
+        .join(
+            F.broadcast(cum),
+            F.col("cum") >= F.ceil(F.col("quantile") * F.col("n")),
+        )
+        .groupBy("quantile", "target_rank")
+        .agg(F.min("bucket").cast("int").alias("bucket"))
+    )
+    lo = F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+    return asg.select(
+        "quantile", "target_rank", "bucket",
+        lo.cast("bigint").alias("bucket_lo_cents"),
+        F.round(lo * 4.0 / 3.0 / 100.0, 4).alias("est_value"),
+    ).orderBy("quantile")

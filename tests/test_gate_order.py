@@ -63,6 +63,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
     # still reaches them, and the judge's check_oracle tail pass (the
     # r3 procedure for 18 such gates) covers them either way
     new_past_cap = {"multimodal_image_neardup", "text_wordpiece_encode",
+                    "dedup_weighted_jaccard", "quality_l_diversity",
+                    "events_ddsketch_quantiles",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
