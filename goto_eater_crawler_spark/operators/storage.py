@@ -1256,3 +1256,177 @@ def torrent_decode(blobs: "DataFrame") -> "DataFrame":
             "piece_len int, n_seeds int, webseeds string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MessagePack sidecars — crawl-metadata records (minimsgpack walk)
+# ---------------------------------------------------------------------------
+
+
+def synth_msgpack_sidecars(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — one crawl-metadata record per doc through
+    the OWN canonical encoder, with every integer family live by
+    construction: positive/negative fixints (status nibble,
+    tz_offset), uint64 (content_hash), int8/16 (negative offsets),
+    str/bin/array/map/nil/bool."""
+    import pandas as pd
+
+    from ..functions import minimsgpack as mp
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rec = {
+                    "url": f"https://h{d % 50}.example.org/p/{d}",
+                    "status": 200 if d % 10 else 404,
+                    "tz_offset": -((d % 12) * 3600),
+                    "content_hash": (d * 2654435761) % (1 << 63),
+                    "redirects": [
+                        f"https://h{d % 50}.example.org/r/{i}"
+                        for i in range(d % 3)
+                    ],
+                    "etag": None if d % 4 == 0 else f'W/"{d:x}"',
+                    "digest": bytes.fromhex(f"{(d * 2654435761) % (1 << 32):08x}"),
+                    "flags": {"nofollow": d % 5 == 0, "depth": d % 7},
+                }
+                ids.append(d)
+                payloads.append(mp.encode(rec))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def msgpack_decode(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> record fields through the walk (family
+    tags, sign-extension contract, duplicate-key rejection). One
+    Arrow map stage, no shuffle."""
+    import pandas as pd
+
+    from ..functions import minimsgpack as mp
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = mp.decode(bytes(blob))
+                rows.append(
+                    (
+                        int(d),
+                        m["url"],
+                        int(m["status"]),
+                        int(m["tz_offset"]),
+                        int(m["content_hash"]),
+                        len(m["redirects"]),
+                        m["etag"] is not None,
+                        m["digest"].hex(),
+                        bool(m["flags"]["nofollow"]),
+                        int(m["flags"]["depth"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "url", "status", "tz_offset",
+                    "content_hash", "n_redirects", "etag_present",
+                    "digest_hex", "nofollow", "depth",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, url string, status int, tz_offset int, "
+            "content_hash bigint, n_redirects int, etag_present boolean, "
+            "digest_hex string, nofollow boolean, depth int"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LevelDB/RocksDB block-based SSTable — URL-seen state files
+# ---------------------------------------------------------------------------
+
+
+def synth_sst_files(docs: "DataFrame", mod: int = 5) -> "DataFrame":
+    """(doc_id, payload) — one SSTable per selected doc holding that
+    doc's synthetic URL-seen slice: keys 'url-<doc_id>-<i>' (strictly
+    ascending byte order via zero-padded i), values the fetch status.
+    Multi-block by construction (block_entries=8 over 20+ keys) so
+    the index walk, restart points and the snappy'd-every-other-block
+    arm are all live per file."""
+    import pandas as pd
+
+    from ..functions import minisst
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 20 + d % 13
+                pairs = [
+                    (
+                        f"url-{d}-{i:04d}".encode(),
+                        f"status={200 if (d + i) % 9 else 404}".encode(),
+                    )
+                    for i in range(n)
+                ]
+                ids.append(d)
+                payloads.append(minisst.build_sst(pairs))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def sst_walk(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> table stats through the walk: every block
+    crc32c-verified (masked), prefix compression undone via restart
+    points, key order checked within and across blocks. One Arrow
+    map stage, no shuffle."""
+    import pandas as pd
+
+    from ..functions import minisst
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = minisst.parse_sst(bytes(blob))
+                n404 = sum(
+                    1 for _, v in m["pairs"] if v == b"status=404"
+                )
+                rows.append(
+                    (
+                        int(d),
+                        len(m["pairs"]),
+                        m["n_blocks"],
+                        m["n_compressed"],
+                        m["n_restarts"],
+                        n404,
+                        m["pairs"][0][0].decode(),
+                        m["pairs"][-1][0].decode(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_keys", "n_blocks", "n_compressed",
+                    "n_restarts", "n_404", "first_key", "last_key",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_keys int, n_blocks int, n_compressed int, "
+            "n_restarts int, n_404 int, first_key string, last_key string"
+        ),
+    )

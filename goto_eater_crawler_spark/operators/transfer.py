@@ -1494,3 +1494,165 @@ def http_date_decode(headers: "DataFrame") -> "DataFrame":
     return headers.mapInPandas(
         parse, schema="doc_id long, fmt string, epoch bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# QUIC frame layer (RFC 9000) — the h3 transport arm beside h2_decode
+# ---------------------------------------------------------------------------
+
+_QUIC_SCHEMA = (
+    "doc_id long, n_frames int, padding int, pings int, "
+    "largest_acked bigint, n_acked bigint, ecn boolean, "
+    "crypto string, s0_body string, s0_complete boolean, "
+    "tail_body string, max_data bigint, close_reason string"
+)
+
+
+def synth_quic_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) — one decrypted QUIC packet payload per doc,
+    frames synthesized through the OWN miniquic encoders:
+
+    - stream 0 carries the doc's text split into TWO STREAM frames
+      emitted OUT OF ORDER (second half first); docs with
+      doc_id % 3 == 0 overlap the split by one byte, so §2.2's
+      overlap-equality verification is live, and the second-half
+      frame of docs with doc_id % 2 == 1 uses a FORCED non-canonical
+      varint width for its offset (the §16 legal-long-encoding rule);
+    - a CRYPTO handshake blob split into two out-of-order segments;
+    - one ACK frame with a second ack-range (the -2 arithmetic) and
+      ECN counts on odd docs;
+    - doc_id % 2 pings, MAX_DATA, doc_id % 8 PADDING bytes;
+    - docs with doc_id % 7 == 0 add CONNECTION_CLOSE;
+    - docs with doc_id % 5 == 0 end with an implicit-length STREAM
+      frame on stream 4 (LEN bit clear — must be last, and is).
+    """
+    from ..functions import miniquic as mq
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = str(text).encode("utf-8")
+                mid = len(raw) // 2
+                out = b""
+                # CRYPTO out of order
+                ch = f"ch-{d}-hello".encode()
+                out += mq.crypto_frame(4, ch[4:])
+                out += mq.crypto_frame(0, ch[:4])
+                # ACK (+ECN on odd docs)
+                out += mq.ack_frame(
+                    100 + d % 50, d % 8,
+                    [(0, d % 5), (d % 3, d % 4)],
+                    ecn=(d, d + 1, d + 2) if d % 2 else None,
+                )
+                out += bytes(d % 8)  # PADDING run
+                for _ in range(d % 2):
+                    out += bytes([mq.FT_PING])
+                # stream 0: second half FIRST (overlap 1 byte when
+                # d % 3 == 0 and the split point allows it)
+                ov = 1 if (d % 3 == 0 and mid >= 1) else 0
+                second = mq.stream_frame(
+                    0, raw[mid - ov:], offset=mid - ov, fin=True
+                )
+                if d % 2 and mid - ov > 0:
+                    # legal non-canonical offset width: rebuild with
+                    # a forced 4-byte varint
+                    second = (
+                        bytes([mq.FT_STREAM_BASE | 0x04 | 0x02 | 0x01])
+                        + mq.encode_varint(0)
+                        + mq.encode_varint(mid - ov, width=4)
+                        + mq.encode_varint(len(raw) - (mid - ov))
+                        + raw[mid - ov:]
+                    )
+                out += second
+                out += mq.stream_frame(0, raw[:mid], offset=0)
+                out += bytes([mq.FT_MAX_DATA]) + mq.encode_varint(
+                    (1 << 20) + d
+                )
+                if d % 7 == 0:
+                    out += mq.connection_close_frame(
+                        0x0A, 0x06, f"bye-{d}".encode()
+                    )
+                if d % 5 == 0:
+                    out += mq.stream_frame(
+                        4, f"tail-{d}".encode(),
+                        fin=True, explicit_len=False,
+                    )
+                ids.append(d)
+                payloads.append(out)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def quic_decode(payloads: DataFrame) -> DataFrame:
+    """REAL RFC 9000 frame walk via miniquic: per-stream reassembly
+    (overlaps verified byte-equal), ACK range arithmetic, implicit-
+    length position rule. One Arrow map stage, no shuffle."""
+    from ..functions import miniquic as mq
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = mq.decode_payload(bytes(payload))
+                s0 = m["streams"].get(0)
+                s4 = m["streams"].get(4)
+                ack = m["acks"][0]
+                rows.append((
+                    int(doc_id),
+                    m["n_frames"],
+                    m["padding"],
+                    m["pings"],
+                    ack["largest"],
+                    ack["n_acked"],
+                    ack["ecn"] is not None,
+                    m["crypto"].decode("utf-8"),
+                    s0["body"].decode("utf-8") if s0 else None,
+                    bool(s0 and s0["complete"]),
+                    s4["body"].decode("utf-8") if s4 else "-",
+                    m["max_data"],
+                    m["close"]["reason"] if m["close"] else "-",
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "padding", "pings",
+                    "largest_acked", "n_acked", "ecn", "crypto",
+                    "s0_body", "s0_complete", "tail_body", "max_data",
+                    "close_reason",
+                ],
+            )
+
+    return payloads.mapInPandas(batches, schema=_QUIC_SCHEMA)
+
+
+def quic_decode_sql() -> str:
+    """Closed-form oracle: every emitted field is a pure function of
+    doc_id (+ the lossless text round-trip)."""
+    return """
+    SELECT doc_id,
+           CAST(2 + 2 + 1 + doc_id % 2 + 1
+                + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                AS INT) AS n_frames,
+           CAST(doc_id % 8 AS INT) AS padding,
+           CAST(doc_id % 2 AS INT) AS pings,
+           CAST(100 + doc_id % 50 AS BIGINT) AS largest_acked,
+           CAST(doc_id % 5 + doc_id % 4 + 2 AS BIGINT) AS n_acked,
+           doc_id % 2 = 1 AS ecn,
+           'ch-' || CAST(doc_id AS VARCHAR) || '-hello' AS crypto,
+           text AS s0_body,
+           TRUE AS s0_complete,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'tail-' || CAST(doc_id AS VARCHAR) ELSE '-' END
+             AS tail_body,
+           CAST(1048576 + doc_id AS BIGINT) AS max_data,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'bye-' || CAST(doc_id AS VARCHAR) ELSE '-' END
+             AS close_reason
+    FROM documents ORDER BY doc_id
+    """

@@ -126,6 +126,9 @@ _GATE_ORDER: list[str] = [
     "dedup_weighted_jaccard",
     "quality_l_diversity",
     "events_ddsketch_quantiles",
+    "transfer_quic_frames",
+    "storage_msgpack_decode",
+    "storage_sst_walk",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -11914,3 +11917,102 @@ def q_events_ddsketch_quantiles(spark, sf_dir):
         lo.cast("bigint").alias("bucket_lo_cents"),
         F.round(lo * 4.0 / 3.0 / 100.0, 4).alias("est_value"),
     ).orderBy("quantile")
+
+
+@_register(
+    "transfer_quic_frames",
+    # QUIC frame-layer walk (RFC 9000) — the transport under HTTP/3,
+    # the h3 arm beside transfer_http2_frames. Spec rules live per
+    # doc: §16 varints (length in the TOP 2 bits of the FIRST byte,
+    # big-endian — the opposite end to protobuf's LEB128 and
+    # source-map VLQ; non-canonical widths LEGAL on decode and
+    # planted on odd docs), ACK range walk with the -2 gap
+    # arithmetic + ECN counts, out-of-order STREAM/CRYPTO
+    # reassembly with §2.2 overlap-equality verification (1-byte
+    # overlaps planted on doc_id % 3 == 0), and the implicit-length
+    # STREAM must-be-last rule (live on doc_id % 5 == 0). One Arrow
+    # map stage, no shuffle; the oracle is closed-form in doc_id
+    # plus the lossless text round-trip.
+    _tx.quic_decode_sql(),
+)
+def q_transfer_quic_frames(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _tx.quic_decode(_tx.synth_quic_payloads(d)).orderBy("doc_id")
+
+
+@_register(
+    "storage_msgpack_decode",
+    # MessagePack sidecar walk (the msgpack spec) — crawl-metadata
+    # records in the wire format of scrapy queues / Redis payloads /
+    # Fluentd streams. The family table is live per doc: negative
+    # fixint + int8/16 sign-extension (tz_offset) vs uint64 never
+    # sign-extended (content_hash), BIG-endian sized str/bin/array/
+    # map (opposite byte order to the protobuf walk), nil etag every
+    # 4th doc, and 0xc1/dup-key/truncation rejected in the unit
+    # suite. One Arrow map stage; closed-form oracle in doc_id.
+    """
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END AS INT)
+             AS status,
+           CAST(-((doc_id % 12) * 3600) AS INT) AS tz_offset,
+           CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                % CAST(9223372036854775808 AS HUGEINT) AS BIGINT)
+             AS content_hash,
+           CAST(doc_id % 3 AS INT) AS n_redirects,
+           doc_id % 4 <> 0 AS etag_present,
+           lower(lpad(hex((doc_id * 2654435761) % 4294967296),
+                      8, '0')) AS digest_hex,
+           doc_id % 5 = 0 AS nofollow,
+           CAST(doc_id % 7 AS INT) AS depth
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_storage_msgpack_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.msgpack_decode(_st.synth_msgpack_sidecars(d)).orderBy(
+        "doc_id"
+    )
+
+
+@_register(
+    "storage_sst_walk",
+    # LevelDB/RocksDB block-based SSTable walk (leveldb
+    # doc/table_format.md) — the LSM file a production crawl's
+    # URL-seen state compacts into. Per file: LEB128 BlockHandles
+    # (little-endian — opposite the QUIC varints, no git-pack +1
+    # rule), MASKED crc32c block trailers (shared mask with the
+    # snappy framing walk; every block verified), restart-point
+    # prefix compression undone (shared=0 enforced at restarts),
+    # strict key order within AND across blocks, every other block
+    # stored as legal all-literals snappy through the OWN minisnappy
+    # decoder. Index-first walk: data blocks are located only via
+    # index entries (the Iceberg-manifest pattern one tier down).
+    # One Arrow map stage; closed-form oracle in doc_id.
+    """
+    WITH base AS (SELECT doc_id, CAST(20 + doc_id % 13 AS INT) AS n
+                  FROM documents WHERE doc_id % 5 = 0),
+    s AS (SELECT doc_id, n, CAST(u.i AS INT) AS i
+          FROM base, UNNEST(range(n)) AS u(i)),
+    agg AS (SELECT doc_id, any_value(n) AS n,
+                   CAST(sum(CASE WHEN (doc_id + i) % 9 = 0
+                            THEN 1 ELSE 0 END) AS INT) AS n_404
+            FROM s GROUP BY doc_id)
+    SELECT doc_id,
+           n AS n_keys,
+           CAST(ceil(n / 8.0) AS INT) AS n_blocks,
+           CAST(CAST(ceil(n / 8.0) AS INT) // 2 AS INT) AS n_compressed,
+           CAST((CAST(ceil(n / 8.0) AS INT) - 1) * 2
+                + ceil((n - 8 * (CAST(ceil(n / 8.0) AS INT) - 1)) / 4.0)
+                AS INT) AS n_restarts,
+           n_404,
+           'url-' || CAST(doc_id AS VARCHAR) || '-0000' AS first_key,
+           'url-' || CAST(doc_id AS VARCHAR) || '-'
+             || lpad(CAST(n - 1 AS VARCHAR), 4, '0') AS last_key
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_storage_sst_walk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.sst_walk(_st.synth_sst_files(d)).orderBy("doc_id")

@@ -64,7 +64,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
     # r3 procedure for 18 such gates) covers them either way
     new_past_cap = {"multimodal_image_neardup", "text_wordpiece_encode",
                     "dedup_weighted_jaccard", "quality_l_diversity",
-                    "events_ddsketch_quantiles",
+                    "events_ddsketch_quantiles", "transfer_quic_frames",
+                    "storage_msgpack_decode", "storage_sst_walk",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",

@@ -9,7 +9,7 @@ import zipfile
 import zlib
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from goto_eater_crawler_spark.functions import minitar, minizip
@@ -182,6 +182,13 @@ def test_tar_directories_skipped():
     ),
 )
 def test_tar_fuzz_vs_stdlib(items, fmt):
+    # mtime == 2**33 == 8**11 exceeds the 12-octal-digit USTAR field;
+    # the STDLIB ENCODER raises there (only GNU base-256 can carry
+    # it), so that boundary combination is untestable by construction
+    assume(
+        fmt != tarfile.USTAR_FORMAT
+        or all(mt < 8**11 for _, mt in items)
+    )
     members = [
         (f"m/{i}.bin", body, mt) for i, (body, mt) in enumerate(items)
     ]
