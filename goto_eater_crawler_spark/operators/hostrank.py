@@ -959,3 +959,93 @@ def anf_hyperball(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return agg.select(F.col("node").alias("host"), F.round(est, 4).alias("est"))
+
+
+def ktruss(edges: DataFrame, k: int, iterations: int) -> DataFrame:
+    """k-truss decomposition by synchronous support peeling (Cohen,
+    "Trusses: cohesive subgraphs for social network analysis", NSA
+    tech report 2008): repeat ``iterations`` times — compute each
+    surviving edge's SUPPORT (triangles through it) over the current
+    edge set, drop edges with support < k-2. Where k-core bounds a
+    node's neighbor count, k-truss demands the neighbors actually
+    interlock — the tighter mirror-ring/link-farm detector, immune
+    to hub-and-spoke inflation (a star has huge cores but no
+    triangles at all).
+
+    Scale shape per iteration: the edge relation stays slim (u, v);
+    support is ONE wedge equi-join (edge side joined twice against
+    the doubled adjacency on the shared endpoint key) + ONE
+    map-side-combinable count groupBy — no node-iterator wedge
+    blowup beyond the join's own key distribution, and the corpus
+    is long gone before the first iteration. Callers pick
+    ``iterations`` >= the peel depth and pin fixpoint in tests.
+
+    Returns the surviving edges as (u, v, support) with u < v.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    sup = None
+    for _ in range(iterations):
+        adj = cur.select(
+            F.col("u").alias("s"), F.col("v").alias("d")
+        ).unionByName(
+            cur.select(F.col("v").alias("s"), F.col("u").alias("d"))
+        )
+        sup = (
+            cur.join(
+                adj.select(F.col("s").alias("u"), F.col("d").alias("w1")),
+                "u",
+            )
+            .join(
+                adj.select(F.col("s").alias("v"), F.col("d").alias("w1")),
+                ["v", "w1"],
+            )
+            .groupBy("u", "v")
+            .agg(F.count("*").cast("bigint").alias("support"))
+        )
+        cur = (
+            sup.filter(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return sup.join(cur, ["u", "v"], "left_semi").select(
+        "u", "v", "support"
+    )
+
+
+def ktruss_sql(edges_sql: str, k: int, iterations: int) -> str:
+    """DuckDB mirror — the identical peel unrolled as CTE stages."""
+    stages = [
+        f"raw AS ({edges_sql})",
+        "e0 AS (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM raw WHERE src <> dst)",
+    ]
+    for i in range(iterations):
+        stages.append(
+            f"adj{i} AS (SELECT u AS s, v AS d FROM e{i} "
+            f"UNION ALL SELECT v, u FROM e{i})"
+        )
+        stages.append(
+            f"s{i} AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) "
+            f"AS support FROM e{i} e "
+            f"JOIN adj{i} a1 ON a1.s = e.u "
+            f"JOIN adj{i} a2 ON a2.s = e.v AND a2.d = a1.d "
+            f"GROUP BY e.u, e.v)"
+        )
+        stages.append(
+            f"e{i + 1} AS (SELECT u, v FROM s{i} WHERE support >= {k - 2})"
+        )
+    last = iterations - 1
+    return (
+        "WITH " + ", ".join(stages)
+        + f" SELECT s.u AS u, s.v AS v, s.support FROM s{last} s "
+        f"JOIN e{iterations} f ON s.u = f.u AND s.v = f.v"
+    )

@@ -1430,3 +1430,111 @@ def sst_walk(blobs: "DataFrame") -> "DataFrame":
             "n_restarts int, n_404 int, first_key string, last_key string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC streams — the engine's own interchange format, decoded
+# from first principles (miniarrowipc: flatbuffers vtable walk)
+# ---------------------------------------------------------------------------
+
+
+def synth_arrow_streams(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) — one Arrow IPC stream per doc written by
+    PYARROW (the reference producer; the decoder never touches it):
+    4 columns (int64, nullable float64, nullable utf8, bool) with
+    planted nulls, split into TWO record batches on odd docs."""
+    import io
+
+    import pandas as pd
+
+    def batches(it):
+        import pyarrow as pa
+
+        def one(d: int) -> bytes:
+            n = 5 + d % 7
+            ids = [d * 100 + i for i in range(n)]
+            scores = [
+                None if (d + i) % 5 == 0
+                else ((d * 31 + i * 7) % 1000) / 8.0
+                for i in range(n)
+            ]
+            tags = [
+                None if (d + i) % 4 == 0 else f"t{(d + i) % 10}"
+                for i in range(n)
+            ]
+            flags = [(d + i) % 3 == 0 for i in range(n)]
+            t = pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+                "tag": pa.array(tags, pa.utf8()),
+                "flag": pa.array(flags, pa.bool_()),
+            })
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, t.schema) as w:
+                if d % 2:
+                    w.write_table(t.slice(0, n // 2))
+                    w.write_table(t.slice(n // 2))
+                else:
+                    w.write_table(t)
+            return sink.getvalue()
+
+        for pdf in it:
+            ids = [int(x) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [one(d) for d in ids]}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def arrow_ipc_walk(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> stream stats through the OWN walk
+    (flatbuffers vtables, union ordinals, struct vectors, validity
+    bitmaps, utf8 offset arrays). One Arrow map stage, no shuffle —
+    and no pyarrow IPC reader anywhere in the path."""
+    import pandas as pd
+
+    from ..functions import miniarrowipc as ai
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                m = ai.read_stream(bytes(blob))
+                cols = {f["name"]: [] for f in m["fields"]}
+                for b in m["batches"]:
+                    for k, v in b["columns"].items():
+                        cols[k].extend(v)
+                rows.append((
+                    int(d),
+                    m["n_messages"],
+                    len(m["batches"]),
+                    sum(b["n_rows"] for b in m["batches"]),
+                    len(m["fields"]),
+                    sum(cols["id"]),
+                    round(sum(v for v in cols["score"]
+                              if v is not None), 4),
+                    sum(1 for v in cols["score"] if v is None),
+                    sum(1 for v in cols["tag"] if v is None),
+                    ";".join(v for v in cols["tag"] if v is not None),
+                    sum(1 for v in cols["flag"] if v),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_messages", "n_batches", "n_rows",
+                    "n_fields", "id_sum", "score_sum", "score_nulls",
+                    "tag_nulls", "tags", "n_true",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_messages int, n_batches int, n_rows int, "
+            "n_fields int, id_sum bigint, score_sum double, "
+            "score_nulls int, tag_nulls int, tags string, n_true int"
+        ),
+    )

@@ -129,6 +129,8 @@ _GATE_ORDER: list[str] = [
     "transfer_quic_frames",
     "storage_msgpack_decode",
     "storage_sst_walk",
+    "graph_ktruss",
+    "storage_arrow_ipc",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -12016,3 +12018,115 @@ def q_storage_msgpack_decode(spark, sf_dir):
 def q_storage_sst_walk(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _st.sst_walk(_st.synth_sst_files(d)).orderBy("doc_id")
+
+
+_KTRUSS_EDGES_SQL = """
+    WITH six AS (
+      SELECT DISTINCT CAST(c_custkey % 6 AS BIGINT) AS a FROM customer),
+    raw AS (
+      SELECT x.a AS src, y.a AS dst FROM six x JOIN six y ON x.a < y.a
+      UNION ALL SELECT 10, 11 UNION ALL SELECT 10, 12
+      UNION ALL SELECT 11, 12 UNION ALL SELECT 11, 13
+      UNION ALL SELECT 12, 13 UNION ALL SELECT 12, 14
+      UNION ALL SELECT 13, 14 UNION ALL SELECT 13, 15
+      UNION ALL SELECT 14, 15
+      UNION ALL SELECT 20, 21 UNION ALL SELECT 21, 22
+      UNION ALL SELECT 22, 23 UNION ALL SELECT 23, 20
+      UNION ALL SELECT 30, 31 UNION ALL SELECT 30, 32
+      UNION ALL SELECT 30, 33 UNION ALL SELECT 30, 34)
+    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM raw
+"""
+
+
+def _ktruss_edges(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    six = c.select((F.col("c_custkey") % 6).cast("long").alias("a")).distinct()
+    k6 = (
+        six.alias("x")
+        .join(six.alias("y"), F.col("x.a") < F.col("y.a"))
+        .select(F.col("x.a").alias("src"), F.col("y.a").alias("dst"))
+    )
+    strip = [(10, 11), (10, 12), (11, 12), (11, 13), (12, 13),
+             (12, 14), (13, 14), (13, 15), (14, 15)]
+    c4 = [(20, 21), (21, 22), (22, 23), (23, 20)]
+    star = [(30, 31), (30, 32), (30, 33), (30, 34)]
+    fixed = spark.createDataFrame(strip + c4 + star, "src long, dst long")
+    return k6.unionByName(fixed)
+
+
+@_register(
+    "graph_ktruss",
+    # k-truss decomposition (Cohen 2008; Wang & Cheng VLDB 2012) by
+    # synchronous support peeling — the triangle-interlock tightening
+    # of graph_kcore: where a core bounds neighbor COUNTS, a truss
+    # demands the neighbors close triangles, so hub-and-spoke
+    # inflation (a star has arbitrarily large cores around its
+    # center... but zero triangles) cannot fake density. The planted
+    # graph makes every peel behavior load-bearing at EVERY sf: a K6
+    # (corpus-derived) survives k=4 with every edge at support
+    # exactly 4; a 4-triangle strip CASCADES — its support-1 boundary
+    # edges die in round 1, stranding a triangle-free 3-path that
+    # dies in round 2, so iterations=1 returns a wrong truss (pinned
+    # in pytest); a C4 and a 5-star (trussless by construction) die
+    # in round 1. Per iteration: one wedge equi-join over the slim
+    # edge relation + one combinable count groupBy; oracle = the
+    # identical peel unrolled as CTEs.
+    _hr.ktruss_sql(_KTRUSS_EDGES_SQL, k=4, iterations=3)
+    + " ORDER BY u, v",
+)
+def q_graph_ktruss(spark, sf_dir):
+    return _hr.ktruss(_ktruss_edges(spark, sf_dir), k=4, iterations=3).orderBy(
+        "u", "v"
+    )
+
+
+@_register(
+    "storage_arrow_ipc",
+    # Arrow IPC stream walk (Apache Arrow columnar spec) — the
+    # engine's OWN interchange format decoded from first principles:
+    # every mapInPandas stage in this repo ships record batches in
+    # exactly this layout. The producer is PYARROW (a real
+    # third-party encoder, like the stdlib tar/gzip gates); the
+    # decoder is a generic flatbuffers vtable walk (signed vtable
+    # soffsets, union slot pairs, 16-byte FieldNode/Buffer STRUCT
+    # vectors) + validity-bitmap/offset-array column decode, with
+    # dictionary batches, compressed bodies and big-endian buffers
+    # detected and refused rather than mis-read. Odd docs split into
+    # two record batches; nulls planted in float and utf8 columns;
+    # score values are dyadic eighths so the sum is float-exact
+    # cross-engine. One Arrow map stage; closed-form oracle.
+    """
+    WITH base AS (SELECT doc_id, CAST(5 + doc_id % 7 AS INT) AS n
+                  FROM documents),
+    s AS (SELECT doc_id, n, CAST(u.i AS INT) AS i
+          FROM base, UNNEST(range(n)) AS u(i)),
+    agg AS (SELECT doc_id, any_value(n) AS n,
+                   CAST(sum(doc_id * 100 + i) AS BIGINT) AS id_sum,
+                   round(sum(CASE WHEN (doc_id + i) % 5 <> 0
+                             THEN ((doc_id * 31 + i * 7) % 1000) / 8.0
+                             ELSE 0 END), 4) AS score_sum,
+                   CAST(sum(CASE WHEN (doc_id + i) % 5 = 0
+                            THEN 1 ELSE 0 END) AS INT) AS score_nulls,
+                   CAST(sum(CASE WHEN (doc_id + i) % 4 = 0
+                            THEN 1 ELSE 0 END) AS INT) AS tag_nulls,
+                   string_agg(CASE WHEN (doc_id + i) % 4 <> 0
+                              THEN 't' || CAST((doc_id + i) % 10 AS VARCHAR)
+                              END, ';' ORDER BY i) AS tags,
+                   CAST(sum(CASE WHEN (doc_id + i) % 3 = 0
+                            THEN 1 ELSE 0 END) AS INT) AS n_true
+            FROM s GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(1 + CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INT)
+             AS n_messages,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INT)
+             AS n_batches,
+           n AS n_rows,
+           CAST(4 AS INT) AS n_fields,
+           id_sum, score_sum, score_nulls, tag_nulls,
+           coalesce(tags, '') AS tags, n_true
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_storage_arrow_ipc(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.arrow_ipc_walk(_st.synth_arrow_streams(d)).orderBy("doc_id")

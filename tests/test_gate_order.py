@@ -66,6 +66,7 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "dedup_weighted_jaccard", "quality_l_diversity",
                     "events_ddsketch_quantiles", "transfer_quic_frames",
                     "storage_msgpack_decode", "storage_sst_walk",
+                    "graph_ktruss", "storage_arrow_ipc",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
