@@ -131,6 +131,9 @@ _GATE_ORDER: list[str] = [
     "storage_sst_walk",
     "graph_ktruss",
     "storage_arrow_ipc",
+    "html_srcset_extract",
+    "http_link_header",
+    "html_meta_refresh",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -12130,3 +12133,220 @@ def q_graph_ktruss(spark, sf_dir):
 def q_storage_arrow_ipc(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return _st.arrow_ipc_walk(_st.synth_arrow_streams(d)).orderBy("doc_id")
+
+
+@_register(
+    "html_srcset_extract",
+    # Responsive-image srcset mining (WHATWG HTML §4.8.4.3 image
+    # candidate strings) — every candidate URL belongs in the
+    # frontier, and the BEST candidate (largest width descriptor, or
+    # highest density when the srcset uses x-descriptors with the
+    # spec's implied-1x default) is what an asset-dedup pass keys
+    # on. PURE CATALYST: attribute pull + per-candidate split via
+    # transform(), argmax via array_max over (num, url, desc)
+    # structs — no Python stage, no shuffle beyond the final sort.
+    """
+    WITH imgs AS (
+      SELECT doc_id, 0 AS img_idx, 3 AS n_candidates,
+             'https://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example.org/i/a' || CAST(doc_id % 9 AS VARCHAR)
+               || '-1200.jpg' AS best_url,
+             '1200w' AS best_desc
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1, 2,
+             'https://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example.org/i/b' || CAST(doc_id % 7 AS VARCHAR)
+               || '@2x.jpg',
+             '2x'
+      FROM documents)
+    SELECT doc_id, CAST(img_idx AS INT) AS img_idx,
+           CAST(n_candidates AS INT) AS n_candidates,
+           best_url, best_desc
+    FROM imgs ORDER BY doc_id, img_idx
+    """,
+)
+def q_html_srcset_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 9).cast("string")
+    b = (F.col("doc_id") % 7).cast("string")
+    html = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<img src="/i/x.jpg" srcset="/i/a'), a,
+            F.lit("-480.jpg 480w, /i/a"), a,
+            F.lit("-800.jpg 800w, /i/a"), a,
+            F.lit('-1200.jpg 1200w" sizes="100vw">'),
+            F.lit('<p>t</p><img srcset="/i/b'), b,
+            F.lit(".jpg, /i/b"), b, F.lit('@2x.jpg 2x">'),
+        ).alias("html"),
+    )
+    sets = html.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "regexp_extract_all(html, 'srcset=\"([^\"]*)\"', 1)"
+            )
+        ).alias("img_idx", "srcset"),
+    )
+    parsed = sets.withColumn(
+        "cands",
+        F.expr(
+            r"""transform(split(srcset, ','), s -> named_struct(
+              'num', CAST(coalesce(nullif(regexp_extract(trim(s),
+                          '\\s(\\d+)[wx]$', 1), ''), '1') AS INT),
+              'url', split(trim(s), '\\s+')[0],
+              'desc', if(size(split(trim(s), '\\s+')) > 1,
+                         split(trim(s), '\\s+')[1], '1x')))"""
+        ),
+    ).withColumn("best", F.expr("array_max(cands)"))
+    return parsed.select(
+        "doc_id",
+        F.col("img_idx").cast("int").alias("img_idx"),
+        F.size("cands").cast("int").alias("n_candidates"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.org"), F.col("best.url"),
+        ).alias("best_url"),
+        F.col("best.desc").alias("best_desc"),
+    ).orderBy("doc_id", "img_idx")
+
+
+@_register(
+    "http_link_header",
+    # Web-linking Link-header parse (RFC 8288) — rel=next/prev
+    # pagination discovery is a frontier source on API-ish hosts,
+    # rel=canonical mirrors the html_rel_canonical arm at the HTTP
+    # layer, rel=preload names sub-resources. Target in <>, params
+    # ';'-separated, rel value QUOTED OR BARE (both live by doc
+    # parity). PURE CATALYST: one regexp_extract_all over the
+    # header + per-element pulls.
+    """
+    WITH links AS (
+      SELECT doc_id, 0 AS link_idx, 'next' AS rel,
+             '/page/' || CAST(doc_id % 20 + 1 AS VARCHAR) AS target,
+             '-' AS as_attr, TRUE AS is_frontier
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1, 'canonical',
+             'https://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example.org/p/' || CAST(doc_id AS VARCHAR),
+             '-', FALSE
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2, 'preload',
+             '/assets/s' || CAST(doc_id % 5 AS VARCHAR) || '.css',
+             'style', FALSE
+      FROM documents)
+    SELECT doc_id, CAST(link_idx AS INT) AS link_idx, rel, target,
+           as_attr, is_frontier
+    FROM links ORDER BY doc_id, link_idx
+    """,
+)
+def q_http_link_header(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # rel quoting flips by parity: even docs quote, odd docs bare
+    q1, q2 = F.lit('rel="next"'), F.lit("rel=next")
+    hdr = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("</page/"), ((F.col("doc_id") % 20) + 1).cast("string"),
+            F.lit(">; "),
+            F.when(F.col("doc_id") % 2 == 0, q1).otherwise(q2),
+            F.lit(", <https://h"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+            F.lit('>; rel="canonical", </assets/s'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('.css>; rel=preload; as="style"'),
+        ).alias("link"),
+    )
+    elems = hdr.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(link, '(<[^>]+>[^,]*)')")
+        ).alias("link_idx", "elem"),
+    )
+    rel = F.expr(
+        "coalesce(nullif(regexp_extract(elem,"
+        " 'rel=\"([^\"]+)\"', 1), ''),"
+        " regexp_extract(elem, 'rel=([^;,\" ]+)', 1))"
+    )
+    return elems.select(
+        "doc_id",
+        F.col("link_idx").cast("int").alias("link_idx"),
+        rel.alias("rel"),
+        F.regexp_extract("elem", "<([^>]+)>", 1).alias("target"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract("elem", 'as="([^"]+)"', 1), F.lit("")
+            ),
+            F.lit("-"),
+        ).alias("as_attr"),
+        rel.isin("next", "prev").alias("is_frontier"),
+    ).orderBy("doc_id", "link_idx")
+
+
+@_register(
+    "html_meta_refresh",
+    # Meta-refresh redirect extraction (WHATWG HTML §4.2.5.3 "the
+    # refresh pseudo-standard") — the soft-redirect mechanism the
+    # HTTP-layer redirect_resolve arm never sees; crawlers must
+    # follow it or lose every legacy move page. The grammar's
+    # variants are live by doc parity: bare 'N; url=...', uppercase
+    # 'URL' with single-quoted target, and delay-only (a reload,
+    # not a redirect). PURE CATALYST.
+    """
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 0
+                WHEN 1 THEN 5 ELSE 30 END AS INT) AS delay_s,
+           CASE doc_id % 3
+             WHEN 0 THEN 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example.org/moved/' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example.org/next/' || CAST(doc_id % 11 AS VARCHAR)
+             ELSE '-' END AS target,
+           doc_id % 3 <> 2 AS is_redirect
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_html_meta_refresh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    m3 = F.col("doc_id") % 3
+    content = (
+        F.when(
+            m3 == 0,
+            F.concat(F.lit("0; url=/moved/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("5; URL='/next/"),
+                (F.col("doc_id") % 11).cast("string"), F.lit("'"),
+            ),
+        )
+        .otherwise(F.lit("30"))
+    )
+    html = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<head><meta http-equiv="refresh" content="'),
+            content, F.lit('"></head>'),
+        ).alias("html"),
+    )
+    c = F.regexp_extract(
+        "html", 'http-equiv="refresh" content="([^"]*)"', 1
+    )
+    raw_url = F.regexp_extract(c, r"(?i);\s*url\s*=\s*'?([^'\"]*?)'?$", 1)
+    return html.select(
+        "doc_id",
+        F.regexp_extract(c, r"^(\d+)", 1).cast("int").alias("delay_s"),
+        F.when(raw_url == "", "-")
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.org"), raw_url,
+            )
+        )
+        .alias("target"),
+        (raw_url != "").alias("is_redirect"),
+    ).orderBy("doc_id")

@@ -67,6 +67,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "events_ddsketch_quantiles", "transfer_quic_frames",
                     "storage_msgpack_decode", "storage_sst_walk",
                     "graph_ktruss", "storage_arrow_ipc",
+                    "html_srcset_extract", "http_link_header",
+                    "html_meta_refresh",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
