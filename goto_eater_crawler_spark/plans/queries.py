@@ -134,6 +134,8 @@ _GATE_ORDER: list[str] = [
     "html_srcset_extract",
     "http_link_header",
     "html_meta_refresh",
+    "crawl_shark_search",
+    "events_countsketch_freq",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -12350,3 +12352,218 @@ def q_html_meta_refresh(spark, sf_dir):
         .alias("target"),
         (raw_url != "").alias("is_redirect"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "crawl_shark_search",
+    # Shark-Search focused crawling (Hersovici et al., WWW 1998) —
+    # the relevance-propagation frontier family member beside OPIC
+    # (cash flow), UCB (bandit), Mercator (politeness bands) and
+    # PageRank x depth: a child URL's priority blends its parent's
+    # relevance, the DECAYED inherited score of irrelevant ancestor
+    # chains, and its own anchor evidence. Three-level seed tree
+    # closed-form in doc_id (seeds %25, hubs %5, leaves); relevance
+    # is an integer probe-term overlap / 4, and ALL mixing weights
+    # are dyadic (gamma = delta = 1/2, beta = 1/4), so every score
+    # is exact in double on both engines before the final round.
+    # Two propagation JOINS on the parent key — no iteration over
+    # the corpus, each layer a slim relation.
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 25 = 0 THEN 0
+                       WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS INT)
+               AS depth,
+             CASE WHEN doc_id % 25 = 0 THEN NULL
+                  WHEN doc_id % 5 = 0 THEN (doc_id // 25) * 25
+                  ELSE (doc_id // 5) * 5 END AS parent,
+             (CASE WHEN position('spark' IN text) > 0 THEN 1 ELSE 0 END
+              + CASE WHEN position('window' IN text) > 0 THEN 1 ELSE 0 END
+              + CASE WHEN position('merge' IN text) > 0 THEN 1 ELSE 0 END)
+               / 4.0 AS sim,
+             CASE WHEN doc_id % 4 = 0 THEN 1.0 ELSE 0.0 END AS anchor
+      FROM documents),
+    l0 AS (SELECT doc_id, sim, 0.0 AS inherited FROM pages
+           WHERE depth = 0),
+    l1 AS (SELECT p.doc_id, p.sim, p.anchor,
+                  0.5 * CASE WHEN s.sim > 0 THEN s.sim
+                             ELSE s.inherited END AS inherited
+           FROM pages p JOIN l0 s ON p.parent = s.doc_id
+           WHERE p.depth = 1),
+    l2 AS (SELECT p.doc_id, p.sim, p.anchor,
+                  0.5 * CASE WHEN h.sim > 0 THEN h.sim
+                             ELSE h.inherited END AS inherited
+           FROM pages p JOIN l1 h ON p.parent = h.doc_id
+           WHERE p.depth = 2),
+    kids AS (SELECT doc_id, 1 AS depth, sim, anchor, inherited FROM l1
+             UNION ALL
+             SELECT doc_id, 2, sim, anchor, inherited FROM l2)
+    SELECT doc_id, CAST(depth AS INT) AS depth,
+           round(sim, 4) AS sim,
+           round(inherited, 4) AS inherited,
+           round(0.5 * inherited
+                 + 0.5 * (0.25 * anchor + 0.75 * sim), 4) AS score
+    FROM kids ORDER BY doc_id
+    """,
+)
+def q_crawl_shark_search(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    probe = sum(
+        F.when(F.instr("text", t) > 0, 1).otherwise(0)
+        for t in ("spark", "window", "merge")
+    )
+    pages = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 25 == 0, 0)
+        .when(F.col("doc_id") % 5 == 0, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("depth"),
+        F.when(F.col("doc_id") % 25 == 0, None)
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.floor(F.col("doc_id") / 25) * 25,
+        )
+        .otherwise(F.floor(F.col("doc_id") / 5) * 5)
+        .alias("parent"),
+        (probe / 4.0).alias("sim"),
+        F.when(F.col("doc_id") % 4 == 0, 1.0).otherwise(0.0).alias("anchor"),
+    ).persist()
+    inh = lambda s: 0.5 * F.when(  # noqa: E731
+        F.col(f"{s}.sim") > 0, F.col(f"{s}.sim")
+    ).otherwise(F.col(f"{s}.inherited"))
+    l0 = (
+        pages.filter("depth = 0")
+        .select("doc_id", "sim", F.lit(0.0).alias("inherited"))
+        .alias("s")
+    )
+    l1 = (
+        pages.filter("depth = 1").alias("p")
+        .join(l0, F.col("p.parent") == F.col("s.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("doc_id"), F.col("p.sim").alias("sim"),
+            F.col("p.anchor").alias("anchor"),
+            inh("s").alias("inherited"),
+        )
+        .alias("s")
+    )
+    l2 = (
+        pages.filter("depth = 2").alias("p")
+        .join(l1, F.col("p.parent") == F.col("s.doc_id"))
+        .select(
+            F.col("p.doc_id").alias("doc_id"), F.col("p.sim").alias("sim"),
+            F.col("p.anchor").alias("anchor"),
+            inh("s").alias("inherited"),
+        )
+    )
+    kids = l1.select(
+        "doc_id", F.lit(1).alias("depth"), "sim", "anchor", "inherited"
+    ).unionByName(
+        l2.select(
+            "doc_id", F.lit(2).alias("depth"), "sim", "anchor", "inherited"
+        )
+    )
+    return kids.select(
+        "doc_id",
+        F.col("depth").cast("int").alias("depth"),
+        F.round("sim", 4).alias("sim"),
+        F.round("inherited", 4).alias("inherited"),
+        F.round(
+            0.5 * F.col("inherited")
+            + 0.5 * (0.25 * F.col("anchor") + 0.75 * F.col("sim")),
+            4,
+        ).alias("score"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "events_countsketch_freq",
+    # Count-Sketch point frequency estimates (Charikar, Chen &
+    # Farach-Colton, ICALP 2002) — the SIGNED companion of
+    # events_countmin_freq: random +-1 signs make the estimator
+    # unbiased (count-min only over-counts; count-sketch errors
+    # cancel), the trade the heavy-hitter literature picks when
+    # under-estimates are acceptable. d=5 rows x w=64 buckets on the
+    # shared h60 hash so both engines place every key identically;
+    # counters and estimates are pure INTEGER sums, and the median
+    # over the 5 per-row estimates is taken positionally from the
+    # sorted 5-array (no float percentile). Shape: one combinable
+    # key-count groupBy, a 5x explode of the slim key relation, one
+    # (row, bucket) groupBy — the event log shuffles once.
+    """
+    WITH keys AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    placed AS (
+      SELECT k.user_id, k.cnt, r.j,
+             ((('0x' || substr(md5('cs' || CAST(r.j AS VARCHAR) || '|'
+                || CAST(k.user_id AS VARCHAR)), 1, 15))::BIGINT) % 64)
+               AS bucket,
+             (1 - 2 * ((('0x' || substr(md5('sg' || CAST(r.j AS VARCHAR)
+                || '|' || CAST(k.user_id AS VARCHAR)), 1, 15))::BIGINT)
+                % 2)) AS sign
+      FROM keys k, (SELECT unnest(range(5)) AS j) r),
+    counters AS (
+      SELECT j, bucket, CAST(sum(sign * cnt) AS BIGINT) AS c
+      FROM placed GROUP BY 1, 2),
+    ests AS (
+      SELECT p.user_id, p.cnt, p.sign * c.c AS est
+      FROM placed p JOIN counters c ON c.j = p.j AND c.bucket = p.bucket),
+    med AS (
+      SELECT user_id, any_value(cnt) AS true_cnt,
+             (array_agg(est ORDER BY est))[3] AS est
+      FROM ests GROUP BY user_id)
+    SELECT user_id, true_cnt, CAST(est AS BIGINT) AS est,
+           CAST(abs(est - true_cnt) AS BIGINT) AS abs_err
+    FROM med ORDER BY user_id
+    """,
+)
+def q_events_countsketch_freq(spark, sf_dir):
+    from ..functions.hashing import h60_col
+
+    e = _t(spark, sf_dir, "events")
+    keys = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    rows = spark.range(5).select(F.col("id").cast("int").alias("j"))
+    uid = F.col("user_id").cast("string")
+    placed = (
+        keys.crossJoin(F.broadcast(rows))
+        .withColumn(
+            "bucket",
+            h60_col(
+                F.concat(F.lit("cs"), F.col("j").cast("string"),
+                         F.lit("|"), uid)
+            ) % 64,
+        )
+        .withColumn(
+            "sign",
+            1 - 2 * (
+                h60_col(
+                    F.concat(F.lit("sg"), F.col("j").cast("string"),
+                             F.lit("|"), uid)
+                ) % 2
+            ),
+        )
+        .persist()
+    )
+    counters = placed.groupBy("j", "bucket").agg(
+        F.sum(F.col("sign") * F.col("cnt")).cast("bigint").alias("c")
+    )
+    ests = placed.join(F.broadcast(counters), ["j", "bucket"]).select(
+        "user_id", "cnt", (F.col("sign") * F.col("c")).alias("est")
+    )
+    return (
+        ests.groupBy("user_id")
+        .agg(
+            F.first("cnt").alias("true_cnt"),
+            F.expr("sort_array(collect_list(est))[2]").alias("est"),
+        )
+        .select(
+            "user_id", "true_cnt",
+            F.col("est").cast("bigint").alias("est"),
+            F.abs(F.col("est") - F.col("true_cnt"))
+            .cast("bigint").alias("abs_err"),
+        )
+        .orderBy("user_id")
+    )

@@ -68,7 +68,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "storage_msgpack_decode", "storage_sst_walk",
                     "graph_ktruss", "storage_arrow_ipc",
                     "html_srcset_extract", "http_link_header",
-                    "html_meta_refresh",
+                    "html_meta_refresh", "crawl_shark_search",
+                    "events_countsketch_freq",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
