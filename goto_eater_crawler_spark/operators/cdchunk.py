@@ -172,3 +172,89 @@ def chunk_rows_sql(rel: str = "documents") -> str:
            CAST({fp} AS BIGINT) AS chunk_fp
     FROM k ORDER BY doc_id, chunk_idx
     """
+
+
+# ---------------------------------------------------------------------------
+# rsync fixed-block delta (minirsync) — the offset-scanning
+# counterpart of the content-defined chunker above
+# ---------------------------------------------------------------------------
+
+RSYNC_BLOCK = 16
+
+
+def rsync_recrawl_delta(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """Per selected doc (text >= 48 bytes): OLD = the archived text,
+    NEW = the refetch with a '[[PATCH-<id>]]' insertion at byte 32.
+    Sign OLD's aligned 16-byte blocks, scan NEW with the ROLLING weak
+    checksum + md5 strong confirm, emit op stats, and verify the
+    delta RECONSTRUCTS the refetch byte-identically. The patch
+    marker uses '[' ']' — bytes absent from the corpus vocabulary —
+    so no window overlapping the insertion can match a signed block
+    and the op counts are closed-form. One Arrow map stage."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions import minirsync as rs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                old = str(text).encode("utf-8")
+                ins = f"[[PATCH-{d}]]".encode()
+                new = old[:32] + ins + old[32:]
+                sigs = rs.signatures(old, RSYNC_BLOCK)
+                ops = rs.delta(new, sigs, RSYNC_BLOCK)
+                recon = rs.apply_delta(old, ops, RSYNC_BLOCK)
+                rows.append((
+                    d,
+                    sum(1 for k, _ in ops if k == "copy"),
+                    sum(1 for k, _ in ops if k == "lit"),
+                    sum(len(v) for k, v in ops if k == "lit"),
+                    len(new),
+                    recon == new,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_copy", "n_lit_runs",
+                    "n_lit_bytes", "new_len", "recon_ok",
+                ],
+            )
+
+    return (
+        docs.filter(
+            f"doc_id % {mod} = 0 AND octet_length(text) >= 48"
+        )
+        .select("doc_id", "text")
+        .mapInPandas(
+            batches,
+            schema=(
+                "doc_id long, n_copy int, n_lit_runs int, "
+                "n_lit_bytes int, new_len int, recon_ok boolean"
+            ),
+        )
+    )
+
+
+def rsync_recrawl_delta_sql(mod: int = 3) -> str:
+    """Closed-form oracle: with the marker bytes outside the corpus
+    alphabet, greedy matching copies exactly OLD's len//16 aligned
+    blocks; literals are the insertion plus OLD's trailing partial
+    block (two runs, one when the tail is empty)."""
+    nb = "octet_length(encode(text))"
+    ins = "10 + length(CAST(doc_id AS VARCHAR))"
+    return f"""
+    SELECT doc_id,
+           CAST({nb} // 16 AS INT) AS n_copy,
+           CAST(CASE WHEN {nb} % 16 = 0 THEN 1 ELSE 2 END AS INT)
+             AS n_lit_runs,
+           CAST({ins} + {nb} % 16 AS INT) AS n_lit_bytes,
+           CAST({nb} + {ins} AS INT) AS new_len,
+           TRUE AS recon_ok
+    FROM documents
+    WHERE doc_id % {mod} = 0 AND {nb} >= 48
+    ORDER BY doc_id
+    """

@@ -136,6 +136,8 @@ _GATE_ORDER: list[str] = [
     "html_meta_refresh",
     "crawl_shark_search",
     "events_countsketch_freq",
+    "snapshot_rsync_delta",
+    "frontier_lww_set",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -12567,3 +12569,83 @@ def q_events_countsketch_freq(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@_register(
+    "snapshot_rsync_delta",
+    # rsync block-delta recrawl (Tridgell & Mackerras 1996) — the
+    # offset-scanning counterpart of storage_cdc_chunks: the refetch
+    # of a page is scanned at EVERY byte offset with the rolling
+    # (a, b) weak checksum against md5-confirmed signatures of the
+    # archive copy's aligned 16-byte blocks, reducing the transfer
+    # to COPY/LITERAL ops. The planted '[[PATCH-<id>]]' insertion
+    # uses bytes outside the corpus alphabet, making every op count
+    # closed-form (copies = old_len // 16; literals = the patch plus
+    # the unsigned trailing partial block), and the op stream is
+    # APPLIED and byte-compared against the refetch per doc. One
+    # Arrow map stage.
+    _cdc.rsync_recrawl_delta_sql(3),
+)
+def q_snapshot_rsync_delta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _cdc.rsync_recrawl_delta(d, 3).orderBy("doc_id")
+
+
+@_register(
+    "frontier_lww_set",
+    # LWW-element-set CRDT merge (Shapiro, Preguica, Baquero &
+    # Zawirski, "A comprehensive study of CRDTs", INRIA RR-7506,
+    # 2011) — multi-shard frontier reconciliation WITHOUT
+    # coordination: 4 crawler replicas emit add/remove ops for URL
+    # keys; the merged state is, per key, the op with the maximal
+    # (ts, add-bias, replica, op-id) tuple — commutative,
+    # associative, idempotent, so shards can merge in ANY order and
+    # agree. The tiebreak tuple is TOTAL (op-id is unique), so no
+    # float or engine order can flip a winner; one max_by groupBy
+    # over the op log, no window over the corpus.
+    """
+    WITH ops AS (
+      SELECT event_id AS op_id, ts,
+             CAST(user_id % 4 AS INT) AS replica,
+             'u' || CAST(event_id % 37 AS VARCHAR) AS url_key,
+             CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS is_add
+      FROM events),
+    merged AS (
+      SELECT url_key,
+             CAST(count(*) AS BIGINT) AS n_ops,
+             CAST(sum(is_add) AS BIGINT) AS n_adds,
+             max(struct_pack(ts := ts, is_add := is_add,
+                             replica := replica, op_id := op_id))
+               AS w
+      FROM ops GROUP BY url_key)
+    SELECT url_key, n_ops, n_adds,
+           w.is_add = 1 AS present,
+           CAST(w.replica AS INT) AS winner_replica,
+           CAST(w.op_id AS BIGINT) AS winner_op
+    FROM merged ORDER BY url_key
+    """,
+)
+def q_frontier_lww_set(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ops = e.select(
+        F.col("event_id").alias("op_id"),
+        "ts",
+        (F.col("user_id") % 4).cast("int").alias("replica"),
+        F.concat(F.lit("u"), (F.col("event_id") % 37).cast("string")).alias(
+            "url_key"
+        ),
+        F.when(F.col("event_type") == "error", 0).otherwise(1).alias(
+            "is_add"
+        ),
+    )
+    merged = ops.groupBy("url_key").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.sum("is_add").cast("bigint").alias("n_adds"),
+        F.max(F.struct("ts", "is_add", "replica", "op_id")).alias("w"),
+    )
+    return merged.select(
+        "url_key", "n_ops", "n_adds",
+        (F.col("w.is_add") == 1).alias("present"),
+        F.col("w.replica").cast("int").alias("winner_replica"),
+        F.col("w.op_id").cast("bigint").alias("winner_op"),
+    ).orderBy("url_key")

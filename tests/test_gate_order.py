@@ -69,7 +69,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "graph_ktruss", "storage_arrow_ipc",
                     "html_srcset_extract", "http_link_header",
                     "html_meta_refresh", "crawl_shark_search",
-                    "events_countsketch_freq",
+                    "events_countsketch_freq", "snapshot_rsync_delta",
+                    "frontier_lww_set",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
