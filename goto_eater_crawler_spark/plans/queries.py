@@ -138,6 +138,9 @@ _GATE_ORDER: list[str] = [
     "events_countsketch_freq",
     "snapshot_rsync_delta",
     "frontier_lww_set",
+    "frontier_raft_commit",
+    "graph_salsa",
+    "url_bidi_spoof",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -12649,3 +12652,229 @@ def q_frontier_lww_set(spark, sf_dir):
         F.col("w.replica").cast("int").alias("winner_replica"),
         F.col("w.op_id").cast("bigint").alias("winner_op"),
     ).orderBy("url_key")
+
+
+@_register(
+    "frontier_raft_commit",
+    # Raft committed-prefix computation (Ongaro & Ousterhout, USENIX
+    # ATC 2014, §5.3-5.4) — the coordination layer a sharded frontier
+    # master replicates its command log through. 5 replicas share a
+    # 12-entry prefix; each carries a DIVERGENT uncommitted tail
+    # whose terms differ by replica (the post-partition state the
+    # log-matching property exists to clean up). An entry is
+    # committed iff a MAJORITY holds it WITH THE SAME TERM and every
+    # earlier index is too (the prefix rule: one un-quorumed index
+    # censors everything after it, which the planted tails exercise
+    # — index 13 is on all 5 replicas but with 5 different terms, so
+    # nothing past 12 commits). Pure integer relational algebra: one
+    # (index, term) groupBy + a running-AND window over the slim
+    # index domain.
+    """
+    WITH reps AS (
+      SELECT DISTINCT CAST(c_custkey % 5 AS INT) AS r FROM customer),
+    idx AS (SELECT CAST(u.i AS INT) + 1 AS i
+            FROM UNNEST(range(16)) AS u(i)),
+    log AS (
+      SELECT reps.r, idx.i,
+             CASE WHEN idx.i <= 12 THEN 1 + idx.i // 5
+                  ELSE 10 + reps.r END AS term
+      FROM reps CROSS JOIN idx
+      WHERE idx.i <= 12 OR idx.i - 12 <= reps.r % 3 + 1),
+    q AS (
+      SELECT i, term, CAST(count(*) AS BIGINT) AS n_holders
+      FROM log GROUP BY 1, 2),
+    best AS (
+      SELECT i, max_by(term, n_holders * 100 - term) AS term,
+             max(n_holders) AS n_holders,
+             max(n_holders) >= 3 AS quorum,
+             CAST(count(*) AS INT) AS n_terms
+      FROM q GROUP BY i),
+    c AS (
+      SELECT i, term, n_holders, quorum, n_terms,
+             bool_and(quorum) OVER (ORDER BY i) AS committed
+      FROM best)
+    SELECT i AS idx, CAST(term AS INT) AS term, n_holders,
+           n_terms, quorum, committed
+    FROM c ORDER BY idx
+    """,
+)
+def q_frontier_raft_commit(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    reps = c.select((F.col("c_custkey") % 5).cast("int").alias("r")).distinct()
+    idx = spark.range(1, 17).select(F.col("id").cast("int").alias("i"))
+    log = (
+        reps.crossJoin(F.broadcast(idx))
+        .filter(
+            (F.col("i") <= 12)
+            | (F.col("i") - 12 <= F.col("r") % 3 + 1)
+        )
+        .select(
+            "r", "i",
+            F.when(F.col("i") <= 12, 1 + F.floor(F.col("i") / 5))
+            .otherwise(10 + F.col("r"))
+            .alias("term"),
+        )
+    )
+    q = log.groupBy("i", "term").agg(
+        F.count("*").cast("bigint").alias("n_holders")
+    )
+    best = q.groupBy("i").agg(
+        F.expr("max_by(term, n_holders * 100 - term)").alias("term"),
+        F.max("n_holders").alias("n_holders"),
+        (F.max("n_holders") >= 3).alias("quorum"),
+        F.count("*").cast("int").alias("n_terms"),
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    out = best.withColumn("committed", F.min(F.col("quorum").cast("int")).over(w) == 1)
+    return out.select(
+        F.col("i").alias("idx"),
+        F.col("term").cast("int").alias("term"),
+        "n_holders", "n_terms", "quorum", "committed",
+    ).orderBy("idx")
+
+
+@_register(
+    "graph_salsa",
+    # SALSA authority scores (Lempel & Moran, WWW 2000) — the
+    # stochastic sibling of graph_hits whose stationary distribution
+    # has a CLOSED FORM: within each connected component of the
+    # authority-side co-citation structure, an authority's score is
+    # its in-degree over the component's in-degree mass, weighted by
+    # the component's share of authorities (the paper's §3.2 "TKC
+    # effect" fix — a tightly-knit cluster cannot swallow the whole
+    # ranking, which is exactly what graph_hits' power iteration
+    # lets happen). Components come from the SAME pointer-doubling
+    # min-label machinery as dedup_clusters/graph_components; the
+    # only division is the final per-row score, rounded.
+    """
+    WITH hedges AS (
+      SELECT DISTINCT CAST(o_custkey % 50 AS BIGINT) AS src,
+                      CAST(o_orderkey % 50 AS BIGINT) AS dst
+      FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),
+    indeg AS (SELECT dst AS auth, CAST(count(*) AS BIGINT) AS din
+              FROM hedges GROUP BY 1),
+    copairs AS (
+      SELECT DISTINCT least(x.dst, y.dst) AS doc_a,
+                      greatest(x.dst, y.dst) AS doc_b
+      FROM hedges x JOIN hedges y
+        ON x.src = y.src AND x.dst < y.dst),
+    comp AS ({CLUSTERS}),
+    labeled AS (
+      SELECT i.auth, i.din,
+             coalesce(c.cluster_id, i.auth) AS comp_id
+      FROM indeg i LEFT JOIN comp c ON c.doc_id = i.auth),
+    mass AS (SELECT comp_id, CAST(sum(din) AS BIGINT) AS comp_din,
+                    CAST(count(*) AS BIGINT) AS comp_n
+             FROM labeled GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_auth FROM labeled)
+    SELECT l.auth, l.din, l.comp_id, m.comp_n,
+           round((CAST(m.comp_n AS DOUBLE) / t.n_auth)
+                 * (CAST(l.din AS DOUBLE) / m.comp_din), 6) AS salsa
+    FROM labeled l JOIN mass m USING (comp_id) CROSS JOIN tot t
+    ORDER BY auth
+    """.replace(
+        "{CLUSTERS}",
+        "SELECT doc_id, cluster_id FROM ({})".format(
+            _td.dedup_clusters_sql("SELECT doc_a, doc_b FROM copairs")
+        ),
+    ),
+)
+def q_graph_salsa(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 50).cast("long").alias("src"),
+            (F.col("o_orderkey") % 50).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    indeg = edges.groupBy(F.col("dst").alias("auth")).agg(
+        F.count("*").cast("bigint").alias("din")
+    )
+    a, b = edges.alias("a"), edges.alias("b")
+    copairs = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .select(
+            F.least("a.dst", "b.dst").alias("doc_a"),
+            F.greatest("a.dst", "b.dst").alias("doc_b"),
+        )
+        .distinct()
+    )
+    comp = _td.dedup_clusters(copairs)
+    labeled = indeg.join(
+        comp.withColumnRenamed("doc_id", "auth"), "auth", "left"
+    ).withColumn("comp_id", F.coalesce("cluster_id", "auth"))
+    mass = labeled.groupBy("comp_id").agg(
+        F.sum("din").cast("bigint").alias("comp_din"),
+        F.count("*").cast("bigint").alias("comp_n"),
+    )
+    tot = labeled.agg(F.count("*").cast("bigint").alias("n_auth"))
+    return (
+        labeled.join(mass, "comp_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "auth", "din", "comp_id", "comp_n",
+            F.round(
+                (F.col("comp_n").cast("double") / F.col("n_auth"))
+                * (F.col("din").cast("double") / F.col("comp_din")),
+                6,
+            ).alias("salsa"),
+        )
+        .orderBy("auth")
+    )
+
+
+@_register(
+    "url_bidi_spoof",
+    # Bidi/RTL URL spoof detection (RFC 5893 §4.2 bidi rule context;
+    # Unicode TR#36 §2.9) — the visual-spoofing companion of
+    # url_homoglyph_skeleton: a Unicode DIRECTIONAL OVERRIDE
+    # (U+202E RLO and friends) inside a hostname or path renders the
+    # URL visually reversed ('moc.lapyap' displays as 'paypal.com'),
+    # and raw RTL-block letters in an otherwise-Latin label violate
+    # the IDNA bidi rule. Both plants are live by doc parity (RLO on
+    # doc_id % 7 == 0, a Hebrew aleph on doc_id % 11 == 0); the
+    # detector is one Unicode character-class regexp — PURE
+    # CATALYST, and the class is written in \\x{...} form that Java
+    # regex and RE2 read identically.
+    """
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.org/p'
+             || CASE WHEN doc_id % 7 = 0 THEN chr(8238) ELSE '' END
+             || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 11 = 0 THEN chr(1488) ELSE '' END
+             AS url,
+           doc_id % 7 = 0 AS has_override,
+           doc_id % 11 = 0 AS has_rtl_char,
+           doc_id % 7 = 0 OR doc_id % 11 = 0 AS spoof_risk
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_url_bidi_spoof(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.org/p"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("‮")).otherwise(""),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("א")).otherwise(""),
+    )
+    over = F.col("url").rlike(r"[\x{202A}-\x{202E}\x{2066}-\x{2069}]")
+    rtl = F.col("url").rlike(r"[\x{0590}-\x{08FF}]")
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id", "url",
+            over.alias("has_override"),
+            rtl.alias("has_rtl_char"),
+            (over | rtl).alias("spoof_risk"),
+        )
+        .orderBy("doc_id")
+    )

@@ -70,7 +70,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "html_srcset_extract", "http_link_header",
                     "html_meta_refresh", "crawl_shark_search",
                     "events_countsketch_freq", "snapshot_rsync_delta",
-                    "frontier_lww_set",
+                    "frontier_lww_set", "frontier_raft_commit",
+                    "graph_salsa", "url_bidi_spoof",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
