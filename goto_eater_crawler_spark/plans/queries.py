@@ -141,6 +141,9 @@ _GATE_ORDER: list[str] = [
     "frontier_raft_commit",
     "graph_salsa",
     "url_bidi_spoof",
+    "graph_modularity",
+    "recrawl_ses_forecast",
+    "http_vary_cache_key",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -12878,3 +12881,244 @@ def q_url_bidi_spoof(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "graph_modularity",
+    # Newman-Girvan modularity (Newman & Girvan, Phys. Rev. E 2004)
+    # of the LPA partition — the quality score that says whether
+    # graph_communities_lpa actually FOUND structure: Q = sum_c
+    # [e_c/m - (d_c/2m)^2] over the same two-ring-plus-bridge graph,
+    # so the bridge edge's Q penalty and both rings' intra mass are
+    # load-bearing at every sf. Every e_c, d_c, m is an INTEGER
+    # count off one undirected edge relation + the LPA labels; the
+    # two divisions happen once per community row, same IEEE order
+    # both engines, rounded.
+    f"""
+    WITH comm AS ({{LPA}}),
+    raw AS ({_LPA_EDGES_SQL}),
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY 1),
+    intra AS (
+      SELECT cu.label, CAST(count(*) AS BIGINT) AS e_c
+      FROM und JOIN comm cu ON cu.host = und.u
+               JOIN comm cv ON cv.host = und.v
+      WHERE cu.label = cv.label GROUP BY 1),
+    dmass AS (
+      SELECT c.label, CAST(sum(d.deg) AS BIGINT) AS d_c,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM comm c JOIN deg d ON d.node = c.host GROUP BY 1)
+    SELECT dm.label AS community, dm.n_nodes,
+           coalesce(i.e_c, 0) AS intra_edges, dm.d_c AS degree_sum,
+           round(CAST(coalesce(i.e_c, 0) AS DOUBLE) / m.m
+                 - (CAST(dm.d_c AS DOUBLE) / (2 * m.m))
+                   * (CAST(dm.d_c AS DOUBLE) / (2 * m.m)), 6)
+             AS q_contrib
+    FROM dmass dm LEFT JOIN intra i USING (label) CROSS JOIN m
+    ORDER BY community
+    """.replace(
+        "{LPA}", _hr.label_propagation_sql(_LPA_EDGES_SQL, iterations=3)
+    ),
+)
+def q_graph_modularity(spark, sf_dir):
+    edges = _lpa_edges(spark, sf_dir).persist()
+    comm = _hr.label_propagation(edges, iterations=3)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    m = und.agg(F.count("*").cast("bigint").alias("m"))
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    cu = comm.withColumnRenamed("host", "u").withColumnRenamed(
+        "label", "lu"
+    )
+    cv = comm.withColumnRenamed("host", "v").withColumnRenamed(
+        "label", "lv"
+    )
+    intra = (
+        und.join(cu, "u")
+        .join(cv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    dmass = (
+        comm.join(deg, comm["host"] == deg["node"])
+        .groupBy("label")
+        .agg(
+            F.sum("deg").cast("bigint").alias("d_c"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+        )
+    )
+    mm = F.col("m").cast("double")
+    return (
+        dmass.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("label").alias("community"),
+            "n_nodes",
+            F.coalesce("e_c", F.lit(0)).cast("bigint").alias("intra_edges"),
+            F.col("d_c").alias("degree_sum"),
+            F.round(
+                F.coalesce("e_c", F.lit(0)).cast("double") / mm
+                - (F.col("d_c").cast("double") / (2 * mm))
+                * (F.col("d_c").cast("double") / (2 * mm)),
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
+
+
+@_register(
+    "recrawl_ses_forecast",
+    # Exponential-smoothing recrawl forecast (Brown 1956; the
+    # Cho & Garcia-Molina 2003 freshness estimator's time-weighted
+    # cousin): per host, the change indicator series (update/error
+    # events = 1) is folded newest-last through s <- (s + x)/2 — a
+    # SEQUENTIAL dyadic fold whose IEEE result is bit-identical
+    # cross-engine because BOTH engines reduce the identically
+    # ordered array left-to-right (order is pinned by (ts, event_id)
+    # sort; no commutative float aggregation anywhere). The
+    # recency-weighted level then prices the host against its
+    # lifetime change rate. Shape: one collect per host of slim
+    # indicator structs + a HOF fold — the event log shuffles once.
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('update', 'error')
+                  THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS x
+      FROM events),
+    series AS (
+      SELECT user_id,
+             list(x ORDER BY ts, event_id) AS xs,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(x) AS BIGINT) AS n_changes
+      FROM ev GROUP BY 1)
+    SELECT user_id, n_obs, n_changes,
+           round(list_reduce(xs, (s, x) -> (s + x) / 2.0), 6)
+             AS ses_level,
+           round(CAST(n_changes AS DOUBLE) / n_obs, 6) AS change_rate,
+           round(list_reduce(xs, (s, x) -> (s + x) / 2.0), 6)
+             > round(CAST(n_changes AS DOUBLE) / n_obs, 6)
+             AS heating_up
+    FROM series ORDER BY user_id
+    """,
+)
+def q_recrawl_ses_forecast(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type").isin("update", "error"), 1.0)
+        .otherwise(0.0)
+        .alias("x"),
+    )
+    series = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, x))),"
+            " t -> t.x)"
+        ).alias("xs"),
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("x").cast("bigint").alias("n_changes"),
+    )
+    ses = F.expr(
+        "aggregate(slice(xs, 2, size(xs)), xs[0],"
+        " (s, x) -> (s + x) / 2.0D)"
+    )
+    rate = F.col("n_changes").cast("double") / F.col("n_obs")
+    return series.select(
+        "user_id", "n_obs", "n_changes",
+        F.round(ses, 6).alias("ses_level"),
+        F.round(rate, 6).alias("change_rate"),
+        (F.round(ses, 6) > F.round(rate, 6)).alias("heating_up"),
+    ).orderBy("user_id")
+
+
+@_register(
+    "http_vary_cache_key",
+    # Vary-aware cache keying (RFC 9111 §4.1) — the rule a crawl
+    # cache must get right or it serves the gzip body to the
+    # identity client: the stored response matches only when every
+    # header NAMED IN VARY matches, so the cache key is the URL plus
+    # the NORMALIZED selecting headers (names lowercased, list
+    # sorted — §4.1 explicitly allows normalization); 'Vary: *'
+    # (planted every 9th doc) never matches and is uncacheable.
+    # PURE CATALYST: split/transform/sort/concat over the header.
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0 THEN '*'
+                WHEN doc_id % 2 = 0 THEN 'accept-encoding,user-agent'
+                ELSE 'accept-encoding' END AS vary_norm,
+           doc_id % 9 <> 0 AS cacheable,
+           CASE WHEN doc_id % 9 = 0 THEN '-'
+                ELSE md5('https://h' || CAST(doc_id % 50 AS VARCHAR)
+                     || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                     || '|' ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'accept-encoding=gzip,user-agent=bot'
+                          ELSE 'accept-encoding=gzip' END)
+                END AS cache_key
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_http_vary_cache_key(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # raw Vary header as a server would emit it: mixed case, spaces,
+    # unsorted — the normalization below is the operator under test
+    raw_vary = (
+        F.when(F.col("doc_id") % 9 == 0, "*")
+        .when(F.col("doc_id") % 2 == 0, "User-Agent, Accept-Encoding")
+        .otherwise("Accept-Encoding")
+    )
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+    )
+    hdrs = F.create_map(
+        F.lit("accept-encoding"), F.lit("gzip"),
+        F.lit("user-agent"), F.lit("bot"),
+    )
+    base = d.select("doc_id", url.alias("url"), raw_vary.alias("raw_vary"),
+                    hdrs.alias("hdrs"))
+    norm = F.when(F.col("raw_vary") == "*", F.lit("*")).otherwise(
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.split("raw_vary", ","), lambda s: F.lower(F.trim(s))
+                )
+            ),
+            ",",
+        )
+    )
+    sel = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.split("raw_vary", ","), lambda s: F.lower(F.trim(s))
+                )
+            ),
+            lambda h: F.concat(h, F.lit("="), F.element_at("hdrs", h)),
+        ),
+        ",",
+    )
+    return base.select(
+        "doc_id",
+        norm.alias("vary_norm"),
+        (F.col("raw_vary") != "*").alias("cacheable"),
+        F.when(F.col("raw_vary") == "*", "-")
+        .otherwise(F.md5(F.concat("url", F.lit("|"), sel)))
+        .alias("cache_key"),
+    ).orderBy("doc_id")

@@ -72,6 +72,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "events_countsketch_freq", "snapshot_rsync_delta",
                     "frontier_lww_set", "frontier_raft_commit",
                     "graph_salsa", "url_bidi_spoof",
+                    "graph_modularity", "recrawl_ses_forecast",
+                    "http_vary_cache_key",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
