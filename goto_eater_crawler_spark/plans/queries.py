@@ -144,6 +144,8 @@ _GATE_ORDER: list[str] = [
     "graph_modularity",
     "recrawl_ses_forecast",
     "http_vary_cache_key",
+    "politeness_token_bucket",
+    "index_rrf_fusion",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -13122,3 +13124,186 @@ def q_http_vary_cache_key(spark, sf_dir):
         .otherwise(F.md5(F.concat("url", F.lit("|"), sel)))
         .alias("cache_key"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "politeness_token_bucket",
+    # Token-bucket politeness enforcement (the RFC 9239-era classic;
+    # Mercator's per-host rate limiting in its exact algorithmic
+    # form) — per host, replay the fetch-request series through a
+    # bucket of capacity 3 tokens refilling 1 token / 10 s, counting
+    # grants and denials. The replay is a SEQUENTIAL fold like
+    # recrawl_ses_forecast but with an ALL-INTEGER state packed into
+    # one BIGINT (grants << 46 | millitokens << 33 | ms-timestamp),
+    # so the result is exact — no float anywhere — and both engines
+    # fold the identically (ts, event_id)-ordered array with the
+    # same first-element-is-seed convention. Integer div/mod only.
+    """
+    WITH ev AS (
+      SELECT user_id,
+             epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01') AS tms,
+             ts, event_id
+      FROM events),
+    series AS (
+      SELECT user_id, list(tms ORDER BY ts, event_id) AS xs,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM ev GROUP BY 1),
+    folded AS (
+      SELECT user_id, n_obs,
+             list_reduce(xs, (acc, x) -> CASE
+               WHEN acc < 8589934592
+               THEN ((1 * 8192 + least(
+                       CAST(3000 AS BIGINT),
+                       2000 + (x - acc) // 10)
+                     - CASE WHEN least(CAST(3000 AS BIGINT),
+                              2000 + (x - acc) // 10) >= 1000
+                            THEN 1000 ELSE 0 END
+                     + CASE WHEN least(CAST(3000 AS BIGINT),
+                              2000 + (x - acc) // 10) >= 1000
+                            THEN 8192 ELSE 0 END)
+                    ) * 8589934592 + x
+               ELSE ((acc // 8589934592) // 8192 * 8192
+                     + least(CAST(3000 AS BIGINT),
+                         (acc // 8589934592) % 8192
+                         + (x - acc % 8589934592) // 10)
+                     - CASE WHEN least(CAST(3000 AS BIGINT),
+                              (acc // 8589934592) % 8192
+                              + (x - acc % 8589934592) // 10) >= 1000
+                            THEN 1000 ELSE 0 END
+                     + CASE WHEN least(CAST(3000 AS BIGINT),
+                              (acc // 8589934592) % 8192
+                              + (x - acc % 8589934592) // 10) >= 1000
+                            THEN 8192 ELSE 0 END
+                    ) * 8589934592 + x
+               END) AS f
+      FROM series),
+    final AS (
+      SELECT user_id, n_obs,
+             CASE WHEN f < 8589934592
+                  THEN (1 * 8192 + 2000) * 8589934592 + f
+                  ELSE f END AS st
+      FROM folded)
+    SELECT user_id, n_obs,
+           CAST((st // 8589934592) // 8192 AS BIGINT) AS n_granted,
+           CAST(n_obs - (st // 8589934592) // 8192 AS BIGINT) AS n_denied,
+           CAST((st // 8589934592) % 8192 AS BIGINT) AS tokens_end
+    FROM final ORDER BY user_id
+    """,
+)
+def q_politeness_token_bucket(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", "ts", "event_id",
+        # NTZ -> TZ is the identity instant under the UTC session tz
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.lit("2024-01-01").cast("timestamp"))
+        ).alias("tms"),
+    )
+    series = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, tms))),"
+            " t -> t.tms)"
+        ).alias("xs"),
+        F.count("*").cast("bigint").alias("n_obs"),
+    )
+    # the identical integer step, Spark SQL spelling (`div` for
+    # integer division); seed = first element, like the oracle
+    step = """
+      CASE
+        WHEN acc < 8589934592L
+        THEN ((1L * 8192L + least(3000L, 2000L + (x - acc) div 10L)
+               - CASE WHEN least(3000L, 2000L + (x - acc) div 10L)
+                      >= 1000L THEN 1000L ELSE 0L END
+               + CASE WHEN least(3000L, 2000L + (x - acc) div 10L)
+                      >= 1000L THEN 8192L ELSE 0L END)
+              ) * 8589934592L + x
+        ELSE ((acc div 8589934592L) div 8192L * 8192L
+              + least(3000L, (acc div 8589934592L) % 8192L
+                  + (x - acc % 8589934592L) div 10L)
+              - CASE WHEN least(3000L, (acc div 8589934592L) % 8192L
+                       + (x - acc % 8589934592L) div 10L) >= 1000L
+                     THEN 1000L ELSE 0L END
+              + CASE WHEN least(3000L, (acc div 8589934592L) % 8192L
+                       + (x - acc % 8589934592L) div 10L) >= 1000L
+                     THEN 8192L ELSE 0L END
+              ) * 8589934592L + x
+      END"""
+    folded = series.withColumn(
+        "f",
+        F.expr(
+            f"aggregate(slice(xs, 2, size(xs)), xs[0],"
+            f" (acc, x) -> {step})"
+        ),
+    )
+    st = F.expr(
+        "CASE WHEN f < 8589934592L"
+        " THEN (1L * 8192L + 2000L) * 8589934592L + f ELSE f END"
+    )
+    final = folded.withColumn("st", st)
+    granted = F.expr("(st div 8589934592L) div 8192L").cast("bigint")
+    return final.select(
+        "user_id", "n_obs",
+        granted.alias("n_granted"),
+        (F.col("n_obs") - granted).cast("bigint").alias("n_denied"),
+        F.expr("(st div 8589934592L) % 8192L").cast("bigint")
+        .alias("tokens_end"),
+    ).orderBy("user_id")
+
+
+@_register(
+    "index_rrf_fusion",
+    # Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    # 2009) — the rank-combination rule that beats score
+    # normalization when fusing heterogeneous retrieval signals:
+    # score(d) = sum over rankings of 1 / (60 + rank_d). Fuses a
+    # length prior ranking with a hash pseudo-relevance ranking;
+    # ranks are exact integer row_numbers with total tiebreaks, the
+    # score is a TWO-term sum (fixed order, deterministic IEEE), and
+    # the final top-20 selection orders by the ROUNDED score +
+    # doc_id so no ulp can flip membership across engines.
+    """
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id)
+               AS rank_len,
+             row_number() OVER (
+               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+               AS rank_rel
+      FROM documents),
+    fused AS (
+      SELECT doc_id,
+             CAST(rank_len AS BIGINT) AS rank_len,
+             CAST(rank_rel AS BIGINT) AS rank_rel,
+             round(1.0 / (60 + rank_len) + 1.0 / (60 + rank_rel), 6)
+               AS rrf
+      FROM ranked)
+    SELECT doc_id, rank_len, rank_rel, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_index_rrf_fusion(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rank_len"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                (F.col("doc_id") * 2654435761) % 1000000007, "doc_id"
+            )
+        )
+        .cast("bigint")
+        .alias("rank_rel"),
+    )
+    fused = ranked.withColumn(
+        "rrf",
+        F.round(
+            1.0 / (60 + F.col("rank_len")) + 1.0 / (60 + F.col("rank_rel")),
+            6,
+        ),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)

@@ -73,7 +73,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "frontier_lww_set", "frontier_raft_commit",
                     "graph_salsa", "url_bidi_spoof",
                     "graph_modularity", "recrawl_ses_forecast",
-                    "http_vary_cache_key",
+                    "http_vary_cache_key", "politeness_token_bucket",
+                    "index_rrf_fusion",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
