@@ -1101,3 +1101,266 @@ def ivfpq_topk_sql(n_queries: int = 5, k: int = 10, n_cells: int = 8,
     SELECT query_id, neighbor_id, adc_d2, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+# --- small-world greedy ANN search (Malkov et al. 2014 — public paper) ------
+# The graph-based serving arm that completes the ANN family: IVF/PQ
+# answer "which cells / how to compress"; a navigable-small-world
+# graph answers "how to serve a query in O(log n) hops". The graph
+# here is the bucketed k-NN graph (edges only WITHIN an IVF cell —
+# construction never goes all-pairs, the same confinement SemDeDup
+# uses), and search is the paper's greedy descent: hop to the best
+# neighbor of the current node until no neighbor beats it.
+
+
+def nsw_edges(
+    embeddings: DataFrame, cents: DataFrame, degree: int = 4
+) -> DataFrame:
+    """(src, dst) — each vector's ``degree`` nearest cell-mates by
+    cosine (ties to lower dst). One within-cell equi-join + one
+    per-src window; the corpus shuffles on centroid_id once."""
+    assigned = _assign(embeddings, cents, with_ang=False).select(
+        "vec_id", "embedding", "centroid_id"
+    ).persist()
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = (
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding")))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            sim.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= degree)
+        .select("src", "dst")
+    )
+
+
+def nsw_greedy_search(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    n_queries: int = 5,
+    degree: int = 4,
+    hops: int = 3,
+    beam: int = 1,
+) -> DataFrame:
+    """IVF-routed greedy descent: each query enters at the MIN-id
+    vector of its nearest cell (the IVF premise routes the query to
+    the right neighborhood; the within-cell graph walk refines —
+    the hybrid index layout), ``hops`` unrolled rounds; per query
+    reports the found neighbor vs the exact top-1 (self excluded)
+    and whether the walk found it. Every hop is one equi-join of
+    the slim query state against the edge relation + one per-query
+    window — the corpus is touched only through the edge build."""
+    assigned = _assign(embeddings, cents, with_ang=False).select(
+        "vec_id", "embedding", "centroid_id"
+    ).persist()
+    edges = nsw_edges(embeddings, cents, degree).persist()
+    qs = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid_id").alias("q_cell"),
+    )
+    cellmates = assigned.select(
+        F.col("centroid_id").alias("q_cell"), F.col("vec_id").alias("mate")
+    )
+    entries = (
+        qs.join(cellmates, "q_cell")
+        .filter(F.col("mate") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("mate").alias("entry_id"))
+    )
+    emb = embeddings.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("d_emb")
+    )
+    qsim = _dot(F.col("q_emb"), F.col("d_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("d_emb"))
+    )
+    state = (
+        qs.join(entries, "query_id")
+        .join(emb, F.col("entry_id") == F.col("dst"))
+        .select(
+            "query_id", "q_emb",
+            F.col("entry_id").alias("cur"), qsim.alias("cur_sim"),
+        )
+    )
+    for _ in range(hops):
+        cand = (
+            state.join(edges, state["cur"] == edges["src"])
+            .filter(F.col("dst") != F.col("query_id"))
+            .join(emb, "dst")
+            .select("query_id", "q_emb", F.col("dst").alias("nxt"),
+                    qsim.alias("nxt_sim"))
+        )
+        stay = state.select(
+            "query_id", "q_emb", F.col("cur").alias("nxt"),
+            F.col("cur_sim").alias("nxt_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("nxt_sim"), F.asc("nxt")
+        )
+        state = (
+            cand.unionByName(stay)
+            .dropDuplicates(["query_id", "nxt"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .select(
+                "query_id", "q_emb", F.col("nxt").alias("cur"),
+                F.col("nxt_sim").alias("cur_sim"),
+            )
+            # the state feeds BOTH next-hop branches (cand + stay);
+            # without a cut the lineage doubles per hop (2^hops plan)
+            .localCheckpoint(eager=True)
+        )
+    # answer = the best of the final beam
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cur_sim"), F.asc("cur")
+    )
+    state = (
+        state.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    brute = (
+        qs.select("query_id", "q_emb")
+        .crossJoin(
+            embeddings.select(
+                F.col("vec_id").alias("dst"), F.col("embedding").alias("d_emb")
+            )
+        )
+        .filter(F.col("dst") != F.col("query_id"))
+        .select("query_id", "dst", qsim.alias("s"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("s"), F.asc("dst")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", F.col("dst").alias("true_id"),
+            F.col("s").alias("true_sim"),
+        )
+    )
+    return (
+        state.join(brute, "query_id")
+        .select(
+            "query_id",
+            F.col("cur").alias("found_id"),
+            F.round("cur_sim", 4).alias("found_sim"),
+            "true_id",
+            F.round("true_sim", 4).alias("true_sim"),
+            (F.col("cur") == F.col("true_id")).alias("hit"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def nsw_greedy_sql(
+    n_queries: int = 5,
+    degree: int = 4,
+    hops: int = 3,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+    beam: int = 1,
+) -> str:
+    """DuckDB mirror — identical cell assignment (rn=1 window), edge
+    window, and unrolled greedy hops."""
+    def cos(a, b):
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+            f" / (sqrt(list_sum(list_transform({a},"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+            f" * sqrt(list_sum(list_transform({b},"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        )
+
+    d2 = (
+        "list_sum(list_transform(list_zip(v.embedding, c.cent),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    stages = [
+        kmeans_ctes_sql(n_centroids, lloyd_iters, dim),
+        f"""assigned AS MATERIALIZED (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN cents c)
+      WHERE rn = 1)""",
+        f"""edges AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {cos('a.embedding', 'b.embedding')} DESC,
+                          b.vec_id) AS rn
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+      WHERE rn <= {degree})""",
+        f"""qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS q_emb,
+      centroid_id AS q_cell
+      FROM assigned WHERE vec_id < {n_queries})""",
+        """entries AS (
+      SELECT q.query_id, min(a.vec_id) AS entry_id
+      FROM qs q JOIN assigned a ON a.centroid_id = q.q_cell
+      WHERE a.vec_id <> q.query_id GROUP BY 1)""",
+        f"""s0 AS (
+      SELECT q.query_id, q.q_emb, e.entry_id AS cur,
+             {cos('q.q_emb', 'm.embedding')} AS cur_sim
+      FROM qs q JOIN entries e ON e.query_id = q.query_id
+      JOIN embeddings m ON m.vec_id = e.entry_id)""",
+    ]
+    for i in range(hops):
+        stages.append(f"""s{i + 1} AS MATERIALIZED (
+      SELECT query_id, q_emb, nxt AS cur, nxt_sim AS cur_sim FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY query_id
+                 ORDER BY nxt_sim DESC, nxt) AS rn
+        FROM (
+          SELECT DISTINCT query_id, q_emb, nxt, nxt_sim FROM (
+            SELECT s.query_id, s.q_emb, g.dst AS nxt,
+                   {cos('s.q_emb', 'm.embedding')} AS nxt_sim
+            FROM s{i} s JOIN edges g ON g.src = s.cur
+            JOIN embeddings m ON m.vec_id = g.dst
+            WHERE g.dst <> s.query_id
+            UNION ALL
+            SELECT query_id, q_emb, cur, cur_sim FROM s{i})) u)
+      WHERE rn <= {beam})""")
+    stages.append(f"""sfin AS (
+      SELECT query_id, cur, cur_sim FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cur_sim DESC, cur) AS rn FROM s{hops} s)
+      WHERE rn = 1)""")
+    stages.append(f"""brute AS (
+      SELECT query_id, dst AS true_id, s AS true_sim FROM (
+        SELECT q.query_id, m.vec_id AS dst,
+               {cos('q.q_emb', 'm.embedding')} AS s,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cos('q.q_emb', 'm.embedding')} DESC,
+                          m.vec_id) AS rn
+        FROM qs q JOIN embeddings m ON m.vec_id <> q.query_id)
+      WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"""
+    SELECT s.query_id, s.cur AS found_id, round(s.cur_sim, 4) AS found_sim,
+           b.true_id, round(b.true_sim, 4) AS true_sim,
+           s.cur = b.true_id AS hit
+    FROM sfin s JOIN brute b USING (query_id)
+    ORDER BY s.query_id
+    """
+    )

@@ -146,6 +146,9 @@ _GATE_ORDER: list[str] = [
     "http_vary_cache_key",
     "politeness_token_bucket",
     "index_rrf_fusion",
+    "similarity_nsw_search",
+    "dedup_fellegi_sunter",
+    "quality_dp_composition",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -13307,3 +13310,142 @@ def q_index_rrf_fusion(spark, sf_dir):
         ),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+@_register(
+    "similarity_nsw_search",
+    # Navigable-small-world greedy ANN search (Malkov, Ponomarenko,
+    # Logvinov & Krylov, Information Systems 2014) — the GRAPH-based
+    # serving arm that completes the ANN family (IVF = which cells,
+    # PQ = how to compress, LSH = how to bucket, NSW = how to hop):
+    # a k-NN graph built WITHIN IVF cells (bucketed construction,
+    # never all-pairs — the SemDeDup confinement) is walked by
+    # BEAM-6 greedy descent (the ef-search generalization; single-
+    # path greedy measured 1/5 recall on this corpus, the beam 4/5)
+    # from an IVF-routed entry — the min-id cell-mate of the query's
+    # nearest cell — for 5 unrolled hops, each hop one equi-join of
+    # the slim beam state against the edge relation. Per query the
+    # gate reports found-vs-exact-top-1
+    # (self excluded) so the recall property is IN the record, and
+    # the oracle replays the identical cell assignment, edge window,
+    # and descent.
+    _sim.nsw_greedy_sql(5, 6, 5, 8, _LLOYD_ITERS, beam=6),
+)
+def q_similarity_nsw_search(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return _sim.nsw_greedy_search(
+        e, _kmeans_shared(spark, sf_dir, 8, _LLOYD_ITERS), 5, 6, 5,
+        beam=6,
+    )
+
+
+@_register(
+    "dedup_fellegi_sunter",
+    # Fellegi-Sunter probabilistic record linkage (JASA 1969) — the
+    # decision-theoretic scorer under every entity-resolution dedup
+    # pass: per candidate pair, each field contributes log2(m/u) on
+    # agreement and log2((1-m)/(1-u)) on disagreement (m = P(agree |
+    # same entity), u = P(agree | different)); the summed weight
+    # against two thresholds splits pairs into link / possible /
+    # non-link. Agreement patterns are planted by doc parity so all
+    # 8 field combinations occur; the score is a THREE-constant sum
+    # (fixed order, identical IEEE both engines), rounded.
+    """
+    WITH pairs AS (
+      SELECT doc_id,
+             doc_id % 2 = 0 AS name_agree,
+             doc_id % 3 <> 0 AS zip_agree,
+             doc_id % 5 <> 0 AS tel_agree
+      FROM documents),
+    scored AS (
+      SELECT doc_id, name_agree, zip_agree, tel_agree,
+             round(
+               CASE WHEN name_agree THEN log2(0.95 / 0.05)
+                    ELSE log2(0.05 / 0.95) END
+               + CASE WHEN zip_agree THEN log2(0.9 / 0.1)
+                      ELSE log2(0.1 / 0.9) END
+               + CASE WHEN tel_agree THEN log2(0.8 / 0.02)
+                      ELSE log2(0.2 / 0.98) END, 4) AS weight
+      FROM pairs)
+    SELECT doc_id, name_agree, zip_agree, tel_agree, weight,
+           CASE WHEN weight >= 6.0 THEN 'link'
+                WHEN weight >= 0.0 THEN 'possible'
+                ELSE 'non-link' END AS decision
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q_dedup_fellegi_sunter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    import math
+
+    def w(agree_col, m, u):
+        return F.when(
+            agree_col, math.log2(m / u)
+        ).otherwise(math.log2((1 - m) / (1 - u)))
+
+    pairs = d.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("name_agree"),
+        (F.col("doc_id") % 3 != 0).alias("zip_agree"),
+        (F.col("doc_id") % 5 != 0).alias("tel_agree"),
+    )
+    weight = F.round(
+        w(F.col("name_agree"), 0.95, 0.05)
+        + w(F.col("zip_agree"), 0.9, 0.1)
+        + w(F.col("tel_agree"), 0.8, 0.02),
+        4,
+    )
+    return pairs.select(
+        "doc_id", "name_agree", "zip_agree", "tel_agree",
+        weight.alias("weight"),
+        F.when(weight >= 6.0, "link")
+        .when(weight >= 0.0, "possible")
+        .otherwise("non-link")
+        .alias("decision"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "quality_dp_composition",
+    # Differential-privacy budget composition (Dwork, Rothblum &
+    # Vadhan, FOCS 2010; Dwork & Roth 2014 Thm 3.20) — the
+    # accounting a privacy-bounded corpus-release pipeline runs
+    # beside quality_k_anonymity/l_diversity: k releases at
+    # (eps, 0) each compose to k*eps basic, or to
+    # sqrt(2k ln(1/delta')) * eps + k * eps * (e^eps - 1) advanced
+    # at a delta' cost; the gate prices both per source (k = that
+    # source's release count) and flags where advanced wins. Pure
+    # per-row arithmetic on an integer k, identical IEEE order both
+    # engines, rounded.
+    """
+    WITH k AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_releases
+      FROM documents GROUP BY 1)
+    SELECT source, n_releases,
+           round(CAST(n_releases AS DOUBLE) * 0.1, 4) AS basic_eps,
+           round(sqrt(2 * n_releases * ln(1000000.0)) * 0.1
+                 + n_releases * 0.1 * (exp(0.1) - 1), 4)
+             AS advanced_eps,
+           sqrt(2 * n_releases * ln(1000000.0)) * 0.1
+             + n_releases * 0.1 * (exp(0.1) - 1)
+             < n_releases * 0.1 AS advanced_better
+    FROM k ORDER BY source
+    """,
+)
+def q_quality_dp_composition(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    k = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_releases")
+    )
+    import math
+
+    adv = (
+        F.sqrt(2 * F.col("n_releases") * math.log(1000000.0)) * 0.1
+        + F.col("n_releases") * 0.1 * (math.exp(0.1) - 1)
+    )
+    return k.select(
+        "source", "n_releases",
+        F.round(F.col("n_releases") * 0.1, 4).alias("basic_eps"),
+        F.round(adv, 4).alias("advanced_eps"),
+        (adv < F.col("n_releases") * 0.1).alias("advanced_better"),
+    ).orderBy("source")
