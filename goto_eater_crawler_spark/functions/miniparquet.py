@@ -261,3 +261,136 @@ def read_footer_from_file(path: str, tail_bytes: int = 1 << 20) -> dict:
             f.seek(size - flen - 8)
             buf = f.read(flen + 8)
     return read_footer(buf)
+
+
+# ------------------------------------------------- data page decode
+# (parquet-format Encodings.md + PageHeader in parquet.thrift) — the
+# walk below the footer: v1 data pages, PLAIN values, and the
+# RLE/bit-packed HYBRID for definition levels. Scope: uncompressed,
+# dictionary-off files (the synth side pins the producer options);
+# anything else raises rather than mis-reads.
+
+
+def _rle_bp_decode(buf: bytes, bit_width: int, n: int) -> list[int]:
+    """RLE/bit-packed hybrid (Encodings.md §RLE): header varint LSB
+    picks the arm — 0 = RLE run (count = header >> 1, one
+    ceil(width/8)-byte LE value), 1 = bit-packed (groups-of-8 count
+    = header >> 1, values packed LSB-FIRST — the part a big-endian
+    reader gets wrong)."""
+    out: list[int] = []
+    i = 0
+    vbytes = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
+    while len(out) < n:
+        if i >= len(buf):
+            raise ParquetError("levels truncated")
+        header, i = _uvarint(buf, i)
+        if header & 1:
+            groups = header >> 1
+            nbytes = groups * bit_width
+            if i + nbytes > len(buf):
+                raise ParquetError("bit-packed run truncated")
+            acc = int.from_bytes(buf[i : i + nbytes], "little")
+            i += nbytes
+            for k in range(groups * 8):
+                out.append((acc >> (k * bit_width)) & mask)
+        else:
+            count = header >> 1
+            if i + vbytes > len(buf):
+                raise ParquetError("rle run truncated")
+            val = int.from_bytes(buf[i : i + vbytes], "little")
+            i += vbytes
+            out.extend([val] * count)
+    return out[:n]
+
+
+def read_column_values(
+    buf: bytes, data_page_offset: int, num_values: int, phys: str,
+    max_def: int = 0,
+) -> list:
+    """Decode one column chunk's v1 data pages from ``buf``:
+    PageHeader (thrift compact, the same walk as the footer), the
+    4-byte-length-prefixed definition-level hybrid when the column
+    is nullable, then PLAIN values. Returns python values with None
+    for nulls."""
+    pos = data_page_offset
+    out: list = []
+    while len(out) < num_values:
+        hdr, pos = _read_struct(buf, pos)
+        ptype = hdr.get(1)
+        if ptype != 0:
+            raise ParquetError(f"unexpected page type {ptype}")
+        comp = hdr.get(3)
+        if hdr.get(2) != comp:
+            raise ParquetError("compressed page in uncompressed scope")
+        dph = hdr.get(5) or {}
+        nv = dph.get(1)
+        if dph.get(2) != 0:
+            raise ParquetError("non-PLAIN value encoding")
+        data = buf[pos : pos + comp]
+        if len(data) < comp:
+            raise ParquetError("page body truncated")
+        pos += comp
+        i = 0
+        if max_def:
+            if dph.get(3) != 3:
+                raise ParquetError("definition levels must be RLE")
+            ln = struct.unpack_from("<I", data, 0)[0]
+            defs = _rle_bp_decode(data[4 : 4 + ln], 1, nv)
+            i = 4 + ln
+        else:
+            defs = [1] * nv
+        for d in defs:
+            if not d:
+                out.append(None)
+                continue
+            if phys == "INT64":
+                out.append(struct.unpack_from("<q", data, i)[0])
+                i += 8
+            elif phys == "INT32":
+                out.append(struct.unpack_from("<i", data, i)[0])
+                i += 4
+            elif phys == "DOUBLE":
+                out.append(struct.unpack_from("<d", data, i)[0])
+                i += 8
+            elif phys == "BYTE_ARRAY":
+                ln = struct.unpack_from("<I", data, i)[0]
+                i += 4
+                out.append(data[i : i + ln].decode("utf-8"))
+                i += ln
+            else:
+                raise ParquetError(f"PLAIN decode for {phys} unsupported")
+    return out[:num_values]
+
+
+def read_table_values(buf: bytes) -> dict:
+    """Whole-file decode via footer + per-chunk page walks:
+    {column path: [values]} across row groups, plus '_num_rows'."""
+    meta = read_footer(buf)
+    cols: dict[str, list] = {}
+    # re-walk the raw footer for the offsets the summary omits
+    flen = struct.unpack("<I", buf[-8:-4])[0]
+    raw, _ = _read_struct(buf[-8 - flen : -8], 0)
+    for rg in raw.get(4, []):
+        for chunk in rg.get(1, []):
+            cm = chunk.get(3)
+            path = ".".join(p.decode() for p in cm.get(3, []))
+            phys = _PHYS.get(cm.get(1), "UNKNOWN")
+            if cm.get(11) is not None:
+                raise ParquetError("dictionary-encoded chunk")
+            vals = read_column_values(
+                buf, cm.get(9), cm.get(5), phys,
+                max_def=1 if _nullable(meta, path) else 0,
+            )
+            cols.setdefault(path, []).extend(vals)
+    cols["_num_rows"] = meta["num_rows"]
+    return cols
+
+
+def _nullable(meta: dict, path: str) -> bool:
+    # footer summary drops repetition_type; a column is treated as
+    # nullable unless the decode proves otherwise — the caller's
+    # synth writes required columns as non-null pyarrow fields, and
+    # pyarrow marks them OPTIONAL anyway, so nullable-decoding is
+    # the correct default for every pyarrow-written file
+    return True

@@ -1538,3 +1538,97 @@ def arrow_ipc_walk(blobs: "DataFrame") -> "DataFrame":
             "score_nulls int, tag_nulls int, tags string, n_true int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet data-page walk — below the footer (miniparquet pages)
+# ---------------------------------------------------------------------------
+
+
+def synth_parquet_files(docs: "DataFrame", mod: int = 3) -> "DataFrame":
+    """(doc_id, payload) — one parquet file per selected doc written
+    by PYARROW (compression NONE, dictionary off, v1 data pages —
+    the scope the walk declares): the same planted columns as the
+    Arrow IPC gate so the two container walks cross-check."""
+    import io
+
+    import pandas as pd
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def one(d: int) -> bytes:
+            n = 5 + d % 7
+            t = pa.table({
+                "id": pa.array(
+                    [d * 100 + i for i in range(n)], pa.int64()
+                ),
+                "score": pa.array(
+                    [None if (d + i) % 5 == 0
+                     else ((d * 31 + i * 7) % 1000) / 8.0
+                     for i in range(n)], pa.float64()),
+                "tag": pa.array(
+                    [None if (d + i) % 4 == 0 else f"t{(d + i) % 10}"
+                     for i in range(n)], pa.utf8()),
+            })
+            sink = io.BytesIO()
+            pq.write_table(
+                t, sink, compression="NONE", use_dictionary=False,
+                data_page_version="1.0",
+            )
+            return sink.getvalue()
+
+        for pdf in it:
+            ids = [int(x) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [one(d) for d in ids]}
+            )
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def parquet_page_walk(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> column values through the OWN page walk
+    (thrift-compact PageHeaders, RLE/bit-packed definition levels,
+    PLAIN values) — no pyarrow reader in the path. One Arrow map
+    stage, no shuffle."""
+    import pandas as pd
+
+    from ..functions import miniparquet as mp
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                cols = mp.read_table_values(bytes(blob))
+                rows.append((
+                    int(d),
+                    cols["_num_rows"],
+                    sum(v for v in cols["id"] if v is not None),
+                    round(sum(v for v in cols["score"]
+                              if v is not None), 4),
+                    sum(1 for v in cols["score"] if v is None),
+                    sum(1 for v in cols["tag"] if v is None),
+                    ";".join(v for v in cols["tag"] if v is not None),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_rows", "id_sum", "score_sum",
+                    "score_nulls", "tag_nulls", "tags",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_rows bigint, id_sum bigint, "
+            "score_sum double, score_nulls int, tag_nulls int, "
+            "tags string"
+        ),
+    )

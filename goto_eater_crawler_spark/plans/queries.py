@@ -149,6 +149,7 @@ _GATE_ORDER: list[str] = [
     "similarity_nsw_search",
     "dedup_fellegi_sunter",
     "quality_dp_composition",
+    "storage_parquet_page_decode",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -13449,3 +13450,47 @@ def q_quality_dp_composition(spark, sf_dir):
         F.round(adv, 4).alias("advanced_eps"),
         (adv < F.col("n_releases") * 0.1).alias("advanced_better"),
     ).orderBy("source")
+
+
+@_register(
+    "storage_parquet_page_decode",
+    # Parquet DATA-PAGE walk (parquet-format Encodings.md +
+    # parquet.thrift PageHeader) — the layer below
+    # storage_parquet_footer: v1 page headers through the SAME
+    # thrift-compact walk as the footer, definition levels through
+    # the RLE/bit-packed HYBRID (varint header LSB picks the arm;
+    # packed values are LSB-first), PLAIN values incl. 4-byte-LE
+    # length-prefixed BYTE_ARRAY utf8. Producer is PYARROW with the
+    # scope pinned (uncompressed, dictionary off) — dictionary
+    # chunks and compressed pages are REFUSED, not mis-read. Same
+    # planted columns as storage_arrow_ipc so the two container
+    # walks cross-check; dyadic-eighth scores keep the sum
+    # float-exact. One Arrow map stage; closed-form oracle.
+    """
+    WITH base AS (SELECT doc_id, CAST(5 + doc_id % 7 AS INT) AS n
+                  FROM documents WHERE doc_id % 3 = 0),
+    s AS (SELECT doc_id, n, CAST(u.i AS INT) AS i
+          FROM base, UNNEST(range(n)) AS u(i)),
+    agg AS (SELECT doc_id, any_value(n) AS n,
+                   CAST(sum(doc_id * 100 + i) AS BIGINT) AS id_sum,
+                   round(sum(CASE WHEN (doc_id + i) % 5 <> 0
+                             THEN ((doc_id * 31 + i * 7) % 1000) / 8.0
+                             ELSE 0 END), 4) AS score_sum,
+                   CAST(sum(CASE WHEN (doc_id + i) % 5 = 0
+                            THEN 1 ELSE 0 END) AS INT) AS score_nulls,
+                   CAST(sum(CASE WHEN (doc_id + i) % 4 = 0
+                            THEN 1 ELSE 0 END) AS INT) AS tag_nulls,
+                   string_agg(CASE WHEN (doc_id + i) % 4 <> 0
+                              THEN 't' || CAST((doc_id + i) % 10 AS VARCHAR)
+                              END, ';' ORDER BY i) AS tags
+            FROM s GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_rows, id_sum, score_sum,
+           score_nulls, tag_nulls, coalesce(tags, '') AS tags
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_storage_parquet_page_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.parquet_page_walk(_st.synth_parquet_files(d, 3)).orderBy(
+        "doc_id"
+    )
