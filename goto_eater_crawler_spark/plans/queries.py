@@ -150,6 +150,7 @@ _GATE_ORDER: list[str] = [
     "dedup_fellegi_sunter",
     "quality_dp_composition",
     "storage_parquet_page_decode",
+    "text_jaro_winkler",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -13494,3 +13495,84 @@ def q_storage_parquet_page_decode(spark, sf_dir):
     return _st.parquet_page_walk(_st.synth_parquet_files(d, 3)).orderBy(
         "doc_id"
     )
+
+
+@_register(
+    "text_jaro_winkler",
+    # Jaro-Winkler similarity (Jaro 1989; Winkler 1990) — the
+    # record-linkage edit statistic under dedup_fellegi_sunter's
+    # name-field agreement, scored by the OWN implementation
+    # (functions/jarowinkler.py) while the oracle calls DuckDB's
+    # BUILTIN jaro_winkler_similarity — a genuine third-party
+    # reference implementation, like the stdlib/tar and pyarrow
+    # producers. Pairs are each doc's first token against a planted
+    # typo (adjacent swap / char drop / append / identical by
+    # parity); conventions (empty->0, boost only past 0.7, prefix
+    # cap 4) are pinned by a 300-case hypothesis parity suite.
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+')[1] AS a
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, a,
+             CASE doc_id % 4
+               WHEN 0 THEN CASE WHEN length(a) >= 3
+                 THEN substr(a,1,1) || substr(a,3,1) || substr(a,2,1)
+                      || substr(a,4)
+                 ELSE a END
+               WHEN 1 THEN CASE WHEN length(a) >= 2
+                 THEN substr(a,1,1) || substr(a,3) ELSE a END
+               WHEN 2 THEN a || 'x'
+               ELSE a END AS b
+      FROM toks)
+    SELECT doc_id, a, b,
+           round(jaro_similarity(a, b), 6) AS jaro,
+           round(jaro_winkler_similarity(a, b), 6) AS jw,
+           round(jaro_winkler_similarity(a, b), 6) >= 0.85 AS is_match
+    FROM pairs ORDER BY doc_id
+    """,
+)
+def q_text_jaro_winkler(spark, sf_dir):
+    import pandas as pd
+
+    from ..functions.jarowinkler import jaro as _j
+    from ..functions.jarowinkler import jaro_winkler as _jw
+
+    d = _t(spark, sf_dir, "documents")
+    a = F.element_at(F.split(F.trim(F.lower("text")), r"\s+"), 1)
+    pairs = d.select("doc_id", a.alias("a")).withColumn(
+        "b",
+        F.expr(
+            """CASE doc_id % 4
+               WHEN 0 THEN CASE WHEN length(a) >= 3
+                 THEN substr(a,1,1) || substr(a,3,1) || substr(a,2,1)
+                      || substr(a,4)
+                 ELSE a END
+               WHEN 1 THEN CASE WHEN length(a) >= 2
+                 THEN substr(a,1,1) || substr(a,3) ELSE a END
+               WHEN 2 THEN a || 'x'
+               ELSE a END"""
+        ),
+    )
+
+    def score(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "a": pdf["a"],
+                "b": pdf["b"],
+                "jaro": [round(_j(x, y), 6)
+                         for x, y in zip(pdf["a"], pdf["b"])],
+                "jw": [round(_jw(x, y), 6)
+                       for x, y in zip(pdf["a"], pdf["b"])],
+            })
+
+    scored = pairs.mapInPandas(
+        score,
+        schema="doc_id long, a string, b string, jaro double, jw double",
+    )
+    return scored.select(
+        "doc_id", "a", "b", "jaro", "jw",
+        (F.col("jw") >= 0.85).alias("is_match"),
+    ).orderBy("doc_id")
