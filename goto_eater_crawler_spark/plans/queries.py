@@ -151,6 +151,8 @@ _GATE_ORDER: list[str] = [
     "quality_dp_composition",
     "storage_parquet_page_decode",
     "text_jaro_winkler",
+    "events_allen_relations",
+    "dedup_lsh_tuning",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -13576,3 +13578,152 @@ def q_text_jaro_winkler(spark, sf_dir):
         "doc_id", "a", "b", "jaro", "jw",
         (F.col("jw") >= 0.85).alias("is_match"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "events_allen_relations",
+    # Allen's interval algebra (Allen, CACM 1983) — the 13 temporal
+    # relations, classified over per-host crawl-session intervals
+    # (the sessionize_gaps windows one gate over): before/meets/
+    # overlaps/starts/during/finishes, their inverses, and equals.
+    # The classifier is a pure integer comparison ladder on
+    # (start, end) epochs — every relation is MUTUALLY EXCLUSIVE
+    # and JOINTLY EXHAUSTIVE, which the oracle enforces by
+    # construction (a pair falling through the ladder would emit
+    # NULL and fail the hash). Pairs come from a self-join confined
+    # to the same host (bucketed, never cross-corpus).
+    """
+    WITH sess AS (
+      SELECT user_id,
+             CAST(event_id % 7 AS INT) AS sid,
+             CAST(min(epoch_ms(ts)) AS BIGINT) AS s,
+             CAST(max(epoch_ms(ts)) + 1 AS BIGINT) AS e
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.user_id, a.sid AS sid_a, b.sid AS sid_b,
+             a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+      FROM sess a JOIN sess b
+        ON a.user_id = b.user_id AND a.sid < b.sid),
+    rel AS (
+      SELECT user_id, sid_a, sid_b,
+             CASE
+               WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+               WHEN e1 < s2 THEN 'before'
+               WHEN e2 < s1 THEN 'after'
+               WHEN e1 = s2 THEN 'meets'
+               WHEN e2 = s1 THEN 'met-by'
+               WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+               WHEN s1 = s2 THEN 'started-by'
+               WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+               WHEN e1 = e2 THEN 'finished-by'
+               WHEN s1 > s2 AND e1 < e2 THEN 'during'
+               WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+               WHEN s1 < s2 THEN 'overlaps'
+               ELSE 'overlapped-by'
+             END AS rel
+      FROM pairs)
+    SELECT rel, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_hosts
+    FROM rel GROUP BY rel ORDER BY rel
+    """,
+)
+def q_events_allen_relations(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ems = F.unix_millis(F.col("ts").cast("timestamp"))
+    sess = e.groupBy(
+        "user_id", (F.col("event_id") % 7).cast("int").alias("sid")
+    ).agg(
+        F.min(ems).cast("bigint").alias("s"),
+        (F.max(ems) + 1).cast("bigint").alias("e"),
+    )
+    a, b = sess.alias("a"), sess.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.sid") < F.col("b.sid")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.s").alias("s1"), F.col("a.e").alias("e1"),
+        F.col("b.s").alias("s2"), F.col("b.e").alias("e2"),
+    )
+    rel = (
+        F.when((F.col("s1") == F.col("s2"))
+               & (F.col("e1") == F.col("e2")), "equals")
+        .when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e2") < F.col("s1"), "after")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(F.col("e2") == F.col("s1"), "met-by")
+        .when((F.col("s1") == F.col("s2"))
+              & (F.col("e1") < F.col("e2")), "starts")
+        .when(F.col("s1") == F.col("s2"), "started-by")
+        .when((F.col("e1") == F.col("e2"))
+              & (F.col("s1") > F.col("s2")), "finishes")
+        .when(F.col("e1") == F.col("e2"), "finished-by")
+        .when((F.col("s1") > F.col("s2"))
+              & (F.col("e1") < F.col("e2")), "during")
+        .when((F.col("s1") < F.col("s2"))
+              & (F.col("e1") > F.col("e2")), "contains")
+        .when(F.col("s1") < F.col("s2"), "overlaps")
+        .otherwise("overlapped-by")
+    )
+    return (
+        pairs.select("user_id", rel.alias("rel"))
+        .groupBy("rel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("user_id").cast("bigint").alias("n_hosts"),
+        )
+        .orderBy("rel")
+    )
+
+
+@_register(
+    "dedup_lsh_tuning",
+    # MinHash-LSH band tuning (Leskovec, Rajaraman & Ullman, "Mining
+    # of Massive Datasets" §3.4.3) — the design calculation BEHIND
+    # dedup_minhash_lsh's (32 bands x 2 rows) choice, made a gate:
+    # for every (bands, rows) factorization of the 64-hash budget,
+    # the S-curve collision probability 1 - (1 - s^r)^b at planted
+    # similarities, the curve's threshold (1/b)^(1/r), and the
+    # false-positive/negative mass at the 0.8 design point. Pure
+    # per-row float arithmetic (fixed op order), rounded; the chosen
+    # config is flagged by INTEGER comparison of rounded columns.
+    """
+    WITH cfg AS (
+      SELECT b, 64 // b AS r FROM (VALUES (1), (2), (4), (8), (16),
+             (32), (64)) AS t(b)),
+    curve AS (
+      SELECT b, r,
+             round(pow(CAST(1 AS DOUBLE) / b,
+                       CAST(1 AS DOUBLE) / r), 4) AS s_threshold,
+             round(1 - pow(1 - pow(0.5, r), b), 4) AS p_at_05,
+             round(1 - pow(1 - pow(0.8, r), b), 4) AS p_at_08,
+             round(1 - pow(1 - pow(0.95, r), b), 4) AS p_at_095
+      FROM cfg)
+    SELECT b, CAST(r AS INT) AS r, s_threshold,
+           p_at_05, p_at_08, p_at_095,
+           p_at_095 >= 0.99 AND p_at_05 <= 0.05 AS meets_design
+    FROM curve ORDER BY b
+    """,
+)
+def q_dedup_lsh_tuning(spark, sf_dir):
+    cfg = spark.createDataFrame(
+        [(1,), (2,), (4,), (8,), (16,), (32,), (64,)], "b int"
+    ).withColumn("r", F.expr("64 div b"))
+    p = lambda s: F.round(  # noqa: E731
+        1 - F.pow(1 - F.pow(F.lit(s), F.col("r")), F.col("b")), 4
+    )
+    out = cfg.select(
+        "b",
+        F.col("r").cast("int").alias("r"),
+        F.round(
+            F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 4
+        ).alias("s_threshold"),
+        p(0.5).alias("p_at_05"),
+        p(0.8).alias("p_at_08"),
+        p(0.95).alias("p_at_095"),
+    )
+    return out.withColumn(
+        "meets_design",
+        (F.col("p_at_095") >= 0.99) & (F.col("p_at_05") <= 0.05),
+    ).orderBy("b")
