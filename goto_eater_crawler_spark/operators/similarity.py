@@ -1114,14 +1114,19 @@ def ivfpq_topk_sql(n_queries: int = 5, k: int = 10, n_cells: int = 8,
 
 
 def nsw_edges(
-    embeddings: DataFrame, cents: DataFrame, degree: int = 4
+    embeddings: DataFrame, cents: DataFrame, degree: int = 4,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst) — each vector's ``degree`` nearest cell-mates by
     cosine (ties to lower dst). One within-cell equi-join + one
-    per-src window; the corpus shuffles on centroid_id once."""
-    assigned = _assign(embeddings, cents, with_ang=False).select(
-        "vec_id", "embedding", "centroid_id"
-    ).persist()
+    per-src window; the corpus shuffles on centroid_id once. Pass
+    ``assigned`` to share one cell assignment with the caller
+    (nsw_greedy_search needs it too — without sharing the corpus
+    pays the broadcast-argmin twice)."""
+    if assigned is None:
+        assigned = _assign(embeddings, cents, with_ang=False).select(
+            "vec_id", "embedding", "centroid_id"
+        ).persist()
     a = assigned.alias("a")
     b = assigned.alias("b")
     sim = (
@@ -1165,7 +1170,7 @@ def nsw_greedy_search(
     assigned = _assign(embeddings, cents, with_ang=False).select(
         "vec_id", "embedding", "centroid_id"
     ).persist()
-    edges = nsw_edges(embeddings, cents, degree).persist()
+    edges = nsw_edges(embeddings, cents, degree, assigned=assigned).persist()
     qs = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
