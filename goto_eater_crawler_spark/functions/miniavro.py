@@ -216,3 +216,75 @@ def read_ocf(blob: bytes) -> tuple[dict, list[dict]]:
         if p != len(payload):
             raise ValueError("trailing bytes in block")
     return schema, records
+
+
+# ------------------------------------------------ schema resolution
+# (Avro 1.11 spec "Schema Resolution") — the reader/writer contract
+# that lets a corpus written under last year's schema be read under
+# this year's: fields match by name THEN by reader aliases,
+# writer-only fields are skipped, reader-only fields take their
+# declared default (an error if none), and primitive PROMOTIONS are
+# exactly the spec's lattice (int -> long/float/double, long ->
+# float/double, float -> double, string <-> bytes) — anything else
+# is a resolution error, not a coercion.
+
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _promote(v, wt: str, rt: str):
+    if wt == rt:
+        return v
+    if (wt, rt) not in _PROMOTIONS:
+        raise ValueError(f"cannot resolve writer {wt} as reader {rt}")
+    if rt in ("float", "double"):
+        return float(v)
+    if rt == "long":
+        return int(v)
+    if rt == "bytes":
+        return v.encode("utf-8") if isinstance(v, str) else v
+    if rt == "string":
+        return v.decode("utf-8") if isinstance(v, bytes) else v
+    raise ValueError(f"unsupported promotion {wt} -> {rt}")
+
+
+def resolve_record(
+    record: dict, writer_schema: dict, reader_schema: dict
+) -> dict:
+    """One decoded writer record viewed through the reader schema."""
+    wtypes = dict(_fields(writer_schema))
+    out = {}
+    for f in reader_schema["fields"]:
+        rt = f["type"]
+        if not isinstance(rt, str):
+            raise ValueError("only primitive reader field types")
+        src = None
+        if f["name"] in wtypes:
+            src = f["name"]
+        else:
+            for alias in f.get("aliases", []):
+                if alias in wtypes:
+                    src = alias
+                    break
+        if src is not None:
+            out[f["name"]] = _promote(record[src], wtypes[src], rt)
+        elif "default" in f:
+            out[f["name"]] = f["default"]
+        else:
+            raise ValueError(
+                f"reader field {f['name']!r} absent and has no default"
+            )
+    return out
+
+
+def read_ocf_resolved(
+    blob: bytes, reader_schema: dict
+) -> tuple[dict, list[dict]]:
+    """read_ocf + per-record resolution against ``reader_schema``."""
+    writer_schema, records = read_ocf(blob)
+    return writer_schema, [
+        resolve_record(r, writer_schema, reader_schema) for r in records
+    ]

@@ -1632,3 +1632,116 @@ def parquet_page_walk(blobs: "DataFrame") -> "DataFrame":
             "tags string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro schema evolution — reader/writer resolution (miniavro)
+# ---------------------------------------------------------------------------
+
+_AVRO_V1 = {
+    "type": "record", "name": "fetch_v1",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "status", "type": "int"},
+        {"name": "note", "type": "string"},
+        {"name": "legacy", "type": "string"},
+        {"name": "elapsed", "type": "int"},
+    ],
+}
+
+_AVRO_V2 = {
+    "type": "record", "name": "fetch_v2",
+    "fields": [
+        {"name": "id", "type": "long"},                      # int->long
+        {"name": "http_status", "type": "int",
+         "aliases": ["status"]},                             # alias match
+        {"name": "note", "type": "bytes"},                   # string->bytes
+        {"name": "elapsed", "type": "double"},               # int->double
+        {"name": "fetch_ms", "type": "double",
+         "default": 0.0},                                    # reader-only
+        # writer's 'legacy' has no reader field: skipped
+    ],
+}
+
+
+def synth_avro_v1_files(docs: "DataFrame", mod: int = 3) -> "DataFrame":
+    """(doc_id, payload) — one OCF per selected doc under the V1
+    writer schema, via the OWN container writer."""
+    import pandas as pd
+
+    from ..functions import miniavro
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                recs = [
+                    {
+                        "id": d * 10 + i,
+                        "status": 404 if (d + i) % 10 == 0 else 200,
+                        "note": f"n{d}-{i}",
+                        "legacy": "x",
+                        "elapsed": (d + i) % 500,
+                    }
+                    for i in range(3 + d % 4)
+                ]
+                ids.append(d)
+                payloads.append(
+                    miniavro.write_ocf(recs, _AVRO_V1, sync=b"\x07" * 16)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        docs.filter(f"doc_id % {mod} = 0")
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+
+
+def avro_evolved_read(blobs: "DataFrame") -> "DataFrame":
+    """(doc_id, payload) -> V1 files read UNDER THE V2 READER SCHEMA
+    through the spec's resolution rules: int->long and int->double
+    promotions, alias matching (status -> http_status), string->
+    bytes, a defaulted reader-only field, and a skipped writer-only
+    field — all live per doc. One Arrow map stage."""
+    import pandas as pd
+
+    from ..functions import miniavro
+
+    def parse(it):
+        for pdf in it:
+            rows = []
+            for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+                _, recs = miniavro.read_ocf_resolved(
+                    bytes(blob), _AVRO_V2
+                )
+                rows.append((
+                    int(d),
+                    len(recs),
+                    sum(r["id"] for r in recs),
+                    sum(1 for r in recs if r["http_status"] == 404),
+                    ";".join(r["note"].decode() for r in recs),
+                    float(sum(r["elapsed"] for r in recs)),
+                    float(sum(r["fetch_ms"] for r in recs)),
+                    all(isinstance(r["id"], int)
+                        and isinstance(r["elapsed"], float)
+                        and isinstance(r["note"], bytes)
+                        and "legacy" not in r for r in recs),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "id_sum", "n_404", "notes",
+                    "elapsed_sum", "fetch_ms_sum", "resolved_ok",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, n_records int, id_sum bigint, n_404 int, "
+            "notes string, elapsed_sum double, fetch_ms_sum double, "
+            "resolved_ok boolean"
+        ),
+    )

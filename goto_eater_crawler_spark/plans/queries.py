@@ -153,6 +153,9 @@ _GATE_ORDER: list[str] = [
     "text_jaro_winkler",
     "events_allen_relations",
     "dedup_lsh_tuning",
+    "storage_avro_evolve",
+    "recrawl_cusum_change",
+    "crawl_jain_fairness",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -13727,3 +13730,171 @@ def q_dedup_lsh_tuning(spark, sf_dir):
         "meets_design",
         (F.col("p_at_095") >= 0.99) & (F.col("p_at_05") <= 0.05),
     ).orderBy("b")
+
+
+@_register(
+    "storage_avro_evolve",
+    # Avro schema resolution (Avro 1.11 spec "Schema Resolution") —
+    # the evolution contract over the OWN OCF walk: V1-written files
+    # read under a V2 reader with every rule live per doc — int->
+    # long and int->double PROMOTIONS, field matching through a
+    # reader ALIAS (status -> http_status), string->bytes, a
+    # reader-only field taking its declared DEFAULT, and a
+    # writer-only field skipped (its absence asserted in-row via
+    # resolved_ok). Type mismatches outside the spec's promotion
+    # lattice raise in the unit suite. One Arrow map stage;
+    # closed-form oracle.
+    """
+    WITH base AS (SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS n
+                  FROM documents WHERE doc_id % 3 = 0),
+    s AS (SELECT doc_id, n, CAST(u.i AS INT) AS i
+          FROM base, UNNEST(range(n)) AS u(i)),
+    agg AS (SELECT doc_id, any_value(n) AS n,
+                   CAST(sum(doc_id * 10 + i) AS BIGINT) AS id_sum,
+                   CAST(sum(CASE WHEN (doc_id + i) % 10 = 0
+                            THEN 1 ELSE 0 END) AS INT) AS n_404,
+                   string_agg('n' || CAST(doc_id AS VARCHAR) || '-'
+                              || CAST(i AS VARCHAR), ';' ORDER BY i)
+                     AS notes,
+                   CAST(sum((doc_id + i) % 500) AS DOUBLE)
+                     AS elapsed_sum
+            FROM s GROUP BY doc_id)
+    SELECT doc_id, n AS n_records, id_sum, n_404, notes, elapsed_sum,
+           CAST(0 AS DOUBLE) AS fetch_ms_sum, TRUE AS resolved_ok
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_storage_avro_evolve(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return _st.avro_evolved_read(_st.synth_avro_v1_files(d, 3)).orderBy(
+        "doc_id"
+    )
+
+
+@_register(
+    "recrawl_cusum_change",
+    # One-sided CUSUM change detection (Page, Biometrika 1954) — the
+    # classical alarm beside recrawl_ses_forecast's smoother: per
+    # host, S <- max(0, S + x - k) over the change-indicator series,
+    # alarm and RESTART when S crosses h (k = 0.25, h = 2.0 — both
+    # dyadic, carried in integer QUARTER units so the fold is
+    # all-integer). Same ordered-fold device as the token bucket:
+    # state (alarms, S-quarters) packed into one BIGINT with a +2
+    # offset so the seed (a raw 0/1 indicator) is distinguishable
+    # from every encoded state; both engines fold the identically
+    # ordered array.
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('update', 'error')
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS x
+      FROM events),
+    series AS (
+      SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(x) AS BIGINT) AS n_changes
+      FROM ev GROUP BY 1),
+    folded AS (
+      SELECT user_id, n_obs, n_changes,
+             list_reduce(list_prepend(CAST(-1 AS BIGINT), xs),
+               (acc, x) -> CASE
+                 WHEN (CASE WHEN acc < 0 THEN 0
+                       ELSE (acc - 2) // 4 % 16 END) + x * 4 - 1 >= 8
+                 THEN ((CASE WHEN acc < 0 THEN 0
+                        ELSE (acc - 2) // 4 // 16 END) + 1) * 16 * 4 + 2
+                 ELSE ((CASE WHEN acc < 0 THEN 0
+                        ELSE (acc - 2) // 4 // 16 END) * 16
+                       + greatest((CASE WHEN acc < 0 THEN 0
+                                   ELSE (acc - 2) // 4 % 16 END)
+                                  + x * 4 - 1, 0)) * 4 + 2
+               END) AS st
+      FROM series)
+    SELECT user_id, n_obs, n_changes,
+           CAST((st - 2) // 4 // 16 AS BIGINT) AS n_alarms,
+           round(CAST((st - 2) // 4 % 16 AS DOUBLE) / 4, 2) AS s_final
+    FROM folded ORDER BY user_id
+    """,
+)
+def q_recrawl_cusum_change(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type").isin("update", "error"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("x"),
+    )
+    series = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, x))),"
+            " t -> t.x)"
+        ).alias("xs"),
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("x").cast("bigint").alias("n_changes"),
+    )
+    step = """
+      CASE
+        WHEN (CASE WHEN acc < 0L THEN 0L
+              ELSE (acc - 2L) div 4L % 16L END) + x * 4L - 1L >= 8L
+        THEN ((CASE WHEN acc < 0L THEN 0L
+               ELSE (acc - 2L) div 4L div 16L END) + 1L) * 16L * 4L + 2L
+        ELSE ((CASE WHEN acc < 0L THEN 0L
+               ELSE (acc - 2L) div 4L div 16L END) * 16L
+              + greatest((CASE WHEN acc < 0L THEN 0L
+                          ELSE (acc - 2L) div 4L % 16L END)
+                         + x * 4L - 1L, 0L)) * 4L + 2L
+      END"""
+    final = series.withColumn(
+        "st",
+        F.expr(
+            f"aggregate(xs, CAST(-1 AS BIGINT), (acc, x) -> {step})"
+        ),
+    )
+    return final.select(
+        "user_id", "n_obs", "n_changes",
+        F.expr("(st - 2L) div 4L div 16L").cast("bigint")
+        .alias("n_alarms"),
+        F.round(
+            F.expr("(st - 2L) div 4L % 16L").cast("double") / 4, 2
+        ).alias("s_final"),
+    ).orderBy("user_id")
+
+
+@_register(
+    "crawl_jain_fairness",
+    # Jain's fairness index (Jain, Chiu & Hawe, DEC TR-301 1984) —
+    # the allocation-fairness score beside crawl_host_gini: per
+    # event class, J = (sum x)^2 / (n * sum x^2) over per-host
+    # event counts; J = 1 is perfectly even, J = 1/n is one host
+    # taking everything. Integer sums end-to-end, one final
+    # division, rounded.
+    """
+    WITH counts AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(sum(x) AS BIGINT) AS total,
+           round(CAST(sum(x) * sum(x) AS DOUBLE)
+                 / (count(*) * sum(x * x)), 6) AS jain
+    FROM counts GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_crawl_jain_fairness(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hosts"),
+            F.sum("x").cast("bigint").alias("total"),
+            F.round(
+                (F.sum("x") * F.sum("x")).cast("double")
+                / (F.count("*") * F.sum(F.col("x") * F.col("x"))),
+                6,
+            ).alias("jain"),
+        )
+        .orderBy("event_type")
+    )

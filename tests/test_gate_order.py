@@ -78,6 +78,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "dedup_fellegi_sunter", "quality_dp_composition",
                     "storage_parquet_page_decode", "text_jaro_winkler",
                     "events_allen_relations", "dedup_lsh_tuning",
+                    "storage_avro_evolve", "recrawl_cusum_change",
+                    "crawl_jain_fairness",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
