@@ -156,6 +156,9 @@ _GATE_ORDER: list[str] = [
     "storage_avro_evolve",
     "recrawl_cusum_change",
     "crawl_jain_fairness",
+    "crawl_memento_timemap",
+    "multimodal_svg_meta",
+    "graph_richclub",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -13897,4 +13900,220 @@ def q_crawl_jain_fairness(spark, sf_dir):
             ).alias("jain"),
         )
         .orderBy("event_type")
+    )
+
+
+@_register(
+    "crawl_memento_timemap",
+    # Memento TimeMap mining (RFC 7089 §5) — the web-archive
+    # counterpart of the CDX gates: a TimeMap is an RFC 6690
+    # link-format document enumerating the mementos of an original
+    # resource; the crawler uses it to decide whether an archived
+    # copy is fresh enough to skip a live fetch. Elements carry
+    # rel="original|timegate|first memento|last memento|memento"
+    # plus a datetime param; PURE CATALYST extraction, with the
+    # memento count and the first/last capture stamps projected per
+    # doc.
+    """
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS original,
+           CAST(2 + doc_id % 4 AS INT) AS n_mementos,
+           'Mon, 0' || CAST(1 + doc_id % 7 AS VARCHAR)
+             || ' Jan 2024 00:00:00 GMT' AS first_dt,
+           'Mon, 0' || CAST(1 + doc_id % 7 AS VARCHAR)
+             || ' Feb 2024 00:00:00 GMT' AS last_dt
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_crawl_memento_timemap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    orig = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+    )
+    day = (1 + F.col("doc_id") % 7).cast("string")
+    n_mid = F.col("doc_id") % 4  # mementos between first and last
+    # synthesize the link-format TimeMap, then parse it back
+    # sequence(1, 0) DESCENDS in Spark rather than being empty —
+    # guard the zero-mementos parity explicitly
+    mid = F.expr(
+        "CASE WHEN doc_id % 4 = 0 THEN '' ELSE"
+        " array_join(transform(sequence(1, CAST(doc_id % 4 AS INT)),"
+        " i -> ',<https://arc.example.org/m/' || CAST(i AS STRING)"
+        " || '>; rel=\"memento\"; datetime=\"x\"'), '') END"
+    )
+    tm = F.concat(
+        F.lit("<"), orig, F.lit('>; rel="original"'),
+        F.lit(',<https://arc.example.org/tg>; rel="timegate"'),
+        F.lit(',<https://arc.example.org/m/first>;'
+              ' rel="first memento"; datetime="Mon, 0'),
+        day, F.lit(' Jan 2024 00:00:00 GMT"'),
+        mid,
+        F.lit(',<https://arc.example.org/m/last>;'
+              ' rel="last memento"; datetime="Mon, 0'),
+        day, F.lit(' Feb 2024 00:00:00 GMT"'),
+    )
+    t = d.select("doc_id", tm.alias("tm"))
+    n_mementos = F.size(
+        F.expr(r"""regexp_extract_all(tm, '(rel="[^"]*memento[^"]*")', 1)""")
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_extract(
+            "tm", r'<([^>]+)>;\s*rel="original"', 1
+        ).alias("original"),
+        n_mementos.cast("int").alias("n_mementos"),
+        F.regexp_extract(
+            "tm", r'rel="first memento"; datetime="([^"]+)"', 1
+        ).alias("first_dt"),
+        F.regexp_extract(
+            "tm", r'rel="last memento"; datetime="([^"]+)"', 1
+        ).alias("last_dt"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "multimodal_svg_meta",
+    # SVG metadata mining (W3C SVG 1.1 §7) — the one image format
+    # the binary walks cannot cover because it is XML: intrinsic
+    # size comes from width/height presentation attributes OR the
+    # viewBox (whose 4 numbers also define the aspect ratio used
+    # when only one of width/height is given). Variants by parity:
+    # px-suffixed attributes, bare viewBox only, and both. PURE
+    # CATALYST regexp pulls; aspect ratio is an exact rational
+    # rounded once.
+    """
+    SELECT doc_id,
+           CAST(100 + (doc_id % 10) * 10 AS INT) AS vb_w,
+           CAST(50 + (doc_id % 5) * 10 AS INT) AS vb_h,
+           doc_id % 3 <> 1 AS has_attrs,
+           round(CAST(100 + (doc_id % 10) * 10 AS DOUBLE)
+                 / (50 + (doc_id % 5) * 10), 4) AS aspect
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_multimodal_svg_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = (100 + (F.col("doc_id") % 10) * 10).cast("string")
+    h = (50 + (F.col("doc_id") % 5) * 10).cast("string")
+    attrs = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(' width="'), w, F.lit('px" height="'), h,
+                 F.lit('px"')),
+    ).when(F.col("doc_id") % 3 == 2,
+           F.concat(F.lit(' width="'), w, F.lit('" height="'), h,
+                    F.lit('"'))).otherwise(F.lit(""))
+    svg = F.concat(
+        F.lit('<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 '),
+        w, F.lit(" "), h, F.lit('"'), attrs,
+        F.lit('><rect/></svg>'),
+    )
+    s = d.select("doc_id", svg.alias("svg"))
+    vb = F.split(
+        F.regexp_extract("svg", r'viewBox="([^"]+)"', 1), " "
+    )
+    return s.select(
+        "doc_id",
+        F.element_at(vb, 3).cast("int").alias("vb_w"),
+        F.element_at(vb, 4).cast("int").alias("vb_h"),
+        (F.regexp_extract("svg", r'width="([0-9]+)(px)?"', 1) != "")
+        .alias("has_attrs"),
+        F.round(
+            F.element_at(vb, 3).cast("double")
+            / F.element_at(vb, 4).cast("double"), 4
+        ).alias("aspect"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "graph_richclub",
+    # Rich-club coefficient (Zhou & Mondragon, IEEE Comm. Lett.
+    # 2004) — phi(k) = 2 * E_k / (N_k * (N_k - 1)) over the hosts of
+    # degree > k: detects whether the high-degree hub hosts link
+    # preferentially to EACH OTHER (the link-farm signature k-core/
+    # k-truss localize structurally; this is the global statistic).
+    # Integer edge/node counts per threshold; one division, rounded.
+    """
+    WITH edges AS (
+      SELECT DISTINCT least(CAST(o_custkey % 50 AS BIGINT),
+                            CAST(o_orderkey % 50 AS BIGINT)) AS u,
+                      greatest(CAST(o_custkey % 50 AS BIGINT),
+                               CAST(o_orderkey % 50 AS BIGINT)) AS v
+      FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges) GROUP BY 1),
+    ks AS (SELECT CAST(u.k AS INT) AS k
+           FROM UNNEST([0, 10, 20, 30, 40]) AS u(k)),
+    club AS (
+      SELECT ks.k, d.node FROM ks JOIN deg d ON d.deg > ks.k),
+    nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+           FROM club GROUP BY 1),
+    ek AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS e_k
+      FROM ks JOIN edges e ON TRUE
+      JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      WHERE du.deg > ks.k AND dv.deg > ks.k
+      GROUP BY 1)
+    SELECT nk.k, nk.n_k, coalesce(ek.e_k, 0) AS e_k,
+           CASE WHEN nk.n_k > 1
+                THEN round(2.0 * coalesce(ek.e_k, 0)
+                           / (nk.n_k * (nk.n_k - 1)), 6)
+                ELSE CAST(0 AS DOUBLE) END AS phi
+    FROM nk LEFT JOIN ek USING (k) ORDER BY nk.k
+    """,
+)
+def q_graph_richclub(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            F.least(
+                (F.col("o_custkey") % 50).cast("long"),
+                (F.col("o_orderkey") % 50).cast("long"),
+            ).alias("u"),
+            F.greatest(
+                (F.col("o_custkey") % 50).cast("long"),
+                (F.col("o_orderkey") % 50).cast("long"),
+            ).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .persist()
+    )
+    ks = spark.createDataFrame(
+        [(0,), (10,), (20,), (30,), (40,)], "k int"
+    )
+    club = ks.join(deg, deg["deg"] > ks["k"])
+    nk = club.groupBy("k").agg(F.count("*").cast("bigint").alias("n_k"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ek = (
+        ks.crossJoin(edges.join(du, "u").join(dv, "v"))
+        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k", "n_k",
+            F.coalesce("e_k", F.lit(0)).cast("bigint").alias("e_k"),
+            F.when(
+                F.col("n_k") > 1,
+                F.round(
+                    2.0 * F.coalesce("e_k", F.lit(0))
+                    / (F.col("n_k") * (F.col("n_k") - 1)),
+                    6,
+                ),
+            ).otherwise(0.0).alias("phi"),
+        )
+        .orderBy("k")
     )

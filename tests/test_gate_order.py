@@ -79,7 +79,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "storage_parquet_page_decode", "text_jaro_winkler",
                     "events_allen_relations", "dedup_lsh_tuning",
                     "storage_avro_evolve", "recrawl_cusum_change",
-                    "crawl_jain_fairness",
+                    "crawl_jain_fairness", "crawl_memento_timemap",
+                    "multimodal_svg_meta", "graph_richclub",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
