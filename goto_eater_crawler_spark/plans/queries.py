@@ -159,6 +159,9 @@ _GATE_ORDER: list[str] = [
     "crawl_memento_timemap",
     "multimodal_svg_meta",
     "graph_richclub",
+    "transfer_early_hints",
+    "url_tracking_strip",
+    "sample_mixture_entropy",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -14116,4 +14119,176 @@ def q_graph_richclub(spark, sf_dir):
             ).otherwise(0.0).alias("phi"),
         )
         .orderBy("k")
+    )
+
+
+@_register(
+    "transfer_early_hints",
+    # HTTP 103 Early Hints (RFC 8297) — interim responses let the
+    # server stream Link preload/preconnect hints BEFORE the final
+    # status; a fetch layer that only parses the final head misses
+    # them, and one that merges interim headers into the final
+    # response violates §2 ("a client MUST NOT process them as if
+    # they belonged to the final response" — hints are advisory
+    # only, tracked separately here). Docs plant 0-2 interim 103s
+    # by parity; PURE CATALYST split on the interim boundary.
+    """
+    SELECT doc_id,
+           CAST(doc_id % 3 AS INT) AS n_interim,
+           CAST(2 * (doc_id % 3) AS INT) AS n_hints,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END AS INT)
+             AS final_status,
+           CASE WHEN doc_id % 3 = 0 THEN ''
+                ELSE array_to_string(
+                  flatten(list_transform(range(CAST(doc_id % 3 AS BIGINT)),
+                    i -> ['https://cdn.example.org/s' ||
+                          CAST(i AS VARCHAR) || '.css',
+                          'https://cdn.example.org/f' ||
+                          CAST(i AS VARCHAR) || '.woff2'])), ';')
+                END AS hinted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_transfer_early_hints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    interim = F.expr(
+        "CASE WHEN doc_id % 3 = 0 THEN '' ELSE"
+        " array_join(transform(sequence(0, CAST(doc_id % 3 AS INT) - 1),"
+        " i -> 'HTTP/1.1 103 Early Hints\\r\\n"
+        "Link: <https://cdn.example.org/s' || CAST(i AS STRING)"
+        " || '.css>; rel=preload; as=style\\r\\n"
+        "Link: <https://cdn.example.org/f' || CAST(i AS STRING)"
+        " || '.woff2>; rel=preload; as=font\\r\\n\\r\\n'), '') END"
+    )
+    final = F.concat(
+        F.lit("HTTP/1.1 "),
+        F.when(F.col("doc_id") % 10 == 0, "404").otherwise("200"),
+        F.lit(" X\r\nContent-Type: text/html\r\n\r\n<html>"),
+    )
+    raw = d.select(
+        "doc_id", F.concat(interim, final).alias("raw")
+    )
+    heads = F.expr(
+        r"""filter(transform(split(raw, '\r\n\r\n'),
+               h -> regexp_extract(h, 'HTTP/1.1 (\\d+)', 1)),
+             s -> s != '')"""
+    )
+    hints = F.expr(
+        r"regexp_extract_all(raw, 'Link: <([^>]+)>', 1)"
+    )
+    return raw.select(
+        "doc_id",
+        F.expr(
+            r"""size(filter(transform(split(raw, '\r\n\r\n'),
+                  h -> regexp_extract(h, 'HTTP/1.1 (\\d+)', 1)),
+               s -> s = '103'))"""
+        ).cast("int").alias("n_interim"),
+        F.size(hints).cast("int").alias("n_hints"),
+        F.element_at(heads, -1).cast("int").alias("final_status"),
+        F.array_join(hints, ";").alias("hinted"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "url_tracking_strip",
+    # Tracking-parameter canonicalization — the static companion of
+    # the DUST rule MINER (url_dust_rules learns rewrites from
+    # duplicate content; this applies the well-known tracker list a
+    # production canonicalizer always strips: utm_*, fbclid, gclid,
+    # msclkid, ref). Parameter ORDER of the survivors is preserved
+    # (stripping, not normalizing); empty query drops the '?'.
+    # PURE CATALYST: split / filter / rejoin.
+    """
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+             || CASE
+                  WHEN doc_id % 4 = 0 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR)
+                  WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR)
+                       || '&sort=asc'
+                  WHEN doc_id % 4 = 2 THEN ''
+                  ELSE '?page=2'
+                END AS url,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1
+                WHEN 2 THEN 1 ELSE 2 END AS INT) AS n_stripped
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_url_tracking_strip(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = F.expr(
+        """CASE doc_id % 4
+           WHEN 0 THEN 'utm_source=x&id=' || CAST(doc_id % 9 AS STRING)
+                || '&utm_medium=email'
+           WHEN 1 THEN 'id=' || CAST(doc_id % 9 AS STRING)
+                || '&fbclid=abc123&sort=asc'
+           WHEN 2 THEN 'gclid=zzz'
+           ELSE 'utm_campaign=c&page=2&msclkid=m' END"""
+    )
+    base = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", base.alias("base"), q.alias("q"))
+    kept = F.expr(
+        "filter(split(q, '&'), p -> NOT ("
+        " p LIKE 'utm\\\\_%' OR p LIKE 'fbclid=%' OR p LIKE 'gclid=%'"
+        " OR p LIKE 'msclkid=%' OR p LIKE 'ref=%'))"
+    )
+    stripped = F.expr(
+        "size(filter(split(q, '&'), p -> "
+        " p LIKE 'utm\\\\_%' OR p LIKE 'fbclid=%' OR p LIKE 'gclid=%'"
+        " OR p LIKE 'msclkid=%' OR p LIKE 'ref=%'))"
+    )
+    return u.select(
+        "doc_id",
+        F.when(F.size(kept) == 0, F.col("base"))
+        .otherwise(F.concat("base", F.lit("?"), F.array_join(kept, "&")))
+        .alias("url"),
+        stripped.cast("int").alias("n_stripped"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "sample_mixture_entropy",
+    # Source-mixture entropy — the diversity diagnostic a data-mix
+    # designer reads before touching sample_domain_mix/DoReMi
+    # weights: each source's share p, its -p*log2(p) contribution,
+    # and the per-source KL term p*log2(p/u) against the uniform
+    # mix (the skew each reweighting pass would need to undo).
+    # Integer counts; transcendentals only in the final per-row
+    # doubles, rounded — no cross-row float sum anywhere.
+    """
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k FROM c)
+    SELECT c.source, c.n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS p,
+           round(-(CAST(c.n AS DOUBLE) / t.total)
+                 * log2(CAST(c.n AS DOUBLE) / t.total), 6)
+             AS entropy_term,
+           round((CAST(c.n AS DOUBLE) / t.total)
+                 * log2((CAST(c.n AS DOUBLE) / t.total) * t.k), 6)
+             AS kl_vs_uniform
+    FROM c CROSS JOIN tot t ORDER BY c.source
+    """,
+)
+def q_sample_mixture_entropy(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    tot = c.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n",
+            F.round(p, 6).alias("p"),
+            F.round(-p * F.log2(p), 6).alias("entropy_term"),
+            F.round(p * F.log2(p * F.col("k")), 6).alias("kl_vs_uniform"),
+        )
+        .orderBy("source")
     )
