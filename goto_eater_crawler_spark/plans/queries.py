@@ -162,6 +162,9 @@ _GATE_ORDER: list[str] = [
     "transfer_early_hints",
     "url_tracking_strip",
     "sample_mixture_entropy",
+    "text_term_burstiness",
+    "http_alt_svc",
+    "sample_leakage_free_split",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -14291,4 +14294,216 @@ def q_sample_mixture_entropy(spark, sf_dir):
             F.round(p * F.log2(p * F.col("k")), 6).alias("kl_vs_uniform"),
         )
         .orderBy("source")
+    )
+
+
+@_register(
+    "text_term_burstiness",
+    # Term burstiness (Church & Gale, "Poisson mixtures", 1995) —
+    # the Fano factor (variance-to-mean) of a term's per-doc counts:
+    # function words arrive ~Poisson (factor ~1), content words are
+    # BURSTY (factor >> 1), and the gap is a quality/topicality
+    # signal tf-idf alone misses. Variance via the integer identity
+    # n*sum(x^2) - sum(x)^2 over ALL docs (zero counts included
+    # through the total doc count, not materialized) — every term
+    # integer until the final two divisions, rounded.
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                            '\\s+')) AS tok
+      FROM documents),
+    tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS x
+           FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    agg AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM tf GROUP BY 1)
+    SELECT tok, df, sx AS total_tf,
+           round(CAST(sx AS DOUBLE) / n.n_docs, 6) AS mean,
+           round((CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sx / n.n_docs)
+                 / n.n_docs
+                 / (CAST(sx AS DOUBLE) / n.n_docs), 6) AS fano
+    FROM agg CROSS JOIN n
+    WHERE df >= 50 ORDER BY tok
+    """,
+)
+def q_text_term_burstiness(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("tok", "doc_id").agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    agg = tf.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n_docs")
+    mean = F.col("sx").cast("double") / nd
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / nd
+    ) / nd
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .filter(F.col("df") >= 50)
+        .select(
+            "tok", "df", F.col("sx").alias("total_tf"),
+            F.round(mean, 6).alias("mean"),
+            F.round(var / mean, 6).alias("fano"),
+        )
+        .orderBy("tok")
+    )
+
+
+@_register(
+    "http_alt_svc",
+    # Alt-Svc parsing (RFC 7838) — how the QUIC arm
+    # (transfer_quic_frames) gets DISCOVERED: the h2 response
+    # advertises an h3 endpoint with a max-age, 'clear' wipes
+    # cached alternatives, and a missing ma defaults to 24 h (§3.1).
+    # Variants by parity incl. multiple alternatives; PURE CATALYST.
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'clear'
+                WHEN doc_id % 2 = 0 THEN 'h3' ELSE 'h3,h2' END
+             AS protocols,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                WHEN doc_id % 3 = 0 THEN 3600 * (1 + doc_id % 5)
+                ELSE 86400 END AS BIGINT) AS ma_s,
+           doc_id % 7 <> 0 AS h3_available
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_http_alt_svc(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    hdr = F.expr(
+        """CASE
+           WHEN doc_id % 7 = 0 THEN 'clear'
+           WHEN doc_id % 2 = 0 THEN
+             CASE WHEN doc_id % 3 = 0
+               THEN 'h3=":443"; ma=' ||
+                    CAST(3600 * (1 + doc_id % 5) AS STRING)
+               ELSE 'h3=":443"' END
+           ELSE
+             CASE WHEN doc_id % 3 = 0
+               THEN 'h3=":443"; ma=' ||
+                    CAST(3600 * (1 + doc_id % 5) AS STRING)
+                    || ', h2=":443"'
+               ELSE 'h3=":443", h2=":443"' END
+           END"""
+    )
+    h = d.select("doc_id", hdr.alias("alt_svc"))
+    protos = F.expr(
+        "array_join(regexp_extract_all(alt_svc,"
+        " '(h[0-9]+)=\"', 1), ',')"
+    )
+    ma = F.expr(
+        "coalesce(try_cast(regexp_extract(alt_svc, 'ma=(\\\\d+)', 1)"
+        " AS BIGINT), CASE WHEN alt_svc = 'clear' THEN 0"
+        " ELSE 86400 END)"
+    )
+    return h.select(
+        "doc_id",
+        F.when(F.col("alt_svc") == "clear", "clear")
+        .otherwise(protos)
+        .alias("protocols"),
+        ma.cast("bigint").alias("ma_s"),
+        (F.col("alt_svc") != "clear").alias("h3_available"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "sample_leakage_free_split",
+    # Leakage-free train/eval split (Lee et al. 2022 §6 practice) —
+    # the step between dedup and training: splitting by DOC hash
+    # leaks when two near-dups land on opposite sides, so the split
+    # key is the dedup CLUSTER id (pointer-doubling min-label over
+    # the planted near-dup pairs; singletons key on themselves).
+    # Every member of a cluster provably lands on one side — the
+    # gate emits the per-side counts AND a straddle count that must
+    # be zero by construction. Split = shared h60 hash of the
+    # cluster key, 90/10 (a multiplicative mod-10 key was rejected:
+    # the planted cluster ids are all ±1 mod 10, leaving the eval
+    # side provably EMPTY — a vacuous gate).
+    f"""
+    WITH pairs AS (
+      SELECT doc_id AS doc_a, -doc_id - 1 AS doc_b
+      FROM documents WHERE doc_id % {{mod}} = 0),
+    comp AS (SELECT doc_id, cluster_id FROM ({{clusters}})),
+    aug AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT -doc_id - 1 FROM documents WHERE doc_id % {{mod}} = 0),
+    keyed AS (
+      SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS key
+      FROM aug a LEFT JOIN comp c ON c.doc_id = a.doc_id),
+    split AS (
+      SELECT doc_id, key,
+             CASE WHEN (('0x' || substr(md5(CAST(key AS VARCHAR)),
+                         1, 15))::BIGINT) % 10 = 0
+                  THEN 'eval' ELSE 'train' END AS side
+      FROM keyed),
+    straddle AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT key FROM split GROUP BY key
+        HAVING count(DISTINCT side) > 1))
+    SELECT side, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT key) AS BIGINT) AS n_clusters,
+           (SELECT n FROM straddle) AS n_straddling
+    FROM split GROUP BY side ORDER BY side
+    """.replace("{mod}", str(_AUG_MOD)).replace(
+        "{clusters}",
+        _td.dedup_clusters_sql(
+            "SELECT doc_id AS doc_a, -doc_id - 1 AS doc_b FROM "
+            f"documents WHERE doc_id % {_AUG_MOD} = 0"
+        ),
+    ),
+)
+def q_sample_leakage_free_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.filter(f"doc_id % {_AUG_MOD} = 0").select(
+        F.col("doc_id").alias("doc_a"),
+        (-F.col("doc_id") - 1).alias("doc_b"),
+    )
+    comp = _td.dedup_clusters(pairs)
+    aug = d.select("doc_id").unionAll(
+        d.filter(f"doc_id % {_AUG_MOD} = 0").select(
+            (-F.col("doc_id") - 1).alias("doc_id")
+        )
+    )
+    keyed = aug.join(comp, "doc_id", "left").withColumn(
+        "key", F.coalesce("cluster_id", "doc_id")
+    )
+    split = keyed.withColumn(
+        "side",
+        F.when(
+            _h60_col(F.col("key").cast("string")) % 10 == 0, "eval"
+        ).otherwise("train"),
+    ).persist()
+    straddle = (
+        split.groupBy("key")
+        .agg(F.countDistinct("side").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        split.groupBy("side")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("key").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select(
+            "side", "n_docs", "n_clusters",
+            F.col("n").alias("n_straddling"),
+        )
+        .orderBy("side")
     )
