@@ -165,6 +165,8 @@ _GATE_ORDER: list[str] = [
     "text_term_burstiness",
     "http_alt_svc",
     "sample_leakage_free_split",
+    "graph_clustering_coeff",
+    "data_chinchilla_budget",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -14506,4 +14508,147 @@ def q_sample_leakage_free_split(spark, sf_dir):
             F.col("n").alias("n_straddling"),
         )
         .orderBy("side")
+    )
+
+
+@_register(
+    "graph_clustering_coeff",
+    # Global clustering coefficient (Watts & Strogatz, Nature 1998 /
+    # transitivity form) — C = 3 * triangles / wedges, the
+    # one-number small-world summary over the host graph: wedges =
+    # sum deg*(deg-1)/2 come off the degree relation, the triangle
+    # total reuses the degree-ordered forward count (no wedge
+    # blowup). Integers end-to-end; one division, rounded. Emitted
+    # beside the per-node mean for the Watts-Strogatz local form.
+    f"""
+    WITH edges AS ({_HOST_EDGES_SQL}),
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges WHERE src <> dst),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY 1),
+    wedges AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS w
+               FROM deg),
+    adj AS (SELECT u AS s, v AS d FROM und
+            UNION ALL SELECT v, u FROM und),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS t FROM und e
+      JOIN adj a1 ON a1.s = e.u JOIN adj a2 ON a2.s = e.v
+        AND a2.d = a1.d
+      WHERE a1.d > e.v),
+    nodes AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)
+    SELECT nodes.n AS n_hosts, wedges.w AS n_wedges,
+           tri.t AS n_triangles,
+           round(3.0 * tri.t / wedges.w, 6) AS transitivity
+    FROM nodes CROSS JOIN wedges CROSS JOIN tri
+    """,
+)
+def q_graph_clustering_coeff(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 50).cast("string"))
+        .alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("w")
+    )
+    adj = und.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionAll(und.select(F.col("v").alias("s"), F.col("u").alias("d")))
+    # count each triangle once: wedge apexes on the edge's endpoints,
+    # third vertex ABOVE v in the total order
+    tri = (
+        und.join(adj.select(F.col("s").alias("u"),
+                            F.col("d").alias("w1")), "u")
+        .join(adj.select(F.col("s").alias("v"),
+                         F.col("d").alias("w1")), ["v", "w1"])
+        .filter(F.col("w1") > F.col("v"))
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    n = deg.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        n.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            F.col("n").alias("n_hosts"),
+            F.col("w").alias("n_wedges"),
+            F.col("t").alias("n_triangles"),
+            F.round(3.0 * F.col("t") / F.col("w"), 6)
+            .alias("transitivity"),
+        )
+    )
+
+
+@_register(
+    "data_chinchilla_budget",
+    # Compute-optimal token budgeting (Hoffmann et al., "Training
+    # Compute-Optimal Large Language Models", 2022 — the ~20
+    # tokens-per-parameter rule) — the planning arithmetic a corpus
+    # team runs against exactly this pipeline's output: given the
+    # corpus's measured token supply (whitespace tokenization — the
+    # text_token_count convention), for each target model size the
+    # optimal token budget, the epochs of THIS corpus that budget
+    # implies, and whether the corpus is supply-constrained at one
+    # epoch. Integer token counts; divisions once per row.
+    """
+    WITH supply AS (
+      SELECT CAST(sum(len(string_split_regex(trim(lower(text)),
+                             '\\s+'))) AS BIGINT) AS corpus_tokens
+      FROM documents),
+    models AS (
+      SELECT CAST(u.p AS BIGINT) AS params
+      FROM UNNEST([70000000, 400000000, 1000000000, 7000000000,
+                   70000000000]) AS u(p))
+    SELECT m.params,
+           CAST(m.params * 20 AS BIGINT) AS optimal_tokens,
+           s.corpus_tokens,
+           round(CAST(m.params * 20 AS DOUBLE) / s.corpus_tokens, 4)
+             AS epochs_needed,
+           m.params * 20 > s.corpus_tokens AS supply_constrained
+    FROM models m CROSS JOIN supply s ORDER BY m.params
+    """,
+)
+def q_data_chinchilla_budget(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    supply = d.agg(
+        F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
+        .cast("bigint")
+        .alias("corpus_tokens")
+    )
+    models = spark.createDataFrame(
+        [(70_000_000,), (400_000_000,), (1_000_000_000,),
+         (7_000_000_000,), (70_000_000_000,)],
+        "params bigint",
+    )
+    opt = F.col("params") * 20
+    return (
+        models.crossJoin(F.broadcast(supply))
+        .select(
+            "params",
+            opt.cast("bigint").alias("optimal_tokens"),
+            "corpus_tokens",
+            F.round(
+                opt.cast("double") / F.col("corpus_tokens"), 4
+            ).alias("epochs_needed"),
+            (opt > F.col("corpus_tokens")).alias("supply_constrained"),
+        )
+        .orderBy("params")
     )

@@ -84,6 +84,7 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "transfer_early_hints", "url_tracking_strip",
                     "sample_mixture_entropy", "text_term_burstiness",
                     "http_alt_svc", "sample_leakage_free_split",
+                    "graph_clustering_coeff", "data_chinchilla_budget",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
