@@ -167,6 +167,9 @@ _GATE_ORDER: list[str] = [
     "sample_leakage_free_split",
     "graph_clustering_coeff",
     "data_chinchilla_budget",
+    "url_data_uri_decode",
+    "http_retry_after",
+    "events_welch_ab",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -14651,4 +14654,201 @@ def q_data_chinchilla_budget(spark, sf_dir):
             (opt > F.col("corpus_tokens")).alias("supply_constrained"),
         )
         .orderBy("params")
+    )
+
+
+@_register(
+    "url_data_uri_decode",
+    # data: URI decode (RFC 2397) — inline resources a crawler must
+    # NOT fetch (they are the body): media type with optional
+    # charset param, ;base64 vs percent-plain payload arms both
+    # live by parity, decoded through each engine's OWN base64
+    # primitive (Spark unbase64 vs DuckDB from_base64 — two
+    # independent codecs agreeing on RFC 4648). PURE CATALYST.
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN 'data:text/plain;charset=utf-8;base64,'
+                    || to_base64(encode('inline-' || CAST(doc_id AS VARCHAR)))
+               ELSE 'data:text/html,%3Cb%3E' || CAST(doc_id % 9 AS VARCHAR)
+                    || '%3C%2Fb%3E'
+             END AS uri
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(uri, 'data:([^;,]+)', 1) AS media_type,
+           position(';base64,' IN uri) > 0 AS is_base64,
+           CASE WHEN position(';base64,' IN uri) > 0
+                THEN CAST(from_base64(regexp_extract(uri, ',(.*)$', 1))
+                          AS VARCHAR)
+                ELSE replace(replace(replace(
+                       regexp_extract(uri, ',(.*)$', 1),
+                       '%3C', '<'), '%3E', '>'), '%2F', '/')
+           END AS body
+    FROM u ORDER BY doc_id
+    """,
+)
+def q_url_data_uri_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    uri = F.expr(
+        """CASE WHEN doc_id % 2 = 0
+           THEN 'data:text/plain;charset=utf-8;base64,'
+                || base64(encode('inline-' || CAST(doc_id AS STRING),
+                                 'UTF-8'))
+           ELSE 'data:text/html,%3Cb%3E' || CAST(doc_id % 9 AS STRING)
+                || '%3C%2Fb%3E' END"""
+    )
+    u = d.select("doc_id", uri.alias("uri"))
+    payload = F.regexp_extract("uri", ",(.*)$", 1)
+    return u.select(
+        "doc_id",
+        F.regexp_extract("uri", "data:([^;,]+)", 1).alias("media_type"),
+        (F.instr("uri", ";base64,") > 0).alias("is_base64"),
+        F.when(
+            F.instr("uri", ";base64,") > 0,
+            F.unbase64(payload).cast("string"),
+        )
+        .otherwise(
+            F.replace(
+                F.replace(
+                    F.replace(payload, F.lit("%3C"), F.lit("<")),
+                    F.lit("%3E"), F.lit(">"),
+                ),
+                F.lit("%2F"), F.lit("/"),
+            )
+        )
+        .alias("body"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "http_retry_after",
+    # Retry-After parsing (RFC 9110 §10.2.3) — the backoff signal a
+    # polite crawler MUST honor on 429/503: the field is EITHER
+    # delay-seconds or an HTTP-date (both live by parity); the
+    # output is a normalized wait in seconds against the response's
+    # own Date header, so the two forms land in one schedule column.
+    # PURE CATALYST; epochs through the engines' timestamp parsers.
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN 503 ELSE 429 END AS INT)
+             AS status,
+           doc_id % 2 = 0 AS is_date_form,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 60 * (1 + doc_id % 30)
+                ELSE 30 + doc_id % 120 END AS BIGINT) AS wait_s
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_http_retry_after(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # date form: Date + N minutes, rendered RFC 9110; seconds form:
+    # a bare integer
+    mins = 1 + F.col("doc_id") % 30
+    hdr = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.date_format(
+            F.to_timestamp(F.lit("2024-03-01 12:00:00"))
+            + F.make_interval(mins=mins.cast("int")),
+            "EEE, dd MMM yyyy HH:mm:ss 'GMT'",
+        ),
+    ).otherwise((30 + F.col("doc_id") % 120).cast("string"))
+    h = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, 503).otherwise(429)
+        .cast("int").alias("status"),
+        hdr.alias("retry_after"),
+    )
+    is_date = ~F.col("retry_after").rlike(r"^\d+$")
+    # Spark's modern parser rejects week-day patterns on the PARSE
+    # side (formatting is fine) — strip the 'EEE, ' prefix instead
+    wait = F.when(
+        is_date,
+        F.unix_timestamp(
+            F.to_timestamp(
+                F.substring("retry_after", 6, 64),
+                "dd MMM yyyy HH:mm:ss 'GMT'",
+            )
+        )
+        - F.unix_timestamp(F.to_timestamp(F.lit("2024-03-01 12:00:00"))),
+    ).otherwise(F.col("retry_after").cast("bigint"))
+    return h.select(
+        "doc_id", "status",
+        is_date.alias("is_date_form"),
+        wait.cast("bigint").alias("wait_s"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "events_welch_ab",
+    # Welch's unequal-variance t statistic (Welch, Biometrika 1947)
+    # — the A/B readout for a politeness-policy change: events split
+    # into arms by event_id parity, per-arm mean/variance of the
+    # value metric from INTEGER cent sums (the DDSketch device), the
+    # t statistic and Welch-Satterthwaite degrees of freedom
+    # computed once per output row from those exact sums. One
+    # combinable groupBy; no float aggregation anywhere.
+    """
+    WITH cents AS (
+      SELECT event_id % 2 AS arm,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(sum(v * v) AS BIGINT) AS svv
+          FROM cents GROUP BY 1),
+    w AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 0 THEN sv END) AS sv0,
+             max(CASE WHEN arm = 0 THEN svv END) AS svv0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN sv END) AS sv1,
+             max(CASE WHEN arm = 1 THEN svv END) AS svv1
+      FROM s)
+    SELECT n0, n1,
+           round(CAST(sv0 AS DOUBLE) / n0 / 100, 4) AS mean0,
+           round(CAST(sv1 AS DOUBLE) / n1 / 100, 4) AS mean1,
+           round((CAST(sv0 AS DOUBLE) / n0 - CAST(sv1 AS DOUBLE) / n1)
+                 / sqrt(
+                     (CAST(svv0 AS DOUBLE) / n0
+                      - (CAST(sv0 AS DOUBLE) / n0)
+                        * (CAST(sv0 AS DOUBLE) / n0)) / (n0 - 1)
+                     + (CAST(svv1 AS DOUBLE) / n1
+                        - (CAST(sv1 AS DOUBLE) / n1)
+                          * (CAST(sv1 AS DOUBLE) / n1)) / (n1 - 1)),
+                 4) AS t_stat
+    FROM w
+    """,
+)
+def q_events_welch_ab(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        (F.col("event_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    s = cents.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "sv", "svv")
+        ]
+    )
+    m0 = F.col("sv0").cast("double") / F.col("n0")
+    m1 = F.col("sv1").cast("double") / F.col("n1")
+    var0 = (
+        F.col("svv0").cast("double") / F.col("n0") - m0 * m0
+    ) / (F.col("n0") - 1)
+    var1 = (
+        F.col("svv1").cast("double") / F.col("n1") - m1 * m1
+    ) / (F.col("n1") - 1)
+    return w.select(
+        "n0", "n1",
+        F.round(m0 / 100, 4).alias("mean0"),
+        F.round(m1 / 100, 4).alias("mean1"),
+        F.round((m0 - m1) / F.sqrt(var0 + var1), 4).alias("t_stat"),
     )

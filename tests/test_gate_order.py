@@ -85,6 +85,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "sample_mixture_entropy", "text_term_burstiness",
                     "http_alt_svc", "sample_leakage_free_split",
                     "graph_clustering_coeff", "data_chinchilla_budget",
+                    "url_data_uri_decode", "http_retry_after",
+                    "events_welch_ab",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
