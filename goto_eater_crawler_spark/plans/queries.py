@@ -170,6 +170,8 @@ _GATE_ORDER: list[str] = [
     "url_data_uri_decode",
     "http_retry_after",
     "events_welch_ab",
+    "http_content_range",
+    "text_yule_k",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -14851,4 +14853,130 @@ def q_events_welch_ab(spark, sf_dir):
         F.round(m0 / 100, 4).alias("mean0"),
         F.round(m1 / 100, 4).alias("mean1"),
         F.round((m0 - m1) / F.sqrt(var0 + var1), 4).alias("t_stat"),
+    )
+
+
+@_register(
+    "http_content_range",
+    # Content-Range parsing (RFC 9110 §14.4) — the 206 bookkeeping
+    # under transfer_range_reassembly: bytes a-b/N with the
+    # completeness check (b - a + 1 == N iff the single range IS the
+    # whole representation) and the unknown-length 'bytes a-b/*'
+    # arm live by parity; an unsatisfied-range 'bytes */N' (416)
+    # form every 11th doc. PURE CATALYST.
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN -1
+                ELSE CAST((doc_id % 7) * 100 AS BIGINT) END AS first_byte,
+           CASE WHEN doc_id % 11 = 0 THEN -1
+                ELSE CAST((doc_id % 7) * 100 + 99 AS BIGINT) END
+             AS last_byte,
+           CASE WHEN doc_id % 11 = 0 THEN CAST(1000 AS BIGINT)
+                WHEN doc_id % 3 = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(700 AS BIGINT) END AS total_len,
+           doc_id % 11 = 0 AS unsatisfied,
+           doc_id % 11 <> 0 AND doc_id % 3 <> 0
+             AND (doc_id % 7) * 100 = 0 AND (doc_id % 7) * 100 + 99 = 699
+             AS complete
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_http_content_range(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 7) * 100
+    hdr = F.expr(
+        """CASE WHEN doc_id % 11 = 0 THEN 'bytes */1000'
+           WHEN doc_id % 3 = 0 THEN
+             'bytes ' || CAST((doc_id % 7) * 100 AS STRING) || '-'
+             || CAST((doc_id % 7) * 100 + 99 AS STRING) || '/*'
+           ELSE
+             'bytes ' || CAST((doc_id % 7) * 100 AS STRING) || '-'
+             || CAST((doc_id % 7) * 100 + 99 AS STRING) || '/700'
+           END"""
+    )
+    h = d.select("doc_id", hdr.alias("cr"))
+    fb = F.expr(
+        "coalesce(try_cast(regexp_extract(cr,"
+        " 'bytes (\\\\d+)-', 1) AS BIGINT), -1)"
+    )
+    lb = F.expr(
+        "coalesce(try_cast(regexp_extract(cr,"
+        " '-(\\\\d+)/', 1) AS BIGINT), -1)"
+    )
+    tl = F.expr(
+        "coalesce(try_cast(regexp_extract(cr,"
+        " '/(\\\\d+)$', 1) AS BIGINT), -1)"
+    )
+    return h.select(
+        "doc_id",
+        fb.alias("first_byte"),
+        lb.alias("last_byte"),
+        tl.alias("total_len"),
+        F.col("cr").startswith("bytes */").alias("unsatisfied"),
+        (
+            (fb >= 0) & (tl >= 0)
+            & (fb == 0) & (lb == tl - 1)
+        ).alias("complete"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "text_yule_k",
+    # Yule's K characteristic (Yule, "The Statistical Study of
+    # Literary Vocabulary", 1944) — the length-robust lexical-
+    # richness statistic beside text_zipf_fit/heaps: K = 10^4 *
+    # (sum m^2 V(m) - N) / N^2 over the frequency spectrum V(m) =
+    # number of types occurring m times. Repetitive machine text
+    # scores HIGH K (mass concentrated in few types) — a template/
+    # boilerplate signal per doc. The spectrum identity sum m^2 V(m)
+    # = sum_types tf^2 keeps it ONE integer groupBy per doc; the
+    # final ratio is the only division.
+    """
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                                  '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(m) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(m * m) AS BIGINT) AS sm2
+      FROM tf GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types,
+           round(10000.0 * (sm2 - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 4) AS yule_k
+    FROM agg WHERE n_tokens >= 20 ORDER BY doc_id
+    """,
+)
+def q_text_yule_k(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("m"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("sm2"),
+    )
+    return (
+        agg.filter(F.col("n_tokens") >= 20)
+        .select(
+            "doc_id", "n_tokens", "n_types",
+            F.round(
+                10000.0 * (F.col("sm2") - F.col("n_tokens"))
+                / (F.col("n_tokens").cast("double") * F.col("n_tokens")),
+                4,
+            ).alias("yule_k"),
+        )
+        .orderBy("doc_id")
     )
