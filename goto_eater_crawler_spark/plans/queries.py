@@ -172,6 +172,9 @@ _GATE_ORDER: list[str] = [
     "events_welch_ab",
     "http_content_range",
     "text_yule_k",
+    "text_hapax_spectrum",
+    "http_www_authenticate",
+    "storage_wal_replay",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -14980,3 +14983,194 @@ def q_text_yule_k(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "text_hapax_spectrum",
+    # Frequency-spectrum summary (Baayen, "Word Frequency
+    # Distributions", 2001) — the V(m) spectrum head beside
+    # text_yule_k: hapax legomena V(1) (the Good-Turing mass
+    # estimator's numerator and the Heaps-growth driver), dis
+    # legomena V(2), Sichel's S = V(2)/V and the hapax ratio
+    # V(1)/V, corpus-wide. Two integer groupBys (type counts, then
+    # the spectrum); divisions once in the output row.
+    """
+    WITH tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+              AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY 1),
+    spec AS (SELECT m, CAST(count(*) AS BIGINT) AS v_m
+             FROM tf GROUP BY 1),
+    agg AS (
+      SELECT CAST(sum(v_m) AS BIGINT) AS v_total,
+             CAST(sum(m * v_m) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(CASE WHEN m = 1 THEN v_m END), 0)
+                  AS BIGINT) AS v1,
+             CAST(coalesce(sum(CASE WHEN m = 2 THEN v_m END), 0)
+                  AS BIGINT) AS v2
+      FROM spec)
+    SELECT n_tokens, v_total AS n_types, v1 AS hapax, v2 AS dis,
+           round(CAST(v1 AS DOUBLE) / v_total, 6) AS hapax_ratio,
+           round(CAST(v2 AS DOUBLE) / v_total, 6) AS sichel_s,
+           round(CAST(v1 AS DOUBLE) / n_tokens, 6) AS good_turing_p0
+    FROM agg
+    """,
+)
+def q_text_hapax_spectrum(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+                "tok"
+            )
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("m"))
+    )
+    spec = tf.groupBy("m").agg(F.count("*").cast("bigint").alias("v_m"))
+    agg = spec.agg(
+        F.sum("v_m").cast("bigint").alias("v_total"),
+        F.sum(F.col("m") * F.col("v_m")).cast("bigint").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("m") == 1, F.col("v_m"))), F.lit(0)
+        ).cast("bigint").alias("v1"),
+        F.coalesce(
+            F.sum(F.when(F.col("m") == 2, F.col("v_m"))), F.lit(0)
+        ).cast("bigint").alias("v2"),
+    )
+    return agg.select(
+        "n_tokens",
+        F.col("v_total").alias("n_types"),
+        F.col("v1").alias("hapax"),
+        F.col("v2").alias("dis"),
+        F.round(F.col("v1").cast("double") / F.col("v_total"), 6)
+        .alias("hapax_ratio"),
+        F.round(F.col("v2").cast("double") / F.col("v_total"), 6)
+        .alias("sichel_s"),
+        F.round(F.col("v1").cast("double") / F.col("n_tokens"), 6)
+        .alias("good_turing_p0"),
+    )
+
+
+@_register(
+    "http_www_authenticate",
+    # WWW-Authenticate challenge parsing (RFC 9110 §11.6.1) — the
+    # auth walls a crawler must RECOGNIZE to stop burning budget on
+    # 401 loops: multiple comma-separated challenges per header,
+    # scheme + quoted realm, Bearer's error param. Variants by
+    # parity incl. a Basic+Bearer double challenge. PURE CATALYST.
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'Basic'
+                WHEN doc_id % 3 = 1 THEN 'Bearer'
+                ELSE 'Basic,Bearer' END AS schemes,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS INT)
+             AS n_challenges,
+           'crawl-zone-' || CAST(doc_id % 5 AS VARCHAR) AS realm,
+           doc_id % 3 = 1 AS has_error
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_http_www_authenticate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    realm = F.concat(F.lit("crawl-zone-"),
+                     (F.col("doc_id") % 5).cast("string"))
+    hdr = F.expr(
+        """CASE
+           WHEN doc_id % 3 = 0 THEN
+             'Basic realm="crawl-zone-' || CAST(doc_id % 5 AS STRING)
+             || '", charset="UTF-8"'
+           WHEN doc_id % 3 = 1 THEN
+             'Bearer realm="crawl-zone-' || CAST(doc_id % 5 AS STRING)
+             || '", error="invalid_token"'
+           ELSE
+             'Basic realm="crawl-zone-' || CAST(doc_id % 5 AS STRING)
+             || '", Bearer realm="crawl-zone-'
+             || CAST(doc_id % 5 AS STRING) || '"'
+           END"""
+    )
+    h = d.select("doc_id", hdr.alias("wa"))
+    schemes = F.expr(
+        "array_join(regexp_extract_all(wa,"
+        " '(^|, )(Basic|Bearer|Digest)', 2), ',')"
+    )
+    return h.select(
+        "doc_id",
+        schemes.alias("schemes"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(wa, '(^|, )(Basic|Bearer|Digest)', 2)"
+            )
+        ).cast("int").alias("n_challenges"),
+        F.regexp_extract("wa", 'realm="([^"]+)"', 1).alias("realm"),
+        (F.instr("wa", 'error="') > 0).alias("has_error"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "storage_wal_replay",
+    # Write-ahead-log redo replay (Mohan et al., ARIES, TODS 1992 —
+    # the redo pass) — how a frontier store recovers: per page,
+    # apply the op log in strict LSN order, where SET is idempotent
+    # and INCR is not (so replay ORDER is load-bearing: a reader
+    # that redoes increments before an intervening set corrupts the
+    # page). One ordered integer fold per page over the slim
+    # (lsn, op, val) relation — the third use of the sentinel-fold
+    # device, here with op/val packed beside the running value.
+    """
+    WITH log AS (
+      SELECT CAST(user_id % 20 AS INT) AS page,
+             CAST(event_id AS BIGINT) AS lsn,
+             CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS op,
+             CAST(event_id % 7 AS BIGINT) AS val
+      FROM events),
+    series AS (
+      SELECT page,
+             list(op * 8 + val ORDER BY lsn) AS ops,
+             CAST(count(*) AS BIGINT) AS n_ops,
+             CAST(max(lsn) AS BIGINT) AS last_lsn
+      FROM log GROUP BY 1),
+    folded AS (
+      SELECT page, n_ops, last_lsn,
+             list_reduce(list_prepend(CAST(-1 AS BIGINT), ops),
+               (acc, x) -> CASE
+                 WHEN x // 8 = 0 THEN x % 8
+                 ELSE (CASE WHEN acc < 0 THEN 0 ELSE acc END) + x % 8
+               END) AS final_val
+      FROM series)
+    SELECT page, n_ops, last_lsn, CAST(final_val AS BIGINT) AS final_val
+    FROM folded ORDER BY page
+    """,
+)
+def q_storage_wal_replay(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    log = e.select(
+        (F.col("user_id") % 20).cast("int").alias("page"),
+        F.col("event_id").cast("bigint").alias("lsn"),
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("op"),
+        (F.col("event_id") % 7).cast("bigint").alias("val"),
+    )
+    series = log.groupBy("page").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(lsn, op, val))),"
+            " t -> CAST(t.op * 8 + t.val AS BIGINT))"
+        ).alias("ops"),
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.max("lsn").cast("bigint").alias("last_lsn"),
+    )
+    folded = series.withColumn(
+        "final_val",
+        F.expr(
+            "aggregate(ops, CAST(-1 AS BIGINT), (acc, x) -> CASE"
+            " WHEN x div 8L = 0L THEN x % 8L"
+            " ELSE (CASE WHEN acc < 0L THEN 0L ELSE acc END) + x % 8L"
+            " END)"
+        ),
+    )
+    return folded.select(
+        "page", "n_ops", "last_lsn",
+        F.col("final_val").cast("bigint").alias("final_val"),
+    ).orderBy("page")

@@ -87,7 +87,8 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "graph_clustering_coeff", "data_chinchilla_budget",
                     "url_data_uri_decode", "http_retry_after",
                     "events_welch_ab", "http_content_range",
-                    "text_yule_k",
+                    "text_yule_k", "text_hapax_spectrum",
+                    "http_www_authenticate", "storage_wal_replay",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
