@@ -175,6 +175,8 @@ _GATE_ORDER: list[str] = [
     "text_hapax_spectrum",
     "http_www_authenticate",
     "storage_wal_replay",
+    "url_signed_expiry",
+    "dedup_summary_stats",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -15174,3 +15176,111 @@ def q_storage_wal_replay(spark, sf_dir):
         "page", "n_ops", "last_lsn",
         F.col("final_val").cast("bigint").alias("final_val"),
     ).orderBy("page")
+
+
+@_register(
+    "url_signed_expiry",
+    # Pre-signed URL expiry triage — object-store links carry their
+    # own deadline (the generic 'expires=<epoch>' convention); a
+    # frontier that enqueues them blind fetches 403s for hours. Per
+    # URL: the parsed deadline vs the round's reference instant,
+    # remaining validity, and the enqueue verdict. Integer epochs;
+    # PURE CATALYST.
+    """
+    SELECT doc_id,
+           CAST(1709290800 + (doc_id % 48 - 24) * 3600 AS BIGINT)
+             AS expires_at,
+           CAST((doc_id % 48 - 24) * 3600 AS BIGINT) AS remaining_s,
+           doc_id % 48 - 24 > 0 AS enqueue
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_url_signed_expiry(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # reference instant: 2024-03-01 11:00:00 UTC = 1709290800
+    ref = 1709290800
+    exp = ref + (F.col("doc_id") % 48 - 24) * 3600
+    url = F.concat(
+        F.lit("https://blob.example.org/o/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?sig=abc&expires="), exp.cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    parsed = F.regexp_extract("url", r"[?&]expires=(\d+)", 1).cast(
+        "bigint"
+    )
+    return u.select(
+        "doc_id",
+        parsed.alias("expires_at"),
+        (parsed - ref).cast("bigint").alias("remaining_s"),
+        (parsed > ref).alias("enqueue"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "dedup_summary_stats",
+    # Corpus dedup summary — the one-row report a pipeline owner
+    # reads after the dedup family runs: total docs (augmented
+    # universe), docs sitting in a near-dup cluster, cluster count,
+    # the largest cluster, and the removable fraction (cluster
+    # members minus one keeper each). Reuses the pointer-doubling
+    # clusters over the planted pairs; all integers, one division.
+    f"""
+    WITH comp AS (SELECT doc_id, cluster_id FROM ({{clusters}})),
+    aug AS (
+      SELECT CAST(count(*) + count(*) FILTER (doc_id % {{mod}} = 0)
+                  AS BIGINT) AS n_docs
+      FROM documents),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+              FROM comp GROUP BY 1),
+    agg AS (
+      SELECT CAST(sum(sz) AS BIGINT) AS n_clustered,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(max(sz) AS BIGINT) AS largest,
+             CAST(sum(sz - 1) AS BIGINT) AS n_removable
+      FROM sizes)
+    SELECT a.n_docs, g.n_clustered, g.n_clusters, g.largest,
+           g.n_removable,
+           round(CAST(g.n_removable AS DOUBLE) / a.n_docs, 6)
+             AS removable_frac
+    FROM aug a CROSS JOIN agg g
+    """.replace("{mod}", str(_AUG_MOD)).replace(
+        "{clusters}",
+        _td.dedup_clusters_sql(
+            "SELECT doc_id AS doc_a, -doc_id - 1 AS doc_b FROM "
+            f"documents WHERE doc_id % {_AUG_MOD} = 0"
+        ),
+    ),
+)
+def q_dedup_summary_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.filter(f"doc_id % {_AUG_MOD} = 0").select(
+        F.col("doc_id").alias("doc_a"),
+        (-F.col("doc_id") - 1).alias("doc_b"),
+    )
+    comp = _td.dedup_clusters(pairs)
+    n_docs = d.agg(
+        (
+            F.count("*")
+            + F.count(F.when(F.col("doc_id") % _AUG_MOD == 0, 1))
+        ).cast("bigint").alias("n_docs")
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    agg = sizes.agg(
+        F.sum("sz").cast("bigint").alias("n_clustered"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.max("sz").cast("bigint").alias("largest"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+    )
+    return (
+        n_docs.crossJoin(agg)
+        .select(
+            "n_docs", "n_clustered", "n_clusters", "largest",
+            "n_removable",
+            F.round(
+                F.col("n_removable").cast("double") / F.col("n_docs"), 6
+            ).alias("removable_frac"),
+        )
+    )

@@ -89,6 +89,7 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "events_welch_ab", "http_content_range",
                     "text_yule_k", "text_hapax_spectrum",
                     "http_www_authenticate", "storage_wal_replay",
+                    "url_signed_expiry", "dedup_summary_stats",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
