@@ -177,6 +177,8 @@ _GATE_ORDER: list[str] = [
     "storage_wal_replay",
     "url_signed_expiry",
     "dedup_summary_stats",
+    "events_markov_transitions",
+    "http_forwarded_parse",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -15284,3 +15286,105 @@ def q_dedup_summary_stats(spark, sf_dir):
             ).alias("removable_frac"),
         )
     )
+
+
+@_register(
+    "events_markov_transitions",
+    # First-order Markov transition matrix over per-host event
+    # streams (the session-model behind crawltrap_detect's loop
+    # heuristics): counts of consecutive (state -> next) pairs via
+    # one lag window per host, row-normalized into transition
+    # probabilities. Integer counts; the probability is the only
+    # division, rounded; self-loop mass flagged per state (the trap
+    # smell).
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t
+      FROM events),
+    pairs AS (
+      SELECT s, t, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE t IS NOT NULL GROUP BY 1, 2),
+    totals AS (SELECT s, CAST(sum(n) AS BIGINT) AS row_n
+               FROM pairs GROUP BY 1)
+    SELECT p.s AS from_state, p.t AS to_state, p.n,
+           round(CAST(p.n AS DOUBLE) / tt.row_n, 6) AS p,
+           p.s = p.t AS self_loop
+    FROM pairs p JOIN totals tt ON tt.s = p.s
+    ORDER BY from_state, to_state
+    """,
+)
+def q_events_markov_transitions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    pairs = seq.groupBy("s", "t").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    totals = pairs.groupBy("s").agg(
+        F.sum("n").cast("bigint").alias("row_n")
+    )
+    return (
+        pairs.join(totals, "s")
+        .select(
+            F.col("s").alias("from_state"),
+            F.col("t").alias("to_state"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6)
+            .alias("p"),
+            (F.col("s") == F.col("t")).alias("self_loop"),
+        )
+        .orderBy("from_state", "to_state")
+    )
+
+
+@_register(
+    "http_forwarded_parse",
+    # Forwarded header parsing (RFC 7239) — the proxy-chain
+    # provenance a crawler logs to attribute rate-limit hits: for=
+    # (quoted IPv6 in brackets vs bare IPv4 — both live by parity),
+    # by=, proto=, and multiple hops comma-separated. PURE CATALYST.
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 3 AS INT) AS n_hops,
+           CASE WHEN doc_id % 2 = 0
+                THEN '203.0.113.' || CAST(doc_id % 200 AS VARCHAR)
+                ELSE '[2001:db8::' || CAST(doc_id % 100 AS VARCHAR) || ']'
+           END AS client,
+           CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END AS proto
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_http_forwarded_parse(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    client = F.expr(
+        """CASE WHEN doc_id % 2 = 0
+           THEN '203.0.113.' || CAST(doc_id % 200 AS STRING)
+           ELSE '"[2001:db8::' || CAST(doc_id % 100 AS STRING) || ']"'
+           END"""
+    )
+    hops = F.expr(
+        "array_join(transform(sequence(1, CAST(1 + doc_id % 3 AS INT)),"
+        " i -> 'for=proxy' || CAST(i AS STRING)), ', ')"
+    )
+    hdr = F.concat(
+        F.lit("for="), client,
+        F.lit(";proto="),
+        F.when(F.col("doc_id") % 5 == 0, "http").otherwise("https"),
+        F.lit(";by=203.0.113.254"),
+        F.concat(F.lit(", "), hops),
+    )
+    h = d.select("doc_id", hdr.alias("fwd"))
+    first_for = F.regexp_extract("fwd", r'^for="?(\[[^\]]+\]|[^;",]+)', 1)
+    return h.select(
+        "doc_id",
+        (F.size(F.expr("regexp_extract_all(fwd, '(for=)', 1)")) - 1)
+        .cast("int")
+        .alias("n_hops"),
+        first_for.alias("client"),
+        F.regexp_extract("fwd", r"proto=(\w+)", 1).alias("proto"),
+    ).orderBy("doc_id")
