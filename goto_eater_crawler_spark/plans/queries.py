@@ -179,6 +179,8 @@ _GATE_ORDER: list[str] = [
     "dedup_summary_stats",
     "events_markov_transitions",
     "http_forwarded_parse",
+    "index_idf_variants",
+    "events_benford_digits",
     "text_wordpiece_encode",
     "text_blocklist_match",
     "storage_cdc_chunks",
@@ -15388,3 +15390,117 @@ def q_http_forwarded_parse(spark, sf_dir):
         first_for.alias("client"),
         F.regexp_extract("fwd", r"proto=(\w+)", 1).alias("proto"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "index_idf_variants",
+    # IDF formulation comparison (Robertson & Sparck Jones lineage;
+    # Robertson 2004 "Understanding IDF") — the same integer df
+    # under the four standard weightings: plain ln(N/df), smoothed
+    # ln(1 + N/df), probabilistic ln((N-df)/df), and BM25's
+    # ln(1 + (N - df + 0.5)/(df + 0.5)) — the negative-capable
+    # probabilistic form is WHY BM25 adds the +1 (visible in-row on
+    # high-df terms). Integer counts; one formula per column per
+    # row, rounded.
+    """
+    WITH tf AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                                  '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tok, df,
+           round(ln(CAST(n.n_docs AS DOUBLE) / df), 6) AS idf_plain,
+           round(ln(1 + CAST(n.n_docs AS DOUBLE) / df), 6) AS idf_smooth,
+           round(ln((CAST(n.n_docs AS DOUBLE) - df) / df), 6) AS idf_prob,
+           round(ln(1 + (CAST(n.n_docs AS DOUBLE) - df + 0.5)
+                    / (df + 0.5)), 6) AS idf_bm25,
+           ln((CAST(n.n_docs AS DOUBLE) - df) / df) < 0 AS prob_negative
+    FROM tf CROSS JOIN n
+    WHERE df >= 50 AND df < n.n_docs ORDER BY tok
+    """,
+)
+def q_index_idf_variants(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    nd = F.col("n_docs").cast("double")
+    df = F.col("df")
+    prob = F.log((nd - df) / df)
+    return (
+        tf.crossJoin(F.broadcast(n))
+        .filter((F.col("df") >= 50) & (F.col("df") < F.col("n_docs")))
+        .select(
+            "tok", "df",
+            F.round(F.log(nd / df), 6).alias("idf_plain"),
+            F.round(F.log(1 + nd / df), 6).alias("idf_smooth"),
+            F.round(prob, 6).alias("idf_prob"),
+            F.round(
+                F.log(1 + (nd - df + 0.5) / (df + 0.5)), 6
+            ).alias("idf_bm25"),
+            (prob < 0).alias("prob_negative"),
+        )
+        .orderBy("tok")
+    )
+
+
+@_register(
+    "events_benford_digits",
+    # Benford first-digit audit (Newcomb 1881; Benford 1938) — the
+    # fabricated-metrics smell test a crawl-telemetry pipeline runs
+    # over its own numbers: observed first-significant-digit shares
+    # of the value column against log10(1 + 1/d), with the per-digit
+    # deviation. First digit via STRING head of the integer cents
+    # (no float log in the binning); expected shares are per-row
+    # constants; one division per row, rounded.
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS d1
+      FROM events WHERE value >= 0.01),
+    counts AS (SELECT d1, CAST(count(*) AS BIGINT) AS n
+               FROM digits GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT c.d1 AS digit, c.n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS observed,
+           round(log10(1 + 1.0 / c.d1), 6) AS benford,
+           round(CAST(c.n AS DOUBLE) / t.total
+                 - log10(1 + 1.0 / c.d1), 6) AS deviation
+    FROM counts c CROSS JOIN tot t ORDER BY digit
+    """,
+)
+def q_events_benford_digits(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    d1 = F.substring(
+        F.round(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        e.filter(F.col("value") >= 0.01)
+        .select(d1.alias("d1"))
+        .groupBy("d1")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    ben = F.log10(1 + 1.0 / F.col("d1"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d1").alias("digit"), "n",
+            F.round(obs, 6).alias("observed"),
+            F.round(ben, 6).alias("benford"),
+            F.round(obs - ben, 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

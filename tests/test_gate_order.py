@@ -91,6 +91,7 @@ def test_every_demoted_query_has_a_prior_driver_green_row():
                     "http_www_authenticate", "storage_wal_replay",
                     "url_signed_expiry", "dedup_summary_stats",
                     "events_markov_transitions", "http_forwarded_parse",
+                    "index_idf_variants", "events_benford_digits",
                     "text_blocklist_match", "storage_cdc_chunks",
                     "text_unigram_lm_encode", "graph_communities_lpa",
                     "dedup_ppjoin_prefix", "storage_merkle_digest",
