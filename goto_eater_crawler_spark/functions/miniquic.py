@@ -196,6 +196,7 @@ def decode_payload(buf: bytes) -> dict:
     streams: dict[int, dict] = {}
     crypto_segs: list = []
     max_data = None
+    max_stream_data: dict[int, int] = {}
     close = None
     while pos < len(buf):
         t = buf[pos]
@@ -245,11 +246,22 @@ def decode_payload(buf: bytes) -> dict:
                 raise ValueError("CRYPTO: data truncated")
             _insert_segment(crypto_segs, off, buf[pos : pos + ln], "CRYPTO")
             pos += ln
-        elif t in (FT_MAX_DATA, FT_MAX_STREAM_DATA):
+        elif t == FT_MAX_DATA:
             pos += 1
-            if t == FT_MAX_STREAM_DATA:
-                _, pos = decode_varint(buf, pos)
-            max_data, pos = decode_varint(buf, pos)
+            limit, pos = decode_varint(buf, pos)
+            # §4.1: limits that do not increase the flow-control
+            # window MUST be ignored (frames can be reordered)
+            if max_data is None or limit > max_data:
+                max_data = limit
+        elif t == FT_MAX_STREAM_DATA:
+            # per-STREAM limit keyed by stream id (§19.10) — kept
+            # apart from the connection-level max_data so a payload
+            # carrying both frame types reports each correctly
+            pos += 1
+            sid, pos = decode_varint(buf, pos)
+            limit, pos = decode_varint(buf, pos)
+            if limit > max_stream_data.get(sid, -1):
+                max_stream_data[sid] = limit
         elif t == FT_CONNECTION_CLOSE:
             pos += 1
             err, pos = decode_varint(buf, pos)
@@ -310,5 +322,6 @@ def decode_payload(buf: bytes) -> dict:
         "streams": out_streams,
         "crypto": crypto,
         "max_data": max_data,
+        "max_stream_data": max_stream_data,
         "close": close,
     }

@@ -15293,9 +15293,11 @@ def q_dedup_summary_stats(spark, sf_dir):
 @_register(
     "events_markov_transitions",
     # First-order Markov transition matrix over per-host event
-    # streams (the session-model behind crawltrap_detect's loop
-    # heuristics): counts of consecutive (state -> next) pairs via
-    # one lag window per host, row-normalized into transition
+    # streams — user_id stands in for the host, the suite's
+    # host-proxy convention (as crawl_jain_fairness states it; the
+    # events table has no host column): counts of consecutive
+    # (state -> next) pairs via one lag window per host-proxy
+    # (PARTITION BY user_id), row-normalized into transition
     # probabilities. Integer counts; the probability is the only
     # division, rounded; self-loop mass flagged per state (the trap
     # smell).

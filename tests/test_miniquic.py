@@ -146,3 +146,36 @@ def test_truncation_sweep():
             mq.decode_payload(full[:i])
         except ValueError:
             pass
+
+
+def test_max_data_and_max_stream_data_kept_apart():
+    # a payload carrying BOTH limit frame types (r4 ADVICE): the
+    # connection-level max_data must not be clobbered by a later
+    # MAX_STREAM_DATA, which is tracked per stream id instead
+    buf = (
+        bytes([mq.FT_MAX_DATA]) + mq.encode_varint(5000)
+        + bytes([mq.FT_MAX_STREAM_DATA])
+        + mq.encode_varint(4) + mq.encode_varint(1234)
+        + bytes([mq.FT_MAX_STREAM_DATA])
+        + mq.encode_varint(8) + mq.encode_varint(777)
+    )
+    m = mq.decode_payload(buf)
+    assert m["max_data"] == 5000
+    assert m["max_stream_data"] == {4: 1234, 8: 777}
+    assert m["n_frames"] == 3
+
+
+def test_flow_control_limits_monotone():
+    # §4.1: a limit that does not increase the window is ignored —
+    # frames can arrive reordered
+    buf = (
+        bytes([mq.FT_MAX_DATA]) + mq.encode_varint(5000)
+        + bytes([mq.FT_MAX_DATA]) + mq.encode_varint(3000)
+        + bytes([mq.FT_MAX_STREAM_DATA])
+        + mq.encode_varint(4) + mq.encode_varint(900)
+        + bytes([mq.FT_MAX_STREAM_DATA])
+        + mq.encode_varint(4) + mq.encode_varint(600)
+    )
+    m = mq.decode_payload(buf)
+    assert m["max_data"] == 5000
+    assert m["max_stream_data"] == {4: 900}
