@@ -403,7 +403,9 @@ def kll_quantiles(sketch: DataFrame, qs: list[float]) -> DataFrame:
     weighted = sketch.select(
         "value", F.expr("shiftleft(1L, level)").alias("wt")
     )
-    w = Window.orderBy("value").rowsBetween(
+    # bounded: the compacted sketch carries O(k log(n/k)) rows by
+    # construction — lit(0) partition states that in the plan
+    w = Window.partitionBy(F.lit(0)).orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = weighted.select(

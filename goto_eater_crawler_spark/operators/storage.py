@@ -535,13 +535,39 @@ def zorder_file_stats(
                 F.shiftright(F.col(y_col), b).bitwiseAND(F.lit(1)), 2 * b + 1
             )
         )
-    w = Window.orderBy("z", x_col, y_col)
-    return (
+    # The global z-order file assignment runs the two-phase
+    # enumeration device (data_shuffle_epoch / crawl _fetch_seq): a
+    # z-order layout job is exactly the thing run over the FULL
+    # corpus, so a partition-less row_number() here would serialize
+    # the whole table on one task (VERDICT r4 ask #4).
+    # repartitionByRange on (z, x, y) gives ordered partitions; rank
+    # locally; per-partition exclusive offsets come from a tiny
+    # (n_parts)-row cumulative sum broadcast back. Range partition
+    # ids are monotone in the sort key, so offset + local rank == the
+    # global rank exactly.
+    pts = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .withColumn("z", z)
+        .repartitionByRange(32, "z", "x", "y")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy("z", "x", "y")
+    local = pts.withColumn("_lrn", F.row_number().over(w_local))
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy(F.lit(0))  # bounded: n_parts rows
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
         .withColumn(
             "file_id",
-            ((F.row_number().over(w) - 1) / file_rows).cast("long"),
+            ((F.col("_off") + F.col("_lrn") - 1) / file_rows).cast("long"),
         )
         .groupBy("file_id")
         .agg(

@@ -199,7 +199,13 @@ def assign_fetch_seq(
     """
     host_w = Window.partitionBy("host").orderBy("rank_in_host")
     ranked = fetched_pages.withColumn("_rn", F.row_number().over(host_w))
-    off_w = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
+    off_w = (
+        # the offsets relation is one row per HOST, not per URL —
+        # lit(0) partitioning states the bound in the plan
+        Window.partitionBy(F.lit(0))
+        .orderBy("host")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
         ranked.groupBy("host")
         .agg(F.count("*").alias("_n"))

@@ -1,16 +1,28 @@
-"""Gate-order invariants (VERDICT r3 "What's wrong" #1).
+"""Gate-order invariants (VERDICT r3 "What's wrong" #1, r4 ask #2).
 
 The driver's correctness gate records only the FIRST 50 entries of
 ``queries()`` (observed: r1 33/33, r2 41/41, r3 exactly the first 50
 of 68 in registration order — the 18 newest operators got no driver
-row). ``plans.queries._GATE_ORDER`` therefore controls emission order
-with two invariants this file pins:
+row; r4 the first 50 of _GATE_ORDER). ``plans.queries._GATE_ORDER``
+therefore controls emission order. The invariants are DERIVED from
+the committed CORRECTNESS files themselves (r4 ADVICE: the previous
+hand-maintained 200-name allowlist was brittle and partly vacuous):
 
-1. every registered query appears in _GATE_ORDER exactly once (no
-   silent drops, no stale names);
-2. every query demoted past position 50 already has a green row in a
-   committed CORRECTNESS_r*.json — the cap may only fall on gates
-   whose driver record exists from an earlier round.
+1. every registered query appears in _GATE_ORDER exactly once;
+2. the first 50 entries all lack a driver-green row in the FROZEN
+   round set (so each round's 50-row record is all first-time names
+   and the driver union grows by exactly the cap);
+3. the order is PARTITIONED: every never-recorded gate precedes every
+   driver-green gate, so a time-budgeted driver that reads past the
+   cap still only meets never-recorded names until the backlog is
+   exhausted.
+
+``ROUNDS`` is the frozen set of rounds whose records existed when the
+current rotation was authored — bump it (and re-rotate) at the start
+of each round, AFTER the driver commits the previous round's file.
+It is deliberately not a glob: the driver writes CORRECTNESS_r05.json
+at the END of round 5, and a glob would make this test's ground truth
+shift mid-round under the test run itself.
 """
 
 from __future__ import annotations
@@ -19,6 +31,7 @@ import json
 import os
 
 GATE_CAP = 50
+ROUNDS = (1, 2, 3, 4)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -26,6 +39,27 @@ def _registered():
     from goto_eater_crawler_spark.plans import queries as q
 
     return q
+
+
+def _driver_green() -> set[str]:
+    """Names with a green row in any frozen-round CORRECTNESS file
+    (green = rows+schema match, hash not a recorded mismatch, no
+    error — the driver's own gate definition)."""
+    green: set[str] = set()
+    for r in ROUNDS:
+        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                green.add(name)
+    return green
 
 
 def test_gate_order_is_a_permutation_of_registered_queries():
@@ -42,188 +76,41 @@ def test_gate_order_is_a_permutation_of_registered_queries():
     assert oracles == [n for n in q._GATE_ORDER if n in q._ORACLES]
 
 
-def test_every_demoted_query_has_a_prior_driver_green_row():
+def test_head_gates_are_all_first_time_names():
+    """Invariant 2: the driver's 50-row record must spend every slot
+    on a gate with no prior driver row."""
     q = _registered()
-    green: set[str] = set()
-    for fname in sorted(os.listdir(REPO)):
-        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
-            with open(os.path.join(REPO, fname)) as f:
-                rows = json.load(f)
-            for name, r in rows.items():
-                if (
-                    r.get("rows_match")
-                    and r.get("schema_match")
-                    and r.get("hash_match") is not False
-                    and not r.get("err")
-                ):
-                    green.add(name)
-    # gates added AFTER the round-4 ordering froze: all 50 pre-cap
-    # slots hold never-recorded gates (none may be demoted), so these
-    # sit at the head of the demoted section — a time-budgeted driver
-    # still reaches them, and the judge's check_oracle tail pass (the
-    # r3 procedure for 18 such gates) covers them either way
-    new_past_cap = {"multimodal_image_neardup", "text_wordpiece_encode",
-                    "dedup_weighted_jaccard", "quality_l_diversity",
-                    "events_ddsketch_quantiles", "transfer_quic_frames",
-                    "storage_msgpack_decode", "storage_sst_walk",
-                    "graph_ktruss", "storage_arrow_ipc",
-                    "html_srcset_extract", "http_link_header",
-                    "html_meta_refresh", "crawl_shark_search",
-                    "events_countsketch_freq", "snapshot_rsync_delta",
-                    "frontier_lww_set", "frontier_raft_commit",
-                    "graph_salsa", "url_bidi_spoof",
-                    "graph_modularity", "recrawl_ses_forecast",
-                    "http_vary_cache_key", "politeness_token_bucket",
-                    "index_rrf_fusion", "similarity_nsw_search",
-                    "dedup_fellegi_sunter", "quality_dp_composition",
-                    "storage_parquet_page_decode", "text_jaro_winkler",
-                    "events_allen_relations", "dedup_lsh_tuning",
-                    "storage_avro_evolve", "recrawl_cusum_change",
-                    "crawl_jain_fairness", "crawl_memento_timemap",
-                    "multimodal_svg_meta", "graph_richclub",
-                    "transfer_early_hints", "url_tracking_strip",
-                    "sample_mixture_entropy", "text_term_burstiness",
-                    "http_alt_svc", "sample_leakage_free_split",
-                    "graph_clustering_coeff", "data_chinchilla_budget",
-                    "url_data_uri_decode", "http_retry_after",
-                    "events_welch_ab", "http_content_range",
-                    "text_yule_k", "text_hapax_spectrum",
-                    "http_www_authenticate", "storage_wal_replay",
-                    "url_signed_expiry", "dedup_summary_stats",
-                    "events_markov_transitions", "http_forwarded_parse",
-                    "index_idf_variants", "events_benford_digits",
-                    "text_blocklist_match", "storage_cdc_chunks",
-                    "text_unigram_lm_encode", "graph_communities_lpa",
-                    "dedup_ppjoin_prefix", "storage_merkle_digest",
-                    "storage_cdc_dedup_ratio",
-                    "archive_zip_ingest", "archive_tar_ingest",
-                    "storage_orc_footer",
-                    "index_postings_roaring", "events_gorilla_bytes",
-                    "transfer_gzip_decode", "transfer_chunked_decode",
-                    "transfer_zstd_decode", "transfer_bz2_decode",
-                    "transfer_xz_decode", "transfer_snappy_decode",
-                    "transfer_lz4_decode", "storage_parquet_footer",
-                    "url_dust_rules", "sample_ccnet_buckets",
-                    "text_pmi_collocations", "feed_extract",
-                    "text_winnowing_fingerprints", "text_lang_segments",
-                    "sketch_theta_setops", "quantiles_kll_sketch",
-                    "crawl_aimd_rate", "http_cache_ttl",
-                    "similarity_hard_negatives", "events_json_extract",
-                    "index_delta_merge", "warc_zst_ingest",
-                    "quality_kn_bigram", "index_postings_varint",
-                    "bpe_train_merges",
-                    "multimodal_h264_cabac_inter_decode",
-                    "data_shuffle_epoch", "data_length_batches",
-                    "html_rel_canonical", "quality_hashed_linear",
-                    "multimodal_mime_sniff", "text_bpe_encode",
-                    "multimodal_flac_decode",
-                    "multimodal_h264_cabac_decode",
-                    "multimodal_webp_lossy_decode", "multimodal_h264_decode",
-                    "multimodal_h264_cavlc_decode", "text_charset_transcode",
-                    "warc_wat_extract", "text_nfkc_normalize",
-                    "html_main_content", "events_countmin_freq",
-                    "url_idn_canonicalize", "sitemap_index_extract",
-                    "html_template_cluster", "bpe_pair_counts",
-                    "frontier_budget_waterfill", "robots_sitemap_discovery",
-                    "similarity_pq_topk", "similarity_ivfpq_topk",
-                    "html_table_extract", "similarity_matryoshka_recall",
-                    "sample_temperature_mix", "text_within_doc_dedup",
-                    "robots_longest_match", "url_redirect_resolve",
-                    "c4_line_filter", "http_revalidate",
-                    "shard_rendezvous", "crawl_delay_schedule",
-                    "url_seen_xor", "graph_kcore",
-                    "storage_delta_log_replay", "storage_zorder_layout",
-                    "text_suffix_ranks", "archive_avro_ingest",
-                    "frontier_opic_importance", "graph_scc_bowtie",
-                    "data_span_corruption", "url_ip_cidr_match",
-                    "multimodal_exif_meta",
-                    "graph_anf_neighborhood",
-                    "multimodal_mp4_meta",
-                    "multimodal_mp3_meta",
-                    "domain_typosquat_match",
-                    "html_jsonld_extract",
-                    "sample_priority_weighted",
-                    "geo_cell_dedup",
-                    "multimodal_ogg_meta",
-                    "html_hreflang_reciprocal",
-                    "html_robots_meta",
-                    "tls_cert_meta",
-                    "url_homoglyph_skeleton",
-                    "storage_protobuf_decode",
-                    "quality_min_k_prob",
-                    "index_postings_gamma",
-                    "graph_harmonic_centrality",
-                    "geo_dbscan_clusters",
-                    "url_uuid_v3",
-                    "storage_cbor_decode",
-                    "sample_doremi_weights",
-                    "transfer_websocket_decode",
-                    "similarity_int8_quantize",
-                    "graph_link_prediction",
-                    "graph_assortativity",
-                    "crawl_host_gini",
-                    "transfer_hpack_decode",
-                    "text_zipf_fit",
-                    "html_to_markdown",
-                    "multimodal_ico_meta",
-                    "events_ams_f2",
-                    "transfer_dns_decode",
-                    "storage_iceberg_scan_plan",
-                    "shard_consistent_ring",
-                    "text_heaps_fit",
-                    "transfer_http2_frames",
-                    "text_textrank_keywords",
-                    "multimodal_webm_meta",
-                    "frontier_mercator_queues",
-                    "events_decayed_counts",
-                    "storage_sqlite_btree",
-                    "url_punycode_decode",
-                    "transfer_range_reassembly",
-                    "storage_pdf_xref_stream",
-                    "web_sourcemap_decode",
-                    "http_cookie_match",
-                    "multimodal_woff_meta",
-                    "html_css_urls",
-                    "url_hsts_upgrade",
-                    "robots_failure_policy",
-                    "html_microdata_extract",
-                    "http_date_parse",
-                    "quality_k_anonymity",
-                    "storage_git_pack",
-                    "graph_simrank",
-                    "storage_bencode_decode",
-                    "crawl_ucb_recrawl",
-                    "html_opengraph_extract"}
-    demoted = q._GATE_ORDER[GATE_CAP:]
-    missing = [n for n in demoted if n not in green and n not in new_past_cap]
-    assert not missing, (
-        "queries past the driver's 50-row gate cap with NO prior "
-        f"driver-green CORRECTNESS row: {missing} — move them inside "
-        "the first 50 (demote a gate that has one instead)"
-    )
-    assert set(demoted[: len(new_past_cap)]) == new_past_cap, (
-        "new-past-cap gates must lead the demoted section"
+    green = _driver_green()
+    already = [n for n in q._GATE_ORDER[:GATE_CAP] if n in green]
+    assert not already, (
+        f"head-{GATE_CAP} gates that already have a driver-green row "
+        f"(wasted record slots): {already}"
     )
 
 
-def test_never_recorded_queries_lead_the_order():
-    """The 18 ops with no r1-r3 driver row (VERDICT r3 missing #1)
-    must all sit inside the gate cap so CORRECTNESS_r04 records
-    them."""
+def test_order_partitions_never_recorded_before_green():
+    """Invariant 3: no driver-green gate may precede a never-recorded
+    one — the cap falls only on gates whose driver record exists, and
+    the backlog drains in a contiguous prefix."""
     q = _registered()
-    never_recorded = {
-        "frontier_hll_distinct",
-        "warc_ingest",
-        "corpus_prep_pipeline",
-        "multimodal_image_decode",
-        "multimodal_image_resize",
-        "multimodal_video_frames",
-        "multimodal_audio_decode",
-        "text_tfidf_top_terms",
-        "snapshot_diff",
-        "events_asof_join",
-        "text_length_quantiles",
-        "sample_domain_mix",
-    }
-    head = set(q._GATE_ORDER[:GATE_CAP])
-    assert never_recorded <= head, never_recorded - head
+    green = _driver_green()
+    order = q._GATE_ORDER
+    first_green = min(
+        (i for i, n in enumerate(order) if n in green), default=len(order)
+    )
+    misplaced = [n for n in order[first_green:] if n not in green]
+    assert not misplaced, (
+        "never-recorded gates ordered after a driver-green gate "
+        f"(driver record can never reach them): {misplaced[:10]}"
+    )
+
+
+def test_backlog_accounting():
+    """The registry froze at 300 for round 5 (VERDICT r4 ask #3) and
+    the driver union grows by exactly the cap per round: 100 green
+    after r1-r4, 200 in the backlog."""
+    q = _registered()
+    green = _driver_green()
+    registered_green = green & set(q._GATE_ORDER)
+    assert len(q._GATE_ORDER) == 300, len(q._GATE_ORDER)
+    assert len(registered_green) == 100, len(registered_green)
