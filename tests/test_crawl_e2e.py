@@ -225,8 +225,10 @@ def test_fetch_seq_has_no_partitionless_window(spark):
     ]
     assert [s for _, s in got] == list(range(1, 21))
     assert [h for h, _ in got] == sorted(h for h, _ in got)  # host-major
-    # plan shape: the only partition-less window sits above the
-    # per-host AGGREGATE (cumsum of counts), never above the raw log.
+    # plan shape: NO partition-less window anywhere (round 5: the
+    # host-offsets cumsum partitions on the literal 0 — queries._W0
+    # style — so WindowExec's moving-all-data warning cannot fire and
+    # an empty partition spec in any plan is a regression again).
     # Window toString is `Window [fns], [partitionSpec], [orderSpec]`;
     # with an EMPTY partition spec the second bracket is the ORDER
     # spec (contains ASC/DESC) — that's how a global window reads.
@@ -234,12 +236,16 @@ def test_fetch_seq_has_no_partitionless_window(spark):
     matches = list(re.finditer(r"Window \[[^\]]*\], (\[[^\]]*\])", plan))
     specs = [m.group(1) for m in matches]
     assert len(specs) == 2, plan
-    partitioned = [s for s in specs if "ASC" not in s and "DESC" not in s]
     global_w = [m for m, s in zip(matches, specs) if "ASC" in s or "DESC" in s]
-    assert partitioned == ["[host#%s]" % partitioned[0][6:-1]] and len(global_w) == 1
-    # the global window's child subtree must aggregate before it —
+    assert not global_w, f"partition-less window in plan: {plan}"
+    # one window partitions by host (the per-host rank over the raw
+    # log), the other by the literal 0 (the BOUNDED offsets cumsum)
+    host_w = [s for s in specs if s.startswith("[host#")]
+    lit_w = [(m, s) for m, s in zip(matches, specs) if s == "[0]"]
+    assert len(host_w) == 1 and len(lit_w) == 1, plan
+    # the lit(0) window's child subtree must aggregate before it —
     # i.e. the text below that node contains the per-host Aggregate
-    below = plan[global_w[0].start():]
+    below = plan[lit_w[0][0].start():]
     assert "Aggregate [host#" in below, plan
 
 
