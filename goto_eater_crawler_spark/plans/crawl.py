@@ -143,6 +143,19 @@ class CrawlConfig:
     # deltas). At 10^10 keys, shards scale the per-blob size and the
     # build parallelism; the per-shard blobs broadcast to the probe.
     xor_snapshot_shards: int = 8
+    # optional recrawl/scheduling policy arm (VERDICT r4 ask #7 —
+    # operators/recrawl): None (static priority) | "ucb" | "ses" |
+    # "cusum". When set, each round folds a per-host novelty-yield
+    # indicator into a slim policy state (checkpointed through the
+    # store like every round artifact — resume-safe) and the NEXT
+    # round's link priorities become
+    #   priority = base(host_rank, depth) + recrawl_weight * boost
+    # where boost is the UCB1 score / SES level / CUSUM alarm count
+    # of the link's host. Hosts with no state yet get
+    # recrawl_unseen_boost (UCB's play-every-arm-once rule).
+    recrawl_policy: str | None = None
+    recrawl_weight: float = 10.0
+    recrawl_unseen_boost: float = 4.0
     # incremental seen-set cardinality estimate via HyperLogLog
     # (operators/sketches — VERDICT r3 ask #8): when set (register
     # count log2), the loop carries <= 2^log2m register rows as state,
@@ -314,16 +327,48 @@ class CrawlEngine:
         # they were committed under
         self.xor_filters: DataFrame | None = None
         self._xor_round: int | None = None
+        # recrawl policy state (slim per-host relation) — None until
+        # the first round's observations fold in (or resume reattaches)
+        self.policy_state: DataFrame | None = None
+        if self.cfg.recrawl_policy is not None:
+            from ..operators.recrawl import POLICIES
+
+            assert self.cfg.recrawl_policy in POLICIES, (
+                f"recrawl_policy must be one of {POLICIES}"
+            )
 
     def _prioritize(self, df: DataFrame) -> DataFrame:
         """priority column per the configured policy: host-rank-driven
         (O3: rank x W - depth) when ranks are supplied, flat default
-        otherwise. Requires host/depth columns."""
+        otherwise; plus the optional recrawl-policy boost
+        (base + recrawl_weight * boost(host)) once per-host state
+        exists. Requires host/depth columns."""
         if self.host_ranks is None:
-            return df.withColumn("priority", priority_col())
-        from ..operators.hostrank import with_host_rank
+            df = df.withColumn("priority", priority_col())
+        else:
+            from ..operators.hostrank import with_host_rank
 
-        return with_host_rank(df, self.host_ranks)
+            df = with_host_rank(df, self.host_ranks)
+        if self.cfg.recrawl_policy is not None and self.policy_state is not None:
+            from ..operators.recrawl import policy_boosts
+
+            boosts = policy_boosts(
+                self.policy_state, self.cfg.recrawl_policy
+            )
+            df = (
+                df.join(F.broadcast(boosts), "host", "left")
+                .withColumn(
+                    "priority",
+                    F.col("priority")
+                    + F.lit(self.cfg.recrawl_weight)
+                    * F.coalesce(
+                        F.col("boost"),
+                        F.lit(self.cfg.recrawl_unseen_boost),
+                    ),
+                )
+                .drop("boost")
+            )
+        return df
 
     # -- state helpers ------------------------------------------------
 
@@ -449,6 +494,18 @@ class CrawlEngine:
                 xr, "xor_snapshot", XOR_SNAPSHOT_SCHEMA
             ).localCheckpoint(eager=True)
             eng._xor_round = xr
+        if config.recrawl_policy is not None and last_no >= 1:
+            from ..operators.recrawl import POLICY_STATE_SCHEMA
+
+            try:
+                eng.policy_state = eng.store.read(
+                    last_no, "policy_state", POLICY_STATE_SCHEMA
+                )
+            except Exception:
+                # policy enabled only AFTER the checkpointed rounds ran:
+                # no state table exists yet — start the fold cold, same
+                # as a fresh crawl's first round
+                eng.policy_state = None
         return eng._loop(
             frontier,
             seen,
@@ -916,6 +973,28 @@ class CrawlEngine:
             round_log = futs["fetch_log"].result()
             records = futs["records"].result()
             frontier = futs["frontier"].result()
+
+            if cfg.recrawl_policy is not None:
+                # fold this round's per-host novelty observations into
+                # the policy state (operators/recrawl): both inputs are
+                # the round's ALREADY-MATERIALIZED slim artifacts, the
+                # state is one row per host, and the fold runs once per
+                # round in round order — the sequential semantics the
+                # recrawl_{ucb,ses,cusum} gates pin. Checkpointed
+                # through the store so resume reattaches it exactly.
+                from ..operators import recrawl as _rc
+
+                obs = _rc.round_observations(round_log, new_rows)
+                prev_state = (
+                    self.policy_state
+                    if self.policy_state is not None
+                    else _rc.empty_state(self.spark)
+                )
+                self.policy_state = self._materialize(
+                    _rc.update_state(prev_state, obs),
+                    round_no,
+                    "policy_state",
+                )
 
             # counters came from the Observations riding the
             # materialization jobs above (round 2 ran a separate
