@@ -114,14 +114,19 @@ SCALE_DATA = os.path.join(_BASE, f"web_h{SCALE_HOSTS}_l{LISTS}_d{DETAILS}_x{HOT}
 SCALE4X_DATA = os.path.join(
     _BASE, f"web_h{SCALE4X_HOSTS}_l{LISTS}_d{DETAILS}_x{HOT}"
 )
-DETAIL_FILE = os.path.join(_REPO, "BENCH_DETAIL.json")
+PROFILE = os.environ.get("BENCH_PROFILE", "official")
+DETAIL = PROFILE == "detail"
+# per-profile detail file: the committed BENCH_DETAIL.json carries the
+# full 300-gate quiet-box record and must not be clobbered by the
+# driver's official (headline-subset) run
+DETAIL_FILE = os.path.join(
+    _REPO, "BENCH_DETAIL.json" if DETAIL else "BENCH_OFFICIAL_DETAIL.json"
+)
 # quiet-box gate (VERDICT r3 ask #3: membw >= 0.8 alongside the
 # headline; quiet-box draws read 0.86-1.01 here)
 MEMBW_MIN = float(os.environ.get("BENCH_MEMBW_MIN", "0.8"))
 MEMBW_TRIES = int(os.environ.get("BENCH_MEMBW_TRIES", "6"))
 MEMBW_SLEEP = float(os.environ.get("BENCH_MEMBW_SLEEP", "45"))
-PROFILE = os.environ.get("BENCH_PROFILE", "official")
-DETAIL = PROFILE == "detail"
 TOTAL_MAX_SEC = float(
     os.environ.get("BENCH_TOTAL_MAX_SEC", "86400" if DETAIL else "2400")
 )
