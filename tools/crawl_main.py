@@ -62,6 +62,13 @@ def parse_args(argv=None):
                    help="per-round seen-set cardinality estimate in the "
                         "metrics via incremental HyperLogLog (2^log2m "
                         "registers)")
+    p.add_argument("--recrawl-policy", default=None,
+                   choices=("ucb", "ses", "cusum"),
+                   help="optional per-host scheduling policy arm "
+                        "(operators/recrawl): UCB1 bandit / SES "
+                        "forecast / CUSUM change alarm folded into "
+                        "link priorities each round; state checkpoints "
+                        "with the crawl and survives --resume")
     p.add_argument("--retract", default="",
                    help="comma-separated URLs to retract from the seen set "
                         "of an existing checkpoint (requires --checkpoint "
@@ -121,6 +128,7 @@ def main(argv=None) -> int:
         seen_filter=args.seen_filter,
         hot_hosts_k=args.hot_hosts_k,
         seen_hll_log2m=args.seen_hll_log2m,
+        recrawl_policy=args.recrawl_policy,
     )
     eng = CrawlEngine(spark, pages, robots, cfg)
     if args.retract:
